@@ -1,0 +1,403 @@
+"""DuckLake catalog semantics on driver-side DataFrames.
+
+Implements the MVCC model from the public DuckLake spec (SURVEY §1.1):
+every versioned row carries ``[begin_snapshot, end_snapshot)`` validity; a
+read at snapshot S selects rows with ``begin_snapshot <= S AND
+(end_snapshot IS NULL OR S < end_snapshot)``.  Deletes never rewrite data
+files — a delete file lists deleted row positions of one data file.
+
+The reference reaches these tables through DuckDB's ducklake extension
+(ATTACH at ducklakexl.py:236); here they are plain pandas frames with the
+spec schemas, committed atomically through :class:`CatalogStore`.
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime, timezone
+
+import pandas as pd
+
+from ducklakexl_spark.catalog.schemas import CATALOG_SCHEMAS
+from ducklakexl_spark.catalog.store import CatalogStore, conform, empty_frame
+
+MAIN_SCHEMA = "main"
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class DuckLakeCatalog:
+    def __init__(self, store: CatalogStore, data_path: str):
+        self.store = store
+        self.data_path = data_path
+        if store.exists():
+            self.tables = store.load()
+        else:
+            self.tables = {t: empty_frame(t) for t in CATALOG_SCHEMAS}
+            self._bootstrap()
+
+    # -- low-level helpers --------------------------------------------------
+
+    def _append(self, table: str, rows: list[dict]) -> None:
+        if not rows:
+            return
+        cur = self.tables[table]
+        add = conform(table, pd.DataFrame(rows))
+        self.tables[table] = (
+            add if cur.empty else pd.concat([cur, add], ignore_index=True)
+        )
+
+    def _bootstrap(self) -> None:
+        self._append(
+            "ducklake_metadata",
+            [
+                {"key": "version", "value": "0.1"},
+                {"key": "created_by", "value": "ducklakexl_spark"},
+                {"key": "data_path", "value": self.data_path},
+                {"key": "encrypted", "value": "false"},
+            ],
+        )
+        self._append(
+            "ducklake_schema",
+            [
+                {
+                    "schema_id": 0,
+                    "schema_uuid": str(uuid.uuid4()),
+                    "begin_snapshot": 0,
+                    "end_snapshot": None,
+                    "schema_name": MAIN_SCHEMA,
+                }
+            ],
+        )
+        self._append(
+            "ducklake_snapshot",
+            [
+                {
+                    "snapshot_id": 0,
+                    "snapshot_time": _now(),
+                    "schema_version": 0,
+                    "next_catalog_id": 1,
+                    "next_file_id": 0,
+                }
+            ],
+        )
+        self._append(
+            "ducklake_snapshot_changes",
+            [{"snapshot_id": 0, "changes_made": f'created_schema:"{MAIN_SCHEMA}"'}],
+        )
+        self.store.save(self.tables)
+
+    # -- snapshot machinery ---------------------------------------------------
+
+    @property
+    def current_snapshot(self) -> int:
+        return int(self.tables["ducklake_snapshot"]["snapshot_id"].max())
+
+    def _counters(self) -> tuple[int, int]:
+        snap = self.tables["ducklake_snapshot"]
+        last = snap.loc[snap["snapshot_id"].idxmax()]
+        return int(last["next_catalog_id"]), int(last["next_file_id"])
+
+    def commit_snapshot(
+        self, changes: str, next_catalog_id: int, next_file_id: int
+    ) -> int:
+        sid = self.current_snapshot + 1
+        self._append(
+            "ducklake_snapshot",
+            [
+                {
+                    "snapshot_id": sid,
+                    "snapshot_time": _now(),
+                    "schema_version": 0,
+                    "next_catalog_id": next_catalog_id,
+                    "next_file_id": next_file_id,
+                }
+            ],
+        )
+        self._append(
+            "ducklake_snapshot_changes",
+            [{"snapshot_id": sid, "changes_made": changes}],
+        )
+        self.store.save(self.tables)
+        return sid
+
+    def live_mask(self, df: pd.DataFrame, snapshot: int | None = None):
+        s = self.current_snapshot if snapshot is None else snapshot
+        end = df["end_snapshot"]
+        return (df["begin_snapshot"] <= s) & (end.isna() | (s < end))
+
+    def live(self, table: str, snapshot: int | None = None) -> pd.DataFrame:
+        df = self.tables[table]
+        if df.empty:
+            return df
+        return df[self.live_mask(df, snapshot)]
+
+    # -- lookups ----------------------------------------------------------------
+
+    def schema_id(self, name: str = MAIN_SCHEMA) -> int:
+        live = self.live("ducklake_schema")
+        hit = live[live["schema_name"] == name]
+        if hit.empty:
+            raise KeyError(f"schema not found: {name}")
+        return int(hit.iloc[0]["schema_id"])
+
+    def table_id(self, name: str, snapshot: int | None = None) -> int:
+        live = self.live("ducklake_table", snapshot)
+        hit = live[live["table_name"] == name]
+        if hit.empty:
+            raise KeyError(f"table not found: {name}")
+        return int(hit.iloc[0]["table_id"])
+
+    def table_names(self, snapshot: int | None = None) -> list[str]:
+        return list(self.live("ducklake_table", snapshot)["table_name"])
+
+    def columns(self, table_id: int, snapshot: int | None = None) -> pd.DataFrame:
+        live = self.live("ducklake_column", snapshot)
+        cols = live[live["table_id"] == table_id]
+        return cols.sort_values("column_order")
+
+    def data_files(self, table_id: int, snapshot: int | None = None) -> pd.DataFrame:
+        live = self.live("ducklake_data_file", snapshot)
+        return live[live["table_id"] == table_id].sort_values("data_file_id")
+
+    def delete_files(self, table_id: int, snapshot: int | None = None) -> pd.DataFrame:
+        live = self.live("ducklake_delete_file", snapshot)
+        return live[live["table_id"] == table_id].sort_values("delete_file_id")
+
+    # -- DDL ---------------------------------------------------------------------
+
+    def create_table(self, name: str, columns: list[tuple[str, str]]) -> int:
+        """columns: [(name, ducklake SQL type)] — returns table_id."""
+        live = self.live("ducklake_table")
+        if (live["table_name"] == name).any():
+            raise ValueError(f"table already exists: {name}")
+        next_cat, next_file = self._counters()
+        table_id = next_cat
+        next_cat += 1
+        snapshot = self.current_snapshot + 1
+        self._append(
+            "ducklake_table",
+            [
+                {
+                    "table_id": table_id,
+                    "table_uuid": str(uuid.uuid4()),
+                    "begin_snapshot": snapshot,
+                    "end_snapshot": None,
+                    "schema_id": self.schema_id(),
+                    "table_name": name,
+                }
+            ],
+        )
+        col_rows = []
+        for order, (cname, ctype) in enumerate(columns):
+            col_rows.append(
+                {
+                    "column_id": next_cat,
+                    "begin_snapshot": snapshot,
+                    "end_snapshot": None,
+                    "table_id": table_id,
+                    "column_order": order,
+                    "column_name": cname,
+                    "column_type": ctype,
+                    "initial_default": None,
+                    "default_value": None,
+                    "nulls_allowed": True,
+                    "parent_column": None,
+                }
+            )
+            next_cat += 1
+        self._append("ducklake_column", col_rows)
+        self._append(
+            "ducklake_table_stats",
+            [
+                {
+                    "table_id": table_id,
+                    "record_count": 0,
+                    "next_row_id": 0,
+                    "file_size_bytes": 0,
+                }
+            ],
+        )
+        self.commit_snapshot(f'created_table:"{name}"', next_cat, next_file)
+        return table_id
+
+    def drop_table(self, name: str) -> None:
+        table_id = self.table_id(name)
+        snapshot = self.current_snapshot + 1
+        for t in ("ducklake_table", "ducklake_column", "ducklake_data_file",
+                  "ducklake_delete_file"):
+            df = self.tables[t]
+            if df.empty:
+                continue
+            mask = self.live_mask(df) & (df["table_id"] == table_id)
+            df.loc[mask, "end_snapshot"] = snapshot
+        next_cat, next_file = self._counters()
+        self.commit_snapshot(f'dropped_table:"{name}"', next_cat, next_file)
+
+    # -- file registration (DML support) -------------------------------------------
+
+    def register_data_files(
+        self, table_id: int, files: list[dict], column_stats: list[dict] | None = None
+    ) -> int:
+        """Register newly written parquet files.  Each file dict needs:
+        path, record_count, file_size_bytes, footer_size.
+        column_stats rows (optional): per (path, column_id) min/max/nulls.
+        Returns the commit snapshot id."""
+        next_cat, next_file = self._counters()
+        snapshot = self.current_snapshot + 1
+        stats = self.tables["ducklake_table_stats"]
+        srow = stats[stats["table_id"] == table_id]
+        next_row_id = int(srow.iloc[0]["next_row_id"]) if not srow.empty else 0
+
+        rows, stat_rows = [], []
+        path_to_id = {}
+        order_base = len(self.data_files(table_id))
+        for i, f in enumerate(sorted(files, key=lambda x: x["path"])):
+            fid = next_file
+            next_file += 1
+            path_to_id[f["path"]] = fid
+            rows.append(
+                {
+                    "data_file_id": fid,
+                    "table_id": table_id,
+                    "begin_snapshot": snapshot,
+                    "end_snapshot": None,
+                    "file_order": order_base + i,
+                    "path": f["path"],
+                    "path_is_relative": False,
+                    "file_format": "parquet",
+                    "record_count": f["record_count"],
+                    "file_size_bytes": f["file_size_bytes"],
+                    "footer_size": f.get("footer_size"),
+                    "row_id_start": next_row_id,
+                    "partition_id": None,
+                    "encryption_key": None,
+                    "partial_file_info": None,
+                }
+            )
+            next_row_id += int(f["record_count"])
+        self._append("ducklake_data_file", rows)
+
+        for s in column_stats or []:
+            stat_rows.append(
+                {
+                    "data_file_id": path_to_id[s["path"]],
+                    "table_id": table_id,
+                    "column_id": s["column_id"],
+                    "column_size_bytes": s.get("column_size_bytes"),
+                    "value_count": s.get("value_count"),
+                    "null_count": s.get("null_count"),
+                    "min_value": s.get("min_value"),
+                    "max_value": s.get("max_value"),
+                    "contains_nan": s.get("contains_nan", False),
+                }
+            )
+        self._append("ducklake_file_column_statistics", stat_rows)
+
+        added = sum(int(f["record_count"]) for f in files)
+        added_bytes = sum(int(f["file_size_bytes"]) for f in files)
+        self._bump_table_stats(table_id, added, next_row_id, added_bytes)
+        return self.commit_snapshot(
+            f"inserted_into_table:{table_id}", next_cat, next_file
+        )
+
+    def _bump_table_stats(
+        self, table_id: int, added_records: int, next_row_id: int, added_bytes: int
+    ) -> None:
+        stats = self.tables["ducklake_table_stats"]
+        mask = stats["table_id"] == table_id
+        if mask.any():
+            stats.loc[mask, "record_count"] = (
+                stats.loc[mask, "record_count"].fillna(0) + added_records
+            )
+            stats.loc[mask, "next_row_id"] = next_row_id
+            stats.loc[mask, "file_size_bytes"] = (
+                stats.loc[mask, "file_size_bytes"].fillna(0) + added_bytes
+            )
+        else:
+            self._append(
+                "ducklake_table_stats",
+                [
+                    {
+                        "table_id": table_id,
+                        "record_count": added_records,
+                        "next_row_id": next_row_id,
+                        "file_size_bytes": added_bytes,
+                    }
+                ],
+            )
+
+    def register_delete_file(
+        self,
+        table_id: int,
+        path: str,
+        per_data_file_counts: dict[int, int],
+        file_size_bytes: int,
+        removed_records: int,
+    ) -> int:
+        """Register one delete parquet covering the given data files; the
+        previous live delete files for those data files are end-snapshotted
+        (DuckLake keeps at most one live delete file per data file)."""
+        next_cat, next_file = self._counters()
+        snapshot = self.current_snapshot + 1
+
+        dels = self.tables["ducklake_delete_file"]
+        if not dels.empty:
+            mask = (
+                self.live_mask(dels)
+                & (dels["table_id"] == table_id)
+                & (dels["data_file_id"].isin(list(per_data_file_counts)))
+            )
+            dels.loc[mask, "end_snapshot"] = snapshot
+
+        rows = []
+        for data_file_id, count in sorted(per_data_file_counts.items()):
+            rows.append(
+                {
+                    "delete_file_id": next_file,
+                    "table_id": table_id,
+                    "begin_snapshot": snapshot,
+                    "end_snapshot": None,
+                    "data_file_id": data_file_id,
+                    "path": path,
+                    "path_is_relative": False,
+                    "format": "parquet",
+                    "delete_count": count,
+                    "file_size_bytes": file_size_bytes,
+                    "footer_size": None,
+                    "encryption_key": None,
+                }
+            )
+            next_file += 1
+        self._append("ducklake_delete_file", rows)
+
+        stats = self.tables["ducklake_table_stats"]
+        mask = stats["table_id"] == table_id
+        if mask.any():
+            stats.loc[mask, "record_count"] = (
+                stats.loc[mask, "record_count"] - removed_records
+            )
+        return self.commit_snapshot(
+            f"deleted_from_table:{table_id}", next_cat, next_file
+        )
+
+    def truncate_table(self, name: str) -> int:
+        table_id = self.table_id(name)
+        snapshot = self.current_snapshot + 1
+        for t in ("ducklake_data_file", "ducklake_delete_file"):
+            df = self.tables[t]
+            if df.empty:
+                continue
+            mask = self.live_mask(df) & (df["table_id"] == table_id)
+            df.loc[mask, "end_snapshot"] = snapshot
+        stats = self.tables["ducklake_table_stats"]
+        mask = stats["table_id"] == table_id
+        if mask.any():
+            stats.loc[mask, "record_count"] = 0
+        next_cat, next_file = self._counters()
+        return self.commit_snapshot(f"truncated_table:{table_id}", next_cat, next_file)
+
+    def snapshots(self) -> pd.DataFrame:
+        return self.tables["ducklake_snapshot"].copy()

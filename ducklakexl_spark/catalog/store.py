@@ -1,0 +1,103 @@
+"""Local catalog store: one parquet file per catalog table under a
+directory, with atomic swap on commit.
+
+Mirrors the reference's ``local_catalog`` DuckDB file (ducklakexl.py:20,
+236); the reference's per-table ``BEGIN; TRUNCATE; INSERT; COMMIT``
+refresh (ducklakexl.py:461-464) becomes write-temp-then-rename here.
+
+Catalog tables are tiny (SURVEY §1.2), so they live driver-side as pandas
+DataFrames with pyarrow-enforced schemas — metadata operations never
+launch Spark jobs (BASELINE.md's explicit guidance for the 2x bench
+envelope), and the data plane reads them to resolve file lists.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ducklakexl_spark.catalog.schemas import CATALOG_SCHEMAS
+
+
+def empty_frame(table: str) -> pd.DataFrame:
+    schema = CATALOG_SCHEMAS[table]
+    return schema.empty_table().to_pandas(types_mapper=_types_mapper)
+
+
+def _types_mapper(t: pa.DataType):
+    # nullable pandas dtypes so blank Excel cells round-trip as NULL ints
+    # (the reference's Int64 coercion, ducklakexl.py:413-417)
+    if pa.types.is_int64(t):
+        return pd.Int64Dtype()
+    if pa.types.is_boolean(t):
+        return pd.BooleanDtype()
+    if pa.types.is_string(t):
+        return pd.StringDtype()
+    return None
+
+
+def conform(table: str, df: pd.DataFrame) -> pd.DataFrame:
+    """Coerce a frame to the catalog schema (column order + dtypes)."""
+    schema = CATALOG_SCHEMAS[table]
+    out = {}
+    for field in schema:
+        col = df[field.name] if field.name in df.columns else None
+        if col is None:
+            col = pd.Series([None] * len(df))
+        out[field.name] = col
+    pdf = pd.DataFrame(out, index=df.index if len(df) else None)
+    arrow = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    return arrow.to_pandas(types_mapper=_types_mapper)
+
+
+class CatalogStore:
+    """Directory of parquet files, one per catalog table, swapped atomically."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _file(self, table: str, root: str | None = None) -> str:
+        return os.path.join(root or self.path, f"{table}.parquet")
+
+    def exists(self) -> bool:
+        return any(
+            os.path.exists(self._file(t)) for t in CATALOG_SCHEMAS
+        )
+
+    def load(self) -> dict[str, pd.DataFrame]:
+        tables = {}
+        for t in CATALOG_SCHEMAS:
+            f = self._file(t)
+            if os.path.exists(f):
+                tables[t] = pq.read_table(f).to_pandas(types_mapper=_types_mapper)
+            else:
+                tables[t] = empty_frame(t)
+        return tables
+
+    def save(self, tables: dict[str, pd.DataFrame]) -> None:
+        """Atomic commit: write everything to a temp dir, then swap."""
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        tmp = tempfile.mkdtemp(prefix=".catalog_commit_", dir=parent)
+        try:
+            for t in CATALOG_SCHEMAS:
+                df = conform(t, tables.get(t, empty_frame(t)))
+                arrow = pa.Table.from_pandas(
+                    df, schema=CATALOG_SCHEMAS[t], preserve_index=False
+                )
+                pq.write_table(arrow, self._file(t, tmp))
+            backup = self.path + ".old"
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+            os.rename(self.path, backup)
+            os.rename(tmp, self.path)
+            shutil.rmtree(backup)
+        except Exception:
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            raise

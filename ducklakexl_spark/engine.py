@@ -1,0 +1,642 @@
+"""DuckLakeSpark — the Spark-native twin of the reference's DuckLakeXL class.
+
+The reference wraps every ``sql()`` call in a catalog pull/push and hands
+the statement to DuckDB (ducklakexl.py:387-397).  Here the engine *is*
+Spark: statements are classified, DDL/DML mutate the DuckLake catalog and
+write parquet through Spark executors, and reads resolve a snapshot-scoped
+file list before handing the query text to ``spark.sql`` (Catalyst does
+all optimization — SURVEY §4).
+
+Lifecycle parity (SURVEY §3.2)::
+
+    _pull()   -> refresh catalog from the workbook     (ducklakexl.py:393)
+    execute   -> per-statement dispatch                 (ducklakexl.py:394)
+    _push()   -> publish catalog to the workbook        (ducklakexl.py:395)
+    return    -> last result DataFrame (lazy, like DuckDBPyRelation)
+
+Custom physical pieces (SURVEY §4 list): snapshot-scoped scan resolution,
+catalog-level file skipping, positional-delete application via
+``_metadata.row_index`` + broadcast anti-join, and DML planning (delete
+files, stats collection from parquet footers).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ducklakexl_spark.catalog import CatalogStore, DuckLakeCatalog
+
+# ---------------------------------------------------------------------------
+# SQL text utilities
+# ---------------------------------------------------------------------------
+
+
+def split_statements(text: str) -> list[str]:
+    """Split a multi-statement string on ';' outside quotes/comments
+    (reference relies on DuckDB accepting multi-statement strings,
+    test_module.ipynb cell 4; README.md:70-74)."""
+    out, buf = [], []
+    i, n = 0, len(text)
+    in_s = in_d = in_line_comment = False
+    while i < n:
+        ch = text[i]
+        if in_line_comment:
+            buf.append(ch)
+            if ch == "\n":
+                in_line_comment = False
+        elif in_s:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    buf.append(text[i + 1])
+                    i += 1
+                else:
+                    in_s = False
+        elif in_d:
+            buf.append(ch)
+            if ch == '"':
+                in_d = False
+        elif ch == "'":
+            in_s = True
+            buf.append(ch)
+        elif ch == '"':
+            in_d = True
+            buf.append(ch)
+        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+            in_line_comment = True
+            buf.append(ch)
+        elif ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    stmt = "".join(buf).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+def split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on sep at paren depth 0, quote-aware (for column def lists)."""
+    out, buf, depth = [], [], 0
+    in_s = False
+    for ch in s:
+        if in_s:
+            buf.append(ch)
+            if ch == "'":
+                in_s = False
+        elif ch == "'":
+            in_s = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    last = "".join(buf).strip()
+    if last:
+        out.append(last)
+    return out
+
+
+_TYPE_MAP: list[tuple[re.Pattern, object]] = [
+    (re.compile(r"^(BIGINT|INT8|LONG|HUGEINT)$", re.I), T.LongType()),
+    (re.compile(r"^(INTEGER|INT|INT4|SIGNED)$", re.I), T.IntegerType()),
+    (re.compile(r"^(SMALLINT|INT2|SHORT)$", re.I), T.ShortType()),
+    (re.compile(r"^(TINYINT|INT1)$", re.I), T.ByteType()),
+    (re.compile(r"^(VARCHAR|TEXT|STRING|CHAR|BPCHAR)(\(\d+\))?$", re.I), T.StringType()),
+    (re.compile(r"^(DOUBLE|FLOAT8)$", re.I), T.DoubleType()),
+    (re.compile(r"^(REAL|FLOAT4|FLOAT)$", re.I), T.FloatType()),
+    (re.compile(r"^(BOOLEAN|BOOL|LOGICAL)$", re.I), T.BooleanType()),
+    (re.compile(r"^DATE$", re.I), T.DateType()),
+    (re.compile(r"^TIMESTAMP(TZ)?(\(\d+\))?$", re.I), T.TimestampType()),
+    (re.compile(r"^BLOB|^BYTEA|^BINARY", re.I), T.BinaryType()),
+]
+_DECIMAL_RE = re.compile(r"^(DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", re.I)
+
+
+def ducklake_type_to_spark(sql_type: str) -> T.DataType:
+    """Map DuckDB/DuckLake SQL types to Spark types (SURVEY §1.1 table)."""
+    t = sql_type.strip()
+    m = _DECIMAL_RE.match(t)
+    if m:
+        return T.DecimalType(int(m.group(2)), int(m.group(3)))
+    for pat, typ in _TYPE_MAP:
+        if pat.match(t):
+            return typ
+    raise ValueError(f"unsupported column type: {sql_type}")
+
+
+_USE_RE = re.compile(r"^\s*USE\s+([\w.]+)\s*$", re.I)
+_ATTACH_RE = re.compile(r"^\s*ATTACH\b", re.I)
+_TXN_RE = re.compile(r"^\s*(BEGIN(\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$", re.I)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s*\((.*)\)\s*$",
+    re.I | re.S,
+)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+([\w.\"]+)\s+AS\s+(SELECT\b.*|WITH\b.*)$",
+    re.I | re.S,
+)
+_DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", re.I)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\([^)]*\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*|FROM\b.*)$",
+    re.I | re.S,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.\"]+)(?:\s+WHERE\s+(.*))?$", re.I | re.S
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
+)
+_TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+_AT_VERSION_RE = re.compile(
+    r"\b([\w]+)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)", re.I
+)
+_SNAPSHOTS_RE = re.compile(r"\b[\w.]*snapshots\s*\(\s*\)", re.I)
+
+
+def _unqualify(name: str) -> str:
+    return name.replace('"', "").split(".")[-1]
+
+
+class DuckLakeSpark:
+    """Spark-native lakehouse with the reference's API surface
+    (DuckLakeXL.__init__ params at ducklakexl.py:17-29; sql() at :387-397).
+
+    Parameters mirror the reference where they still make sense:
+    ``excel_file``/``workbook`` select the catalog-mirror backend (None =
+    no mirroring), ``data_path`` is where executors write table parquet,
+    ``local_catalog`` is the authoritative catalog store directory.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        excel_file: str | None = None,
+        data_path: str = "ducklake_data",
+        ducklake_name: str = "my_excel_ducklake",
+        local_catalog: str | None = None,
+        workbook=None,
+    ):
+        from ducklakexl_spark.session import get_spark
+
+        self.spark = spark or get_spark()
+        self.name = ducklake_name
+        self.data_path = os.path.abspath(data_path)
+        os.makedirs(self.data_path, exist_ok=True)
+        local_catalog = local_catalog or os.path.join(self.data_path, "_catalog")
+        self.catalog = DuckLakeCatalog(CatalogStore(local_catalog), self.data_path)
+        self.current_db = ducklake_name
+
+        # workbook sync backend (reference: _pick_client, ducklakexl.py:85-97)
+        if workbook is None and excel_file is not None:
+            from ducklakexl_spark.sync.excel import open_workbook
+
+            workbook = open_workbook(excel_file)
+        self.workbook = workbook
+        if self.workbook is not None:
+            from ducklakexl_spark.sync.sync import WorkbookSync
+
+            self._sync = WorkbookSync(self.workbook)
+            self._sync.initialize(self.catalog)
+        else:
+            self._sync = None
+
+    # ------------------------------------------------------------------ sql()
+
+    def sql(self, query: str) -> DataFrame | None:
+        """pull → execute each statement → push → return last result
+        (exact lifecycle of ducklakexl.py:387-397; the returned DataFrame
+        is lazy just like the reference's DuckDBPyRelation — SURVEY §3.2)."""
+        self._pull()
+        result = None
+        for stmt in split_statements(query):
+            r = self._execute(stmt)
+            if r is not None:
+                result = r
+        self._push()
+        return result
+
+    def _pull(self) -> None:
+        if self._sync is not None:
+            self._sync.pull(self.catalog)
+
+    def _push(self) -> None:
+        if self._sync is not None:
+            self._sync.push(self.catalog)
+
+    # ------------------------------------------------------------- dispatch
+
+    def _execute(self, stmt: str) -> DataFrame | None:
+        if _ATTACH_RE.match(stmt) or _TXN_RE.match(stmt):
+            return None  # handled by constructor / single-statement atomicity
+        m = _USE_RE.match(stmt)
+        if m:
+            self.current_db = m.group(1)
+            return None
+        m = _CTAS_RE.match(stmt)
+        if m and not _CREATE_RE.match(stmt):
+            return self._create_table_as(_unqualify(m.group(1)), m.group(2))
+        m = _CREATE_RE.match(stmt)
+        if m:
+            return self._create_table(
+                _unqualify(m.group(2)), m.group(3), if_not_exists=bool(m.group(1))
+            )
+        m = _DROP_RE.match(stmt)
+        if m:
+            name = _unqualify(m.group(2))
+            if m.group(1) and name not in self.catalog.table_names():
+                return None
+            self.catalog.drop_table(name)
+            return None
+        m = _INSERT_RE.match(stmt)
+        if m:
+            return self._insert(
+                _unqualify(m.group(1)), m.group(2), m.group(3)
+            )
+        m = _DELETE_RE.match(stmt)
+        if m:
+            return self._delete(_unqualify(m.group(1)), m.group(2))
+        m = _UPDATE_RE.match(stmt)
+        if m:
+            return self._update(_unqualify(m.group(1)), m.group(2), m.group(3))
+        m = _TRUNCATE_RE.match(stmt)
+        if m:
+            self.catalog.truncate_table(_unqualify(m.group(1)))
+            return None
+        return self._select(stmt)
+
+    # ------------------------------------------------------------------- DDL
+
+    def _parse_columns(self, body: str) -> list[tuple[str, str]]:
+        cols = []
+        for coldef in split_top_level(body):
+            parts = coldef.split(None, 1)
+            if len(parts) != 2:
+                raise ValueError(f"cannot parse column definition: {coldef!r}")
+            cname = parts[0].strip('"')
+            ctype = re.sub(
+                r"\s+(NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE|DEFAULT\s+.*)$",
+                "",
+                parts[1].strip(),
+                flags=re.I,
+            )
+            cols.append((cname, ctype.strip()))
+        return cols
+
+    def _create_table(
+        self, name: str, body: str, if_not_exists: bool = False
+    ) -> None:
+        if if_not_exists and name in self.catalog.table_names():
+            return None
+        self.catalog.create_table(name, self._parse_columns(body))
+        return None
+
+    def _create_table_as(self, name: str, select_sql: str) -> None:
+        df = self._select(select_sql)
+        columns = [
+            (f.name, _spark_type_to_ducklake(f.dataType)) for f in df.schema.fields
+        ]
+        self.catalog.create_table(name, columns)
+        self._write_dataframe(name, df)
+        return None
+
+    # ------------------------------------------------------------------- DML
+
+    def table_schema(self, name: str, snapshot: int | None = None) -> T.StructType:
+        tid = self.catalog.table_id(name, snapshot)
+        cols = self.catalog.columns(tid, snapshot)
+        return T.StructType(
+            [
+                T.StructField(r.column_name, ducklake_type_to_spark(r.column_type))
+                for r in cols.itertuples()
+            ]
+        )
+
+    def _insert(self, name: str, col_list: str | None, source_sql: str) -> None:
+        schema = self.table_schema(name)
+        if re.match(r"^\s*VALUES", source_sql, re.I):
+            names = (
+                [c.strip().strip('"') for c in col_list.strip("()").split(",")]
+                if col_list
+                else [f.name for f in schema.fields]
+            )
+            alias_cols = ", ".join(f"c{i}" for i in range(len(names)))
+            df = self.spark.sql(f"SELECT * FROM {source_sql} AS __v({alias_cols})")
+            df = df.toDF(*names)
+        else:
+            df = self._select(source_sql)
+            if col_list:
+                names = [c.strip().strip('"') for c in col_list.strip("()").split(",")]
+                df = df.toDF(*names)
+        # align to table schema: by-name where names match, else positional
+        aligned = []
+        src_fields = df.schema.fields
+        for i, f in enumerate(schema.fields):
+            if f.name in df.columns:
+                aligned.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif i < len(src_fields):
+                aligned.append(
+                    F.col(src_fields[i].name).cast(f.dataType).alias(f.name)
+                )
+            else:
+                aligned.append(F.lit(None).cast(f.dataType).alias(f.name))
+        self._write_dataframe(name, df.select(aligned))
+        return None
+
+    def _write_dataframe(self, name: str, df: DataFrame) -> None:
+        """Write parquet through executors, then register files + footer
+        stats (SURVEY §4 item 4: stats from parquet footers — metadata-only,
+        no second Spark job)."""
+        tid = self.catalog.table_id(name)
+        out_dir = os.path.join(
+            self.data_path, name, f"insert-{uuid.uuid4().hex[:12]}"
+        )
+        df.write.mode("overwrite").parquet(out_dir)
+        files, col_stats = [], []
+        cols = self.catalog.columns(tid)
+        col_ids = {r.column_name: int(r.column_id) for r in cols.itertuples()}
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(out_dir, fn)
+            meta = pq.ParquetFile(path).metadata
+            files.append(
+                {
+                    "path": path,
+                    "record_count": meta.num_rows,
+                    "file_size_bytes": os.path.getsize(path),
+                    "footer_size": meta.serialized_size,
+                }
+            )
+            agg: dict[str, dict] = {}
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.num_columns):
+                    col = meta.row_group(rg).column(ci)
+                    cname = col.path_in_schema.split(".")[0]
+                    if cname not in col_ids:
+                        continue
+                    entry = agg.setdefault(
+                        cname,
+                        {
+                            "nulls": 0,
+                            "values": 0,
+                            "bytes": 0,
+                            "min": None,
+                            "max": None,
+                        },
+                    )
+                    entry["bytes"] += col.total_compressed_size
+                    st = col.statistics
+                    if st is not None:
+                        entry["nulls"] += st.null_count or 0
+                        entry["values"] += st.num_values or 0
+                        if st.has_min_max:
+                            mn, mx = st.min, st.max
+                            if entry["min"] is None or mn < entry["min"]:
+                                entry["min"] = mn
+                            if entry["max"] is None or mx > entry["max"]:
+                                entry["max"] = mx
+            for cname, e in agg.items():
+                col_stats.append(
+                    {
+                        "path": path,
+                        "column_id": col_ids[cname],
+                        "column_size_bytes": e["bytes"],
+                        "value_count": e["values"],
+                        "null_count": e["nulls"],
+                        "min_value": None if e["min"] is None else str(e["min"]),
+                        "max_value": None if e["max"] is None else str(e["max"]),
+                    }
+                )
+        if files:
+            self.catalog.register_data_files(tid, files, col_stats)
+
+    # -------------------------------------------------------------- scanning
+
+    @staticmethod
+    def _norm_path(col):
+        # _metadata.file_path is a file: URI; catalog paths are plain absolute
+        return F.regexp_replace(col, r"^file:/*", "/")
+
+    def table_df(
+        self,
+        name: str,
+        snapshot: int | None = None,
+        with_position: bool = False,
+        predicates: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """Snapshot-resolved scan with positional-delete application.
+
+        ``predicates`` (col, op, value) enable catalog-level file skipping
+        against ducklake_file_column_statistics before Spark ever lists the
+        files — the same pruning DuckLake does (SURVEY §4 item 2); parquet
+        footer pushdown then prunes row groups within surviving files.
+        """
+        tid = self.catalog.table_id(name, snapshot)
+        schema = self.table_schema(name, snapshot)
+        files = self.catalog.data_files(tid, snapshot)
+        if files.empty:
+            df = self.spark.createDataFrame([], schema)
+            if with_position:
+                df = df.withColumn("__file", F.lit(None).cast("string")).withColumn(
+                    "__pos", F.lit(None).cast("long")
+                )
+            return df
+        paths = list(files["path"])
+        if predicates:
+            paths = self._skip_files(tid, snapshot, paths, predicates)
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+        dels = self.catalog.delete_files(tid, snapshot)
+        reader = self.spark.read.schema(schema)
+        df = reader.parquet(*paths)
+        if not dels.empty or with_position:
+            df = (
+                reader.parquet(*paths)
+                .withColumn("__file", self._norm_path(F.col("_metadata.file_path")))
+                .withColumn("__pos", F.col("_metadata.row_index"))
+            )
+        if not dels.empty:
+            del_paths = sorted(set(dels["path"]))
+            del_df = self.spark.read.parquet(*del_paths).select("file_path", "pos")
+            df = df.join(
+                F.broadcast(del_df),
+                (df["__file"] == del_df["file_path"]) & (df["__pos"] == del_df["pos"]),
+                "left_anti",
+            )
+        if not with_position and "__file" in df.columns:
+            df = df.drop("__file", "__pos")
+        return df
+
+    def _skip_files(self, tid, snapshot, paths, predicates) -> list[str]:
+        stats = self.catalog.tables["ducklake_file_column_statistics"]
+        dfiles = self.catalog.data_files(tid, snapshot)
+        cols = self.catalog.columns(tid, snapshot)
+        id_by_name = {r.column_name: int(r.column_id) for r in cols.itertuples()}
+        path_by_fid = dict(zip(dfiles["data_file_id"], dfiles["path"]))
+        keep = set(paths)
+        for cname, op, value in predicates:
+            cid = id_by_name.get(cname)
+            if cid is None:
+                continue
+            rel = stats[(stats["table_id"] == tid) & (stats["column_id"] == cid)]
+            for r in rel.itertuples():
+                path = path_by_fid.get(int(r.data_file_id))
+                if path not in keep or r.min_value is None or r.max_value is None:
+                    continue
+                try:
+                    mn, mx = type(value)(r.min_value), type(value)(r.max_value)
+                except (TypeError, ValueError):
+                    continue
+                if (
+                    (op == "=" and not (mn <= value <= mx))
+                    or (op == ">" and not (mx > value))
+                    or (op == ">=" and not (mx >= value))
+                    or (op == "<" and not (mn < value))
+                    or (op == "<=" and not (mn <= value))
+                ):
+                    keep.discard(path)
+        return [p for p in paths if p in keep]
+
+    # ------------------------------------------------------------ DELETE/UPDATE
+
+    def _delete(self, name: str, where: str | None) -> None:
+        tid = self.catalog.table_id(name)
+        live = self.table_df(name, with_position=True)
+        hits = live.filter(where) if where else live
+        hit_pos = hits.select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        # cumulative union with existing delete rows for the touched files so
+        # each data file always has one complete live delete set
+        dels = self.catalog.delete_files(tid)
+        if not dels.empty:
+            old = self.spark.read.parquet(*sorted(set(dels["path"]))).select(
+                "file_path", "pos"
+            )
+            touched = hit_pos.select("file_path").distinct()
+            old = old.join(F.broadcast(touched), "file_path", "left_semi")
+            full = hit_pos.unionByName(old).distinct()
+        else:
+            full = hit_pos.distinct()
+        counts = {
+            r["file_path"]: r["cnt"]
+            for r in full.groupBy("file_path")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        if not counts:
+            return None
+        removed = hit_pos.count()
+        out_dir = os.path.join(
+            self.data_path, name, f"delete-{uuid.uuid4().hex[:12]}"
+        )
+        full.repartition(1).write.mode("overwrite").parquet(out_dir)
+        size = sum(
+            os.path.getsize(os.path.join(out_dir, f))
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+        dfiles = self.catalog.data_files(tid)
+        fid_by_path = {p: int(i) for i, p in zip(dfiles["data_file_id"], dfiles["path"])}
+        per_file = {
+            fid_by_path[p]: int(c) for p, c in counts.items() if p in fid_by_path
+        }
+        self.catalog.register_delete_file(tid, out_dir, per_file, size, removed)
+        return None
+
+    def _update(self, name: str, set_clause: str, where: str | None) -> None:
+        """UPDATE = write updated copies + positional-delete originals
+        (DuckLake never rewrites data files — SURVEY §2.C row "DML")."""
+        schema = self.table_schema(name)
+        live = self.table_df(name, with_position=True)
+        hits = live.filter(where) if where else live
+        assignments = {}
+        for part in split_top_level(set_clause):
+            col, expr = part.split("=", 1)
+            assignments[col.strip().strip('"')] = expr.strip()
+        new_rows = hits.select(
+            *[
+                F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        # materialize new rows BEFORE the delete commits (the scan they came
+        # from must not see the delete file)
+        new_rows = new_rows.cache()
+        new_rows.count()
+        self._delete(name, where)
+        self._write_dataframe(name, new_rows)
+        new_rows.unpersist()
+        return None
+
+    # --------------------------------------------------------------- SELECT
+
+    def _select(self, stmt: str) -> DataFrame:
+        stmt = _SNAPSHOTS_RE.sub(" __ducklake_snapshots ", stmt)
+        if "__ducklake_snapshots" in stmt:
+            self.spark.createDataFrame(
+                self.catalog.snapshots()
+            ).createOrReplaceTempView("__ducklake_snapshots")
+
+        def _rewrite_at(m: re.Match) -> str:
+            tname, version = m.group(1), int(m.group(2))
+            view = f"{tname}__v{version}"
+            self.table_df(tname, snapshot=version).createOrReplaceTempView(view)
+            return f" {view} "
+
+        stmt = _AT_VERSION_RE.sub(_rewrite_at, stmt)
+        for tname in self.catalog.table_names():
+            if re.search(rf"\b{re.escape(tname)}\b", stmt):
+                self.table_df(tname).createOrReplaceTempView(tname)
+        return self.spark.sql(stmt)
+
+    # ------------------------------------------------------------------ misc
+
+    def snapshots(self) -> DataFrame:
+        """The <lake>.snapshots() table function (README.md:162)."""
+        return self.spark.createDataFrame(self.catalog.snapshots())
+
+    def table(self, name: str, snapshot: int | None = None, **kw) -> DataFrame:
+        return self.table_df(name, snapshot, **kw)
+
+
+def _spark_type_to_ducklake(dt: T.DataType) -> str:
+    mapping = {
+        T.LongType(): "BIGINT",
+        T.IntegerType(): "INTEGER",
+        T.ShortType(): "SMALLINT",
+        T.ByteType(): "TINYINT",
+        T.StringType(): "VARCHAR",
+        T.DoubleType(): "DOUBLE",
+        T.FloatType(): "FLOAT",
+        T.BooleanType(): "BOOLEAN",
+        T.DateType(): "DATE",
+        T.TimestampType(): "TIMESTAMP",
+        T.BinaryType(): "BLOB",
+    }
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if dt in mapping:
+        return mapping[dt]
+    raise ValueError(f"unsupported type for CTAS: {dt}")

@@ -1,0 +1,386 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2.D):
+
+- exact dedup (content-hash groupBy),
+- n-gram Jaccard near-dup (word 3-gram shingles),
+- MinHash + LSH near-dup (the scale path: candidate generation via banded
+  signatures → verification only on candidates),
+- SimHash near-dup (bit-signature hamming distance).
+
+Every operator is expressed with built-in column functions (md5-based
+hashing is byte-identical across Spark and DuckDB, which makes the oracles
+exact).  The LSH design is the one that survives 100 TB: signatures are
+computed per-row (no shuffle), candidates come from an equi-join on
+(band, band_key) — a hash-partitionable key — and the quadratic verify
+step only touches candidate pairs, never the full cross product.
+
+The plain pairwise-Jaccard query exists as the *correctness baseline* for
+the LSH variant; it is quadratic by construction and intentionally not part
+of the bench headline set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ducklakexl_spark.queries import load, query
+
+N_MINHASH = 8  # 4 bands x 2 rows -> ~0.5 jaccard threshold knee
+N_BANDS = 4
+ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.8
+
+
+# ---------------------------------------------------------------------------
+# Portable building blocks (identical numeric results in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def portable_hash(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit hash from md5 — identical in Spark and DuckDB.
+
+    Spark:  conv(substr(md5(s || '#seed'), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(s || '#seed'), 1, 15))::BIGINT
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _sql_hash(expr: str, seed: int) -> str:
+    return f"('0x' || substr(md5({expr} || '#{seed}'), 1, 15))::BIGINT"
+
+
+def shingles_col(text: Column) -> Column:
+    """Distinct word 3-gram shingles of a text column (JVM-side)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + F.lit(1)),
+            F.element_at(toks, i + F.lit(2)),
+        ),
+    )
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(F.array(F.trim(text)))
+
+
+_SQL_SHINGLES = """
+  CASE WHEN len(toks) >= 3
+       THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       ELSE [trim(text)] END
+"""
+
+
+def jaccard_cols(sh_a: Column, sh_b: Column) -> Column:
+    """Jaccard over two already-distinct shingle arrays."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    return inter.cast("double") / (F.size(sh_a) + F.size(sh_b) - inter)
+
+
+_SQL_JACCARD = (
+    "CAST(len(list_filter({a}, x -> list_contains({b}, x))) AS DOUBLE) / "
+    "(len({a}) + len({b}) - len(list_filter({a}, x -> list_contains({b}, x))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_key
+      FROM documents
+    )
+    SELECT content_key,
+           count(*)                        AS n_copies,
+           CAST(min(doc_id) AS BIGINT)     AS keeper_doc_id
+    FROM keyed
+    GROUP BY content_key
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one shuffle on a 128-bit key, keeper =
+    min doc_id per group.  At 100 TB this is the cheapest dedup — the md5
+    key is computed map-side and the groupBy partial-aggregates before the
+    shuffle."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    return (
+        d.select(F.col("doc_id"), key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_summary",
+    oracle="""
+    SELECT count(*)                                         AS n_docs,
+           count(DISTINCT md5(text))                        AS n_distinct,
+           count(*) - count(DISTINCT md5(text))             AS n_removed
+    FROM documents
+    """,
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise n-gram Jaccard (correctness baseline; quadratic by design)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round({_SQL_JACCARD.format(a="a.sh", b="b.sh")}, 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE {_SQL_JACCARD.format(a="a.sh", b="b.sh")} >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", shingles_col(F.col("text")).alias("sh")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    j = jaccard_cols(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            j.alias("j_raw"),
+        )
+        .filter(F.col("j_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("j_raw", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(sh: Column) -> list[Column]:
+    """N_MINHASH min-hashes of a shingle array (per-row, no shuffle)."""
+    return [
+        F.array_min(F.transform(sh, lambda s: portable_hash(s, j))).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+
+
+def _minhash_lsh_oracle() -> str:
+    mh_sql = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> {_sql_hash('s', j)})) AS mh{j}"
+        for j in range(N_MINHASH)
+    )
+    band_keys = "\n             ".join(
+        f"WHEN {b} THEN md5(mh{2 * b}::VARCHAR || ':' || mh{2 * b + 1}::VARCHAR)"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh_t AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id, sh,
+             {mh_sql}
+      FROM sh_t
+    ),
+    bands AS (
+      SELECT doc_id, b,
+             CASE b
+             {band_keys}
+             END AS band_key
+      FROM sig, generate_series(0, {N_BANDS - 1}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+                               AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round({_SQL_JACCARD.format(a="sa.sh", b="sb.sh")}, 6) AS jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE {_SQL_JACCARD.format(a="sa.sh", b="sb.sh")} >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, end to end:
+
+    1. shingle + N_MINHASH signatures per doc (map-only, codegen'd);
+    2. explode into N_BANDS (band, band_key) rows; equi-join on the band
+       key to get candidate pairs (shuffle on a uniform 128-bit key — the
+       only shuffle, and AQE handles any hot bucket);
+    3. verify candidates with exact Jaccard.
+
+    At 100 TB the verify join re-reads only candidate shingle arrays; the
+    full cross product never materializes (contrast dedup_ngram_jaccard).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", shingles_col(F.col("text")).alias("sh")
+    ).select("doc_id", "sh", *minhash_signature(F.col("sh")))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(f"mh{2 * b}").cast("string"),
+                        F.col(f"mh{2 * b + 1}").cast("string"),
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh_only = sig.select("doc_id", "sh")
+    j = jaccard_cols(F.col("sa.sh"), F.col("sb.sh"))
+    return (
+        cand.join(sh_only.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh_only.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", j.alias("j_raw"))
+        .filter(F.col("j_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("j_raw", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (bit-signature near-dup)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n             ".join(
+        f"CASE WHEN sum(CASE WHEN (th >> {j}) & 1 = 1 THEN w ELSE -w END) > 0 "
+        f"THEN CAST(1 AS BIGINT) << {j} ELSE 0 END AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    total = " + ".join(f"b{j}" for j in range(SIMHASH_BITS))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lower(t.tok) AS tok, count(*)::BIGINT AS w
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents) t
+      GROUP BY doc_id, lower(t.tok)
+    ),
+    hashed AS (
+      SELECT doc_id, w, {_sql_hash("tok", 0)} AS th FROM tok
+    ),
+    sig AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed
+      GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {total} AS simhash FROM sig)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: per-token 60-bit hash → weighted bit votes →
+    SIMHASH_BITS-bit fingerprint → pairwise hamming ≤ HAMMING_MAX.
+
+    The fingerprint build is groupBy(doc_id) over exploded tokens (one
+    shuffle, partial-aggregated map-side).  Pairing on 32-bit fingerprints
+    is still quadratic here; the scale path blocks on fingerprint prefixes
+    exactly like LSH bands (see dedup_minhash_lsh).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok_raw"),
+        )
+        .select("doc_id", F.lower("tok_raw").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    hashed = tok.select("doc_id", "w", portable_hash(F.col("tok"), 0).alias("th"))
+    votes = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright("th", j).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+                .otherwise(-F.col("w"))
+            )
+            > 0,
+            F.lit(1).cast("long") * (2**j),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*votes)
+    total = sum([F.col(f"b{j}") for j in range(SIMHASH_BITS)], F.lit(0).cast("long"))
+    fp = sig.select("doc_id", total.alias("simhash"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )

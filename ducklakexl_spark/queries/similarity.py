@@ -1,0 +1,255 @@
+"""Similarity search over the embedding column (SURVEY.md §2.D):
+
+- brute-force cosine top-k (the correctness baseline),
+- sign-random-projection LSH bucketing (the scale path: hash vectors into
+  2^P buckets with deterministic pseudo-random hyperplanes, search within
+  buckets),
+- embedding near-duplicate pairs,
+- per-label centroids (the IVF building block).
+
+All vector math uses ``zip_with``/``aggregate``/``transform`` higher-order
+functions — JVM-side, per-row, no Python.  Element values are cast
+float→double *before* multiplication and summed left-to-right so Spark and
+the DuckDB oracle accumulate bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ducklakexl_spark.queries import load, query
+
+DIM = 64
+N_PLANES = 8  # LSH: 2^8 = 256 buckets
+
+
+def dot_cols(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float arrays (left fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm_col(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_cols(a: Column, b: Column) -> Column:
+    return dot_cols(a, b) / (F.sqrt(sq_norm_col(a)) * F.sqrt(sq_norm_col(b)))
+
+
+# DuckDB twins of the above (list indices are 1-based; generate_series is
+# inclusive).  Explicit formula rather than list_cosine_similarity because
+# DuckDB computes that in float32 on FLOAT[] inputs.
+_SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_SQNORM = (
+    "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_SQL_DOT.format(a=a, b=b, dim=DIM)} / "
+        f"(sqrt({_SQL_SQNORM.format(a=a)}) * sqrt({_SQL_SQNORM.format(a=b)})))"
+    )
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             {_sql_cosine("e.embedding", "q.qv")} AS cos_raw
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id AS neighbor_id, rnk, round(cos_raw, 6) AS cosine
+    FROM (SELECT qid, vec_id, cos_raw,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_raw DESC, vec_id) AS rnk
+          FROM scored) t
+    WHERE rnk <= 5
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, score every
+    (query, vector) pair JVM-side, rank per query.  At scale the corpus
+    side stays partitioned; only the query block broadcasts, and the
+    per-query top-k is a window over a repartition on qid (or a
+    TakeOrderedAndProject when k is global)."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_cols(F.col("embedding"), F.col("qv")).alias("cos_raw"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "rnk",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+def _plane_weight_sql(p: str, d: str) -> str:
+    # deterministic pseudo-random hyperplane weight in [-499.5, +499.5]
+    return (
+        f"(CAST(('0x' || substr(md5({p}::VARCHAR || ',' || {d}::VARCHAR), 1, 8))::BIGINT "
+        f"% 1000 AS DOUBLE) - 499.5)"
+    )
+
+
+def plane_weight_col(p: Column, d: Column) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(p.cast("string"), F.lit(","), d.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    ).cast("double") - 499.5
+
+
+def plane_weights_py(p: int) -> list[float]:
+    """The same md5-derived hyperplane, computed driver-side (hashlib md5 ==
+    engine md5) so the planes become constant literal arrays — Catalyst
+    folds them, and no per-row hash work happens at scan time."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:8], 16) % 1000) - 499.5
+        for d in range(1, DIM + 1)
+    ]
+
+
+@query(
+    "sim_lsh_buckets",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, label, p,
+             list_sum(list_transform(generate_series(1, {DIM}),
+               d -> CAST(embedding[d] AS DOUBLE) * {_plane_weight_sql("p", "d")}))
+               AS dotp
+      FROM embeddings, generate_series(0, {N_PLANES - 1}) t(p)
+    ),
+    sig AS (
+      SELECT vec_id, label,
+             CAST(sum(CASE WHEN dotp > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, label
+    )
+    SELECT bucket, count(*) AS n_vectors,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+    FROM sig GROUP BY bucket
+    """,
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: N_PLANES deterministic hyperplanes (md5
+    pseudo-randoms, so the oracle reproduces them), bucket = sign-bit
+    vector.  Per-row map work only; the bucket histogram is one groupBy.
+    ANN search then probes a handful of buckets instead of the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    bucket_terms = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(w) for w in plane_weights_py(p)])
+        dotp = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), plane, lambda x, w: x.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket_terms.append(
+            F.when(dotp > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    bucket = sum(bucket_terms[1:], bucket_terms[0]).alias("bucket")
+    return (
+        e.select("vec_id", "label", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").cast("long").alias("n_labels"),
+        )
+    )
+
+
+@query(
+    "sim_near_dup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_sql_cosine("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.4
+    """,
+)
+def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_cols(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@query(
+    "sim_label_centroids",
+    oracle=f"""
+    SELECT label, CAST(i AS BIGINT) AS dim_idx,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val,
+           count(*) AS n
+    FROM embeddings, generate_series(1, {DIM}) t(i)
+    WHERE i <= 8
+    GROUP BY label, dim_idx
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (IVF coarse-quantizer training step), first 8
+    dims.  posexplode + groupBy(label, dim) — partial aggregation makes
+    this one narrow shuffle regardless of corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 8)
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim_idx"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("label", "dim_idx", "centroid_val", "n")
+    )

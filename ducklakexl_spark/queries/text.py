@@ -1,0 +1,175 @@
+"""Text-analysis operators for LLM training-data pipelines: token counting
+(whitespace + BPE-ish regex), quality scoring, language-ID heuristic, and
+document fingerprinting (SURVEY.md §2.D).
+
+All are pure column expressions (JVM-side, whole-stage-codegen'd) over the
+``documents`` table — the shape that scales: per-row, no shuffle, no Python.
+Each has an exact DuckDB oracle because the hashing primitive used
+everywhere is md5 (identical hex output in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ducklakexl_spark.queries import load, query
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)   AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT)                                AS n_chars_calc
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS tokens,
+             length(text)                            AS nc,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           round(CAST(n_punct AS DOUBLE) / nc, 6) AS punct_ratio,
+           round(CAST(len(list_filter(tokens, t -> lower(t) IN ({_STOP_SQL})))
+                      AS DOUBLE) / len(tokens), 6) AS stopword_ratio,
+           round(CAST(nc AS DOUBLE) / len(tokens), 6) AS avg_token_len,
+           CAST(len(tokens) BETWEEN 20 AND 1000
+                AND CAST(n_punct AS DOUBLE) / nc < 0.1 AS BOOLEAN) AS passes_quality
+    FROM tok
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    nc = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
+    n_tokens = F.size(tokens)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(
+        F.filter(tokens, lambda t: F.array_contains(stop_arr, F.lower(t)))
+    )
+    punct_ratio = n_punct.cast("double") / nc
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(nc.cast("double") / n_tokens, 6).alias("avg_token_len"),
+        (n_tokens.between(20, 1000) & (punct_ratio < 0.1)).alias("passes_quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS tokens,
+             regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk
+      FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN CAST(len(list_filter(tokens, t -> t IN ({_STOP_SQL})))
+                          AS DOUBLE) / len(tokens) >= 0.05 THEN 'en'
+                WHEN CAST(len(list_filter(tokens,
+                          t -> t SIMILAR TO '.*[aeiou]')) AS DOUBLE)
+                     / len(tokens) >= 0.8 THEN 'es'
+                ELSE 'other' END AS predicted_lang
+    FROM feat
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic (deterministic, engine-portable).
+
+    A real pipeline would swap in a fastText-style model via pandas_udf;
+    the classification *plumbing* (per-row, no shuffle) is identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / F.size(tokens)
+    )
+    vowel_ratio = (
+        F.size(F.filter(tokens, lambda t: t.rlike("[aeiou]$"))).cast("double")
+        / F.size(tokens)
+    )
+    has_cjk = F.col("text").rlike("[一-鿿]")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.when(has_cjk, "zh")
+        .when(stop_ratio >= 0.05, "en")
+        .when(vowel_ratio >= 0.8, "es")
+        .otherwise("other")
+        .alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@query(
+    "text_length_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*)                                   AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)               AS total_chars,
+           round(avg(CAST(n_chars AS DOUBLE)), 4)     AS avg_chars,
+           CAST(min(n_chars) AS BIGINT)               AS min_chars,
+           CAST(max(n_chars) AS BIGINT)               AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
