@@ -408,12 +408,15 @@ class DuckLakeSpark:
                     if st is not None:
                         entry["nulls"] += st.null_count or 0
                         entry["values"] += st.num_values or 0
-                        if st.has_min_max:
-                            mn, mx = st.min, st.max
-                            if entry["min"] is None or mn < entry["min"]:
-                                entry["min"] = mn
-                            if entry["max"] is None or mx > entry["max"]:
-                                entry["max"] = mx
+                        try:
+                            if st.has_min_max:
+                                mn, mx = st.min, st.max
+                                if entry["min"] is None or mn < entry["min"]:
+                                    entry["min"] = mn
+                                if entry["max"] is None or mx > entry["max"]:
+                                    entry["max"] = mx
+                        except NotImplementedError:
+                            pass  # pyarrow can't decode stats for this type
             for cname, e in agg.items():
                 col_stats.append(
                     {

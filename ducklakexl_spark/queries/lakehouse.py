@@ -1,10 +1,104 @@
 """Lakehouse-engine queries: exercise DuckLakeSpark (catalog, snapshots,
 DML, time travel) end to end inside the driver's queries()/oracle_sql()
-gate.  Oracles are constant VALUES tables because the engine flow is fully
-deterministic (it replays the reference's own smoke sequence,
-ducklakexl.py:716-741).
-
-Filled in together with ducklakexl_spark.engine (Phase 1/3 of SURVEY §7).
+gate.  Oracles are constant VALUES tables because the engine flows are
+fully deterministic — they replay the reference's own smoke sequence
+(ducklakexl.py:716-741 and test_module.ipynb cell 4/8) and assert the
+same visible end states.
 """
 
 from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ducklakexl_spark.engine import DuckLakeSpark
+from ducklakexl_spark.queries import query
+
+
+def _fresh_lake(spark: SparkSession) -> DuckLakeSpark:
+    tmp = tempfile.mkdtemp(prefix="ducklake_q_")
+    return DuckLakeSpark(
+        spark=spark, data_path=f"{tmp}/data", local_catalog=f"{tmp}/catalog"
+    )
+
+
+@query(
+    "lakehouse_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'alpha'), (2, 'beta'), (4, 'delta'), (5, 'epsilon')
+    ) t(id, val)
+    """,
+)
+def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay of the reference's test_excel() statement flow
+    (ducklakexl.py:716-741) + the notebook's epsilon insert: CREATE →
+    INSERT 4 → DELETE gamma → INSERT epsilon → SELECT."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        """
+        USE my_excel_ducklake;
+        CREATE TABLE my_table(id INTEGER, val VARCHAR);
+        INSERT INTO my_table VALUES (1, 'alpha'), (2, 'beta'),
+                                    (3, 'gamma'), (4, 'delta');
+        DELETE FROM my_table WHERE id = 3;
+        INSERT INTO my_table VALUES (5, 'epsilon');
+        SELECT * FROM my_table;
+        """
+    )
+
+
+@query(
+    "lakehouse_time_travel",
+    oracle="""
+    SELECT * FROM (VALUES
+      (2, 'after_insert', 4), (3, 'after_delete', 2), (4, 'now', 3)
+    ) t(snapshot_probe, label, n_rows)
+    """,
+)
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation: row counts AT (VERSION => n) before and after a
+    DELETE (SURVEY §2.C row "time travel / snapshots")."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE tt(id INTEGER, val VARCHAR);
+        INSERT INTO tt VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d');
+        DELETE FROM tt WHERE id IN (1, 3);
+        INSERT INTO tt VALUES (5,'e');
+        """
+    )
+    return lake.sql(
+        """
+        SELECT 2 AS snapshot_probe, 'after_insert' AS label,
+               (SELECT count(*) FROM tt AT (VERSION => 2)) AS n_rows
+        UNION ALL
+        SELECT 3, 'after_delete', (SELECT count(*) FROM tt AT (VERSION => 3))
+        UNION ALL
+        SELECT 4, 'now', (SELECT count(*) FROM tt AT (VERSION => 4))
+        """
+    )
+
+
+@query(
+    "lakehouse_update_ctas",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'A', 20.0), (2, 'B', 40.0)
+    ) t(id, val, n)
+    """,
+)
+def lakehouse_update_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE (= positional delete + rewrite) then CTAS over the result."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        """
+        CREATE TABLE base(id INTEGER, val VARCHAR, n DOUBLE);
+        INSERT INTO base VALUES (1,'a',10.0),(2,'b',20.0),(3,'drop',0.0);
+        DELETE FROM base WHERE val = 'drop';
+        UPDATE base SET n = n * 2, val = upper(val) WHERE id >= 1;
+        CREATE TABLE derived AS SELECT id, val, n FROM base;
+        SELECT * FROM derived;
+        """
+    )

@@ -1,0 +1,207 @@
+"""DuckLakeSpark engine tests.
+
+The canonical sequence replays the reference's own smoke test
+(test_excel(), ducklakexl.py:716-741): CREATE TABLE my_table(id INTEGER,
+val VARCHAR) → insert alpha..delta → SELECT * → DELETE id=3 → SELECT *,
+plus the notebook's insert-epsilon step (test_module.ipynb cell 4), and
+asserts the same visible results the notebook records.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ducklakexl_spark.engine import DuckLakeSpark, split_statements
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_split_statements():
+    stmts = split_statements(
+        "USE db; INSERT INTO t VALUES ('a;b', 2);\n-- c;d\nSELECT 1;"
+    )
+    assert stmts == [
+        "USE db",
+        "INSERT INTO t VALUES ('a;b', 2)",
+        "-- c;d\nSELECT 1",
+    ]
+
+
+def test_reference_smoke_sequence(lake):
+    # ducklakexl.py:716-741, verbatim statement flow
+    lake.sql("USE my_excel_ducklake;")
+    lake.sql("CREATE TABLE my_table(id INTEGER, val VARCHAR);")
+    lake.sql(
+        "INSERT INTO my_table VALUES (1, 'alpha'), (2, 'beta'), "
+        "(3, 'gamma'), (4, 'delta');"
+    )
+    out = lake.sql("SELECT * FROM my_table;")
+    assert rows(out) == [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")]
+
+    lake.sql("DELETE FROM my_table WHERE id = 3;")
+    out = lake.sql("SELECT * FROM my_table;")
+    assert rows(out) == [(1, "alpha"), (2, "beta"), (4, "delta")]
+
+    # notebook cell 4: add epsilon after the delete
+    lake.sql("INSERT INTO my_table VALUES (5, 'epsilon');")
+    out = lake.sql("SELECT * FROM my_table ORDER BY id;")
+    assert rows(out) == [(1, "alpha"), (2, "beta"), (4, "delta"), (5, "epsilon")]
+
+
+def test_multi_statement_returns_last(lake):
+    out = lake.sql(
+        "USE my_excel_ducklake; CREATE TABLE t(id INTEGER, val VARCHAR); "
+        "INSERT INTO t VALUES (1, 'x'); SELECT * FROM t;"
+    )
+    assert rows(out) == [(1, "x")]
+
+
+def test_delete_by_value_then_filter(lake):
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1,'alpha'),(2,'beta'),(3,'gamma')")
+    lake.sql("DELETE FROM t WHERE val = 'gamma'")
+    out = lake.sql("SELECT id FROM t WHERE val LIKE '%a%' ORDER BY id")
+    assert rows(out) == [(1,), (2,)]
+
+
+def test_multiple_deletes_accumulate(lake):
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    lake.sql("DELETE FROM t WHERE id = 1")
+    lake.sql("DELETE FROM t WHERE id = 3")
+    assert rows(lake.sql("SELECT id FROM t")) == [(2,), (4,)]
+
+
+def test_time_travel(lake):
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    s_created = lake.catalog.current_snapshot
+    lake.sql("INSERT INTO t VALUES (1,'a'),(2,'b')")
+    s_after_insert = lake.catalog.current_snapshot
+    lake.sql("DELETE FROM t WHERE id = 1")
+    lake.sql("INSERT INTO t VALUES (3,'c')")
+
+    assert rows(lake.sql("SELECT id FROM t")) == [(2,), (3,)]
+    assert (
+        rows(lake.sql(f"SELECT id FROM t AT (VERSION => {s_after_insert})"))
+        == [(1,), (2,)]
+    )
+    assert rows(lake.sql(f"SELECT id FROM t AT (VERSION => {s_created})")) == []
+
+
+def test_snapshots_function(lake):
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1,'a')")
+    snaps = lake.sql("SELECT snapshot_id FROM my_excel_ducklake.snapshots()")
+    ids = [r[0] for r in snaps.collect()]
+    assert ids == list(range(len(ids)))  # 0..N contiguous
+    assert lake.snapshots().count() == len(ids)
+
+
+def test_update(lake):
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c')")
+    lake.sql("UPDATE t SET val = 'B' WHERE id = 2")
+    assert rows(lake.sql("SELECT * FROM t")) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_update_expression(lake):
+    lake.sql("CREATE TABLE t(id INTEGER, n DOUBLE)")
+    lake.sql("INSERT INTO t VALUES (1, 10.0), (2, 20.0)")
+    lake.sql("UPDATE t SET n = n * 2 WHERE id = 2")
+    assert rows(lake.sql("SELECT * FROM t")) == [(1, 10.0), (2, 40.0)]
+
+
+def test_ctas_and_insert_select(lake):
+    lake.sql("CREATE TABLE src(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO src VALUES (1,'a'),(2,'b'),(3,'c')")
+    lake.sql("CREATE TABLE dst AS SELECT id, upper(val) AS val FROM src WHERE id > 1")
+    assert rows(lake.sql("SELECT * FROM dst")) == [(2, "B"), (3, "C")]
+    lake.sql("INSERT INTO dst SELECT id, val FROM src WHERE id = 1")
+    assert rows(lake.sql("SELECT * FROM dst")) == [(1, "a"), (2, "B"), (3, "C")]
+
+
+def test_truncate_drop(lake):
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1,'a')")
+    lake.sql("TRUNCATE t")
+    assert rows(lake.sql("SELECT * FROM t")) == []
+    lake.sql("DROP TABLE t")
+    assert "t" not in lake.catalog.table_names()
+    # time travel still sees the data before truncate
+    assert rows(lake.sql("SELECT * FROM t AT (VERSION => 2)")) == [(1, "a")]
+
+
+def test_join_across_lake_tables(lake):
+    lake.sql("CREATE TABLE a(id INTEGER, x VARCHAR)")
+    lake.sql("CREATE TABLE b(id INTEGER, y VARCHAR)")
+    lake.sql("INSERT INTO a VALUES (1,'a1'),(2,'a2')")
+    lake.sql("INSERT INTO b VALUES (2,'b2'),(3,'b3')")
+    out = lake.sql("SELECT a.id, x, y FROM a JOIN b ON a.id = b.id")
+    assert rows(out) == [(2, "a2", "b2")]
+
+
+def test_types_roundtrip(lake):
+    lake.sql(
+        "CREATE TABLE typed(i INTEGER, l BIGINT, d DOUBLE, s VARCHAR, "
+        "b BOOLEAN, dt DATE, ts TIMESTAMP, dec DECIMAL(10,2))"
+    )
+    lake.sql(
+        "INSERT INTO typed VALUES (1, 9999999999, 1.5, 'x', true, "
+        "DATE '2024-01-02', TIMESTAMP '2024-01-02 03:04:05', 12.34)"
+    )
+    r = lake.sql("SELECT * FROM typed").collect()[0]
+    assert r.i == 1 and r.l == 9999999999 and r.d == 1.5 and r.s == "x"
+    assert r.b is True and str(r.dt) == "2024-01-02"
+    assert str(r.ts) == "2024-01-02 03:04:05"
+    assert float(r.dec) == 12.34
+
+
+def test_catalog_file_stats_recorded(lake):
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c')")
+    tid = lake.catalog.table_id("t")
+    files = lake.catalog.data_files(tid)
+    assert (files["record_count"].sum()) == 3
+    stats = lake.catalog.tables["ducklake_file_column_statistics"]
+    assert not stats[stats["table_id"] == tid].empty
+    tstats = lake.catalog.tables["ducklake_table_stats"]
+    assert int(tstats[tstats["table_id"] == tid]["record_count"].iloc[0]) == 3
+
+
+def test_file_skipping_by_stats(lake):
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1,'a'),(2,'b')")
+    lake.sql("INSERT INTO t VALUES (100,'x'),(200,'y')")
+    tid = lake.catalog.table_id("t")
+    all_paths = list(lake.catalog.data_files(tid)["path"])
+    kept = lake._skip_files(tid, None, all_paths, [("id", ">", 50)])
+    assert len(kept) < len(all_paths) and len(kept) >= 1
+    out = lake.table("t", predicates=[("id", ">", 50)]).filter("id > 50")
+    assert rows(out.select("id")) == [(100,), (200,)]
+
+
+def test_persistence_across_instances(spark, tmp_path):
+    lake1 = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+    )
+    lake1.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake1.sql("INSERT INTO t VALUES (1,'a')")
+    lake2 = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+    )
+    assert rows(lake2.sql("SELECT * FROM t")) == [(1, "a")]

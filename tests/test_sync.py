@@ -1,0 +1,243 @@
+"""Sync-plane tests: the §1.1 coercion rules, workbook round-trip through
+the engine, adopt-remote-state bootstrap, retry ladder, range math."""
+
+from __future__ import annotations
+
+import asyncio
+
+import pandas as pd
+import pytest
+
+from ducklakexl_spark.catalog.schemas import CATALOG_SCHEMAS, sheet_name
+from ducklakexl_spark.engine import DuckLakeSpark
+from ducklakexl_spark.sync.coercions import pull_coerce, push_serialize
+from ducklakexl_spark.sync.excel import CsvWorkbook
+from ducklakexl_spark.sync.graph import (
+    RetryPolicy,
+    excel_column_name,
+    used_range_address,
+)
+
+# ---------------------------------------------------------------- coercions
+
+
+def test_pull_coerce_int_blank_is_null():
+    df = pull_coerce(
+        "ducklake_snapshot",
+        ["snapshot_id", "snapshot_time", "schema_version", "next_catalog_id",
+         "next_file_id"],
+        [["0", "2024-01-01 00:00:00", "0", "1", ""],
+         ["1", "2024-01-02 10:20:30", "0", "5", "3"]],
+    )
+    assert df["next_file_id"].isna().iloc[0]
+    assert df["next_file_id"].iloc[1] == 3
+    assert str(df["snapshot_time"].dtype) == "datetime64[ns]"  # tz-naive
+
+
+def test_pull_coerce_bool_prefixes():
+    # reference rule: 't*'→True, 'f*'→False, else NULL (ducklakexl.py:434-453)
+    df = pull_coerce(
+        "ducklake_column",
+        ["column_id", "nulls_allowed"],
+        [["1", "true"], ["2", "t"], ["3", "FALSE"], ["4", "f"], ["5", "xyz"],
+         ["6", ""]],
+    )
+    vals = list(df["nulls_allowed"])
+    assert bool(vals[0]) and bool(vals[1])
+    assert not bool(vals[2]) and not bool(vals[3])
+    assert pd.isna(vals[4]) and pd.isna(vals[5])
+
+
+def test_pull_coerce_na_forms_to_null():
+    df = pull_coerce(
+        "ducklake_data_file",
+        ["data_file_id", "path", "footer_size"],
+        [["1", "<NA>", "nan"], ["2", "/x.parquet", "None"]],
+    )
+    assert pd.isna(df["path"].iloc[0]) and pd.isna(df["footer_size"].iloc[0])
+    assert df["path"].iloc[1] == "/x.parquet"
+
+
+def test_metadata_encrypted_lowercased_both_ways():
+    # ducklakexl.py:501-505: Excel bools round-trip as TRUE/FALSE strings
+    df = pull_coerce(
+        "ducklake_metadata", ["key", "value"],
+        [["version", "0.1"], ["encrypted", "FALSE"]],
+    )
+    assert df.loc[df["key"] == "encrypted", "value"].iloc[0] == "false"
+    header, rows = push_serialize("ducklake_metadata", df)
+    assert header == ["key", "value"]
+    assert ["encrypted", "false"] in rows
+
+
+def test_push_serialize_strips_tz_and_na():
+    snap = pd.DataFrame(
+        {
+            "snapshot_id": pd.array([0], dtype="Int64"),
+            "snapshot_time": [pd.Timestamp("2024-01-01 05:06:07", tz="UTC")],
+            "schema_version": pd.array([0], dtype="Int64"),
+            "next_catalog_id": pd.array([1], dtype="Int64"),
+            "next_file_id": pd.array([None], dtype="Int64"),
+        }
+    )
+    header, rows = push_serialize("ducklake_snapshot", snap)
+    assert rows[0][1] == "2024-01-01 05:06:07"  # tz gone
+    assert rows[0][4] is None  # NA → empty cell
+
+
+# ------------------------------------------------------------ workbook sync
+
+
+def test_sheet_name_rule():
+    assert sheet_name("ducklake_snapshot") == "snapshot"
+    assert sheet_name("ducklake_files_scheduled_for_deletion") == \
+        "files_scheduled_for_deletion"
+    assert all(len(sheet_name(t)) <= 31 for t in CATALOG_SCHEMAS)
+
+
+def test_workbook_roundtrip_and_adopt(spark, tmp_path):
+    wb_path = str(tmp_path / "workbook.csvdir")
+    lake1 = DuckLakeSpark(
+        spark=spark,
+        excel_file=wb_path,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "cat1"),
+    )
+    lake1.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake1.sql("INSERT INTO t VALUES (1,'alpha'),(2,'beta')")
+
+    wb = CsvWorkbook(wb_path)
+    assert set(wb.sheet_names()) == {sheet_name(t) for t in CATALOG_SCHEMAS}
+    header, rows = wb.read_sheet("table")
+    assert "table_name" in header
+    assert any("t" in r for r in rows)
+
+    # second engine, fresh local catalog, same workbook: all sheets exist
+    # ⇒ pull (adopt remote state) — reference rule ducklakexl.py:261-267
+    lake2 = DuckLakeSpark(
+        spark=spark,
+        excel_file=wb_path,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "cat2"),
+    )
+    out = sorted(tuple(r) for r in lake2.sql("SELECT * FROM t").collect())
+    assert out == [(1, "alpha"), (2, "beta")]
+
+
+# ------------------------------------------------------------- graph client
+
+
+def test_excel_column_name_past_z():
+    assert excel_column_name(1) == "A"
+    assert excel_column_name(26) == "Z"
+    assert excel_column_name(27) == "AA"  # the reference's :570 bug zone
+    assert excel_column_name(52) == "AZ"
+    assert excel_column_name(703) == "AAA"
+    assert used_range_address(4, 28) == "A1:AB5"
+
+
+def test_retry_ladder_404_then_success():
+    calls = []
+
+    async def transport(method, url, **kw):
+        calls.append(url)
+        if len(calls) < 3:
+            return 404, {}, None
+        return 200, {}, {"ok": True}
+
+    async def fake_sleep(_):
+        pass
+
+    policy = RetryPolicy(sleep=fake_sleep)
+    status, _, body = asyncio.new_event_loop().run_until_complete(
+        policy.request(transport, "GET", "u")
+    )
+    assert status == 200 and body == {"ok": True} and len(calls) == 3
+
+
+def test_retry_ladder_401_refreshes_token():
+    state = {"refreshes": 0, "calls": 0}
+
+    async def transport(method, url, **kw):
+        state["calls"] += 1
+        return (401, {}, None) if state["refreshes"] == 0 else (200, {}, {})
+
+    async def refresh():
+        state["refreshes"] += 1
+
+    async def fake_sleep(_):
+        pass
+
+    policy = RetryPolicy(sleep=fake_sleep)
+    status, _, _ = asyncio.new_event_loop().run_until_complete(
+        policy.request(transport, "GET", "u", refresh_token=refresh)
+    )
+    assert status == 200 and state["refreshes"] == 1
+
+
+def test_retry_ladder_429_honors_retry_after():
+    sleeps = []
+    seen = {"n": 0}
+
+    async def transport(method, url, **kw):
+        seen["n"] += 1
+        return (429, {"Retry-After": "7"}, None) if seen["n"] == 1 else (200, {}, {})
+
+    async def fake_sleep(d):
+        sleeps.append(d)
+
+    policy = RetryPolicy(sleep=fake_sleep)
+    status, _, _ = asyncio.new_event_loop().run_until_complete(
+        policy.request(transport, "GET", "u")
+    )
+    assert status == 200 and sleeps == [7.0]
+
+
+def test_retry_404_gives_up_after_max():
+    async def transport(method, url, **kw):
+        return 404, {}, None
+
+    async def fake_sleep(_):
+        pass
+
+    policy = RetryPolicy(sleep=fake_sleep)
+    status, _, _ = asyncio.new_event_loop().run_until_complete(
+        policy.request(transport, "GET", "u")
+    )
+    assert status == 404
+
+
+def test_onedrive_workbook_with_fake_transport():
+    """Drive the full Graph read/write path through an injected transport."""
+    from ducklakexl_spark.sync.graph import OneDriveWorkbook
+
+    sheets = {"snapshot": [["snapshot_id"], ["0"]]}
+    log = []
+
+    async def transport(method, url, **kw):
+        log.append((method, url))
+        if url.endswith("/workbook/worksheets"):
+            return 200, {}, {"value": [{"name": n} for n in sheets]}
+        if "/usedRange/clear" in url:
+            return 200, {}, {}
+        if "/usedRange" in url:
+            name = url.split("worksheets('")[1].split("')")[0]
+            return 200, {}, {"values": sheets[name]}
+        if "/range(address=" in url:
+            name = url.split("worksheets('")[1].split("')")[0]
+            sheets[name] = kw["json"]["values"]
+            return 200, {}, {}
+        if url.endswith("/worksheets/add"):
+            sheets[kw["json"]["name"]] = []
+            return 200, {}, {}
+        return 404, {}, None
+
+    wb = OneDriveWorkbook("/drives/d/items/i", transport=transport)
+    assert wb.sheet_names() == ["snapshot"]
+    header, rows = wb.read_sheet("snapshot")
+    assert header == ["snapshot_id"] and rows == [["0"]]
+    wb.create_sheet("table")
+    wb.write_sheet("table", ["table_id", "table_name"], [["1", "t"]])
+    assert sheets["table"][0] == ["table_id", "table_name"]
+    # write = clear + PATCH range (3 round trips incl. usedRange semantics)
+    assert any("/usedRange/clear" in u for _, u in log)
