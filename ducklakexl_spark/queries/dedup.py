@@ -30,6 +30,14 @@ N_BANDS = 4
 ROWS_PER_BAND = 2
 JACCARD_THRESHOLD = 0.8
 
+# affine minhash mixing: one md5 per shingle, then h_j = (h%P)*A_j+B_j mod P.
+# P = 2^31-1 keeps (h%P)*A_j < 2^62 — no BIGINT overflow in either engine.
+MINHASH_P = 2_147_483_647
+MINHASH_A = [982_451_653, 941_083_987, 899_809_343, 857_531_537,
+             715_225_741, 674_506_111, 633_910_099, 593_441_861]
+MINHASH_B = [122_949_829, 198_491_329, 295_075_153, 373_587_911,
+             472_882_049, 533_000_401, 613_651_369, 694_847_539]
+
 
 # ---------------------------------------------------------------------------
 # Portable building blocks (identical numeric results in Spark and DuckDB)
@@ -185,17 +193,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(sh: Column) -> list[Column]:
-    """N_MINHASH min-hashes of a shingle array (per-row, no shuffle)."""
+def minhash_signature(hsh: Column) -> list[Column]:
+    """N_MINHASH min-hashes from a pre-hashed shingle array (one md5 per
+    shingle upstream; here only integer mixing — per-row, no shuffle)."""
+    def _mix(j: int):
+        # NB: transform() interprets a 2-arg lambda as (element, index),
+        # so capture j via factory, not a default argument
+        return lambda h: (h % MINHASH_P) * MINHASH_A[j] % MINHASH_P + MINHASH_B[j]
+
     return [
-        F.array_min(F.transform(sh, lambda s: portable_hash(s, j))).alias(f"mh{j}")
+        F.array_min(F.transform(hsh, _mix(j))).alias(f"mh{j}")
         for j in range(N_MINHASH)
     ]
 
 
 def _minhash_lsh_oracle() -> str:
     mh_sql = ",\n             ".join(
-        f"list_min(list_transform(sh, s -> {_sql_hash('s', j)})) AS mh{j}"
+        f"list_min(list_transform(hsh, h -> (h % {MINHASH_P}) * {MINHASH_A[j]} "
+        f"% {MINHASH_P} + {MINHASH_B[j]})) AS mh{j}"
         for j in range(N_MINHASH)
     )
     band_keys = "\n             ".join(
@@ -208,10 +223,15 @@ def _minhash_lsh_oracle() -> str:
       FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
             FROM documents)
     ),
+    hashed AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> {_sql_hash("s", 0)}) AS hsh
+      FROM sh_t
+    ),
     sig AS (
       SELECT doc_id, sh,
              {mh_sql}
-      FROM sh_t
+      FROM hashed
     ),
     bands AS (
       SELECT doc_id, b,
@@ -234,23 +254,63 @@ def _minhash_lsh_oracle() -> str:
     """
 
 
+def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the row-oriented twin of
+    ``shingles_col``.  posexplode + window-lead stays inside whole-stage
+    codegen (array higher-order functions run interpreted and measured
+    ~15x slower on this step), and rows are the shape the verify join
+    needs at scale anyway."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("shingle"),
+            F.lead("tok", 2).over(w).alias("__t2"),
+        )
+        .filter(F.col("__t2").isNotNull())
+        .drop("__t2")
+    )
+    short = docs.filter(F.size(F.split(F.trim("text"), r"\s+")) < 3).select(
+        "doc_id", F.trim("text").alias("shingle")
+    )
+    return grams.unionByName(short).distinct()
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection, end to end:
+    """MinHash-LSH near-dup detection, end to end and fully codegen'd:
 
-    1. shingle + N_MINHASH signatures per doc (map-only, codegen'd);
+    1. distinct (doc_id, shingle) rows; ONE md5 per shingle; the
+       N_MINHASH signature = groupBy(doc_id).min of affine mixes
+       (map-side partial aggregation — the shuffle moves 8 longs/doc);
     2. explode into N_BANDS (band, band_key) rows; equi-join on the band
-       key to get candidate pairs (shuffle on a uniform 128-bit key — the
-       only shuffle, and AQE handles any hot bucket);
-    3. verify candidates with exact Jaccard.
+       key for candidate pairs (uniform 128-bit key, AQE-skew-safe);
+    3. verify candidates with exact Jaccard computed relationally:
+       |A∩B| = count of matching shingle rows per pair, |A| and |B|
+       from the per-doc distinct counts.
 
-    At 100 TB the verify join re-reads only candidate shingle arrays; the
-    full cross product never materializes (contrast dedup_ngram_jaccard).
+    At 100 TB nothing here touches a cross product and no array state
+    crosses a shuffle — candidate pairs and 8-long signatures do.
     """
-    docs = load(spark, sf_dir, "documents")
-    sig = docs.select(
-        "doc_id", shingles_col(F.col("text")).alias("sh")
-    ).select("doc_id", "sh", *minhash_signature(F.col("sh")))
+    sh = shingle_rows(spark, sf_dir)
+    hashed = sh.withColumn("h", portable_hash(F.col("shingle"), 0))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") % MINHASH_P) * MINHASH_A[j] % MINHASH_P + MINHASH_B[j]).alias(
+                f"mh{j}"
+            )
+            for j in range(N_MINHASH)
+        ],
+        F.count(F.lit(1)).alias("n_sh"),
+    )
 
     band_structs = F.array(
         *[
@@ -283,11 +343,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh_only = sig.select("doc_id", "sh")
-    j = jaccard_cols(F.col("sa.sh"), F.col("sb.sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sig.select("doc_id", "n_sh")
+    j = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
     return (
-        cand.join(sh_only.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh_only.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
         .select("doc_a", "doc_b", j.alias("j_raw"))
         .filter(F.col("j_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("j_raw", 6).alias("jaccard"))
