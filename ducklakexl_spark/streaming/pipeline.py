@@ -1,0 +1,175 @@
+"""Structured Streaming plane (SURVEY §2.C row "streaming" — absent from
+the reference, mandated by the north star).
+
+The events fixture drives every pattern a streaming lakehouse ingest
+needs: tumbling/sliding windows with watermarked late-data handling,
+session windows, watermark-scoped stream dedup, stateful per-key
+processing, and a foreachBatch sink that lands micro-batches as
+registered DuckLake table files (exactly-once via the catalog's atomic
+snapshot commit).
+
+Batch/stream parity: every aggregation here has a batch twin in
+queries/windows.py (events_tumbling_hour, sessionize_events), which is
+how the tests verify results without a long-running source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch in tests; a production deployment points the same code at
+    a Kafka source — only this reader changes)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late rows beyond the
+    watermark are dropped; state is bounded — the 100 TB requirement)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_rates(events: DataFrame) -> DataFrame:
+    """Sliding window (1h window, 15m slide) event rates."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (the streaming twin of sessionize_events)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sess.start").alias("session_start"), "n_events")
+    )
+
+
+def deduped_stream(events: DataFrame) -> DataFrame:
+    """Stream dedup with bounded state: duplicates of event_id arriving
+    within the watermark horizon are dropped."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event counts and value totals that survive across
+    micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a bounded file-source stream to completion into a memory
+    sink and return the materialized result (test/driver harness)."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if stream_df.isStreaming else "append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def run_update_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Update-mode memory sink (required by applyInPandasWithState in
+    update mode); the memory table holds the latest row per key."""
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def sink_stream_to_lake(stream_df: DataFrame, lake, table: str):
+    """foreachBatch sink into a DuckLake table: each micro-batch lands as
+    parquet files registered in one catalog snapshot — atomic, replayable,
+    and time-travelable like any other write."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        lake._write_dataframe(table, batch_df)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .start()
+    )
