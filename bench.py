@@ -3,6 +3,16 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Methodology: every query runs twice in one SparkSession.  Pass 1 (cold)
+pays Spark's one-time per-shape costs — Catalyst analysis caches, Janino
+whole-stage-codegen compilation, JVM JIT — which are fixed overhead
+independent of data volume and fully amortized in any real deployment
+(at the 100 TB design point they are noise; at sf0.1 they would dominate
+the measurement).  Pass 2 (warm) measures the engine's steady-state
+throughput and is the headline number.  Both totals are reported:
+``value``/"queries" = warm, ``cold_total_sec``/"cold_queries" = pass 1,
+so the full cost surface stays visible.
+
 Headline set = the scale-representative queries (scans, joins, aggs,
 windows, dedup-LSH, similarity) — intentionally excluding the
 quadratic-by-design correctness baselines (dedup_ngram_jaccard,
@@ -45,29 +55,30 @@ def main() -> None:
     qmod.load_all()
     spark = get_spark(app_name="ducklakexl_spark_bench")
 
-    # warm the JVM/codegen path once so per-query numbers measure the
-    # engine, not JIT warmup (one SparkSession for the whole run —
-    # BASELINE.md's guidance for the 2x envelope)
-    qmod.QUERIES["q01_pricing_summary"](spark, sf_dir).collect()
+    def run_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = qmod.QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        return timings
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qmod.QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    cold = run_pass()
+    warm = run_pass()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 4),
+                "value": round(sum(warm.values()), 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_total_sec": round(sum(cold.values()), 4),
+                "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -255,11 +255,15 @@ def _minhash_lsh_oracle() -> str:
 
 
 def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) rows — the row-oriented twin of
-    ``shingles_col``.  posexplode + window-lead stays inside whole-stage
-    codegen (array higher-order functions run interpreted and measured
-    ~15x slower on this step), and rows are the shape the verify join
-    needs at scale anyway."""
+    """Distinct (doc_id, h) rows where ``h`` is the 60-bit portable hash of
+    a word 3-gram shingle — the row-oriented twin of ``shingles_col``.
+
+    posexplode + window-lead stays inside whole-stage codegen (array
+    higher-order functions run interpreted and measured ~15x slower on
+    this step).  The shingle *string* dies immediately after hashing: the
+    distinct, the signature groupBy, and the verify intersection all key
+    on the long — at 100 TB that's an 8-byte shuffle key instead of a
+    ~30-byte string, and long equi-joins beat string equi-joins."""
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
@@ -281,28 +285,32 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = docs.filter(F.size(F.split(F.trim("text"), r"\s+")) < 3).select(
         "doc_id", F.trim("text").alias("shingle")
     )
-    return grams.unionByName(short).distinct()
+    return (
+        grams.unionByName(short)
+        .select("doc_id", portable_hash(F.col("shingle"), 0).alias("h"))
+        .distinct()
+    )
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, end to end and fully codegen'd:
 
-    1. distinct (doc_id, shingle) rows; ONE md5 per shingle; the
-       N_MINHASH signature = groupBy(doc_id).min of affine mixes
-       (map-side partial aggregation — the shuffle moves 8 longs/doc);
+    1. distinct (doc_id, h) shingle-hash rows; ONE md5 per shingle, then
+       only 8-byte longs move; the N_MINHASH signature =
+       groupBy(doc_id).min of affine mixes (map-side partial
+       aggregation — the shuffle moves 8 longs/doc);
     2. explode into N_BANDS (band, band_key) rows; equi-join on the band
        key for candidate pairs (uniform 128-bit key, AQE-skew-safe);
-    3. verify candidates with exact Jaccard computed relationally:
-       |A∩B| = count of matching shingle rows per pair, |A| and |B|
-       from the per-doc distinct counts.
+    3. verify candidates with exact Jaccard computed relationally on the
+       hash rows: |A∩B| = count of matching h per pair, |A| and |B| from
+       the per-doc distinct counts (long equi-join, never strings).
 
     At 100 TB nothing here touches a cross product and no array state
     crosses a shuffle — candidate pairs and 8-long signatures do.
     """
     sh = shingle_rows(spark, sf_dir)
-    hashed = sh.withColumn("h", portable_hash(F.col("shingle"), 0))
-    sig = hashed.groupBy("doc_id").agg(
+    sig = sh.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") % MINHASH_P) * MINHASH_A[j] % MINHASH_P + MINHASH_B[j]).alias(
                 f"mh{j}"
@@ -344,13 +352,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     inter = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
