@@ -166,6 +166,12 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(\(.*\)|[\w.\"]+)\s+TO\s+'([^']+)'\s*"
+    r"(?:\(\s*(?:FORMAT\s+)?(\w+)[^)]*\))?\s*$",
+    re.I | re.S,
+)
+_READ_FILE_RE = re.compile(r"\bread_(parquet|csv|json)\s*\(\s*'([^']+)'\s*\)", re.I)
 _AT_VERSION_RE = re.compile(
     r"\b([\w]+)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)", re.I
 )
@@ -281,6 +287,9 @@ class DuckLakeSpark:
         if m:
             self.catalog.truncate_table(_unqualify(m.group(1)))
             return None
+        m = _COPY_RE.match(stmt)
+        if m:
+            return self._copy_to(m.group(1), m.group(2), m.group(3))
         return self._select(stmt)
 
     # ------------------------------------------------------------------- DDL
@@ -593,9 +602,56 @@ class DuckLakeSpark:
         new_rows.unpersist()
         return None
 
+    # ------------------------------------------------------------------ COPY
+
+    def _copy_to(self, source: str, path: str, fmt: str | None) -> None:
+        """``COPY (SELECT …) TO 'path' (FORMAT …)`` / ``COPY tbl TO …`` —
+        the reference inherits DuckDB's COPY through its dispatch point
+        (ducklakexl.py:394; SURVEY §2.C "sinks").  The write is an
+        executor-parallel ``df.write``; format defaults by extension."""
+        source = source.strip()
+        if source.startswith("("):
+            df = self._select(source[1:-1])
+        else:
+            df = self.table_df(_unqualify(source))
+        fmt = (fmt or ("csv" if path.lower().endswith(".csv") else "parquet")).lower()
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(path)
+        elif fmt == "json":
+            writer.json(path)
+        elif fmt == "parquet":
+            writer.parquet(path)
+        else:
+            raise ValueError(f"COPY TO: unsupported format {fmt!r}")
+        return None
+
     # --------------------------------------------------------------- SELECT
 
+    def _read_file_views(self, stmt: str) -> str:
+        """Rewrite ``read_parquet('p')`` / ``read_csv('p')`` /
+        ``read_json('p')`` table functions (SURVEY §2.C "scans/sources")
+        to temp views over the built-in Spark readers — predicate pushdown
+        and column pruning then apply exactly as for lake tables."""
+
+        def _sub(m: re.Match) -> str:
+            kind, path = m.group(1).lower(), m.group(2)
+            view = f"__read_{kind}_{abs(hash(path)) % 10**10}"
+            if kind == "parquet":
+                df = self.spark.read.parquet(path)
+            elif kind == "csv":
+                df = self.spark.read.option("header", "true").option(
+                    "inferSchema", "true"
+                ).csv(path)
+            else:
+                df = self.spark.read.json(path)
+            df.createOrReplaceTempView(view)
+            return f" {view} "
+
+        return _READ_FILE_RE.sub(_sub, stmt)
+
     def _select(self, stmt: str) -> DataFrame:
+        stmt = self._read_file_views(stmt)
         stmt = _SNAPSHOTS_RE.sub(" __ducklake_snapshots ", stmt)
         if "__ducklake_snapshots" in stmt:
             self.spark.createDataFrame(

@@ -228,6 +228,127 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label AS cell, list(v ORDER BY i) AS cvec
+      FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+            FROM embeddings, generate_series(1, {DIM}) t(i)
+            GROUP BY label, i)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cell,
+             {_sql_cosine("e.embedding", "c.cvec")} AS cs
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cell) AS rn
+        FROM scored) t WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS qid, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cell) AS rn
+        FROM scored WHERE vec_id < 10) t WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM probe p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.qid
+    ),
+    pairs AS (
+      SELECT c.qid, c.vec_id,
+             {_sql_cosine("q.embedding", "e.embedding")} AS cos_raw
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.qid
+      JOIN embeddings e ON e.vec_id = c.vec_id
+    )
+    SELECT qid, vec_id AS neighbor_id, rnk, round(cos_raw, 6) AS cosine
+    FROM (SELECT qid, vec_id, cos_raw,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_raw DESC, vec_id) AS rnk
+          FROM pairs) t
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search end to end — the scale path beyond
+    LSH bucketing:
+
+    1. train the coarse quantizer: per-label centroids (rounded to 6 dp so
+       Spark's and the oracle's float-sum orders can't diverge);
+    2. assign every corpus vector to its nearest centroid —
+       broadcast-join the tiny centroid table, then ``max_by`` per vec_id
+       (partial-aggregated, ONE narrow shuffle; never a window over the
+       corpus);
+    3. probe: each query searches only its 2 nearest cells;
+    4. exact cosine re-rank inside the probed cells.
+
+    At 100 TB the corpus-side work is a broadcast map pass plus an
+    equi-join on cell — the inverted lists are just hash partitions, and
+    the quadratic step only ever sees ~nprobe/k of the corpus."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
+            ).alias("cvec")
+        )
+    )
+
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        cosine_cols(F.col("embedding"), F.col("cvec")).alias("cs"),
+    )
+    # max_by over (cs, -cell): cos DESC, cell ASC tie-break, partial-agged
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("cs"), -F.col("cell"))).alias("cell")
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cell")
+    probe = (
+        scored.filter(F.col("vec_id") < 10)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("qid"), "cell")
+    )
+    cand = probe.join(assign, "cell").filter(F.col("vec_id") != F.col("qid"))
+
+    qv = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    ev = e.select("vec_id", F.col("embedding").alias("evec"))
+    pairs = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(ev, "vec_id")
+        .select(
+            "qid", "vec_id", cosine_cols(F.col("qvec"), F.col("evec")).alias("cos_raw")
+        )
+    )
+    wr = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "rnk",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+@query(
     "sim_label_centroids",
     oracle=f"""
     SELECT label, CAST(i AS BIGINT) AS dim_idx,

@@ -205,3 +205,34 @@ def test_persistence_across_instances(spark, tmp_path):
         local_catalog=str(tmp_path / "catalog"),
     )
     assert rows(lake2.sql("SELECT * FROM t")) == [(1, "a")]
+
+
+def test_copy_to_and_read_parquet(lake, tmp_path):
+    lake.sql("CREATE TABLE src(id INTEGER, val VARCHAR);")
+    lake.sql("INSERT INTO src VALUES (1, 'a'), (2, 'b'), (3, 'c');")
+    out_dir = str(tmp_path / "export_pq")
+    lake.sql(f"COPY (SELECT id, val FROM src WHERE id <= 2) TO '{out_dir}' (FORMAT PARQUET);")
+    back = lake.sql(f"SELECT * FROM read_parquet('{out_dir}') ORDER BY id;")
+    assert rows(back) == [(1, "a"), (2, "b")]
+
+
+def test_copy_table_to_csv_and_read_csv(lake, tmp_path):
+    lake.sql("CREATE TABLE src2(id INTEGER, val VARCHAR);")
+    lake.sql("INSERT INTO src2 VALUES (7, 'x'), (8, 'y');")
+    out_dir = str(tmp_path / "export_csv")
+    lake.sql(f"COPY src2 TO '{out_dir}' (FORMAT CSV);")
+    back = lake.sql(
+        f"SELECT id, val FROM read_csv('{out_dir}') ORDER BY id;"
+    )
+    assert rows(back) == [(7, "x"), (8, "y")]
+
+
+def test_read_json(lake, tmp_path):
+    import json as _json
+
+    p = tmp_path / "docs.json"
+    with open(p, "w") as f:
+        for rec in [{"k": 1, "s": "one"}, {"k": 2, "s": "two"}]:
+            f.write(_json.dumps(rec) + "\n")
+    back = lake.sql(f"SELECT k, s FROM read_json('{p}') ORDER BY k;")
+    assert rows(back) == [(1, "one"), (2, "two")]
