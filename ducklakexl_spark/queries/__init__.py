@@ -72,5 +72,6 @@ def load_all() -> None:
         scalars,
         similarity,
         text,
+        tpch,
         windows,
     )
