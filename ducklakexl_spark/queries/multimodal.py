@@ -96,3 +96,118 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "content").mapInPandas(
         _extract_batches, schema=FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, out_bytes binary, out_width bigint, out_height bigint"
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: a real implementation decodes with PIL, resizes, re-encodes.
+    Deterministic fake: truncate/pad the payload to width*height bytes so
+    batch shapes and output sizes behave like a real resize."""
+    if payload is None:
+        raise NotImplementedError("real resize requires PIL")
+    target = width * height
+    return payload[:target].ljust(target, b"\0")
+
+
+def resize_stage(df, width: int = 16, height: int = 16):
+    """mapInPandas resize stage: per-partition Arrow batches, payload
+    column pruned in, fixed-size payload out — the exact plumbing a PIL
+    resize uses at 100 TB (swap ``resize_image`` only)."""
+    from collections.abc import Iterator
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["content"].map(lambda b: resize_image(b, width, height))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_bytes": out,
+                    "out_width": width,
+                    "out_height": height,
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(_batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_bytes binary"
+
+
+def frame_sample_stage(df, n_frames: int = 4, frame_size: int = 32):
+    """mapInPandas frame-sampling stage (video → N evenly-spaced frames).
+    STUB decode: slice the payload into ``n_frames`` evenly-spaced
+    ``frame_size``-byte windows — one output row per frame, the 1→N
+    row-explosion shape ffmpeg frame extraction produces."""
+    from collections.abc import Iterator
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                if payload is None:
+                    raise NotImplementedError("real decode requires ffmpeg")
+                stride = max(1, (len(payload) - frame_size) // max(1, n_frames - 1))
+                for i in range(n_frames):
+                    start = min(i * stride, max(0, len(payload) - frame_size))
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[start : start + frame_size].ljust(frame_size, b"\0"))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return df.select("doc_id", "content").mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+@query(
+    "mm_resize_summary",
+    oracle="""
+    SELECT CAST(16*16 AS BIGINT)          AS out_size,
+           count(*)                        AS n_images,
+           CAST(sum(CASE WHEN octet_length(encode(text)) >= 256
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+    FROM documents
+    """,
+)
+def mm_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-stage output audit: every payload lands at exactly
+    width*height bytes; count how many were truncated vs padded.  The
+    oracle reproduces the stub's size arithmetic relationally."""
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    resized = resize_stage(d, 16, 16)
+    orig = d.select("doc_id", F.col("meta.size_bytes").alias("orig_bytes"))
+    return (
+        resized.join(orig, "doc_id")
+        .agg(
+            F.first(F.length("out_bytes").cast("long")).alias("out_size"),
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.when(F.col("orig_bytes") >= 256, 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated"),
+        )
+    )
+
+
+@query(
+    "mm_frame_sample_counts",
+    oracle="""
+    SELECT CAST(4 AS BIGINT)   AS frames_per_doc,
+           count(*)             AS n_docs,
+           CAST(count(*) * 4 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def mm_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample-stage audit: the 1→N explosion yields exactly
+    n_frames rows per doc."""
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    frames = frame_sample_stage(d, 4, 32)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("fpd")
+    ).agg(
+        F.first("fpd").cast("long").alias("frames_per_doc"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("fpd").cast("long").alias("n_frames"),
+    )

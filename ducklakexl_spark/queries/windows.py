@@ -255,6 +255,37 @@ def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tumbling_hour",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           count(*)               AS n,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path of events_tumbling_hour: a bounded file-source
+    stream driven to completion through a watermarked tumbling-window
+    aggregation (complete mode), hash-matching the same batch oracle —
+    streaming/batch unification, verified.  In production only the reader
+    changes (Kafka instead of files)."""
+    import os
+    import tempfile
+
+    from ducklakexl_spark.streaming import pipeline as P
+
+    # file-source streams need a directory; stage the fixture by symlink
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    stream = P.read_event_stream(spark, stage)
+    return P.run_to_completion(P.tumbling_counts(stream), "q_stream_tumbling")
+
+
+@query(
     "window_cume_percent",
     oracle="""
     SELECT s_suppkey,
