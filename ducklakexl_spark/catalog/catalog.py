@@ -223,6 +223,97 @@ class DuckLakeCatalog:
         self.commit_snapshot(f'created_table:"{name}"', next_cat, next_file)
         return table_id
 
+    def create_view(self, name: str, sql: str, replace: bool = False) -> int:
+        """Register a SQL view in ducklake_view (dialect 'spark'); the
+        engine re-resolves the text at read time, so views always see the
+        current snapshot — matching DuckDB view semantics."""
+        live = self.live("ducklake_view")
+        exists = live[live["view_name"] == name]
+        if not exists.empty:
+            if not replace:
+                raise ValueError(f"view already exists: {name}")
+            self.drop_view(name, _commit=False)
+        next_cat, next_file = self._counters()
+        view_id = next_cat
+        snapshot = self.current_snapshot + 1
+        self._append(
+            "ducklake_view",
+            [
+                {
+                    "view_id": view_id,
+                    "view_uuid": str(uuid.uuid4()),
+                    "begin_snapshot": snapshot,
+                    "end_snapshot": None,
+                    "schema_id": self.schema_id(),
+                    "view_name": name,
+                    "dialect": "spark",
+                    "sql": sql,
+                    "column_aliases": None,
+                }
+            ],
+        )
+        self.commit_snapshot(f'created_view:"{name}"', next_cat + 1, next_file)
+        return view_id
+
+    def drop_view(self, name: str, _commit: bool = True) -> None:
+        df = self.tables["ducklake_view"]
+        mask = self.live_mask(df) & (df["view_name"] == name)
+        if not mask.any():
+            raise KeyError(f"view not found: {name}")
+        df.loc[mask, "end_snapshot"] = self.current_snapshot + 1
+        if _commit:
+            next_cat, next_file = self._counters()
+            self.commit_snapshot(f'dropped_view:"{name}"', next_cat, next_file)
+
+    def view_names(self, snapshot: int | None = None) -> list[str]:
+        return list(self.live("ducklake_view", snapshot)["view_name"])
+
+    def view_sql(self, name: str, snapshot: int | None = None) -> str:
+        live = self.live("ducklake_view", snapshot)
+        hit = live[live["view_name"] == name]
+        if hit.empty:
+            raise KeyError(f"view not found: {name}")
+        return str(hit.iloc[0]["sql"])
+
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE … RENAME TO …: MVCC row swap — the old name row
+        ends, a new row with the SAME table_id begins, so data files and
+        history carry over and time travel still resolves the old name at
+        old snapshots."""
+        table_id = self.table_id(old)
+        df = self.tables["ducklake_table"]
+        snapshot = self.current_snapshot + 1
+        mask = self.live_mask(df) & (df["table_id"] == table_id)
+        old_row = df[mask].iloc[0].to_dict()
+        df.loc[mask, "end_snapshot"] = snapshot
+        old_row.update(
+            {"begin_snapshot": snapshot, "end_snapshot": None, "table_name": new}
+        )
+        self._append("ducklake_table", [old_row])
+        next_cat, next_file = self._counters()
+        self.commit_snapshot(f'renamed_table:"{old}"->"{new}"', next_cat, next_file)
+
+    def create_schema(self, name: str) -> int:
+        live = self.live("ducklake_schema")
+        if (live["schema_name"] == name).any():
+            raise ValueError(f"schema already exists: {name}")
+        next_cat, next_file = self._counters()
+        schema_id = next_cat
+        self._append(
+            "ducklake_schema",
+            [
+                {
+                    "schema_id": schema_id,
+                    "schema_uuid": str(uuid.uuid4()),
+                    "begin_snapshot": self.current_snapshot + 1,
+                    "end_snapshot": None,
+                    "schema_name": name,
+                }
+            ],
+        )
+        self.commit_snapshot(f'created_schema:"{name}"', next_cat + 1, next_file)
+        return schema_id
+
     def drop_table(self, name: str) -> None:
         table_id = self.table_id(name)
         snapshot = self.current_snapshot + 1

@@ -166,6 +166,18 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+(.*)$", re.I | re.S
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", re.I
+)
+_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+RENAME\s+TO\s+([\w.\"]+)\s*$", re.I
+)
+_CREATE_SCHEMA_RE = re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s*$", re.I
+)
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(\(.*\)|[\w.\"]+)\s+TO\s+'([^']+)'\s*"
     r"(?:\(\s*(?:FORMAT\s+)?(\w+)[^)]*\))?\s*$",
@@ -256,6 +268,34 @@ class DuckLakeSpark:
         m = _USE_RE.match(stmt)
         if m:
             self.current_db = m.group(1)
+            return None
+        m = _CREATE_VIEW_RE.match(stmt)
+        if m:
+            self.catalog.create_view(
+                _unqualify(m.group(2)), m.group(3).strip(), replace=bool(m.group(1))
+            )
+            return None
+        m = _DROP_VIEW_RE.match(stmt)
+        if m:
+            name = _unqualify(m.group(2))
+            if m.group(1) and name not in self.catalog.view_names():
+                return None
+            self.catalog.drop_view(name)
+            return None
+        m = _RENAME_RE.match(stmt)
+        if m:
+            self.catalog.rename_table(_unqualify(m.group(1)), _unqualify(m.group(2)))
+            return None
+        m = _CREATE_SCHEMA_RE.match(stmt)
+        if m:
+            name = _unqualify(m.group(2))
+            if m.group(1):
+                try:
+                    self.catalog.schema_id(name)
+                    return None
+                except KeyError:
+                    pass
+            self.catalog.create_schema(name)
             return None
         m = _CTAS_RE.match(stmt)
         if m and not _CREATE_RE.match(stmt):
@@ -668,6 +708,13 @@ class DuckLakeSpark:
         for tname in self.catalog.table_names():
             if re.search(rf"\b{re.escape(tname)}\b", stmt):
                 self.table_df(tname).createOrReplaceTempView(tname)
+        for vname in self.catalog.view_names():
+            if re.search(rf"\b{re.escape(vname)}\b", stmt):
+                # re-resolve the stored SQL at the current snapshot
+                # (recursive: views over views/tables)
+                self._select(self.catalog.view_sql(vname)).createOrReplaceTempView(
+                    vname
+                )
         return self.spark.sql(stmt)
 
     # ------------------------------------------------------------------ misc

@@ -236,3 +236,38 @@ def test_read_json(lake, tmp_path):
             f.write(_json.dumps(rec) + "\n")
     back = lake.sql(f"SELECT k, s FROM read_json('{p}') ORDER BY k;")
     assert rows(back) == [(1, "one"), (2, "two")]
+
+
+def test_create_view_tracks_current_snapshot(lake):
+    lake.sql("CREATE TABLE base(id INTEGER, v VARCHAR);")
+    lake.sql("INSERT INTO base VALUES (1, 'a'), (2, 'b');")
+    lake.sql("CREATE VIEW big AS SELECT id, upper(v) AS uv FROM base WHERE id > 1;")
+    assert rows(lake.sql("SELECT * FROM big;")) == [(2, "B")]
+    # views re-resolve at read time: new data is visible without re-create
+    lake.sql("INSERT INTO base VALUES (3, 'c');")
+    assert rows(lake.sql("SELECT * FROM big;")) == [(2, "B"), (3, "C")]
+    # OR REPLACE + view-over-view
+    lake.sql("CREATE OR REPLACE VIEW big AS SELECT id FROM base WHERE id >= 3;")
+    lake.sql("CREATE VIEW big2 AS SELECT id * 10 AS id10 FROM big;")
+    assert rows(lake.sql("SELECT * FROM big2;")) == [(30,)]
+    lake.sql("DROP VIEW big2;")
+    lake.sql("DROP VIEW IF EXISTS missing;")
+
+
+def test_alter_table_rename_keeps_history(lake):
+    lake.sql("CREATE TABLE t_old(id INTEGER);")
+    lake.sql("INSERT INTO t_old VALUES (1), (2);")
+    snap_before = lake.catalog.current_snapshot
+    lake.sql("ALTER TABLE t_old RENAME TO t_new;")
+    assert rows(lake.sql("SELECT * FROM t_new;")) == [(1,), (2,)]
+    assert "t_old" not in lake.catalog.table_names()
+    # old name still resolves at the old snapshot (time travel)
+    assert sorted(
+        tuple(r) for r in lake.table("t_old", snapshot=snap_before).collect()
+    ) == [(1,), (2,)]
+
+
+def test_create_schema(lake):
+    lake.sql("CREATE SCHEMA analytics;")
+    assert lake.catalog.schema_id("analytics") > 0
+    lake.sql("CREATE SCHEMA IF NOT EXISTS analytics;")  # no error
