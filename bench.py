@@ -31,6 +31,9 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_region_revenue",
     "q10_returned_items",
+    "q06_forecast_revenue",
+    "q09_product_profit",
+    "q18_large_orders",
     "join_inner_agg",
     "agg_count_distinct",
     "agg_rollup",
@@ -44,6 +47,8 @@ HEADLINE = [
     "text_quality_score",
     "sim_bruteforce_topk",
     "sim_lsh_buckets",
+    "sim_ivf_topk",
+    "skew_salted_event_totals",
 ]
 
 

@@ -71,6 +71,7 @@ def load_all() -> None:
         relational,
         scalars,
         similarity,
+        skew,
         text,
         tpch,
         windows,
