@@ -166,6 +166,21 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"USING\s+(\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"ON\s+(.*?)\s+(WHEN\s+.*)$",
+    re.I | re.S,
+)
+_MERGE_UPDATE_RE = re.compile(
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)(?=\s*WHEN\s+|\s*$)", re.I | re.S
+)
+_MERGE_DELETE_RE = re.compile(r"WHEN\s+MATCHED\s+THEN\s+DELETE", re.I)
+_MERGE_INSERT_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(\([^)]*\))?\s*"
+    r"VALUES\s*\((.*?)\)(?=\s*WHEN\s+|\s*$)",
+    re.I | re.S,
+)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+(.*)$", re.I | re.S
 )
@@ -330,6 +345,9 @@ class DuckLakeSpark:
         m = _COPY_RE.match(stmt)
         if m:
             return self._copy_to(m.group(1), m.group(2), m.group(3))
+        m = _MERGE_RE.match(stmt)
+        if m:
+            return self._merge(*m.groups())
         return self._select(stmt)
 
     # ------------------------------------------------------------------- DDL
@@ -640,6 +658,103 @@ class DuckLakeSpark:
         self._delete(name, where)
         self._write_dataframe(name, new_rows)
         new_rows.unpersist()
+        return None
+
+    # ----------------------------------------------------------------- MERGE
+
+    def _merge(
+        self,
+        target: str,
+        t_alias: str | None,
+        source: str,
+        s_alias: str | None,
+        cond: str,
+        actions: str,
+    ) -> None:
+        """``MERGE INTO t USING s ON cond WHEN MATCHED THEN UPDATE SET …
+        | DELETE WHEN NOT MATCHED THEN INSERT …`` (DuckDB gained MERGE in
+        1.4, just past the pinned 1.3 scope — included for completeness).
+
+        Planned as one declarative rewrite of the target's content:
+        target LEFT JOIN source applies UPDATE/DELETE to matched rows and
+        keeps the rest; source ANTI JOIN target appends the INSERT rows.
+        Spark computes the new content in one distributed job; the commit
+        is truncate + re-register (two catalog snapshots, same net effect
+        as DuckLake's delete-file + new-file pattern)."""
+        name = _unqualify(target)
+        t_alias = t_alias or name
+        s_alias = s_alias or "__merge_src"
+        schema = self.table_schema(name)
+        cols = [f.name for f in schema.fields]
+
+        tdf = self.table_df(name)
+        sdf = (
+            self._select(source[1:-1]) if source.startswith("(")
+            else self._select(f"SELECT * FROM {_unqualify(source)}")
+        )
+        tdf.createOrReplaceTempView("__merge_t")
+        sdf.createOrReplaceTempView("__merge_s")
+
+        upd = _MERGE_UPDATE_RE.search(actions)
+        dele = _MERGE_DELETE_RE.search(actions)
+        ins = _MERGE_INSERT_RE.search(actions)
+        if not (upd or dele or ins):
+            raise ValueError("MERGE: no recognizable WHEN clause")
+
+        assignments: dict[str, str] = {}
+        if upd:
+            for part in split_top_level(upd.group(1)):
+                k, v = part.split("=", 1)
+                assignments[k.strip().strip('"').split(".")[-1]] = v.strip()
+
+        # matched/kept rows: LEFT JOIN, per-column CASE for updates
+        if dele:
+            kept_sel = ", ".join(f"{t_alias}.{c} AS {c}" for c in cols)
+            kept = (
+                f"SELECT {kept_sel} FROM __merge_t {t_alias} "
+                f"LEFT ANTI JOIN __merge_s {s_alias} ON {cond}"
+            )
+        else:
+            proj = ", ".join(
+                (
+                    f"CASE WHEN {s_alias}.__present THEN ({assignments[c]}) "
+                    f"ELSE {t_alias}.{c} END AS {c}"
+                )
+                if c in assignments
+                else f"{t_alias}.{c} AS {c}"
+                for c in cols
+            )
+            kept = (
+                f"SELECT {proj} FROM __merge_t {t_alias} LEFT JOIN "
+                f"(SELECT *, true AS __present FROM __merge_s) {s_alias} ON {cond}"
+            )
+
+        parts = [kept]
+        if ins:
+            ins_cols = (
+                [c.strip().strip('"') for c in split_top_level(ins.group(1)[1:-1])]
+                if ins.group(1)
+                else cols
+            )
+            vals = split_top_level(ins.group(2))
+            if len(ins_cols) != len(vals):
+                raise ValueError("MERGE INSERT: column/value count mismatch")
+            val_by_col = dict(zip(ins_cols, vals))
+            ins_sel = ", ".join(
+                f"({val_by_col[c]}) AS {c}" if c in val_by_col else f"NULL AS {c}"
+                for c in cols
+            )
+            parts.append(
+                f"SELECT {ins_sel} FROM __merge_s {s_alias} "
+                f"LEFT ANTI JOIN __merge_t {t_alias} ON {cond}"
+            )
+        merged = self.spark.sql(" UNION ALL ".join(parts))
+        merged = merged.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        merged = merged.localCheckpoint(eager=True)  # materialize before truncate
+        self.catalog.truncate_table(name)
+        self._write_dataframe(name, merged)
         return None
 
     # ------------------------------------------------------------------ COPY

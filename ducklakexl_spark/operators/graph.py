@@ -1,0 +1,69 @@
+"""Iterative graph operators — the driver-loop answer to SQL's
+``WITH RECURSIVE`` (SURVEY §2.C "subqueries/CTEs": Spark SQL has no
+recursive CTE; iteration lives in driver code over DataFrames).
+
+The flagship use is dedup *clustering*: near-duplicate detection yields
+pairs, but a training pipeline needs groups ("keep one doc per cluster"),
+i.e. connected components of the pair graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Returns (node, component) where component = min node id in the
+    component.  Each round every node adopts the smallest label among
+    itself and its neighbours; rounds repeat until a fixpoint (checked on
+    the driver via a 1-row count — the standard Spark iteration shape,
+    since convergence is data-dependent control flow Catalyst can't
+    express).
+
+    Scale: label diameter shrinks geometrically (min labels hop multiple
+    edges per round through the two-sided propagation), so rounds ~
+    O(log(diameter)); each round is one groupBy shuffle over the edge
+    list.  Per-round ``localCheckpoint`` truncates the growing lineage —
+    without it plan depth, not data, becomes the bottleneck.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # materialize once: every iteration re-reads the edge list, and
+        # without this the (possibly expensive) upstream that produced the
+        # edges would re-execute per round
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min over its own and neighbours'
+        neighbour = (
+            sym.join(labels, sym.a == labels.node)
+            .select(F.col("b").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbour)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -377,6 +377,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE edges AS ({_minhash_lsh_oracle()}),
+    nodes AS (SELECT doc_a AS n FROM edges UNION SELECT doc_b FROM edges),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(s, t) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.s, y.b FROM reach r JOIN sym y ON r.t = y.a
+    )
+    SELECT s AS doc_id, min(t) AS cluster_id
+    FROM reach GROUP BY s
+    """
+
+
+@query("dedup_clusters", oracle=_dedup_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (pairs chain A-B-C without A-C, so "keep one per cluster"
+    needs transitive closure).  Spark SQL has no WITH RECURSIVE — the
+    component labels come from the iterative min-label-propagation driver
+    loop (operators/graph.py), verified here against DuckDB's actual
+    recursive CTE: the strongest cross-engine check an iterative
+    operator can get.  cluster_id = min doc_id in the component."""
+    from ducklakexl_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (bit-signature near-dup)
 # ---------------------------------------------------------------------------
 

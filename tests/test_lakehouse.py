@@ -271,3 +271,40 @@ def test_create_schema(lake):
     lake.sql("CREATE SCHEMA analytics;")
     assert lake.catalog.schema_id("analytics") > 0
     lake.sql("CREATE SCHEMA IF NOT EXISTS analytics;")  # no error
+
+
+def test_merge_upsert(lake):
+    lake.sql("CREATE TABLE inv(id INTEGER, qty INTEGER);")
+    lake.sql("INSERT INTO inv VALUES (1, 10), (2, 20);")
+    lake.sql("CREATE TABLE delta(id INTEGER, qty INTEGER);")
+    lake.sql("INSERT INTO delta VALUES (2, 25), (3, 30);")
+    lake.sql(
+        "MERGE INTO inv USING delta AS d ON inv.id = d.id "
+        "WHEN MATCHED THEN UPDATE SET qty = d.qty "
+        "WHEN NOT MATCHED THEN INSERT VALUES (d.id, d.qty);"
+    )
+    assert rows(lake.sql("SELECT * FROM inv;")) == [(1, 10), (2, 25), (3, 30)]
+
+
+def test_merge_delete_matched(lake):
+    lake.sql("CREATE TABLE t_del(id INTEGER, v VARCHAR);")
+    lake.sql("INSERT INTO t_del VALUES (1, 'a'), (2, 'b'), (3, 'c');")
+    lake.sql("CREATE TABLE kill(id INTEGER);")
+    lake.sql("INSERT INTO kill VALUES (2);")
+    lake.sql(
+        "MERGE INTO t_del USING kill AS k ON t_del.id = k.id "
+        "WHEN MATCHED THEN DELETE;"
+    )
+    assert rows(lake.sql("SELECT * FROM t_del;")) == [(1, "a"), (3, "c")]
+
+
+def test_merge_update_expression(lake):
+    lake.sql("CREATE TABLE acct(id INTEGER, bal DOUBLE);")
+    lake.sql("INSERT INTO acct VALUES (1, 100.0), (2, 200.0);")
+    lake.sql("CREATE TABLE dep(id INTEGER, amt DOUBLE);")
+    lake.sql("INSERT INTO dep VALUES (1, 50.0);")
+    lake.sql(
+        "MERGE INTO acct USING dep AS d ON acct.id = d.id "
+        "WHEN MATCHED THEN UPDATE SET bal = acct.bal + d.amt;"
+    )
+    assert rows(lake.sql("SELECT * FROM acct;")) == [(1, 150.0), (2, 200.0)]
