@@ -166,6 +166,8 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.I)
+_DESCRIBE_RE = re.compile(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+([\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
     r"USING\s+(\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
@@ -348,6 +350,24 @@ class DuckLakeSpark:
         m = _MERGE_RE.match(stmt)
         if m:
             return self._merge(*m.groups())
+        m = _SHOW_TABLES_RE.match(stmt)
+        if m:
+            return self._select(
+                "SELECT table_name AS name FROM information_schema.tables "
+                "ORDER BY table_name"
+            )
+        m = _DESCRIBE_RE.match(stmt)
+        if m:
+            name = _unqualify(m.group(1))
+            tid = self.catalog.table_id(name)
+            cols = self.catalog.columns(tid)
+            return self.spark.createDataFrame(
+                [
+                    (r.column_name, r.column_type, bool(r.nulls_allowed))
+                    for r in cols.itertuples()
+                ],
+                "column_name string, column_type string, nulls_allowed boolean",
+            )
         return self._select(stmt)
 
     # ------------------------------------------------------------------- DDL
@@ -807,6 +827,25 @@ class DuckLakeSpark:
 
     def _select(self, stmt: str) -> DataFrame:
         stmt = self._read_file_views(stmt)
+        if re.search(r"\binformation_schema\.tables\b", stmt, re.I):
+            # the reference's own reflection query (ducklakexl.py:238-240)
+            rows = [
+                (self.current_db or "memory", "main", t, "BASE TABLE")
+                for t in self.catalog.table_names()
+            ] + [
+                (self.current_db or "memory", "main", v, "VIEW")
+                for v in self.catalog.view_names()
+            ]
+            self.spark.createDataFrame(
+                rows, "table_catalog string, table_schema string, "
+                      "table_name string, table_type string"
+            ).createOrReplaceTempView("__information_schema_tables")
+            stmt = re.sub(
+                r"\binformation_schema\.tables\b",
+                "__information_schema_tables",
+                stmt,
+                flags=re.I,
+            )
         stmt = _SNAPSHOTS_RE.sub(" __ducklake_snapshots ", stmt)
         if "__ducklake_snapshots" in stmt:
             self.spark.createDataFrame(

@@ -324,7 +324,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select(F.col("vec_id").alias("qid"), "cell")
     )
-    cand = probe.join(assign, "cell").filter(F.col("vec_id") != F.col("qid"))
+    # probe is tiny (n_queries x nprobe rows) — broadcast it so the
+    # corpus-wide assign never shuffles on the k-valued (hot) cell key
+    cand = assign.join(F.broadcast(probe), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
 
     qv = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     ev = e.select("vec_id", F.col("embedding").alias("evec"))

@@ -308,3 +308,21 @@ def test_merge_update_expression(lake):
         "WHEN MATCHED THEN UPDATE SET bal = acct.bal + d.amt;"
     )
     assert rows(lake.sql("SELECT * FROM acct;")) == [(1, 150.0), (2, 200.0)]
+
+
+def test_information_schema_and_show_describe(lake):
+    lake.sql("CREATE TABLE alpha(id INTEGER, v VARCHAR);")
+    lake.sql("CREATE TABLE beta(x DOUBLE);")
+    lake.sql("CREATE VIEW gamma AS SELECT id FROM alpha;")
+    # the reference's own reflection query shape (ducklakexl.py:238-240)
+    names = rows(
+        lake.sql(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_name LIKE 'a%' OR table_type = 'VIEW'"
+        )
+    )
+    assert ("alpha",) in names and ("gamma",) in names
+    shown = [r[0] for r in lake.sql("SHOW TABLES;").collect()]
+    assert "alpha" in shown and "beta" in shown
+    desc = rows(lake.sql("DESCRIBE alpha;"))
+    assert ("id", "INTEGER", True) in desc and ("v", "VARCHAR", True) in desc
