@@ -394,6 +394,63 @@ class DuckLakeCatalog:
             f"inserted_into_table:{table_id}", next_cat, next_file
         )
 
+    def replace_table_files(
+        self, table_id: int, files: list[dict], column_stats: list[dict] | None
+    ) -> int:
+        """Atomic file-set swap for compaction: the old data/delete file
+        rows end at snapshot S and the new files begin at S — no snapshot
+        ever sees both (or neither).  Retired paths go to the
+        ducklake_files_scheduled_for_deletion GC queue."""
+        snapshot = self.current_snapshot + 1
+        gc_rows = []
+        for t in ("ducklake_data_file", "ducklake_delete_file"):
+            df = self.tables[t]
+            if df.empty:
+                continue
+            mask = self.live_mask(df) & (df["table_id"] == table_id)
+            for r in df[mask].itertuples():
+                gc_rows.append(
+                    {
+                        "data_file_id": int(
+                            getattr(r, "data_file_id", getattr(r, "delete_file_id", 0))
+                        ),
+                        "table_id": table_id,
+                        "path": r.path,
+                        "path_is_relative": False,
+                        "schedule_start": _now(),
+                    }
+                )
+            df.loc[mask, "end_snapshot"] = snapshot
+        if gc_rows:
+            self._append("ducklake_files_scheduled_for_deletion", gc_rows)
+        # reset stats: register_data_files adds on top, so zero them first
+        stats = self.tables["ducklake_table_stats"]
+        mask = stats["table_id"] == table_id
+        if mask.any():
+            stats.loc[mask, "record_count"] = 0
+            stats.loc[mask, "file_size_bytes"] = 0
+        return self.register_data_files(table_id, files, column_stats)
+
+    def vacuum(self) -> int:
+        """Delete queued files from disk; returns the number removed."""
+        import os
+        import shutil
+
+        q = self.tables["ducklake_files_scheduled_for_deletion"]
+        removed = 0
+        for r in q.itertuples():
+            try:
+                if os.path.isdir(r.path):
+                    shutil.rmtree(r.path)
+                else:
+                    os.remove(r.path)
+                removed += 1
+            except FileNotFoundError:
+                pass
+        self.tables["ducklake_files_scheduled_for_deletion"] = q.iloc[0:0]
+        self.store.save(self.tables)
+        return removed
+
     def _bump_table_stats(
         self, table_id: int, added_records: int, next_row_id: int, added_bytes: int
     ) -> None:

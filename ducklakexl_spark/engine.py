@@ -453,6 +453,15 @@ class DuckLakeSpark:
         stats (SURVEY §4 item 4: stats from parquet footers — metadata-only,
         no second Spark job)."""
         tid = self.catalog.table_id(name)
+        files, col_stats = self._write_files(name, tid, df)
+        if files:
+            self.catalog.register_data_files(tid, files, col_stats)
+
+    def _write_files(
+        self, name: str, tid: int, df: DataFrame
+    ) -> tuple[list[dict], list[dict]]:
+        """Executor-parallel parquet write; returns (file rows, per-file
+        column stats) from the footers without registering them."""
         out_dir = os.path.join(
             self.data_path, name, f"insert-{uuid.uuid4().hex[:12]}"
         )
@@ -516,8 +525,42 @@ class DuckLakeSpark:
                         "max_value": None if e["max"] is None else str(e["max"]),
                     }
                 )
-        if files:
-            self.catalog.register_data_files(tid, files, col_stats)
+        return files, col_stats
+
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self, name: str, target_file_bytes: int = 128 << 20) -> dict:
+        """Small-file compaction (the OPTIMIZE/rewrite-data-files of other
+        lakehouse formats): fold the table's live rows into
+        ``ceil(bytes/target)`` right-sized files, retire the old data +
+        delete files in the SAME snapshot the new files begin, and queue
+        the retired paths in ducklake_files_scheduled_for_deletion (the
+        spec's GC queue — old snapshots still reference them until
+        ``vacuum``).  At 100 TB this is the essential companion of
+        streaming/frequent ingestion, which otherwise accretes a file per
+        micro-batch per partition."""
+        tid = self.catalog.table_id(name)
+        old = self.catalog.data_files(tid)
+        dels = self.catalog.delete_files(tid)
+        if len(old) <= 1 and dels.empty:
+            return {"compacted": False, "files_before": len(old)}
+        total_bytes = int(old["file_size_bytes"].fillna(0).sum())
+        n_out = max(1, -(-total_bytes // max(1, target_file_bytes)))
+        df = self.table_df(name).repartition(n_out)
+        files, col_stats = self._write_files(name, tid, df)
+        self.catalog.replace_table_files(tid, files, col_stats)
+        return {
+            "compacted": True,
+            "files_before": len(old),
+            "files_after": len(files),
+            "delete_files_removed": len(dels),
+        }
+
+    def vacuum(self) -> int:
+        """Physically delete every file in the GC queue and clear it.
+        After this, snapshots that referenced those files can no longer be
+        read — the standard expire-snapshots contract."""
+        return self.catalog.vacuum()
 
     # -------------------------------------------------------------- scanning
 

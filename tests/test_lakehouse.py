@@ -326,3 +326,34 @@ def test_information_schema_and_show_describe(lake):
     assert "alpha" in shown and "beta" in shown
     desc = rows(lake.sql("DESCRIBE alpha;"))
     assert ("id", "INTEGER", True) in desc and ("v", "VARCHAR", True) in desc
+
+
+def test_compact_and_vacuum(lake):
+    lake.sql("CREATE TABLE c(id INTEGER, v VARCHAR);")
+    for i in range(4):  # 4 separate inserts -> >=4 files
+        lake.sql(f"INSERT INTO c VALUES ({2*i}, 'x{i}'), ({2*i+1}, 'y{i}');")
+    lake.sql("DELETE FROM c WHERE id = 5;")
+    before = rows(lake.sql("SELECT * FROM c;"))
+    snap_before = lake.catalog.current_snapshot
+    tid = lake.catalog.table_id("c")
+    assert len(lake.catalog.data_files(tid)) >= 4
+    assert len(lake.catalog.delete_files(tid)) == 1
+
+    res = lake.compact("c")
+    assert res["compacted"] and res["files_after"] < res["files_before"]
+    # identical content, delete files folded in
+    assert rows(lake.sql("SELECT * FROM c;")) == before
+    assert len(lake.catalog.delete_files(lake.catalog.table_id("c"))) == 0
+    # pre-compact snapshot still readable (files not yet vacuumed)
+    assert sorted(
+        tuple(r) for r in lake.table("c", snapshot=snap_before).collect()
+    ) == before
+    # stats stayed consistent
+    stats = lake.catalog.tables["ducklake_table_stats"]
+    rec = int(stats.loc[stats["table_id"] == tid, "record_count"].iloc[0])
+    assert rec == len(before)
+
+    removed = lake.vacuum()
+    assert removed >= 4
+    # current snapshot unaffected by vacuum
+    assert rows(lake.sql("SELECT * FROM c;")) == before
