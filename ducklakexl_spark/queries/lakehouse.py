@@ -102,3 +102,31 @@ def lakehouse_update_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM derived;
         """
     )
+
+
+@query(
+    "lakehouse_merge_compact",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 10), (2, 25), (3, 30), (4, 40)
+    ) t(id, qty)
+    """,
+)
+def lakehouse_merge_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert then small-file compaction: content identical across
+    the file-set swap, delete files folded in, one snapshot per step."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE inv(id INTEGER, qty INTEGER);
+        INSERT INTO inv VALUES (1, 10), (2, 20);
+        INSERT INTO inv VALUES (4, 40);
+        CREATE TABLE delta(id INTEGER, qty INTEGER);
+        INSERT INTO delta VALUES (2, 25), (3, 30);
+        MERGE INTO inv USING delta AS d ON inv.id = d.id
+        WHEN MATCHED THEN UPDATE SET qty = d.qty
+        WHEN NOT MATCHED THEN INSERT VALUES (d.id, d.qty);
+        """
+    )
+    lake.compact("inv")
+    return lake.sql("SELECT * FROM inv;")
