@@ -42,6 +42,7 @@ HEADLINE = [
     "sessionize_events",
     "subquery_exists_correlated",
     "percentile_quantiles",
+    "percentile_histogram",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality_score",

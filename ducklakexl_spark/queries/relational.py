@@ -878,3 +878,64 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
     )
+
+
+@query(
+    "percentile_histogram",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantile_cont from the compressed value distribution — the
+    scale path for low-cardinality measures (l_quantity has ~50 distinct
+    values regardless of row count).
+
+    One map-side-combined groupBy compresses N rows to |flags|x|values|
+    rows; a window over those tiny partitions assigns cumulative position
+    ranges; each quantile is two positional lookups + linear
+    interpolation (the textbook quantile_cont definition, reproduced
+    bit-for-bit).  Compare percentile_quantiles, which buffers every raw
+    value per group — this formulation shuffles ~150 rows at ANY scale.
+    """
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("l_returnflag")
+    hist = (
+        counts.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+        .withColumn("total", F.sum("cnt").over(wall))
+    )
+
+    def quantile(q: float):
+        h = (F.col("total") - 1) * F.lit(q)
+        lo = F.floor(h)
+        hi = F.least(lo + 1, F.col("total") - 1)
+        frac = h - lo
+        v_lo = F.max(
+            F.when((F.col("prev") <= lo) & (lo < F.col("cum")), F.col("l_quantity"))
+        )
+        v_hi = F.max(
+            F.when((F.col("prev") <= hi) & (hi < F.col("cum")), F.col("l_quantity"))
+        )
+        return F.round(v_lo + F.first(frac) * (v_hi - v_lo), 4)
+
+    return hist.groupBy("l_returnflag").agg(
+        quantile(0.25).alias("q25"),
+        quantile(0.50).alias("q50"),
+        quantile(0.75).alias("q75"),
+    )

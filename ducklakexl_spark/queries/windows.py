@@ -286,6 +286,60 @@ def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_users",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING native session windows (30-min gap) driven to
+    completion, verified against the relational gaps-and-islands
+    formulation in DuckDB: a session breaks exactly when the gap is
+    >= 30 min (session_window's [ts, ts+gap) end is exclusive).  The
+    strongest cross-engine check a stateful streaming operator can get."""
+    import os
+    import tempfile
+
+    from ducklakexl_spark.streaming import pipeline as P
+
+    stage = tempfile.mkdtemp(prefix="events_sess_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    stream = P.read_event_stream(spark, stage)
+    sess = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    return P.run_to_completion(sess, "q_stream_sessions")
+
+
+@query(
     "window_cume_percent",
     oracle="""
     SELECT s_suppkey,
