@@ -327,6 +327,60 @@ class DuckLakeCatalog:
         next_cat, next_file = self._counters()
         self.commit_snapshot(f'dropped_table:"{name}"', next_cat, next_file)
 
+    # -- partitioning ------------------------------------------------------------
+
+    def set_partitioned_by(self, table_id: int, column_ids: list[int]) -> int:
+        """ALTER TABLE … SET PARTITIONED BY: new partition scheme starts
+        at the next snapshot (spec tables ducklake_partition_info /
+        ducklake_partition_column); existing data files stay valid —
+        only new writes follow the scheme, exactly DuckLake's behavior."""
+        snapshot = self.current_snapshot + 1
+        info = self.tables["ducklake_partition_info"]
+        if not info.empty:
+            mask = self.live_mask(info) & (info["table_id"] == table_id)
+            info.loc[mask, "end_snapshot"] = snapshot
+        next_cat, next_file = self._counters()
+        partition_id = next_cat
+        self._append(
+            "ducklake_partition_info",
+            [
+                {
+                    "partition_id": partition_id,
+                    "table_id": table_id,
+                    "begin_snapshot": snapshot,
+                    "end_snapshot": None,
+                }
+            ],
+        )
+        self._append(
+            "ducklake_partition_column",
+            [
+                {
+                    "partition_id": partition_id,
+                    "table_id": table_id,
+                    "partition_key_index": i,
+                    "column_id": cid,
+                    "transform": "identity",
+                }
+                for i, cid in enumerate(column_ids)
+            ],
+        )
+        self.commit_snapshot(f"set_partitioned_by:{table_id}", next_cat + 1, next_file)
+        return partition_id
+
+    def partition_scheme(
+        self, table_id: int, snapshot: int | None = None
+    ) -> tuple[int, list[int]] | None:
+        """Live (partition_id, [column_id by key index]) or None."""
+        info = self.live("ducklake_partition_info", snapshot)
+        hit = info[info["table_id"] == table_id]
+        if hit.empty:
+            return None
+        pid = int(hit.iloc[0]["partition_id"])
+        cols = self.tables["ducklake_partition_column"]
+        keys = cols[cols["partition_id"] == pid].sort_values("partition_key_index")
+        return pid, [int(r.column_id) for r in keys.itertuples()]
+
     # -- file registration (DML support) -------------------------------------------
 
     def register_data_files(
@@ -363,13 +417,27 @@ class DuckLakeCatalog:
                     "file_size_bytes": f["file_size_bytes"],
                     "footer_size": f.get("footer_size"),
                     "row_id_start": next_row_id,
-                    "partition_id": None,
+                    "partition_id": f.get("partition_id"),
                     "encryption_key": None,
                     "partial_file_info": None,
                 }
             )
             next_row_id += int(f["record_count"])
         self._append("ducklake_data_file", rows)
+
+        pv_rows = []
+        for f in files:
+            for idx, val in enumerate(f.get("partition_values") or []):
+                pv_rows.append(
+                    {
+                        "data_file_id": path_to_id[f["path"]],
+                        "table_id": table_id,
+                        "partition_key_index": idx,
+                        "partition_value": None if val is None else str(val),
+                    }
+                )
+        if pv_rows:
+            self._append("ducklake_file_partition_value", pv_rows)
 
         for s in column_stats or []:
             stat_rows.append(

@@ -192,6 +192,10 @@ _DROP_VIEW_RE = re.compile(
 _RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+RENAME\s+TO\s+([\w.\"]+)\s*$", re.I
 )
+_SET_PARTITIONED_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*$",
+    re.I,
+)
 _CREATE_SCHEMA_RE = re.compile(
     r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s*$", re.I
 )
@@ -298,6 +302,18 @@ class DuckLakeSpark:
             if m.group(1) and name not in self.catalog.view_names():
                 return None
             self.catalog.drop_view(name)
+            return None
+        m = _SET_PARTITIONED_RE.match(stmt)
+        if m:
+            name = _unqualify(m.group(1))
+            tid = self.catalog.table_id(name)
+            cols = self.catalog.columns(tid)
+            id_by_name = {r.column_name: int(r.column_id) for r in cols.itertuples()}
+            keys = [c.strip().strip('"') for c in m.group(2).split(",")]
+            missing = [k for k in keys if k not in id_by_name]
+            if missing:
+                raise ValueError(f"SET PARTITIONED BY: unknown columns {missing}")
+            self.catalog.set_partitioned_by(tid, [id_by_name[k] for k in keys])
             return None
         m = _RENAME_RE.match(stmt)
         if m:
@@ -461,18 +477,65 @@ class DuckLakeSpark:
         self, name: str, tid: int, df: DataFrame
     ) -> tuple[list[dict], list[dict]]:
         """Executor-parallel parquet write; returns (file rows, per-file
-        column stats) from the footers without registering them."""
+        column stats) from the footers without registering them.
+
+        If the table has a live partition scheme, the write goes through
+        ``partitionBy`` on DUPLICATED ``__part_<col>`` columns — the data
+        columns stay physically inside every file (so scans are plain
+        file reads, no hive-partition schema reconstruction) while the
+        directory layout clusters rows and the per-file partition values
+        land in ducklake_file_partition_value for catalog-side pruning."""
         out_dir = os.path.join(
             self.data_path, name, f"insert-{uuid.uuid4().hex[:12]}"
         )
-        df.write.mode("overwrite").parquet(out_dir)
-        files, col_stats = [], []
         cols = self.catalog.columns(tid)
         col_ids = {r.column_name: int(r.column_id) for r in cols.itertuples()}
-        for fn in sorted(os.listdir(out_dir)):
-            if not fn.endswith(".parquet"):
-                continue
-            path = os.path.join(out_dir, fn)
+        scheme = self.catalog.partition_scheme(tid)
+        part_names: list[str] = []
+        partition_id = None
+        if scheme:
+            partition_id, key_col_ids = scheme
+            name_by_id = {v: k for k, v in col_ids.items()}
+            part_names = [name_by_id[cid] for cid in key_col_ids]
+            for c in part_names:
+                df = df.withColumn(f"__part_{c}", F.col(c))
+            # cluster rows by partition key first: without this every
+            # write task emits a file per value it sees (tasks x values
+            # small files — the partitioned-write explosion)
+            df = df.repartition(*[F.col(f"__part_{c}") for c in part_names])
+            df.write.mode("overwrite").partitionBy(
+                *[f"__part_{c}" for c in part_names]
+            ).parquet(out_dir)
+        else:
+            df.write.mode("overwrite").parquet(out_dir)
+
+        paths: list[tuple[str, list[str] | None]] = []
+        if scheme:
+            from urllib.parse import unquote
+
+            for root, _dirs, fns in os.walk(out_dir):
+                for fn in sorted(fns):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(root, out_dir)
+                    vals = []
+                    for seg in rel.split(os.sep):
+                        if "=" not in seg:
+                            continue
+                        raw = unquote(seg.split("=", 1)[1])
+                        vals.append(
+                            None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                        )
+                    paths.append((os.path.join(root, fn), vals))
+        else:
+            paths = [
+                (os.path.join(out_dir, fn), None)
+                for fn in sorted(os.listdir(out_dir))
+                if fn.endswith(".parquet")
+            ]
+
+        files, col_stats = [], []
+        for path, part_vals in sorted(paths):
             meta = pq.ParquetFile(path).metadata
             files.append(
                 {
@@ -480,6 +543,8 @@ class DuckLakeSpark:
                     "record_count": meta.num_rows,
                     "file_size_bytes": os.path.getsize(path),
                     "footer_size": meta.serialized_size,
+                    "partition_id": partition_id,
+                    "partition_values": part_vals,
                 }
             )
             agg: dict[str, dict] = {}
@@ -647,6 +712,37 @@ class DuckLakeSpark:
                     or (op == "<=" and not (mn <= value))
                 ):
                     keep.discard(path)
+        # partition-value pruning (exact, not min/max): a file whose
+        # recorded partition value fails the predicate can't match at all
+        scheme = self.catalog.partition_scheme(tid, snapshot)
+        if scheme:
+            _pid, key_col_ids = scheme
+            name_by_id = {v: k for k, v in id_by_name.items()}
+            key_idx_by_name = {
+                name_by_id[cid]: i for i, cid in enumerate(key_col_ids)
+            }
+            pv = self.catalog.tables["ducklake_file_partition_value"]
+            for cname, op, value in predicates:
+                ki = key_idx_by_name.get(cname)
+                if ki is None:
+                    continue
+                rel = pv[(pv["table_id"] == tid) & (pv["partition_key_index"] == ki)]
+                for r in rel.itertuples():
+                    path = path_by_fid.get(int(r.data_file_id))
+                    if path not in keep or r.partition_value is None:
+                        continue
+                    try:
+                        v = type(value)(r.partition_value)
+                    except (TypeError, ValueError):
+                        continue
+                    if (
+                        (op == "=" and v != value)
+                        or (op == ">" and not (v > value))
+                        or (op == ">=" and not (v >= value))
+                        or (op == "<" and not (v < value))
+                        or (op == "<=" and not (v <= value))
+                    ):
+                        keep.discard(path)
         return [p for p in paths if p in keep]
 
     # ------------------------------------------------------------ DELETE/UPDATE

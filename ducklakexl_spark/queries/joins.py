@@ -76,6 +76,41 @@ def positional_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) t
+    WHERE c.c_custkey <= 50
+    """,
+)
+def join_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer).  Spark SQL
+    supports LATERAL joins natively since 3.2 — Catalyst decorrelates the
+    limit-per-key into a partitioned window, so this plans as one shuffle
+    on o_custkey, not a per-row subquery."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 2) AS price
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) t
+        WHERE c.c_custkey <= 50
+        """
+    )
+
+
+@query(
     "range_join_value_bands",
     oracle="""
     WITH bands(band, lo, hi) AS (

@@ -340,6 +340,45 @@ def stream_session_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState) driven
+    to completion: per-user running totals whose final state must equal
+    the batch GROUP BY — cross-verified against DuckDB.  State is one
+    (count, sum) pair per user: bounded, shuffle-partitioned by key."""
+    import os
+    import tempfile
+
+    from ducklakexl_spark.streaming import pipeline as P
+
+    stage = tempfile.mkdtemp(prefix="events_state_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    stream = P.read_event_stream(spark, stage)
+    totals = P.stateful_user_totals(stream)
+    out = P.run_update_to_completion(totals, "q_stream_state")
+    # memory sink in update mode keeps every emitted row; the final state
+    # per user is the row with the highest (monotone) event count
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("tv"),
+        )
+        .select("user_id", "n_events", F.round("tv", 2).alias("total_value"))
+    )
+
+
+@query(
     "window_cume_percent",
     oracle="""
     SELECT s_suppkey,

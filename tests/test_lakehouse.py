@@ -357,3 +357,36 @@ def test_compact_and_vacuum(lake):
     assert removed >= 4
     # current snapshot unaffected by vacuum
     assert rows(lake.sql("SELECT * FROM c;")) == before
+
+
+def test_partitioned_table_write_and_prune(lake):
+    lake.sql("CREATE TABLE pt(id INTEGER, region VARCHAR, amount DOUBLE);")
+    lake.sql("ALTER TABLE pt SET PARTITIONED BY (region);")
+    lake.sql(
+        "INSERT INTO pt VALUES (1,'eu',10.0),(2,'us',20.0),(3,'eu',30.0),"
+        "(4,'ap',40.0),(5,'us',50.0);"
+    )
+    # content intact (partition col physically present in files)
+    assert rows(lake.sql("SELECT * FROM pt;")) == [
+        (1, "eu", 10.0), (2, "us", 20.0), (3, "eu", 30.0),
+        (4, "ap", 40.0), (5, "us", 50.0),
+    ]
+    tid = lake.catalog.table_id("pt")
+    files = lake.catalog.data_files(tid)
+    assert len(files) == 3  # one per region value
+    assert files["partition_id"].notna().all()
+    pv = lake.catalog.tables["ducklake_file_partition_value"]
+    assert set(pv[pv["table_id"] == tid]["partition_value"]) == {"eu", "us", "ap"}
+
+    # catalog-side partition pruning: only the eu file survives the filter
+    pruned = lake.table("pt", predicates=[("region", "=", "eu")])
+    assert sorted(tuple(r) for r in pruned.collect()) == [
+        (1, "eu", 10.0), (3, "eu", 30.0),
+    ]
+    assert pruned.rdd.getNumPartitions() <= 2  # reads 1 file, not 3
+
+    # deletes still work across partitioned files
+    lake.sql("DELETE FROM pt WHERE id = 3;")
+    assert rows(lake.sql("SELECT * FROM pt;")) == [
+        (1, "eu", 10.0), (2, "us", 20.0), (4, "ap", 40.0), (5, "us", 50.0),
+    ]
