@@ -327,6 +327,72 @@ class DuckLakeCatalog:
         next_cat, next_file = self._counters()
         self.commit_snapshot(f'dropped_table:"{name}"', next_cat, next_file)
 
+    # -- tags --------------------------------------------------------------------
+
+    def set_tag(
+        self, object_id: int, key: str, value: str, column_id: int | None = None
+    ) -> None:
+        """MVCC tag upsert: old value (if any) ends at the snapshot the
+        new one begins (ducklake_tag / ducklake_column_tag spec tables —
+        COMMENT ON maps to key='comment')."""
+        snapshot = self.current_snapshot + 1
+        if column_id is None:
+            df = self.tables["ducklake_tag"]
+            mask = (
+                self.live_mask(df) & (df["object_id"] == object_id)
+                & (df["key"] == key)
+            )
+            df.loc[mask, "end_snapshot"] = snapshot
+            self._append(
+                "ducklake_tag",
+                [
+                    {
+                        "object_id": object_id,
+                        "begin_snapshot": snapshot,
+                        "end_snapshot": None,
+                        "key": key,
+                        "value": value,
+                    }
+                ],
+            )
+        else:
+            df = self.tables["ducklake_column_tag"]
+            mask = (
+                self.live_mask(df) & (df["table_id"] == object_id)
+                & (df["column_id"] == column_id) & (df["key"] == key)
+            )
+            df.loc[mask, "end_snapshot"] = snapshot
+            self._append(
+                "ducklake_column_tag",
+                [
+                    {
+                        "table_id": object_id,
+                        "column_id": column_id,
+                        "begin_snapshot": snapshot,
+                        "end_snapshot": None,
+                        "key": key,
+                        "value": value,
+                    }
+                ],
+            )
+        next_cat, next_file = self._counters()
+        self.commit_snapshot(f"set_tag:{object_id}:{key}", next_cat, next_file)
+
+    def get_tag(
+        self, object_id: int, key: str, column_id: int | None = None
+    ) -> str | None:
+        if column_id is None:
+            live = self.live("ducklake_tag")
+            hit = live[(live["object_id"] == object_id) & (live["key"] == key)]
+        else:
+            live = self.live("ducklake_column_tag")
+            hit = live[
+                (live["table_id"] == object_id)
+                & (live["column_id"] == column_id)
+                & (live["key"] == key)
+            ]
+        return None if hit.empty else str(hit.iloc[0]["value"])
+
     # -- partitioning ------------------------------------------------------------
 
     def set_partitioned_by(self, table_id: int, column_ids: list[int]) -> int:

@@ -166,6 +166,10 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+_COMMENT_RE = re.compile(
+    r"^\s*COMMENT\s+ON\s+(TABLE|COLUMN)\s+([\w.\"]+)\s+IS\s+'((?:[^']|'')*)'\s*$",
+    re.I,
+)
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.I)
 _DESCRIBE_RE = re.compile(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
 _MERGE_RE = re.compile(
@@ -366,6 +370,28 @@ class DuckLakeSpark:
         m = _MERGE_RE.match(stmt)
         if m:
             return self._merge(*m.groups())
+        m = _COMMENT_RE.match(stmt)
+        if m:
+            kind, target, text = m.groups()
+            text = text.replace("''", "'")
+            if kind.upper() == "TABLE":
+                self.catalog.set_tag(
+                    self.catalog.table_id(_unqualify(target)), "comment", text
+                )
+            else:
+                parts = target.replace('"', "").split(".")
+                if len(parts) < 2:
+                    raise ValueError(f"COMMENT ON COLUMN needs table.column: {target}")
+                tname, cname = parts[-2], parts[-1]
+                tid = self.catalog.table_id(tname)
+                cols = self.catalog.columns(tid)
+                hit = cols[cols["column_name"] == cname]
+                if hit.empty:
+                    raise KeyError(f"column not found: {target}")
+                self.catalog.set_tag(
+                    tid, "comment", text, column_id=int(hit.iloc[0]["column_id"])
+                )
+            return None
         m = _SHOW_TABLES_RE.match(stmt)
         if m:
             return self._select(

@@ -390,3 +390,17 @@ def test_partitioned_table_write_and_prune(lake):
     assert rows(lake.sql("SELECT * FROM pt;")) == [
         (1, "eu", 10.0), (2, "us", 20.0), (4, "ap", 40.0), (5, "us", 50.0),
     ]
+
+
+def test_comment_on_table_and_column(lake):
+    lake.sql("CREATE TABLE doc_t(id INTEGER, txt VARCHAR);")
+    lake.sql("COMMENT ON TABLE doc_t IS 'raw docs';")
+    lake.sql("COMMENT ON COLUMN doc_t.txt IS 'it''s the text';")
+    tid = lake.catalog.table_id("doc_t")
+    assert lake.catalog.get_tag(tid, "comment") == "raw docs"
+    cols = lake.catalog.columns(tid)
+    cid = int(cols[cols["column_name"] == "txt"].iloc[0]["column_id"])
+    assert lake.catalog.get_tag(tid, "comment", column_id=cid) == "it's the text"
+    # MVCC upsert: new value replaces, old one ends
+    lake.sql("COMMENT ON TABLE doc_t IS 'curated docs';")
+    assert lake.catalog.get_tag(tid, "comment") == "curated docs"
