@@ -198,3 +198,49 @@ def cast_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("after_hash_int"),
         (F.col("c_acctbal") < 0).alias("is_negative"),
     )
+
+
+@query(
+    "scalar_misc_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           round(exp(1.0 / (s_suppkey + 1)), 6)            AS e_x,
+           round(ln(abs(s_acctbal) + 1), 6)                AS ln_bal,
+           round(sin(s_suppkey) + cos(s_suppkey), 6)       AS trig,
+           round(atan2(1.0, s_suppkey + 1), 6)             AS at2,
+           translate(s_name, 'SUP', 'sup')                 AS translated,
+           repeat(substr(s_name, 1, 2), 2)                 AS rep2,
+           CAST(strpos(s_name, '_') AS BIGINT)             AS underscore_at,
+           strftime(make_timestamp(CAST(1995 + s_nationkey % 10 AS BIGINT),
+                                   CAST(1 + s_suppkey % 12 AS BIGINT),
+                                   CAST(1 + s_suppkey % 28 AS BIGINT),
+                                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0),
+                    '%Y-%m-%d %H:%M:%S')                   AS made_ts
+    FROM supplier
+    """,
+)
+def scalar_misc_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math (exp/ln/trig/atan2), string (translate/repeat/position), and
+    timestamp-construction (make_timestamp) families — all JVM built-ins
+    inside whole-stage codegen."""
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.round(F.exp(1.0 / (k + 1)), 6).alias("e_x"),
+        F.round(F.log(F.abs(F.col("s_acctbal")) + 1), 6).alias("ln_bal"),
+        F.round(F.sin(k) + F.cos(k), 6).alias("trig"),
+        F.round(F.atan2(F.lit(1.0), (k + 1).cast("double")), 6).alias("at2"),
+        F.translate("s_name", "SUP", "sup").alias("translated"),
+        F.repeat(F.substring("s_name", 1, 2), 2).alias("rep2"),
+        F.instr("s_name", "_").cast("long").alias("underscore_at"),
+        F.date_format(
+            F.make_timestamp(
+                (F.lit(1995) + F.col("s_nationkey") % 10).cast("int"),
+                (k % 12 + 1).cast("int"),
+                (k % 28 + 1).cast("int"),
+                F.lit(0), F.lit(0), F.lit(0.0),
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("made_ts"),
+    )
