@@ -990,7 +990,46 @@ class DuckLakeSpark:
 
         return _READ_FILE_RE.sub(_sub, stmt)
 
+    _STAR_MOD_RE = re.compile(
+        r"^(\s*SELECT\s+)\*\s*"
+        r"(?:EXCLUDE\s*\(([^)]*)\)|EXCLUDE\s+(\w+))?\s*"
+        r"(?:REPLACE\s*\((.*)\))?"
+        r"(\s+FROM\s+([\w.\"]+)\b.*)$",
+        re.I | re.S,
+    )
+
+    def _expand_star_modifiers(self, stmt: str) -> str:
+        """DuckDB's ``SELECT * EXCLUDE (…) REPLACE (expr AS col)`` sugar
+        (SURVEY §2.C "projection/filter"), expanded against the catalog
+        schema for single-table selects — Spark SQL has no star
+        modifiers, but the expansion is pure text."""
+        m = self._STAR_MOD_RE.match(stmt)
+        if not m or (not m.group(2) and not m.group(3) and not m.group(4)):
+            return stmt
+        head, exc_list, exc_one, repl, tail, tname = m.groups()
+        try:
+            cols = [f.name for f in self.table_schema(_unqualify(tname)).fields]
+        except KeyError:
+            return stmt
+        excluded = {
+            c.strip().strip('"').lower()
+            for c in (exc_list.split(",") if exc_list else [exc_one] if exc_one else [])
+            if c and c.strip()
+        }
+        replacements = {}
+        for part in split_top_level(repl) if repl else []:
+            mm = re.match(r"^(.*)\s+AS\s+(\w+)\s*$", part.strip(), re.I | re.S)
+            if mm:
+                replacements[mm.group(2).lower()] = mm.group(1).strip()
+        out_cols = [
+            f"({replacements[c.lower()]}) AS {c}" if c.lower() in replacements else c
+            for c in cols
+            if c.lower() not in excluded
+        ]
+        return head + ", ".join(out_cols) + tail
+
     def _select(self, stmt: str) -> DataFrame:
+        stmt = self._expand_star_modifiers(stmt)
         stmt = self._read_file_views(stmt)
         if re.search(r"\binformation_schema\.tables\b", stmt, re.I):
             # the reference's own reflection query (ducklakexl.py:238-240)

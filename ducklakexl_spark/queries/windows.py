@@ -286,6 +286,37 @@ def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_rates",
+    oracle="""
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+                    - k * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*)              AS n,
+           round(sum(value), 2)  AS total_value
+    FROM events, generate_series(0, 3) t(k)
+    GROUP BY win_start
+    """,
+)
+def events_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window / 15 min slide): every event lands in
+    exactly 4 windows.  Spark's window() assigns them natively; the
+    oracle reproduces the assignment arithmetically (floor to the slide
+    grid, back-shift k slides)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
     "stream_session_users",
     oracle="""
     WITH o AS (

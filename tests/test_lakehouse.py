@@ -404,3 +404,23 @@ def test_comment_on_table_and_column(lake):
     # MVCC upsert: new value replaces, old one ends
     lake.sql("COMMENT ON TABLE doc_t IS 'curated docs';")
     assert lake.catalog.get_tag(tid, "comment") == "curated docs"
+
+
+def test_star_exclude_replace(lake):
+    lake.sql("CREATE TABLE se(id INTEGER, a VARCHAR, b DOUBLE);")
+    lake.sql("INSERT INTO se VALUES (1,'x',1.5),(2,'y',2.5);")
+    out = lake.sql("SELECT * EXCLUDE (b) FROM se ORDER BY id;")
+    assert out.columns == ["id", "a"]
+    assert rows(out) == [(1, "x"), (2, "y")]
+    out = lake.sql("SELECT * EXCLUDE a FROM se ORDER BY id;")
+    assert out.columns == ["id", "b"]
+    out = lake.sql(
+        "SELECT * REPLACE (upper(a) AS a, b * 10 AS b) FROM se ORDER BY id;"
+    )
+    assert out.columns == ["id", "a", "b"]
+    assert rows(out) == [(1, "X", 15.0), (2, "Y", 25.0)]
+    out = lake.sql(
+        "SELECT * EXCLUDE (id) REPLACE (upper(a) AS a) FROM se WHERE b > 2.0;"
+    )
+    assert out.columns == ["a", "b"]
+    assert rows(out) == [("Y", 2.5)]
