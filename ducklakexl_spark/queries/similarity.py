@@ -137,6 +137,21 @@ def plane_weight_col(p: Column, d: Column) -> Column:
     ).cast("double") - 499.5
 
 
+def dot_lit_sql(col: str, weights: list[float]) -> str:
+    """SQL text for the dot product of an array column against a constant
+    weight vector, fully unrolled: ONE whole-stage-codegen'd expression
+    (array higher-order functions run interpreted and allocate per step),
+    built as one string so plan construction is a single py4j call instead
+    of hundreds of F.lit round-trips.  Left-to-right addition matches the
+    oracle's list_sum fold order bit-for-bit; repr() of a Python float is
+    the shortest digits that round-trip, so the parsed literal is the
+    identical double."""
+    return " + ".join(
+        f"CAST(element_at({col}, {d + 1}) AS DOUBLE) * {w!r}D"
+        for d, w in enumerate(weights)
+    )
+
+
 def plane_weights_py(p: int) -> list[float]:
     """The same md5-derived hyperplane, computed driver-side (hashlib md5 ==
     engine md5) so the planes become constant literal arrays — Catalyst
@@ -173,25 +188,18 @@ def plane_weights_py(p: int) -> list[float]:
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH: N_PLANES deterministic hyperplanes (md5
     pseudo-randoms, so the oracle reproduces them), bucket = sign-bit
-    vector.  Per-row map work only; the bucket histogram is one groupBy.
-    ANN search then probes a handful of buckets instead of the corpus."""
+    vector.  The whole 8x64 projection is one unrolled codegen expression
+    per row — no interpreted higher-order functions, no per-plane array
+    traversals.  The bucket histogram is one groupBy; ANN search then
+    probes a handful of buckets instead of the corpus."""
     e = load(spark, sf_dir, "embeddings")
-    bucket_terms = []
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(w) for w in plane_weights_py(p)])
-        dotp = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), plane, lambda x, w: x.cast("double") * w
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket_terms.append(
-            F.when(dotp > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    bucket = sum(bucket_terms[1:], bucket_terms[0]).alias("bucket")
+    bits = " + ".join(
+        f"(CASE WHEN {dot_lit_sql('embedding', plane_weights_py(p))} > 0D "
+        f"THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(N_PLANES)
+    )
     return (
-        e.select("vec_id", "label", bucket)
+        e.select("vec_id", "label", F.expr(bits).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -292,10 +300,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the corpus-side work is a broadcast map pass plus an
     equi-join on cell — the inverted lists are just hash partitions, and
     the quadratic step only ever sees ~nprobe/k of the corpus."""
+    import math
+
     from pyspark.sql import Window as W
 
     e = load(spark, sf_dir, "embeddings")
 
+    # -- train: per-label centroids, rounded to 6 dp, collected to the
+    # driver.  This is the IVF training phase: k centroids x DIM doubles is
+    # metadata-sized at any corpus scale (k ~ thousands even at 100 TB), and
+    # folding them into constant expressions means the assign/probe passes
+    # below are a SINGLE scan of the corpus with zero joins and zero
+    # recomputation (the old crossJoin(scored) shape re-executed the
+    # centroid scoring once per consumer branch).
     cent = (
         e.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
@@ -307,37 +324,55 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvec")
         )
     )
+    cents = sorted((r["cell"], list(r["cvec"])) for r in cent.collect())
+    # Python doubles sum left-to-right exactly like the oracle's list_sum
+    cnorm = {c: math.sqrt(sum(v * v for v in cv)) for c, cv in cents}
 
-    scored = e.crossJoin(F.broadcast(cent)).select(
+    # -- assign + probe in one pass: per-row unrolled dot against every
+    # centroid (codegen'd), cs = dot / (|e| * |c|) with |c| a driver-side
+    # constant.  Struct max/sort gives nearest cell (cs DESC, cell ASC).
+    enorm_sql = (
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
+    )
+    score_structs = [
+        F.struct(
+            F.expr(
+                f"({dot_lit_sql('embedding', cv)}) / ({enorm_sql} * {cnorm[c]!r}D)"
+            ).alias("cs"),
+            F.lit(-c).cast("long").alias("negcell"),
+        )
+        for c, cv in cents
+    ]
+    scored = e.select(
         "vec_id",
-        "cell",
-        cosine_cols(F.col("embedding"), F.col("cvec")).alias("cs"),
+        F.col("embedding").alias("evec"),
+        F.array(*score_structs).alias("scores"),
     )
-    # max_by over (cs, -cell): cos DESC, cell ASC tie-break, partial-agged
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by("cell", F.struct(F.col("cs"), -F.col("cell"))).alias("cell")
+    assign = scored.select(
+        "vec_id",
+        "evec",
+        (-F.array_max("scores").getField("negcell")).alias("cell"),
     )
-    wq = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cell")
+    top2 = F.slice(F.sort_array(F.col("scores"), asc=False), 1, 2)
     probe = (
         scored.filter(F.col("vec_id") < 10)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 2)
-        .select(F.col("vec_id").alias("qid"), "cell")
+        .select(F.col("vec_id").alias("qid"), F.explode(top2).alias("s"))
+        .select("qid", (-F.col("s.negcell")).alias("cell"))
     )
     # probe is tiny (n_queries x nprobe rows) — broadcast it so the
-    # corpus-wide assign never shuffles on the k-valued (hot) cell key
+    # corpus-wide assign never shuffles on the k-valued (hot) cell key;
+    # the corpus row already carries its embedding, so re-rank needs no
+    # corpus self-join at all.
     cand = assign.join(F.broadcast(probe), "cell").filter(
         F.col("vec_id") != F.col("qid")
     )
 
-    qv = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    ev = e.select("vec_id", F.col("embedding").alias("evec"))
-    pairs = (
-        cand.join(F.broadcast(qv), "qid")
-        .join(ev, "vec_id")
-        .select(
-            "qid", "vec_id", cosine_cols(F.col("qvec"), F.col("evec")).alias("cos_raw")
-        )
+    qv = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pairs = cand.join(F.broadcast(qv), "qid").select(
+        "qid", "vec_id", cosine_cols(F.col("qvec"), F.col("evec")).alias("cos_raw")
     )
     wr = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "vec_id")
     return (

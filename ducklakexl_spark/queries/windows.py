@@ -256,6 +256,7 @@ def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_tumbling_hour",
+    pure=False,
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
            event_type,
@@ -318,6 +319,7 @@ def events_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_session_users",
+    pure=False,
     oracle="""
     WITH o AS (
       SELECT user_id, ts, event_id,
@@ -372,6 +374,7 @@ def stream_session_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_stateful_user_totals",
+    pure=False,
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT)  AS n_events,
