@@ -98,7 +98,18 @@ class DuckLakeCatalog:
     def _counters(self) -> tuple[int, int]:
         snap = self.tables["ducklake_snapshot"]
         last = snap.loc[snap["snapshot_id"].idxmax()]
-        return int(last["next_catalog_id"]), int(last["next_file_id"])
+        next_cat = int(last["next_catalog_id"])
+        next_file = int(last["next_file_id"])
+        # staged-but-uncommitted rows (register_* with commit=False) have
+        # already consumed file ids beyond the last snapshot's counter —
+        # never re-allocate those
+        d = self.tables["ducklake_data_file"]
+        if not d.empty:
+            next_file = max(next_file, int(d["data_file_id"].max()) + 1)
+        dl = self.tables["ducklake_delete_file"]
+        if not dl.empty:
+            next_file = max(next_file, int(dl["delete_file_id"].max()) + 1)
+        return next_cat, next_file
 
     def commit_snapshot(
         self, changes: str, next_catalog_id: int, next_file_id: int
@@ -314,9 +325,43 @@ class DuckLakeCatalog:
         self.commit_snapshot(f'created_schema:"{name}"', next_cat + 1, next_file)
         return schema_id
 
+    def _queue_live_files_for_gc(self, table_id: int) -> None:
+        """Append the table's live data/delete file paths to the
+        ducklake_files_scheduled_for_deletion queue so vacuum() can
+        reclaim them once their snapshots are expired.  Must run BEFORE
+        the rows are end-snapshotted (it reads the live mask)."""
+        gc_rows = []
+        for t in ("ducklake_data_file", "ducklake_delete_file"):
+            df = self.tables[t]
+            if df.empty:
+                continue
+            mask = self.live_mask(df) & (df["table_id"] == table_id)
+            for r in df[mask].itertuples():
+                gc_rows.append(
+                    {
+                        "data_file_id": int(
+                            getattr(r, "data_file_id", getattr(r, "delete_file_id", 0))
+                        ),
+                        "table_id": table_id,
+                        "path": r.path,
+                        "path_is_relative": False,
+                        "schedule_start": _now(),
+                    }
+                )
+        if gc_rows:
+            # a delete parquet can back several delete_file rows — queue
+            # each path once
+            seen: set[str] = set()
+            gc_rows = [
+                g for g in gc_rows
+                if g["path"] not in seen and not seen.add(g["path"])
+            ]
+            self._append("ducklake_files_scheduled_for_deletion", gc_rows)
+
     def drop_table(self, name: str) -> None:
         table_id = self.table_id(name)
         snapshot = self.current_snapshot + 1
+        self._queue_live_files_for_gc(table_id)
         for t in ("ducklake_table", "ducklake_column", "ducklake_data_file",
                   "ducklake_delete_file"):
             df = self.tables[t]
@@ -330,11 +375,21 @@ class DuckLakeCatalog:
     # -- tags --------------------------------------------------------------------
 
     def set_tag(
-        self, object_id: int, key: str, value: str, column_id: int | None = None
+        self,
+        object_id: int,
+        key: str,
+        value: str,
+        column_id: int | None = None,
+        commit: bool = True,
     ) -> None:
         """MVCC tag upsert: old value (if any) ends at the snapshot the
         new one begins (ducklake_tag / ducklake_column_tag spec tables —
-        COMMENT ON maps to key='comment')."""
+        COMMENT ON maps to key='comment').
+
+        ``commit=False`` stages the tag rows against the NEXT snapshot
+        without committing, so a caller can fold the tag into its own
+        upcoming commit (one atomic snapshot — used by the streaming sink
+        to publish data files and the epoch watermark together)."""
         snapshot = self.current_snapshot + 1
         if column_id is None:
             df = self.tables["ducklake_tag"]
@@ -375,8 +430,9 @@ class DuckLakeCatalog:
                     }
                 ],
             )
-        next_cat, next_file = self._counters()
-        self.commit_snapshot(f"set_tag:{object_id}:{key}", next_cat, next_file)
+        if commit:
+            next_cat, next_file = self._counters()
+            self.commit_snapshot(f"set_tag:{object_id}:{key}", next_cat, next_file)
 
     def get_tag(
         self, object_id: int, key: str, column_id: int | None = None
@@ -536,27 +592,13 @@ class DuckLakeCatalog:
         ever sees both (or neither).  Retired paths go to the
         ducklake_files_scheduled_for_deletion GC queue."""
         snapshot = self.current_snapshot + 1
-        gc_rows = []
+        self._queue_live_files_for_gc(table_id)
         for t in ("ducklake_data_file", "ducklake_delete_file"):
             df = self.tables[t]
             if df.empty:
                 continue
             mask = self.live_mask(df) & (df["table_id"] == table_id)
-            for r in df[mask].itertuples():
-                gc_rows.append(
-                    {
-                        "data_file_id": int(
-                            getattr(r, "data_file_id", getattr(r, "delete_file_id", 0))
-                        ),
-                        "table_id": table_id,
-                        "path": r.path,
-                        "path_is_relative": False,
-                        "schedule_start": _now(),
-                    }
-                )
             df.loc[mask, "end_snapshot"] = snapshot
-        if gc_rows:
-            self._append("ducklake_files_scheduled_for_deletion", gc_rows)
         # reset stats: register_data_files adds on top, so zero them first
         stats = self.tables["ducklake_table_stats"]
         mask = stats["table_id"] == table_id
@@ -611,17 +653,20 @@ class DuckLakeCatalog:
                 ],
             )
 
-    def register_delete_file(
+    def register_delete_files(
         self,
         table_id: int,
-        path: str,
-        per_data_file_counts: dict[int, int],
-        file_size_bytes: int,
+        entries: list[dict],
         removed_records: int,
-    ) -> int:
-        """Register one delete parquet covering the given data files; the
-        previous live delete files for those data files are end-snapshotted
-        (DuckLake keeps at most one live delete file per data file)."""
+        commit: bool = True,
+    ) -> int | None:
+        """Register one delete parquet PER data file (the spec's shape:
+        at most one live delete file per data file).  Each entry:
+        ``{data_file_id, path, delete_count, file_size_bytes}``.  The
+        previous live delete files for those data files are
+        end-snapshotted.  ``commit=False`` stages the rows for a caller
+        that folds them into its own commit (MERGE publishes deletes and
+        appends in one atomic snapshot)."""
         next_cat, next_file = self._counters()
         snapshot = self.current_snapshot + 1
 
@@ -630,24 +675,24 @@ class DuckLakeCatalog:
             mask = (
                 self.live_mask(dels)
                 & (dels["table_id"] == table_id)
-                & (dels["data_file_id"].isin(list(per_data_file_counts)))
+                & (dels["data_file_id"].isin([e["data_file_id"] for e in entries]))
             )
             dels.loc[mask, "end_snapshot"] = snapshot
 
         rows = []
-        for data_file_id, count in sorted(per_data_file_counts.items()):
+        for e in sorted(entries, key=lambda x: x["data_file_id"]):
             rows.append(
                 {
                     "delete_file_id": next_file,
                     "table_id": table_id,
                     "begin_snapshot": snapshot,
                     "end_snapshot": None,
-                    "data_file_id": data_file_id,
-                    "path": path,
+                    "data_file_id": e["data_file_id"],
+                    "path": e["path"],
                     "path_is_relative": False,
                     "format": "parquet",
-                    "delete_count": count,
-                    "file_size_bytes": file_size_bytes,
+                    "delete_count": e["delete_count"],
+                    "file_size_bytes": e["file_size_bytes"],
                     "footer_size": None,
                     "encryption_key": None,
                 }
@@ -661,6 +706,8 @@ class DuckLakeCatalog:
             stats.loc[mask, "record_count"] = (
                 stats.loc[mask, "record_count"] - removed_records
             )
+        if not commit:
+            return None
         return self.commit_snapshot(
             f"deleted_from_table:{table_id}", next_cat, next_file
         )
@@ -668,6 +715,7 @@ class DuckLakeCatalog:
     def truncate_table(self, name: str) -> int:
         table_id = self.table_id(name)
         snapshot = self.current_snapshot + 1
+        self._queue_live_files_for_gc(table_id)
         for t in ("ducklake_data_file", "ducklake_delete_file"):
             df = self.tables[t]
             if df.empty:

@@ -65,12 +65,32 @@ class CatalogStore:
     def _file(self, table: str, root: str | None = None) -> str:
         return os.path.join(root or self.path, f"{table}.parquet")
 
+    def _recover(self) -> None:
+        """Heal the crash window in save(): if a commit died between
+        renaming the live dir to ``.old`` and renaming the new dir into
+        place, the live dir is empty/absent while the backup holds the
+        last durable catalog.  Restoring it here means a restart can
+        never silently bootstrap a fresh catalog over existing data."""
+        backup = self.path + ".old"
+        primary_has = any(
+            os.path.exists(self._file(t)) for t in CATALOG_SCHEMAS
+        )
+        backup_has = os.path.isdir(backup) and any(
+            os.path.exists(self._file(t, backup)) for t in CATALOG_SCHEMAS
+        )
+        if not primary_has and backup_has:
+            if os.path.isdir(self.path):
+                os.rmdir(self.path)  # empty dir from __init__'s makedirs
+            os.rename(backup, self.path)
+
     def exists(self) -> bool:
+        self._recover()
         return any(
             os.path.exists(self._file(t)) for t in CATALOG_SCHEMAS
         )
 
     def load(self) -> dict[str, pd.DataFrame]:
+        self._recover()
         tables = {}
         for t in CATALOG_SCHEMAS:
             f = self._file(t)
@@ -91,12 +111,19 @@ class CatalogStore:
                     df, schema=CATALOG_SCHEMAS[t], preserve_index=False
                 )
                 pq.write_table(arrow, self._file(t, tmp))
+            # POSIX can't atomically swap two non-empty dirs, so there is
+            # an unavoidable instant with the live dir absent.  Order the
+            # renames so the previous commit stays recoverable the whole
+            # time (backup removed only after the new dir is in place) and
+            # pair with _recover() on every read path.
             backup = self.path + ".old"
             if os.path.exists(backup):
                 shutil.rmtree(backup)
-            os.rename(self.path, backup)
+            if os.path.exists(self.path):
+                os.rename(self.path, backup)
             os.rename(tmp, self.path)
-            shutil.rmtree(backup)
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
         except Exception:
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)

@@ -178,15 +178,64 @@ _MERGE_RE = re.compile(
     r"ON\s+(.*?)\s+(WHEN\s+.*)$",
     re.I | re.S,
 )
-_MERGE_UPDATE_RE = re.compile(
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)(?=\s*WHEN\s+|\s*$)", re.I | re.S
-)
-_MERGE_DELETE_RE = re.compile(r"WHEN\s+MATCHED\s+THEN\s+DELETE", re.I)
-_MERGE_INSERT_RE = re.compile(
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(\([^)]*\))?\s*"
-    r"VALUES\s*\((.*?)\)(?=\s*WHEN\s+|\s*$)",
+_MERGE_CLAUSE_START_RE = re.compile(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.I)
+_MERGE_CLAUSE_RE = re.compile(
+    r"^WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?)\s+)?THEN\s+"
+    r"((?:UPDATE|DELETE|INSERT)\b.*)$",
     re.I | re.S,
 )
+_MERGE_UPDATE_ACTION_RE = re.compile(r"^UPDATE\s+SET\s+(.*)$", re.I | re.S)
+_MERGE_DELETE_ACTION_RE = re.compile(r"^DELETE\s*$", re.I)
+_MERGE_INSERT_STAR_RE = re.compile(r"^INSERT\s*\*\s*$", re.I)
+_MERGE_INSERT_ACTION_RE = re.compile(
+    r"^INSERT\s*(\([^)]*\))?\s*VALUES\s*\((.*)\)\s*$", re.I | re.S
+)
+
+
+def _parse_merge_clauses(actions: str) -> list[dict]:
+    """Tokenize every WHEN clause of a MERGE, in order; raise on any
+    clause the planner does not implement (a silently dropped clause
+    would execute a partial merge).  Supported per the SQL shape:
+    ``WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE`` and
+    ``WHEN NOT MATCHED [AND cond] THEN INSERT [*|(cols) VALUES (…)]``."""
+    starts = [m.start() for m in _MERGE_CLAUSE_START_RE.finditer(actions)]
+    if not starts or actions[: starts[0]].strip():
+        raise ValueError(f"MERGE: unparsable WHEN clauses: {actions!r}")
+    clauses = []
+    for i, s in enumerate(starts):
+        chunk = actions[s : starts[i + 1] if i + 1 < len(starts) else None].strip()
+        m = _MERGE_CLAUSE_RE.match(chunk)
+        if not m:
+            raise ValueError(f"MERGE: unsupported WHEN clause: {chunk!r}")
+        matched = m.group(1) is None
+        cond = m.group(2)
+        act = m.group(3).strip()
+        cl: dict = {"matched": matched, "cond": cond}
+        if matched and (u := _MERGE_UPDATE_ACTION_RE.match(act)):
+            cl["action"] = "update"
+            cl["assignments"] = {}
+            for part in split_top_level(u.group(1)):
+                k, v = part.split("=", 1)
+                cl["assignments"][k.strip().strip('"').split(".")[-1]] = v.strip()
+        elif matched and _MERGE_DELETE_ACTION_RE.match(act):
+            cl["action"] = "delete"
+        elif not matched and _MERGE_INSERT_STAR_RE.match(act):
+            cl["action"] = "insert_star"
+        elif not matched and (ins := _MERGE_INSERT_ACTION_RE.match(act)):
+            cl["action"] = "insert"
+            cl["ins_cols"] = (
+                [c.strip().strip('"') for c in split_top_level(ins.group(1)[1:-1])]
+                if ins.group(1)
+                else None
+            )
+            cl["ins_vals"] = split_top_level(ins.group(2))
+        else:
+            raise ValueError(
+                f"MERGE: unsupported action for "
+                f"{'MATCHED' if matched else 'NOT MATCHED'} clause: {act!r}"
+            )
+        clauses.append(cl)
+    return clauses
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+(.*)$", re.I | re.S
 )
@@ -475,13 +524,17 @@ class DuckLakeSpark:
             if col_list:
                 names = [c.strip().strip('"') for c in col_list.strip("()").split(",")]
                 df = df.toDF(*names)
-        # align to table schema: by-name where names match, else positional
+        # align to table schema: by-name where names match; positional
+        # fallback ONLY when no explicit column list was given (with a
+        # column list, every unlisted table column is NULL — the SQL
+        # semantics; falling through positionally would re-consume listed
+        # source columns into the wrong slots)
         aligned = []
         src_fields = df.schema.fields
         for i, f in enumerate(schema.fields):
             if f.name in df.columns:
                 aligned.append(F.col(f.name).cast(f.dataType).alias(f.name))
-            elif i < len(src_fields):
+            elif col_list is None and i < len(src_fields):
                 aligned.append(
                     F.col(src_fields[i].name).cast(f.dataType).alias(f.name)
                 )
@@ -780,43 +833,91 @@ class DuckLakeSpark:
         hit_pos = hits.select(
             F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
         )
-        # cumulative union with existing delete rows for the touched files so
-        # each data file always has one complete live delete set
+        self._register_deletes(name, tid, hit_pos)
+        return None
+
+    def _register_deletes(
+        self, name: str, tid: int, hit_pos: DataFrame, commit: bool = True
+    ) -> bool:
+        """Write + register positional delete files for ``hit_pos``
+        (DataFrame of file_path, pos against the LIVE scan).  The
+        DuckLake-spec shape: ONE delete parquet per touched data file
+        (repartition on file_path — at scale each touched file's delete
+        set is written by its own task; untouched files aren't read or
+        rewritten at all).  The new delete set is cumulative: prior
+        delete rows for touched files fold in, so a data file always has
+        exactly one live delete file.  Returns False if nothing matched.
+        ``commit=False`` stages the catalog rows into the caller's next
+        commit (MERGE's atomic delete+append snapshot)."""
+        import hashlib
+
+        new = hit_pos.distinct().withColumn("__new", F.lit(1))
         dels = self.catalog.delete_files(tid)
         if not dels.empty:
-            old = self.spark.read.parquet(*sorted(set(dels["path"]))).select(
-                "file_path", "pos"
+            # live-scan rows are never already-deleted, so old and new
+            # delete sets are disjoint — a plain union, no distinct
+            old = (
+                self.spark.read.parquet(*sorted(set(dels["path"])))
+                .select("file_path", "pos")
+                .withColumn("__new", F.lit(0))
             )
-            touched = hit_pos.select("file_path").distinct()
+            touched = new.select("file_path").distinct()
             old = old.join(F.broadcast(touched), "file_path", "left_semi")
-            full = hit_pos.unionByName(old).distinct()
+            full = new.unionByName(old)
         else:
-            full = hit_pos.distinct()
-        counts = {
-            r["file_path"]: r["cnt"]
-            for r in full.groupBy("file_path")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            full = new
+        full = full.localCheckpoint(eager=True)  # one scan feeds both jobs
+        # one aggregation yields per-file totals AND the new-row count —
+        # no separate count() job
+        stats = (
+            full.groupBy("file_path")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("__new").alias("new_cnt"),
+            )
             .collect()
-        }
-        if not counts:
-            return None
-        removed = hit_pos.count()
+        )
+        if not stats:
+            return False
+        removed = int(sum(r["new_cnt"] for r in stats))
         out_dir = os.path.join(
             self.data_path, name, f"delete-{uuid.uuid4().hex[:12]}"
         )
-        full.repartition(1).write.mode("overwrite").parquet(out_dir)
-        size = sum(
-            os.path.getsize(os.path.join(out_dir, f))
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet")
+        (
+            full.withColumn("__part", F.md5("file_path"))
+            .repartition(F.col("__part"))
+            .select("file_path", "pos", "__part")
+            .write.mode("overwrite")
+            .partitionBy("__part")
+            .parquet(out_dir)
         )
         dfiles = self.catalog.data_files(tid)
-        fid_by_path = {p: int(i) for i, p in zip(dfiles["data_file_id"], dfiles["path"])}
-        per_file = {
-            fid_by_path[p]: int(c) for p, c in counts.items() if p in fid_by_path
+        fid_by_path = {
+            p: int(i) for i, p in zip(dfiles["data_file_id"], dfiles["path"])
         }
-        self.catalog.register_delete_file(tid, out_dir, per_file, size, removed)
-        return None
+        entries = []
+        for r in stats:
+            p = r["file_path"]
+            if p not in fid_by_path:
+                continue
+            leaf = os.path.join(
+                out_dir, f"__part={hashlib.md5(p.encode()).hexdigest()}"
+            )
+            size = sum(
+                os.path.getsize(os.path.join(leaf, f))
+                for f in os.listdir(leaf)
+                if f.endswith(".parquet")
+            )
+            entries.append(
+                {
+                    "data_file_id": fid_by_path[p],
+                    "path": leaf,
+                    "delete_count": int(r["cnt"]),
+                    "file_size_bytes": size,
+                }
+            )
+        self.catalog.register_delete_files(tid, entries, removed, commit=commit)
+        return True
 
     def _update(self, name: str, set_clause: str, where: str | None) -> None:
         """UPDATE = write updated copies + positional-delete originals
@@ -856,90 +957,152 @@ class DuckLakeSpark:
         cond: str,
         actions: str,
     ) -> None:
-        """``MERGE INTO t USING s ON cond WHEN MATCHED THEN UPDATE SET …
-        | DELETE WHEN NOT MATCHED THEN INSERT …`` (DuckDB gained MERGE in
-        1.4, just past the pinned 1.3 scope — included for completeness).
+        """``MERGE INTO t USING s ON cond WHEN [NOT] MATCHED [AND …] THEN
+        UPDATE SET … | DELETE | INSERT …`` (DuckDB gained MERGE in 1.4,
+        just past the pinned 1.3 scope — included for completeness).
 
-        Planned as one declarative rewrite of the target's content:
-        target LEFT JOIN source applies UPDATE/DELETE to matched rows and
-        keeps the rest; source ANTI JOIN target appends the INSERT rows.
-        Spark computes the new content in one distributed job; the commit
-        is truncate + re-register (two catalog snapshots, same net effect
-        as DuckLake's delete-file + new-file pattern)."""
+        Every WHEN clause is tokenized up front and any unrecognized
+        clause raises (never a silent partial merge); clauses apply in
+        statement order, first match wins per row — the SQL semantics.
+
+        Commit shape is DuckLake's delete-file + append pattern, NOT a
+        table rewrite: matched rows hit by an UPDATE/DELETE clause become
+        positional delete entries against their existing data files
+        (untouched data_file_ids survive unchanged — a 1-row MERGE on a
+        100 TB table writes one delete file and one small append file);
+        UPDATE replacements and INSERT rows land as new append files.
+        Both register in ONE catalog snapshot (deletes staged with
+        commit=False), so the merge is atomic at the catalog level.
+        Assumes each target row matches at most one source row (the SQL
+        cardinality rule; violations produce one new row per match)."""
         name = _unqualify(target)
         t_alias = t_alias or name
         s_alias = s_alias or "__merge_src"
+        tid = self.catalog.table_id(name)
         schema = self.table_schema(name)
         cols = [f.name for f in schema.fields]
+        clauses = _parse_merge_clauses(actions)
+        matched_cl = [c for c in clauses if c["matched"]]
+        notm_cl = [c for c in clauses if not c["matched"]]
 
-        tdf = self.table_df(name)
+        tdf = self.table_df(name, with_position=True)
         sdf = (
             self._select(source[1:-1]) if source.startswith("(")
             else self._select(f"SELECT * FROM {_unqualify(source)}")
         )
         tdf.createOrReplaceTempView("__merge_t")
         sdf.createOrReplaceTempView("__merge_s")
+        s_cols = sdf.columns
 
-        upd = _MERGE_UPDATE_RE.search(actions)
-        dele = _MERGE_DELETE_RE.search(actions)
-        ins = _MERGE_INSERT_RE.search(actions)
-        if not (upd or dele or ins):
-            raise ValueError("MERGE: no recognizable WHEN clause")
-
-        assignments: dict[str, str] = {}
-        if upd:
-            for part in split_top_level(upd.group(1)):
-                k, v = part.split("=", 1)
-                assignments[k.strip().strip('"').split(".")[-1]] = v.strip()
-
-        # matched/kept rows: LEFT JOIN, per-column CASE for updates
-        if dele:
-            kept_sel = ", ".join(f"{t_alias}.{c} AS {c}" for c in cols)
-            kept = (
-                f"SELECT {kept_sel} FROM __merge_t {t_alias} "
-                f"LEFT ANTI JOIN __merge_s {s_alias} ON {cond}"
+        new_parts: list[DataFrame] = []
+        del_pos = None
+        if matched_cl:
+            # inner join target x source; first applicable clause per row
+            proj = [f"{t_alias}.{c} AS {c}" for c in cols]
+            proj += [
+                f"{t_alias}.__file AS __file",
+                f"{t_alias}.__pos AS __pos",
+            ]
+            arms = []
+            for i, cl in enumerate(matched_cl):
+                arms.append(f"WHEN {cl['cond'] or 'TRUE'} THEN {i}")
+                if cl["action"] == "update":
+                    for c, expr in cl["assignments"].items():
+                        if c not in cols:
+                            raise ValueError(f"MERGE UPDATE: unknown column {c}")
+                        proj.append(f"({expr}) AS __u{i}_{c}")
+            matched = self.spark.sql(
+                f"SELECT {', '.join(proj)}, CASE {' '.join(arms)} ELSE -1 END"
+                f" AS __clause FROM __merge_t {t_alias}"
+                f" JOIN __merge_s {s_alias} ON {cond}"
             )
-        else:
-            proj = ", ".join(
-                (
-                    f"CASE WHEN {s_alias}.__present THEN ({assignments[c]}) "
-                    f"ELSE {t_alias}.{c} END AS {c}"
+            touched = matched.filter(F.col("__clause") >= 0)
+            touched = touched.localCheckpoint(eager=True)
+            del_pos = touched.select(
+                F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+            )
+            for i, cl in enumerate(matched_cl):
+                if cl["action"] != "update":
+                    continue
+                upd = touched.filter(F.col("__clause") == i).select(
+                    *[
+                        F.col(f"__u{i}_{c}").alias(c)
+                        if c in cl["assignments"]
+                        else F.col(c)
+                        for c in cols
+                    ]
                 )
-                if c in assignments
-                else f"{t_alias}.{c} AS {c}"
-                for c in cols
-            )
-            kept = (
-                f"SELECT {proj} FROM __merge_t {t_alias} LEFT JOIN "
-                f"(SELECT *, true AS __present FROM __merge_s) {s_alias} ON {cond}"
-            )
+                new_parts.append(upd)
 
-        parts = [kept]
-        if ins:
-            ins_cols = (
-                [c.strip().strip('"') for c in split_top_level(ins.group(1)[1:-1])]
-                if ins.group(1)
-                else cols
-            )
-            vals = split_top_level(ins.group(2))
-            if len(ins_cols) != len(vals):
-                raise ValueError("MERGE INSERT: column/value count mismatch")
-            val_by_col = dict(zip(ins_cols, vals))
-            ins_sel = ", ".join(
-                f"({val_by_col[c]}) AS {c}" if c in val_by_col else f"NULL AS {c}"
-                for c in cols
-            )
-            parts.append(
-                f"SELECT {ins_sel} FROM __merge_s {s_alias} "
+        if notm_cl:
+            anti = (
+                f"SELECT {s_alias}.* FROM __merge_s {s_alias} "
                 f"LEFT ANTI JOIN __merge_t {t_alias} ON {cond}"
             )
-        merged = self.spark.sql(" UNION ALL ".join(parts))
-        merged = merged.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-        )
-        merged = merged.localCheckpoint(eager=True)  # materialize before truncate
-        self.catalog.truncate_table(name)
-        self._write_dataframe(name, merged)
+            arms = " ".join(
+                f"WHEN {cl['cond'] or 'TRUE'} THEN {i}"
+                for i, cl in enumerate(notm_cl)
+            )
+            unmatched = self.spark.sql(
+                f"SELECT *, CASE {arms} ELSE -1 END AS __clause "
+                f"FROM ({anti}) AS {s_alias}"
+            )
+            for i, cl in enumerate(notm_cl):
+                rows = unmatched.filter(F.col("__clause") == i)
+                if cl["action"] == "insert_star":
+                    # INSERT *: by-name where source names match the
+                    # target; else positional when the arity matches
+                    if set(cols) <= set(s_cols):
+                        sel = [F.col(c) for c in cols]
+                    elif len(s_cols) == len(cols):
+                        sel = [F.col(s).alias(c) for s, c in zip(s_cols, cols)]
+                    else:
+                        raise ValueError(
+                            "MERGE INSERT *: source columns match the target "
+                            "neither by name nor by position"
+                        )
+                    new_parts.append(rows.select(*sel))
+                else:
+                    ins_cols = cl["ins_cols"] or cols
+                    vals = cl["ins_vals"]
+                    if len(ins_cols) != len(vals):
+                        raise ValueError(
+                            "MERGE INSERT: column/value count mismatch"
+                        )
+                    val_by_col = dict(zip(ins_cols, vals))
+                    new_parts.append(
+                        rows.select(
+                            *[
+                                F.expr(val_by_col[c]).alias(c)
+                                if c in val_by_col
+                                else F.lit(None).alias(c)
+                                for c in cols
+                            ]
+                        )
+                    )
+
+        new_rows = None
+        if new_parts:
+            new_rows = new_parts[0]
+            for p in new_parts[1:]:
+                new_rows = new_rows.unionByName(p)
+            new_rows = new_rows.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            # materialize BEFORE the delete registers: the scan these rows
+            # came from must not see the new delete file
+            new_rows = new_rows.localCheckpoint(eager=True)
+
+        n_new = new_rows.count() if new_rows is not None else 0
+        if del_pos is not None:
+            # with appends coming, stage the deletes into the appends'
+            # commit; a delete-only merge commits its own snapshot
+            self._register_deletes(name, tid, del_pos, commit=(n_new == 0))
+        if n_new > 0:
+            self._write_dataframe(name, new_rows)
         return None
 
     # ------------------------------------------------------------------ COPY

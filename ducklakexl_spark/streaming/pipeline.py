@@ -160,12 +160,26 @@ def run_update_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
+_EPOCH_TAG = "stream:last_epoch"
+
+
 def sink_stream_to_lake(stream_df: DataFrame, lake, table: str):
     """foreachBatch sink into a DuckLake table: each micro-batch lands as
-    parquet files registered in one catalog snapshot — atomic, replayable,
-    and time-travelable like any other write."""
+    parquet files registered in one catalog snapshot — atomic,
+    time-travelable, and exactly-once under micro-batch replay: the
+    highest committed ``epoch_id`` is staged as a table tag in the SAME
+    catalog snapshot as the batch's data files (set_tag(commit=False)
+    folds into register_data_files' commit), so a restarted stream that
+    re-delivers an already-committed epoch is skipped, and a crash before
+    the commit leaves neither files nor watermark — the replay then
+    re-executes cleanly."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        tid = lake.catalog.table_id(table)
+        last = lake.catalog.get_tag(tid, _EPOCH_TAG)
+        if last is not None and int(last) >= epoch_id:
+            return  # replayed micro-batch, already committed
+        lake.catalog.set_tag(tid, _EPOCH_TAG, str(epoch_id), commit=False)
         lake._write_dataframe(table, batch_df)
 
     return (

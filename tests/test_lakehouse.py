@@ -424,3 +424,155 @@ def test_star_exclude_replace(lake):
     )
     assert out.columns == ["a", "b"]
     assert rows(out) == [("Y", 2.5)]
+
+
+# -- round-2: MERGE delete-file commit, per-file deletes, clause parsing ------
+
+
+def test_merge_preserves_untouched_file_ids(lake):
+    """A 1-row MERGE must not rewrite the table: data files untouched by
+    the match keep their data_file_id (delete-file + append commit, not
+    truncate + rewrite)."""
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    lake.sql("INSERT INTO t VALUES (3, 'c'), (4, 'd')")
+    tid = lake.catalog.table_id("t")
+    before = lake.catalog.data_files(tid)
+    assert len(before) >= 2
+
+    lake.sql(
+        "MERGE INTO t USING (SELECT 1 AS id, 'A' AS val) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET val = s.val "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.val)"
+    )
+    assert rows(lake.sql("SELECT * FROM t")) == [
+        (1, "A"), (2, "b"), (3, "c"), (4, "d"),
+    ]
+    after = lake.catalog.data_files(tid)
+    # every pre-merge file id survives; exactly one small append was added
+    assert set(before["data_file_id"]) <= set(after["data_file_id"])
+    assert len(after) == len(before) + 1
+    # the touched file gained a positional delete, in the same snapshot
+    dels = lake.catalog.delete_files(tid)
+    assert len(dels) == 1
+    assert int(dels.iloc[0]["delete_count"]) == 1
+    assert int(dels.iloc[0]["begin_snapshot"]) == int(
+        after["begin_snapshot"].max()
+    )
+
+
+def test_merge_conditional_clauses_first_match_wins(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    lake.sql(
+        "MERGE INTO t USING (SELECT * FROM (VALUES (1, 'keep'), (2, 'x'), "
+        "(3, 'y'), (9, 'new')) v(id, val)) s ON t.id = s.id "
+        "WHEN MATCHED AND s.val = 'x' THEN DELETE "
+        "WHEN MATCHED AND t.id = 3 THEN UPDATE SET val = upper(s.val) "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.val)"
+    )
+    # id=1 matched but no clause applies -> untouched; id=2 deleted;
+    # id=3 updated via second clause; id=9 inserted
+    assert rows(lake.sql("SELECT * FROM t")) == [(1, "a"), (3, "Y"), (9, "new")]
+
+
+def test_merge_insert_star(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a')")
+    lake.sql(
+        "MERGE INTO t USING (SELECT 2 AS id, 'b' AS val) s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert rows(lake.sql("SELECT * FROM t")) == [(1, "a"), (2, "b")]
+
+
+def test_merge_unsupported_clause_raises(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a')")
+    with pytest.raises(ValueError, match="MERGE"):
+        lake.sql(
+            "MERGE INTO t USING (SELECT 1 AS id) s ON t.id = s.id "
+            "WHEN MATCHED THEN FROBNICATE"
+        )
+    # NOT MATCHED BY SOURCE is recognized-but-unsupported: must raise,
+    # not silently drop
+    with pytest.raises(ValueError, match="MERGE"):
+        lake.sql(
+            "MERGE INTO t USING (SELECT 1 AS id) s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+
+
+def test_delete_spanning_files_writes_per_file_deletes(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    lake.sql("INSERT INTO t VALUES (3, 'c'), (4, 'd')")
+    tid = lake.catalog.table_id("t")
+    n_files = len(lake.catalog.data_files(tid))
+    assert n_files >= 2
+    lake.sql("DELETE FROM t WHERE id IN (1, 3)")
+    dels = lake.catalog.delete_files(tid)
+    # one delete file per touched data file, each with its own path
+    assert len(dels) == 2
+    assert len(set(dels["path"])) == 2
+    assert rows(lake.sql("SELECT * FROM t")) == [(2, "b"), (4, "d")]
+
+
+def test_insert_partial_column_list_fills_null(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(a INTEGER, b INTEGER, c INTEGER)")
+    lake.sql("INSERT INTO t(c) VALUES (5)")
+    lake.sql("INSERT INTO t(b, a) VALUES (7, 6)")
+    got = sorted(
+        (tuple(r) for r in lake.sql("SELECT * FROM t").collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    assert got == [(6, 7, None), (None, None, 5)]
+
+
+def test_truncate_and_drop_feed_gc_queue(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER)")
+    lake.sql("INSERT INTO t VALUES (1), (2)")
+    q = lake.catalog.tables["ducklake_files_scheduled_for_deletion"]
+    assert len(q) == 0
+    lake.sql("TRUNCATE t")
+    q = lake.catalog.tables["ducklake_files_scheduled_for_deletion"]
+    assert len(q) >= 1
+    lake.sql("INSERT INTO t VALUES (3)")
+    lake.sql("DROP TABLE t")
+    q2 = lake.catalog.tables["ducklake_files_scheduled_for_deletion"]
+    assert len(q2) > len(q)
+    removed = lake.catalog.vacuum()
+    assert removed == len(q2)
+
+
+def test_catalog_store_crash_window_recovery(spark, tmp_path):
+    """Simulate a crash between save()'s two renames: the live dir is
+    gone but .old holds the last commit — the next load must recover it,
+    not bootstrap an empty catalog over existing data."""
+    import os
+
+    lake = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+    )
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER)")
+    lake.sql("INSERT INTO t VALUES (1), (2)")
+    cat_dir = str(tmp_path / "catalog")
+    os.rename(cat_dir, cat_dir + ".old")  # crash state: primary missing
+    lake2 = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=cat_dir,
+    )
+    lake2.sql("USE db")
+    assert rows(lake2.sql("SELECT * FROM t")) == [(1,), (2,)]

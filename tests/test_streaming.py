@@ -101,3 +101,45 @@ def test_stream_sink_into_lake(spark, events_dir, tmp_path):
     # the micro-batch commit is a real snapshot: time travel works
     snaps = lake.catalog.snapshots()
     assert len(snaps) >= 2
+
+
+def test_stream_sink_epoch_replay_is_idempotent(spark, events_dir, tmp_path):
+    """A replayed micro-batch (same epoch_id) must not double-commit: the
+    epoch watermark is published in the same catalog snapshot as the
+    batch's files, so re-delivery after restart is skipped."""
+    from ducklakexl_spark.engine import DuckLakeSpark
+    from ducklakexl_spark.streaming import pipeline as P
+
+    lake = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+    )
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE sink_t(user_id BIGINT)")
+    tid = lake.catalog.table_id("sink_t")
+    batch = spark.range(5).selectExpr("id AS user_id")
+
+    # drive the foreachBatch callback directly (a restarted stream
+    # re-delivers the last uncommitted epoch with the SAME epoch_id)
+    captured = {}
+
+    class FakeWriter:
+        def outputMode(self, *_): return self
+        def foreachBatch(self, fn):
+            captured["fn"] = fn
+            return self
+        def start(self): return None
+
+    class FakeStream:
+        writeStream = FakeWriter()
+
+    P.sink_stream_to_lake(FakeStream(), lake, "sink_t")
+    fn = captured["fn"]
+    fn(batch, 0)
+    assert lake.sql("SELECT count(*) AS n FROM sink_t").collect()[0]["n"] == 5
+    fn(batch, 0)  # replay of committed epoch: skipped
+    assert lake.sql("SELECT count(*) AS n FROM sink_t").collect()[0]["n"] == 5
+    fn(batch, 1)  # genuinely new epoch: lands
+    assert lake.sql("SELECT count(*) AS n FROM sink_t").collect()[0]["n"] == 10
+    assert lake.catalog.get_tag(tid, "stream:last_epoch") == "1"
