@@ -455,15 +455,25 @@ def _simhash_oracle() -> str:
     """
 
 
+SIMHASH_BLOCKS = HAMMING_MAX + 1  # pigeonhole: ≤3 flipped bits can't touch all 4
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS
+
+
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: per-token 60-bit hash → weighted bit votes →
-    SIMHASH_BITS-bit fingerprint → pairwise hamming ≤ HAMMING_MAX.
+    SIMHASH_BITS-bit fingerprint → hamming ≤ HAMMING_MAX pairs.
 
     The fingerprint build is groupBy(doc_id) over exploded tokens (one
-    shuffle, partial-aggregated map-side).  Pairing on 32-bit fingerprints
-    is still quadratic here; the scale path blocks on fingerprint prefixes
-    exactly like LSH bands (see dedup_minhash_lsh).
+    shuffle, partial-aggregated map-side).  Pairing is Hamming-ball
+    BANDED, never all-pairs: the fingerprint splits into HAMMING_MAX+1
+    bit blocks, and by pigeonhole two fingerprints within hamming
+    HAMMING_MAX agree exactly on at least one block — so an equi-join on
+    (block_index, block_value) generates every qualifying pair (recall
+    is exact, the oracle is the plain quadratic definition) while only
+    ever joining on a hash-partitionable key.  Exact hamming then
+    verifies candidates.  At 100 TB this is the same candidate-join
+    shape as dedup_minhash_lsh; no cross product anywhere.
     """
     docs = load(spark, sf_dir, "documents")
     tok = (
@@ -492,17 +502,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = hashed.groupBy("doc_id").agg(*votes)
     total = sum([F.col(f"b{j}") for j in range(SIMHASH_BITS)], F.lit(0).cast("long"))
     fp = sig.select("doc_id", total.alias("simhash"))
-    a = fp.alias("a")
-    b = fp.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("long")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright("simhash", b * SIMHASH_BLOCK_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+            for b in range(SIMHASH_BLOCKS)
+        ]
+    )
+    bl = fp.select("doc_id", "simhash", F.explode(blocks).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.b").alias("b"), F.col("bk.v").alias("v")
+    )
+    cand = (
+        bl.alias("x")
+        .join(
+            bl.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()  # a pair can agree on several blocks
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
     )

@@ -90,7 +90,25 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_feature_extract")  # mapInPandas stage → rows-only check
+@query(
+    "mm_feature_extract",
+    # The stub features are pure byte arithmetic over the utf-8 payload,
+    # so the oracle reproduces them relationally.  The fixture documents
+    # are ASCII (verified: octet_length == length for every row), which
+    # makes ord(char) == byte value — DuckDB can't slice BLOBs directly.
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           array_to_string(list_transform(generate_series(1, least(4, length(text))),
+               i -> printf('%02X', ord(substr(text, i, 1)))), '') AS head_hex,
+           CAST(coalesce(list_sum(list_transform(generate_series(1, length(text)),
+               i -> ord(substr(text, i, 1)))), 0) % 100000 AS BIGINT) AS byte_sum,
+           CAST((length(text) % 64) + 1 AS BIGINT) AS fake_width,
+           CAST((coalesce(list_sum(list_transform(generate_series(1, least(16, length(text))),
+               i -> ord(substr(text, i, 1)))), 0) % 64) + 1 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     return d.select("doc_id", "content").mapInPandas(

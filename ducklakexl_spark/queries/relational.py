@@ -922,12 +922,35 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts")  # engine-specific sketch → rows-only check
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE                      AS sketch_within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    """HyperLogLog++ sketch AUDITED against the exact distinct count.
+    The sketch value itself is engine-specific (not portable to an
+    oracle), so the registered output is the exact count plus a bound
+    check: the sketch (default rsd 0.05) must land within 10% of truth,
+    or the row fails the oracle's literal TRUE.  At 100 TB the sketch
+    side is the production path — fixed-size state, one narrow shuffle;
+    the exact side here is the audit."""
+    li = load(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    bound = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= 0.10 * F.col("exact_parts")
+    )
+    return both.select(
+        "l_returnflag", "exact_parts", bound.alias("sketch_within_10pct")
     )
 
 

@@ -208,28 +208,97 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_near_dup_pairs",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+SIM_BANDS = 4
+SIM_BAND_BITS = N_PLANES // SIM_BANDS  # 4 bands x 2 sign bits
+
+
+def _near_dup_oracle() -> str:
+    return f"""
+    WITH proj AS (
+      SELECT vec_id,
+             list_sum(list_transform(generate_series(1, {DIM}),
+               d -> CAST(embedding[d] AS DOUBLE) * {_plane_weight_sql("p", "d")}))
+               AS dotp, p
+      FROM embeddings, generate_series(0, {N_PLANES - 1}) t(p)
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dotp > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    bands AS (
+      SELECT vec_id, b, (bucket >> (b * {SIM_BAND_BITS})) & {2 ** SIM_BAND_BITS - 1} AS v
+      FROM sig, generate_series(0, {SIM_BANDS - 1}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM bands x JOIN bands y ON x.b = y.b AND x.v = y.v
+                               AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b,
            round({_sql_cosine("a.embedding", "b.embedding")}, 6) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM cand
+    JOIN embeddings a ON a.vec_id = vec_a
+    JOIN embeddings b ON b.vec_id = vec_b
     WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.4
-    """,
-)
+    """
+
+
+@query("sim_near_dup_pairs", oracle=_near_dup_oracle())
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-candidate generated — never
+    all-pairs: each vector's 8 sign-random-projection bits (the same
+    deterministic hyperplanes as sim_lsh_buckets, so the oracle
+    reproduces them) split into {SIM_BANDS} bands; vectors sharing any
+    band become candidates via a hash-partitionable equi-join on
+    (band, band_value); exact cosine ≥ 0.4 verifies candidates.
+    Recall is the standard LSH band guarantee (rises with cosine — the
+    oracle applies the identical banding, so the check is exact).  At
+    100 TB this is the dedup_minhash_lsh shape: sign bits per row, one
+    equi-join, cosine only on bucket-mates."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = cosine_cols(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_raw"),
+    bits = " + ".join(
+        f"(CASE WHEN {dot_lit_sql('embedding', plane_weights_py(p))} > 0D "
+        f"THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(N_PLANES)
+    )
+    sig = e.select("vec_id", F.expr(bits).alias("bucket"))
+    mask = 2 ** SIM_BAND_BITS - 1
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright("bucket", b * SIM_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+            for b in range(SIM_BANDS)
+        ]
+    )
+    bands = sig.select("vec_id", F.explode(bands_arr).alias("bk")).select(
+        "vec_id", F.col("bk.b").alias("b"), F.col("bk.v").alias("v")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    av = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    bv = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine_cols(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
         .filter(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )

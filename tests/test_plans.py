@@ -67,3 +67,17 @@ def test_exact_dedup_partial_aggregates(spark):
     plan = executed_plan(spark, "dedup_exact")
     # map-side partial agg before the shuffle: two HashAggregate levels
     assert plan.count("HashAggregate") >= 2
+
+
+def test_simhash_banded_no_nested_loop_over_corpus(spark):
+    """Hamming-ball banding: candidate pairs come from an equi-join on
+    (block, value), never a nested-loop over the corpus cross product."""
+    plan = executed_plan(spark, "dedup_simhash")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_near_dup_pairs_lsh_no_nested_loop_over_corpus(spark):
+    plan = executed_plan(spark, "sim_near_dup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
