@@ -372,6 +372,103 @@ class DuckLakeCatalog:
         next_cat, next_file = self._counters()
         self.commit_snapshot(f'dropped_table:"{name}"', next_cat, next_file)
 
+    # -- schema evolution --------------------------------------------------------
+
+    def _column_row(self, table_id: int, name: str) -> "pd.Series":
+        cols = self.columns(table_id)
+        hit = cols[cols["column_name"] == name]
+        if hit.empty:
+            raise KeyError(f"column not found: {name}")
+        return hit.iloc[0]
+
+    def add_column(
+        self, table_id: int, name: str, col_type: str, default: str | None = None
+    ) -> int:
+        """ALTER TABLE … ADD COLUMN as an MVCC ducklake_column row: the
+        column begins at the next snapshot; files written before it keep
+        their narrower physical schema and scans fill the column with
+        NULL (or ``initial_default``) — no data rewrite, the DuckLake
+        evolution model."""
+        cols = self.columns(table_id)
+        if (cols["column_name"] == name).any():
+            raise ValueError(f"column already exists: {name}")
+        next_cat, next_file = self._counters()
+        snapshot = self.current_snapshot + 1
+        self._append(
+            "ducklake_column",
+            [
+                {
+                    "column_id": next_cat,
+                    "begin_snapshot": snapshot,
+                    "end_snapshot": None,
+                    "table_id": table_id,
+                    "column_order": (
+                        int(cols["column_order"].max()) + 1 if len(cols) else 0
+                    ),
+                    "column_name": name,
+                    "column_type": col_type,
+                    "initial_default": default,
+                    "default_value": default,
+                    "nulls_allowed": True,
+                    "parent_column": None,
+                }
+            ],
+        )
+        return self.commit_snapshot(
+            f"altered_table:{table_id}:add_column:{name}", next_cat + 1, next_file
+        )
+
+    def drop_column(self, table_id: int, name: str) -> int:
+        """End-snapshot the column row; data files keep the physical
+        column, scans stop projecting it — instant at any table size."""
+        row = self._column_row(table_id, name)
+        snapshot = self.current_snapshot + 1
+        df = self.tables["ducklake_column"]
+        mask = self.live_mask(df) & (df["column_id"] == int(row["column_id"]))
+        df.loc[mask, "end_snapshot"] = snapshot
+        next_cat, next_file = self._counters()
+        return self.commit_snapshot(
+            f"altered_table:{table_id}:drop_column:{name}", next_cat, next_file
+        )
+
+    def _transition_column(
+        self, table_id: int, name: str, changes: dict, message: str
+    ) -> int:
+        """Close the live column row and open a successor with the same
+        column_id — the MVCC shape for rename/retype (time travel sees
+        the old definition through the old row)."""
+        row = self._column_row(table_id, name)
+        snapshot = self.current_snapshot + 1
+        df = self.tables["ducklake_column"]
+        mask = self.live_mask(df) & (df["column_id"] == int(row["column_id"]))
+        df.loc[mask, "end_snapshot"] = snapshot
+        new_row = {
+            k: (None if pd.isna(v) else v) for k, v in row.to_dict().items()
+        }
+        new_row.update(begin_snapshot=snapshot, end_snapshot=None, **changes)
+        self._append("ducklake_column", [new_row])
+        next_cat, next_file = self._counters()
+        return self.commit_snapshot(message, next_cat, next_file)
+
+    def rename_column(self, table_id: int, old: str, new: str) -> int:
+        cols = self.columns(table_id)
+        if (cols["column_name"] == new).any():
+            raise ValueError(f"column already exists: {new}")
+        return self._transition_column(
+            table_id,
+            old,
+            {"column_name": new},
+            f"altered_table:{table_id}:rename_column:{old}:{new}",
+        )
+
+    def alter_column_type(self, table_id: int, name: str, new_type: str) -> int:
+        return self._transition_column(
+            table_id,
+            name,
+            {"column_type": new_type},
+            f"altered_table:{table_id}:alter_column_type:{name}",
+        )
+
     # -- tags --------------------------------------------------------------------
 
     def set_tag(

@@ -245,6 +245,35 @@ _DROP_VIEW_RE = re.compile(
 _RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+RENAME\s+TO\s+([\w.\"]+)\s*$", re.I
 )
+_ALTER_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+ADD\s+(?:COLUMN\s+)?"
+    r"(?:(IF\s+NOT\s+EXISTS)\s+)?([\w\"]+)\s+([^;]+?)\s*$",
+    re.I,
+)
+_ALTER_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+DROP\s+(?:COLUMN\s+)?"
+    r"(?:(IF\s+EXISTS)\s+)?([\w\"]+)\s*$",
+    re.I,
+)
+_ALTER_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+RENAME\s+(?:COLUMN\s+)?"
+    r"([\w\"]+)\s+TO\s+([\w\"]+)\s*$",
+    re.I,
+)
+_ALTER_TYPE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w\"]+)\s+"
+    r"(?:SET\s+DATA\s+)?TYPE\s+([\w()\[\], ]+?)\s*$",
+    re.I,
+)
+
+# lossless widenings the scan's cast can always honor (DuckLake's type
+# promotion rules); anything else needs a rewrite and is rejected
+_TYPE_PROMOTIONS = {
+    ("TINYINT", "SMALLINT"), ("TINYINT", "INTEGER"), ("TINYINT", "BIGINT"),
+    ("SMALLINT", "INTEGER"), ("SMALLINT", "BIGINT"),
+    ("INTEGER", "BIGINT"), ("INTEGER", "DOUBLE"),
+    ("FLOAT", "DOUBLE"), ("BIGINT", "DOUBLE"),
+}
 _SET_PARTITIONED_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*$",
     re.I,
@@ -371,6 +400,63 @@ class DuckLakeSpark:
         m = _RENAME_RE.match(stmt)
         if m:
             self.catalog.rename_table(_unqualify(m.group(1)), _unqualify(m.group(2)))
+            return None
+        m = _ALTER_RENAME_COL_RE.match(stmt)
+        if m:
+            tid = self.catalog.table_id(_unqualify(m.group(1)))
+            self.catalog.rename_column(
+                tid, m.group(2).strip('"'), m.group(3).strip('"')
+            )
+            return None
+        m = _ALTER_TYPE_RE.match(stmt)
+        if m:
+            name = _unqualify(m.group(1))
+            tid = self.catalog.table_id(name)
+            cname = m.group(2).strip('"')
+            new_type = m.group(3).strip().upper()
+            cols = self.catalog.columns(tid)
+            hit = cols[cols["column_name"] == cname]
+            if hit.empty:
+                raise KeyError(f"column not found: {cname}")
+            old_type = str(hit.iloc[0]["column_type"]).upper()
+            if old_type != new_type and (old_type, new_type) not in _TYPE_PROMOTIONS:
+                raise ValueError(
+                    f"ALTER TYPE: {old_type} -> {new_type} is not a lossless "
+                    f"widening; rewrite the table instead"
+                )
+            self.catalog.alter_column_type(tid, cname, new_type)
+            return None
+        m = _ALTER_DROP_COL_RE.match(stmt)
+        if m:
+            name = _unqualify(m.group(1))
+            tid = self.catalog.table_id(name)
+            cname = m.group(3).strip('"')
+            cols = self.catalog.columns(tid)
+            if (cols["column_name"] == cname).any():
+                if len(cols) == 1:
+                    raise ValueError("cannot drop the only column")
+                self.catalog.drop_column(tid, cname)
+            elif not m.group(2):
+                raise KeyError(f"column not found: {cname}")
+            return None
+        m = _ALTER_ADD_COL_RE.match(stmt)
+        if m:
+            name = _unqualify(m.group(1))
+            tid = self.catalog.table_id(name)
+            cname = m.group(3).strip('"')
+            col_type = m.group(4).strip()
+            if re.search(r"\bDEFAULT\b", col_type, re.I):
+                raise ValueError(
+                    "ADD COLUMN DEFAULT is not supported; add the column, "
+                    "then UPDATE"
+                )
+            ducklake_type_to_spark(col_type)  # validate before committing
+            cols = self.catalog.columns(tid)
+            if (cols["column_name"] == cname).any():
+                if m.group(2):
+                    return None
+                raise ValueError(f"column already exists: {cname}")
+            self.catalog.add_column(tid, cname, col_type.upper())
             return None
         m = _CREATE_SCHEMA_RE.match(stmt)
         if m:
@@ -743,14 +829,64 @@ class DuckLakeSpark:
             if not paths:
                 return self.spark.createDataFrame([], schema)
         dels = self.catalog.delete_files(tid, snapshot)
-        reader = self.spark.read.schema(schema)
+
+        # -- schema evolution (ALTER ADD/DROP/RENAME COLUMN / ALTER TYPE
+        # are catalog-only MVCC transitions; data files keep their
+        # write-time physical schema).  The enforced-schema read already
+        # reconciles ADD (missing column → NULL), DROP (column simply not
+        # projected), and lossless TYPE widening (the parquet reader
+        # up-casts int32→int64, float→double against the declared
+        # schema).  Only RENAME needs help: the physical name in an old
+        # file is whatever the column was called at write time, so the
+        # read schema carries every historical name (typed at the current
+        # logical type) and the projection coalesces them — physically
+        # disjoint columns, at most one non-null per row.
+        live_cols = self.catalog.columns(tid, snapshot)
+        all_cols = self.catalog.tables["ducklake_column"]
+        all_cols = all_cols[all_cols["table_id"] == tid]
+        hist_names: dict[str, list[str]] = {}
+        renamed = False
+        for r in live_cols.itertuples():
+            hist = all_cols[all_cols["column_id"] == r.column_id].sort_values(
+                "begin_snapshot", ascending=False
+            )
+            names = list(dict.fromkeys(hist["column_name"]))
+            hist_names[r.column_name] = names
+            renamed = renamed or len(names) > 1
+
+        if renamed:
+            read_fields, seen = [], set()
+            for f in schema.fields:
+                for n in hist_names[f.name]:
+                    if n not in seen:
+                        seen.add(n)
+                        read_fields.append(T.StructField(n, f.dataType))
+            reader = self.spark.read.schema(T.StructType(read_fields))
+        else:
+            reader = self.spark.read.schema(schema)
+
         df = reader.parquet(*paths)
         if not dels.empty or with_position:
             df = (
                 reader.parquet(*paths)
-                .withColumn("__file", self._norm_path(F.col("_metadata.file_path")))
+                .withColumn(
+                    "__file", self._norm_path(F.col("_metadata.file_path"))
+                )
                 .withColumn("__pos", F.col("_metadata.row_index"))
             )
+        if renamed:
+            sel = [
+                (
+                    F.coalesce(*[F.col(n) for n in hist_names[f.name]])
+                    if len(hist_names[f.name]) > 1
+                    else F.col(hist_names[f.name][0])
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+            if "__file" in df.columns:
+                df = df.select(*sel, "__file", "__pos")
+            else:
+                df = df.select(*sel)
         if not dels.empty:
             del_paths = sorted(set(dels["path"]))
             del_df = self.spark.read.parquet(*del_paths).select("file_path", "pos")

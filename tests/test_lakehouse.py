@@ -576,3 +576,61 @@ def test_catalog_store_crash_window_recovery(spark, tmp_path):
     )
     lake2.sql("USE db")
     assert rows(lake2.sql("SELECT * FROM t")) == [(1,), (2,)]
+
+
+# -- round-2: schema evolution -------------------------------------------------
+
+
+def test_add_column_across_snapshots(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    v_before = lake.catalog.current_snapshot
+    lake.sql("ALTER TABLE t ADD COLUMN score BIGINT")
+    lake.sql("INSERT INTO t VALUES (3, 'c', 30)")
+    # current read: old rows NULL-fill the new column, no file rewrite
+    got = sorted(tuple(r) for r in lake.sql(
+        "SELECT id, val, score FROM t WHERE id IS NOT NULL").collect())
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 30)]
+    # time travel: the pre-ALTER snapshot still has the 2-column schema
+    old = lake.sql(f"SELECT * FROM t AT (VERSION => {v_before})")
+    assert old.columns == ["id", "val"]
+    assert sorted(tuple(r) for r in old.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_drop_column_keeps_history(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a')")
+    v_before = lake.catalog.current_snapshot
+    lake.sql("ALTER TABLE t DROP COLUMN val")
+    assert lake.sql("SELECT * FROM t").columns == ["id"]
+    old = lake.sql(f"SELECT * FROM t AT (VERSION => {v_before})")
+    assert sorted(tuple(r) for r in old.collect()) == [(1, "a")]
+    with pytest.raises(KeyError):
+        lake.sql("ALTER TABLE t DROP COLUMN nope")
+    with pytest.raises(ValueError):
+        lake.sql("ALTER TABLE t DROP COLUMN id")  # last column
+
+
+def test_rename_column_reads_old_files(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a')")
+    lake.sql("ALTER TABLE t RENAME COLUMN val TO label")
+    lake.sql("INSERT INTO t VALUES (2, 'b')")  # written under the new name
+    got = sorted(tuple(r) for r in lake.sql("SELECT id, label FROM t").collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert lake.sql("SELECT * FROM t").columns == ["id", "label"]
+
+
+def test_alter_column_type_widening(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER, n INTEGER)")
+    lake.sql("INSERT INTO t VALUES (1, 10)")
+    lake.sql("ALTER TABLE t ALTER COLUMN n TYPE BIGINT")
+    lake.sql("INSERT INTO t VALUES (2, 3000000000)")
+    got = sorted(tuple(r) for r in lake.sql("SELECT * FROM t").collect())
+    assert got == [(1, 10), (2, 3000000000)]
+    with pytest.raises(ValueError):
+        lake.sql("ALTER TABLE t ALTER COLUMN n TYPE INTEGER")  # narrowing
