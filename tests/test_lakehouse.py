@@ -634,3 +634,72 @@ def test_alter_column_type_widening(lake):
     assert got == [(1, 10), (2, 3000000000)]
     with pytest.raises(ValueError):
         lake.sql("ALTER TABLE t ALTER COLUMN n TYPE INTEGER")  # narrowing
+
+
+# -- round-2: SQL dialect sugar ------------------------------------------------
+
+
+def test_qualify_through_sql(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE s(grp VARCHAR, v INTEGER)")
+    lake.sql("INSERT INTO s VALUES ('a',1),('a',2),('a',3),('b',10),('b',20)")
+    out = lake.sql(
+        "SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v DESC) "
+        "AS rnk FROM s QUALIFY rnk <= 2 ORDER BY grp, rnk"
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("a", 3, 1), ("a", 2, 2), ("b", 20, 1), ("b", 10, 2),
+    ]
+    # QUALIFY with an inline window (no alias) + LIMIT tail
+    out2 = lake.sql(
+        "SELECT grp, v FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v) = 1 "
+        "ORDER BY grp LIMIT 1"
+    )
+    assert [tuple(r) for r in out2.collect()] == [("a", 1)]
+
+
+def test_ilike_through_sql(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE n(name VARCHAR)")
+    lake.sql("INSERT INTO n VALUES ('Alpha'), ('beta'), ('ALPINE')")
+    out = lake.sql("SELECT name FROM n WHERE name ILIKE 'al%' ORDER BY name")
+    assert [r[0] for r in out.collect()] == ["ALPINE", "Alpha"]
+
+
+def test_exclude_alias_aware(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE a(id INTEGER, x VARCHAR, noise VARCHAR)")
+    lake.sql("CREATE TABLE b(id INTEGER, y VARCHAR)")
+    lake.sql("INSERT INTO a VALUES (1, 'x1', 'zzz')")
+    lake.sql("INSERT INTO b VALUES (1, 'y1')")
+    out = lake.sql(
+        "SELECT a.* EXCLUDE (noise), b.y FROM a JOIN b ON a.id = b.id"
+    )
+    assert out.columns == ["id", "x", "y"]
+    assert [tuple(r) for r in out.collect()] == [(1, "x1", "y1")]
+
+
+def test_replace_alias_aware(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE a(id INTEGER, x VARCHAR)")
+    lake.sql("INSERT INTO a VALUES (1, 'x1')")
+    out = lake.sql("SELECT a.* REPLACE (upper(x) AS x) FROM a AS a")
+    assert out.columns == ["id", "x"]
+    assert [tuple(r) for r in out.collect()] == [(1, "X1")]
+
+
+def test_at_timestamp_time_travel(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE t(id INTEGER)")
+    lake.sql("INSERT INTO t VALUES (1), (2)")
+    snaps = lake.catalog.snapshots()
+    ts2 = snaps[snaps["snapshot_id"] == 2]["snapshot_time"].iloc[0]
+    lake.sql("INSERT INTO t VALUES (3)")
+    out = lake.sql(
+        f"SELECT count(*) AS n FROM t AT (TIMESTAMP => '{ts2.isoformat()}')"
+    )
+    assert out.collect()[0]["n"] == 2
+    assert lake.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 3
+    with pytest.raises(ValueError, match="no snapshot"):
+        lake.sql("SELECT * FROM t AT (TIMESTAMP => '1999-01-01 00:00:00')")
