@@ -330,6 +330,47 @@ def find_top_level_keyword(s: str, kw: str, start: int = 0) -> int:
     return -1
 
 
+def sql_identifiers(stmt: str) -> set[str]:
+    """All identifier tokens in a statement — bare words plus
+    double-quoted identifiers — with string literals and comments
+    skipped.  Used to decide which catalog tables/views a query actually
+    references: a table name inside a '…' literal or a comment is NOT a
+    reference (the old word-boundary regex matched those too)."""
+    ids: set[str] = set()
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if stmt[i] == "'":
+                    if i + 1 < n and stmt[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == '"':
+            j = stmt.find('"', i + 1)
+            if j < 0:
+                break
+            ids.add(stmt[i + 1 : j])
+            i = j
+        elif stmt[i : i + 2] == "--":
+            while i < n and stmt[i] != "\n":
+                i += 1
+        elif stmt[i : i + 2] == "/*":
+            j = stmt.find("*/", i + 2)
+            i = n if j < 0 else j + 1
+        elif ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (stmt[j].isalnum() or stmt[j] == "_"):
+                j += 1
+            ids.add(stmt[i:j])
+            i = j - 1
+        i += 1
+    return ids
+
+
 def rewrite_qualify(stmt: str) -> str:
     """DuckDB's ``QUALIFY <pred>`` sugar → standard SQL: wrap the query
     (minus QUALIFY) in a subquery, compute the predicate — window
@@ -1358,8 +1399,14 @@ class DuckLakeSpark:
         and column pruning then apply exactly as for lake tables."""
 
         def _sub(m: re.Match) -> str:
+            import hashlib
+
             kind, path = m.group(1).lower(), m.group(2)
-            view = f"__read_{kind}_{abs(hash(path)) % 10**10}"
+            # md5, not hash(): Python string hashing is per-process
+            # salted, so hash()-derived view names differ across runs —
+            # a debugging trap for anything that logs plans
+            digest = hashlib.md5(path.encode()).hexdigest()[:10]
+            view = f"__read_{kind}_{digest}"
             if kind == "parquet":
                 df = self.spark.read.parquet(path)
             elif kind == "csv":
@@ -1490,11 +1537,12 @@ class DuckLakeSpark:
             return f" {view} "
 
         stmt = _AT_TIMESTAMP_RE.sub(_rewrite_at_ts, stmt)
+        idents = sql_identifiers(stmt)
         for tname in self.catalog.table_names():
-            if re.search(rf"\b{re.escape(tname)}\b", stmt):
+            if tname in idents:
                 self.table_df(tname).createOrReplaceTempView(tname)
         for vname in self.catalog.view_names():
-            if re.search(rf"\b{re.escape(vname)}\b", stmt):
+            if vname in idents:
                 # re-resolve the stored SQL at the current snapshot
                 # (recursive: views over views/tables)
                 self._select(self.catalog.view_sql(vname)).createOrReplaceTempView(

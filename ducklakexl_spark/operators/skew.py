@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple[Column, str]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-stage (salted) aggregation for skewed keys.
@@ -25,8 +25,12 @@ def salted_agg(
     Stage 1 groups by (key, salt) — the hot key fans out over ``n_salts``
     reducers; stage 2 re-aggregates the per-salt partials by key alone.
     ``aggs`` maps output column name -> a *decomposable* aggregate over
-    input columns (sum/count/min/max; avg must be expressed as sum+count
-    by the caller — the classic partial-aggregation restriction).
+    input columns, either a bare Column (partials re-fold with ``sum`` —
+    right for sum/count) or ``(column, "sum"|"min"|"max")`` naming the
+    re-fold explicitly (avg must be expressed as sum+count by the caller
+    — the classic partial-aggregation restriction).  The re-fold is part
+    of the declared spec, never inferred from engine internals, so the
+    operator works identically under Spark Connect.
 
     The second shuffle moves only |keys| x n_salts rows, so the cost is
     one extra narrow stage, and no single reducer ever sees the full hot
@@ -35,24 +39,23 @@ def salted_agg(
     per hot key are still too large for one task, e.g. collect-style or
     high-cardinality-distinct aggregates.)
     """
+    _REFOLDS = {"sum": F.sum, "min": F.min, "max": F.max}
+    spec: dict[str, tuple[Column, str]] = {}
+    for name, v in aggs.items():
+        col, refold = v if isinstance(v, tuple) else (v, "sum")
+        if refold not in _REFOLDS:
+            raise ValueError(f"salted_agg: unknown refold {refold!r}")
+        spec[name] = (col, refold)
+
     salted = df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     partial = salted.groupBy(*keys, "__salt").agg(
-        *[c.alias(f"__p_{name}") for name, c in aggs.items()]
+        *[c.alias(f"__p_{name}") for name, (c, _r) in spec.items()]
     )
-
-    def _refold(name: str, col: Column) -> Column:
-        # sum/count partials re-fold with sum; min/max with min/max
-        fn = col._jc.toString().lower()
-        if fn.startswith("count("):
-            return F.sum(f"__p_{name}")
-        if fn.startswith("min("):
-            return F.min(f"__p_{name}")
-        if fn.startswith("max("):
-            return F.max(f"__p_{name}")
-        return F.sum(f"__p_{name}")
-
     return partial.groupBy(*keys).agg(
-        *[_refold(name, c).alias(name) for name, c in aggs.items()]
+        *[
+            _REFOLDS[r](f"__p_{name}").alias(name)
+            for name, (_c, r) in spec.items()
+        ]
     )
 
 

@@ -35,7 +35,7 @@ def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={
             "n": F.count(F.lit(1)),
             "total_value": F.sum("value"),
-            "max_value": F.max("value"),
+            "max_value": (F.max("value"), "max"),
         },
         n_salts=16,
     )

@@ -33,10 +33,19 @@ class WorkbookSync:
 
     def pull(self, catalog: DuckLakeCatalog) -> None:
         """Workbook → catalog: read every sheet, coerce to declared dtypes,
-        truncate-and-replace the catalog tables, atomic store commit."""
+        truncate-and-replace the catalog tables, atomic store commit.
+
+        Backends exposing ``read_sheets`` get the concurrent per-sheet
+        fan-out (one gather over ~19 sheets instead of serialized
+        round-trips — the reference's _session_pull_all,
+        ducklakexl.py:467-481); others fall back to sequential reads."""
+        items = list(self._sheet_for.items())
+        if hasattr(self.workbook, "read_sheets"):
+            results = self.workbook.read_sheets([s for _t, s in items])
+        else:
+            results = [self.workbook.read_sheet(s) for _t, s in items]
         new_tables = {}
-        for t, sheet in self._sheet_for.items():
-            header, rows = self.workbook.read_sheet(sheet)
+        for (t, _sheet), (header, rows) in zip(items, results):
             if not header:
                 continue  # empty sheet: keep local table (fresh workbook)
             new_tables[t] = conform(t, pull_coerce(t, header, rows))
@@ -52,7 +61,15 @@ class WorkbookSync:
     def push(self, catalog: DuckLakeCatalog) -> None:
         """Catalog → workbook: serialize every table and clear+rewrite its
         sheet (full rewrite, matching the reference — README.md:160-163
-        lists delta-push only as future work)."""
-        for t, sheet in self._sheet_for.items():
-            header, rows = push_serialize(t, catalog.tables[t])
-            self.workbook.write_sheet(sheet, header, rows)
+        lists delta-push only as future work).  Concurrent fan-out via
+        ``write_sheets`` when the backend has it (the reference's
+        _session_push_all, ducklakexl.py:539-550)."""
+        payloads = [
+            (sheet, *push_serialize(t, catalog.tables[t]))
+            for t, sheet in self._sheet_for.items()
+        ]
+        if hasattr(self.workbook, "write_sheets"):
+            self.workbook.write_sheets(payloads)
+        else:
+            for sheet, header, rows in payloads:
+                self.workbook.write_sheet(sheet, header, rows)

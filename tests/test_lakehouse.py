@@ -703,3 +703,25 @@ def test_at_timestamp_time_travel(lake):
     assert lake.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 3
     with pytest.raises(ValueError, match="no snapshot"):
         lake.sql("SELECT * FROM t AT (TIMESTAMP => '1999-01-01 00:00:00')")
+
+
+def test_table_refs_not_matched_in_string_literals(lake):
+    """Identifier extraction is tokenized: a table name inside a string
+    literal or comment is not a table reference (the old word-boundary
+    regex would try to register it)."""
+    from ducklakexl_spark.engine import sql_identifiers
+
+    ids = sql_identifiers(
+        "SELECT 'orders are nice' AS note, \"quoted_col\" -- orders\n"
+        "FROM lineitem /* orders */ WHERE x = 'from orders'"
+    )
+    assert "lineitem" in ids and "quoted_col" in ids
+    assert "orders" not in ids  # only in literals/comments
+
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE items(id INTEGER, note VARCHAR)")
+    lake.sql("INSERT INTO items VALUES (1, 'x')")
+    # 'secret_table' exists only inside a literal; resolving must neither
+    # fail nor touch it
+    out = lake.sql("SELECT id, 'secret_table' AS ref FROM items")
+    assert [tuple(r) for r in out.collect()] == [(1, "secret_table")]

@@ -241,3 +241,113 @@ def test_onedrive_workbook_with_fake_transport():
     assert sheets["table"][0] == ["table_id", "table_name"]
     # write = clear + PATCH range (3 round trips incl. usedRange semantics)
     assert any("/usedRange/clear" in u for _, u in log)
+
+
+def test_onedrive_filename_resolution_and_create():
+    """Bare-filename targets resolve via /drives/<d>/root:/<path>; a 404
+    with create_if_missing uploads a blank workbook via PUT :/content
+    (ducklakexl.py:185-228, 586-628)."""
+    from ducklakexl_spark.sync.graph import OneDriveWorkbook
+
+    log = []
+
+    async def transport(method, url, **kw):
+        log.append((method, url))
+        if method == "GET" and url.endswith("/root:/books/cat.xlsx"):
+            return 404, {}, None
+        if method == "PUT" and url.endswith("/root:/books/cat.xlsx:/content"):
+            assert kw["data"][:2] == b"PK"  # a real zip/xlsx payload
+            return 201, {}, {"id": "item42"}
+        return 500, {}, None
+
+    with pytest.raises(FileNotFoundError):
+        OneDriveWorkbook(
+            "cat.xlsx", transport=transport, drive_id="d1", folder_path="books"
+        )
+    wb = OneDriveWorkbook(
+        "cat.xlsx",
+        transport=transport,
+        drive_id="d1",
+        folder_path="books",
+        create_if_missing=True,
+    )
+    assert wb.target == "/drives/d1/items/item42"
+    # resid form: {drive}!{item} parses without any round-trip
+    wb2 = OneDriveWorkbook("d9!abc", transport=transport)
+    assert wb2.target == "/drives/d9/items/d9!abc"
+    # drive_id required for bare filenames
+    with pytest.raises(ValueError, match="drive_id"):
+        OneDriveWorkbook("x.xlsx", transport=transport)
+
+
+def test_workbook_sync_uses_concurrent_fanout():
+    """WorkbookSync.pull/push must hit the batched read_sheets /
+    write_sheets fan-out when the backend provides it — one gather over
+    all sheets, not serialized per-sheet round-trips."""
+    from ducklakexl_spark.catalog.schemas import CATALOG_SCHEMAS
+
+    calls = {"read_batch": 0, "write_batch": 0, "read_one": 0, "write_one": 0}
+
+    class BatchingWorkbook:
+        def sheet_names(self):
+            return []
+
+        def create_sheet(self, name):
+            pass
+
+        def read_sheet(self, name):
+            calls["read_one"] += 1
+            return [], []
+
+        def write_sheet(self, name, header, rows):
+            calls["write_one"] += 1
+
+        def read_sheets(self, names):
+            calls["read_batch"] += 1
+            assert len(names) == len(CATALOG_SCHEMAS)
+            return [([], []) for _ in names]
+
+        def write_sheets(self, payloads):
+            calls["write_batch"] += 1
+            assert len(payloads) == len(CATALOG_SCHEMAS)
+
+    from ducklakexl_spark.catalog.catalog import DuckLakeCatalog
+    from ducklakexl_spark.catalog.store import CatalogStore
+    from ducklakexl_spark.sync.sync import WorkbookSync
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sync_t_")
+    cat = DuckLakeCatalog(CatalogStore(tmp + "/cat"), tmp + "/data")
+    ws = WorkbookSync(BatchingWorkbook())
+    ws.pull(cat)
+    ws.push(cat)
+    assert calls["read_batch"] == 1 and calls["write_batch"] == 1
+    assert calls["read_one"] == 0 and calls["write_one"] == 0
+
+
+def test_onedrive_graph_ops_batch_concurrently():
+    """read_sheets/write_sheets issue all per-sheet requests in one
+    gather: with an instant fake transport every request is logged before
+    any result is consumed (ducklakexl.py:467-481, 539-550)."""
+    from ducklakexl_spark.sync.graph import OneDriveWorkbook
+
+    log = []
+
+    async def transport(method, url, **kw):
+        log.append((method, url))
+        if "/usedRange/clear" in url:
+            return 200, {}, {}
+        if "/usedRange" in url:
+            return 200, {}, {"values": [["h"], ["1"]]}
+        if "/range(address=" in url:
+            return 200, {}, {}
+        return 404, {}, None
+
+    wb = OneDriveWorkbook("/drives/d/items/i", transport=transport)
+    out = wb.read_sheets(["a", "b", "c"])
+    assert len(out) == 3 and all(h == ["h"] for h, _ in out)
+    assert len(log) == 3
+    wb.write_sheets([("a", ["h"], [["1"]]), ("b", ["h"], [["2"]])])
+    # each write = clear + PATCH
+    assert len(log) == 3 + 4
