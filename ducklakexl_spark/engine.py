@@ -330,6 +330,36 @@ def find_top_level_keyword(s: str, kw: str, start: int = 0) -> int:
     return -1
 
 
+_WITH_RECURSIVE_RE = re.compile(
+    r"^\s*WITH\s+RECURSIVE\s+(\w+)\s*(?:\(([^)]*)\))?\s*AS\s*\(", re.I
+)
+
+
+def matching_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at ``open_idx`` (quote-aware)."""
+    depth = 0
+    i, n = open_idx, len(s)
+    in_str: str | None = None
+    while i < n:
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                if in_str == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses in statement")
+
+
 def sql_identifiers(stmt: str) -> set[str]:
     """All identifier tokens in a statement — bare words plus
     double-quoted identifiers — with string literals and comments
@@ -399,6 +429,29 @@ def rewrite_qualify(stmt: str) -> str:
 _EXCLUDE_RE = re.compile(
     r"(\*\s*)EXCLUDE\s*(?:\(([^)]*)\)|(\w+))", re.I
 )
+
+_USING_SAMPLE_RE = re.compile(
+    r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT|ROWS)"
+    r"(?:\s*\(\s*(?:bernoulli|system|reservoir)\s*(?:,\s*(\d+))?\s*\))?",
+    re.I,
+)
+
+
+def rewrite_using_sample(stmt: str) -> str:
+    """DuckDB's ``USING SAMPLE n% [(method, seed)]`` → Spark's
+    ``TABLESAMPLE (n PERCENT) [REPEATABLE(seed)]`` (``n ROWS`` maps
+    directly).  Sampling method is engine-specific either way; the
+    rewrite preserves the fraction/row-count and the seed."""
+
+    def _sub(m: re.Match) -> str:
+        n, unit, seed = m.group(1), m.group(2).upper(), m.group(3)
+        unit = "PERCENT" if unit in ("%", "PERCENT") else "ROWS"
+        out = f"TABLESAMPLE ({n} {unit})"
+        if seed is not None:
+            out += f" REPEATABLE({seed})"
+        return out
+
+    return _USING_SAMPLE_RE.sub(_sub, stmt)
 
 
 def rewrite_exclude(stmt: str) -> str:
@@ -1477,10 +1530,87 @@ class DuckLakeSpark:
         ]
         return head + ", ".join(out_cols) + tail
 
+    MAX_RECURSIVE_ROUNDS = 200
+
+    def _exec_recursive_cte(self, stmt: str) -> DataFrame:
+        """``WITH RECURSIVE name [(cols)] AS (base UNION [ALL] step) …`` —
+        Spark SQL has no recursive CTEs, so the engine runs the textbook
+        semi-naive fixpoint: the working table is the PREVIOUS round's
+        new rows (never the whole accumulator), each round re-binds the
+        CTE name to it and runs the step through the normal _select path,
+        UNION dedups against the accumulator (null-safe on every column)
+        and stops at an empty delta, UNION ALL appends until the step
+        yields nothing.  localCheckpoint truncates the growing lineage —
+        the same pattern as operators/graph.connected_components, which
+        this generalizes to arbitrary step SQL."""
+        m = _WITH_RECURSIVE_RE.match(stmt)
+        assert m is not None
+        name, col_list = m.group(1), m.group(2)
+        open_idx = stmt.index("(", m.end() - 1)
+        close_idx = matching_paren(stmt, open_idx)
+        body = stmt[open_idx + 1 : close_idx]
+        rest = stmt[close_idx + 1 :].lstrip()
+        if rest.startswith(","):
+            remainder = "WITH " + rest[1:].lstrip()
+        else:
+            remainder = rest
+
+        upos = find_top_level_keyword(body, "UNION")
+        if upos < 0:
+            base_sql, step_sql, union_all = body, None, False
+        else:
+            base_sql = body[:upos]
+            step_sql = body[upos + len("UNION") :].lstrip()
+            union_all = step_sql[:3].upper() == "ALL" and (
+                len(step_sql) == 3 or not step_sql[3].isalnum()
+            )
+            if union_all:
+                step_sql = step_sql[3:]
+
+        acc = self._select(base_sql)
+        if col_list:
+            acc = acc.toDF(*[c.strip().strip('"') for c in col_list.split(",")])
+        if not union_all:
+            acc = acc.distinct()
+        acc = acc.localCheckpoint(eager=True)
+        frontier = acc
+        cols = acc.columns
+        if step_sql is not None:
+            for _round in range(self.MAX_RECURSIVE_ROUNDS):
+                frontier.createOrReplaceTempView(name)
+                step = self._select(step_sql).toDF(*cols)
+                if union_all:
+                    new = step.localCheckpoint(eager=True)
+                else:
+                    cond = None
+                    a, b = step.alias("__s"), acc.alias("__a")
+                    for c in cols:
+                        eq = F.col(f"__s.{c}").eqNullSafe(F.col(f"__a.{c}"))
+                        cond = eq if cond is None else (cond & eq)
+                    new = (
+                        a.join(b, cond, "left_anti")
+                        .distinct()
+                        .localCheckpoint(eager=True)
+                    )
+                if new.isEmpty():
+                    break
+                acc = acc.unionByName(new).localCheckpoint(eager=True)
+                frontier = new
+            else:
+                raise RuntimeError(
+                    f"WITH RECURSIVE {name}: no fixpoint after "
+                    f"{self.MAX_RECURSIVE_ROUNDS} rounds"
+                )
+        acc.createOrReplaceTempView(name)
+        return self._select(remainder)
+
     def _select(self, stmt: str) -> DataFrame:
+        if _WITH_RECURSIVE_RE.match(stmt):
+            return self._exec_recursive_cte(stmt)
         stmt = self._expand_star_modifiers(stmt)
         stmt = rewrite_exclude(stmt)
         stmt = rewrite_qualify(stmt)
+        stmt = rewrite_using_sample(stmt)
         stmt = self._read_file_views(stmt)
         if re.search(r"\binformation_schema\.tables\b", stmt, re.I):
             # the reference's own reflection query (ducklakexl.py:238-240)

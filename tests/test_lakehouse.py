@@ -725,3 +725,39 @@ def test_table_refs_not_matched_in_string_literals(lake):
     # fail nor touch it
     out = lake.sql("SELECT id, 'secret_table' AS ref FROM items")
     assert [tuple(r) for r in out.collect()] == [(1, "secret_table")]
+
+
+def test_with_recursive_series(lake):
+    lake.sql("USE db")
+    out = lake.sql(
+        "WITH RECURSIVE r(n) AS ("
+        "  SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 10"
+        ") SELECT n FROM r ORDER BY n"
+    )
+    assert [r[0] for r in out.collect()] == list(range(1, 11))
+
+
+def test_with_recursive_reachability_over_lake_table(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE edges(src INTEGER, dst INTEGER)")
+    lake.sql("INSERT INTO edges VALUES (1,2),(2,3),(3,4),(10,11)")
+    out = lake.sql(
+        "WITH RECURSIVE reach(node) AS ("
+        "  SELECT 1"
+        "  UNION"
+        "  SELECT e.dst FROM reach r JOIN edges e ON e.src = r.node"
+        ") SELECT node FROM reach ORDER BY node"
+    )
+    assert [r[0] for r in out.collect()] == [1, 2, 3, 4]
+
+
+def test_with_recursive_cycle_terminates_with_union(lake):
+    lake.sql("USE db")
+    lake.sql("CREATE TABLE cyc(src INTEGER, dst INTEGER)")
+    lake.sql("INSERT INTO cyc VALUES (1,2),(2,3),(3,1)")
+    out = lake.sql(
+        "WITH RECURSIVE reach(node) AS ("
+        "  SELECT 1 UNION SELECT c.dst FROM reach r JOIN cyc c ON c.src = r.node"
+        ") SELECT count(*) AS n FROM reach"
+    )
+    assert out.collect()[0]["n"] == 3  # UNION dedup reaches a fixpoint
