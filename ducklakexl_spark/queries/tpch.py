@@ -586,3 +586,305 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM part, supplier, cost, nation, region
+    WHERE p_partkey = cost.l_partkey AND s_suppkey = cost.l_suppkey
+      AND p_size = 15
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND unit_cost = (
+          SELECT min(c2.unit_cost)
+          FROM cost c2, supplier s2, nation n2, region r2
+          WHERE c2.l_partkey = p_partkey AND s2.s_suppkey = c2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier): correlated scalar-min subquery
+    over a region-restricted supplier join.  The fixture has no partsupp
+    table, so unit cost is each (part, supplier)'s best observed
+    l_extendedprice / l_quantity — the join topology and the
+    min-equality decorrelation are Q2's.  Spark plans it decorrelated:
+    one narrow groupBy builds the cost table, a per-part min aggregate
+    (not a window over the full corpus) computes the regional floor, and
+    the equality join back is an equi-join on (partkey, unit_cost).
+    nation/region/part broadcast; the only big shuffles are the two
+    lineitem-grain groupBys, both with map-side partial aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_eu = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    cost_eu = cost.join(
+        F.broadcast(supp_eu.select("s_suppkey", "s_acctbal", "s_name", "n_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    floor = cost_eu.groupBy(F.col("l_partkey").alias("fp")).agg(
+        F.min("unit_cost").alias("floor_cost")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        cost_eu.join(
+            floor,
+            (F.col("l_partkey") == F.col("fp"))
+            & (F.col("unit_cost") == F.col("floor_cost")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    SELECT l_partkey AS ps_partkey,
+           round(sum(l_extendedprice), 2) AS part_value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_nationkey < 13
+    GROUP BY l_partkey
+    HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 1500 > (
+        SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_nationkey < 13)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): grouped value per part HAVING more
+    than a fixed fraction of the uncorrelated global total.  No partsupp
+    in the fixture, so value is lineitem revenue from the two nations'
+    suppliers.  The threshold comparison runs in DECIMAL so the
+    boundary is exact — double sums are order-dependent and Spark/DuckDB
+    would disagree on rows sitting exactly at the cut.  Spark computes
+    the fact join once, aggregates per part (partial agg map-side), and
+    broadcasts the single-row total for the filter; at 100 TB the only
+    full shuffle is the per-part groupBy."""
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "supplier").join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_partkey", "l_extendedprice")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("dec_value"),
+    )
+    total = li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_dec")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("dec_value") * 1500 > F.col("total_dec"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("raw_value", 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus AS shipmode,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping modes & priority): fact-fact join with a
+    non-equi residual predicate and two CASE-conditional counts.  The
+    fixture has no l_shipmode/commitdate/receiptdate, so the mode is
+    l_linestatus and "late" is shipped after the order date.  The
+    l_shipdate range pushes to the lineitem scan; the join is the one
+    o_orderkey shuffle; both conditional counts fold into a single
+    partial-aggregated groupBy."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q20_part_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l1.l_suppkey FROM lineitem l1
+        WHERE l1.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+          AND l1.l_shipdate >= DATE '1996-01-01'
+          AND l1.l_shipdate <  DATE '1997-01-01'
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        HAVING sum(l1.l_quantity) > 0.05 * (
+            SELECT sum(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey))
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (potential part promotion): nested IN subqueries with a
+    correlated per-part threshold.  No partsupp availqty, so a supplier
+    qualifies when its 1996 shipments of a 'blue%' part exceed 5% of
+    that part's all-time shipped quantity.  l_quantity is
+    integer-valued, so the double sums are exact and order-independent —
+    the 0.3 threshold is deterministic across engines.  Spark
+    decorrelates: both aggregates group on the part key (partial agg
+    map-side), the per-part total joins back on that key, and the final
+    IN is a left-semi join; part and supplier broadcast."""
+    blue = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey")
+    )
+    recent = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty_1996"))
+    )
+    total = li.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    qualifying = (
+        recent.join(total, F.col("l_partkey") == F.col("tp"))
+        .filter(F.col("qty_1996") > 0.05 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o2
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND o2.o_orderkey = l3.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): the EXISTS /
+    NOT EXISTS double-correlation on the same fact table.  "Late" is
+    shipped >60 days after the order date (no receipt/commit dates in
+    the fixture).  Spark plans the EXISTS as a left-semi and the NOT
+    EXISTS as a left-anti join, both equi-joins on l_orderkey with the
+    supplier-inequality residual — no nested-loop; the late-lineitem
+    set is computed once and reused for both the probe side and the
+    anti side.  At scale the three l_orderkey shuffles co-partition."""
+    orders_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    l1 = late.select("l_orderkey", "l_suppkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    return (
+        l1.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "supplier").join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
