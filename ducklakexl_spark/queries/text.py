@@ -173,3 +173,174 @@ def text_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             len(list_distinct(w)) AS n_distinct,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END AS bg
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6)
+               AS dup_word_frac,
+           round(CASE WHEN len(bg) > 0
+                      THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                               / len(bg)
+                      ELSE 0.0 END, 6) AS dup_bigram_frac,
+           CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.9
+                AND (CASE WHEN len(bg) > 0
+                          THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                                   / len(bg)
+                          ELSE 0.0 END) <= 0.95 AS BOOLEAN) AS passes_repetition
+    FROM feat
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText family of
+    rules): duplicate-word fraction and duplicate-bigram fraction per
+    document, with a keep flag.  Pure per-row array expressions — no
+    shuffle, no Python; at 100 TB this is a single codegen'd map over
+    the corpus.  Ratios divide exact integer counts, so the thresholds
+    are engine-deterministic."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(w)
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_w = 1.0 - F.size(F.array_distinct(w)).cast("double") / n
+    dup_b = F.when(
+        F.size(bg) > 0,
+        1.0 - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(dup_w, 6).alias("dup_word_frac"),
+        F.round(dup_b, 6).alias("dup_bigram_frac"),
+        ((dup_w <= 0.9) & (dup_b <= 0.95)).alias("passes_repetition"),
+    )
+
+
+@query(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+                 / len(w) AS mean_word_len,
+             len(list_filter(w, t -> lower(t) IN ({_STOP_SQL}))) AS stop_hits
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           CAST(n_words BETWEEN 20 AND 100000
+                AND mean_word_len BETWEEN 2 AND 12
+                AND stop_hits >= 1 AS BOOLEAN) AS passes_gopher
+    FROM feat
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document gate: word-count band, mean-word-length
+    band, minimum stopword evidence (the signals from the MassiveText
+    quality rules that the synthetic fixture can exercise).  Same scale
+    shape as the other text ops: one codegen'd projection, thresholds on
+    exact integer arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(w)
+    mean_len = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda a, x: a + x
+    ).cast("double") / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+        (
+            n.between(20, 100000)
+            & mean_len.between(2, 12)
+            & (stop_hits >= 1)
+        ).alias("passes_gopher"),
+    )
+
+
+# Common-subset regexes (Java regex on the Spark side, RE2 in DuckDB:
+# no lookaround, no backrefs) for the classic PII scrub patterns.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT)
+               AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and replace email / IPv4 / phone
+    patterns, emitting an md5 of the scrubbed text so the oracle proves
+    the *transformation* is identical, not just the counts.  The regexes
+    stay in the Java-regex ∩ RE2 common subset so both engines match the
+    same spans.  Per-row codegen'd projection — the 100 TB shape."""
+    d = load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IPV4), 0))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
