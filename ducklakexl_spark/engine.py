@@ -26,6 +26,7 @@ import os
 import re
 import uuid
 
+import pandas as pd
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -399,6 +400,61 @@ def sql_identifiers(stmt: str) -> set[str]:
             i = j - 1
         i += 1
     return ids
+
+
+_DISTINCT_ON_RE = re.compile(r"^(\s*SELECT)\s+DISTINCT\s+ON\s*\(", re.I)
+
+
+def rewrite_distinct_on(stmt: str) -> str:
+    """DuckDB/Postgres ``SELECT DISTINCT ON (keys) …  ORDER BY …`` →
+    a row_number window: first row per key group under the query's
+    ORDER BY (keys themselves when absent), which is exactly DuckDB's
+    semantics.  The outer ORDER BY is re-applied only when a LIMIT makes
+    row order semantic (it must then reference select-list columns);
+    otherwise presentation order is dropped — relational results are
+    unordered.  Outermost query only, like rewrite_qualify."""
+    m = _DISTINCT_ON_RE.match(stmt)
+    if not m:
+        return stmt
+    i = m.end() - 1
+    depth, j = 0, i
+    while j < len(stmt):
+        if stmt[j] == "(":
+            depth += 1
+        elif stmt[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    keys = stmt[i + 1 : j].strip()
+    body = stmt[j + 1 :]
+    opos = find_top_level_keyword(body, "ORDER BY")
+    lpos = find_top_level_keyword(body, "LIMIT")
+    ends = [p for p in (opos, lpos) if p >= 0]
+    cut = min(ends) if ends else len(body)
+    core = body[:cut].rstrip()
+    order = None
+    if opos >= 0:
+        oend = lpos if lpos > opos else len(body)
+        order = body[opos + len("ORDER BY") : oend].strip()
+    win_order = order if order else keys
+    fpos = find_top_level_keyword(core, "FROM")
+    if fpos < 0:
+        return stmt
+    inner = (
+        f"SELECT {core[:fpos].strip()}, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {win_order}) AS __rn "
+        f"{core[fpos:]}"
+    )
+    out = (
+        f"SELECT * EXCEPT(__rn) FROM ({inner}) __distinct_on "
+        f"WHERE __rn = 1"
+    )
+    if lpos >= 0:
+        if order:
+            out += f" ORDER BY {order}"
+        out += f" {body[lpos:].strip()}"
+    return out
 
 
 def rewrite_qualify(stmt: str) -> str:
@@ -1078,33 +1134,62 @@ class DuckLakeSpark:
         return df
 
     def _skip_files(self, tid, snapshot, paths, predicates) -> list[str]:
+        """Catalog-side file skipping from per-file min/max stats and
+        exact partition values.
+
+        Fully vectorized over the stats tables (columnar pandas ops, no
+        per-row Python) so pruning stays O(files) at C speed — the
+        metadata path has to survive millions of files even though each
+        individual query then reads few of them.  A file survives unless
+        some predicate's [min, max] interval (or exact partition value)
+        proves it can't contain a match; stats that fail the type
+        conversion coerce to NaN and never prune (conservative).
+        """
         stats = self.catalog.tables["ducklake_file_column_statistics"]
         dfiles = self.catalog.data_files(tid, snapshot)
         cols = self.catalog.columns(tid, snapshot)
         id_by_name = {r.column_name: int(r.column_id) for r in cols.itertuples()}
         path_by_fid = dict(zip(dfiles["data_file_id"], dfiles["path"]))
-        keep = set(paths)
+        drop_fids: set[int] = set()
+
+        def _coerce(series, value):
+            if isinstance(value, bool):
+                return series.map({"true": True, "false": False, True: True, False: False})
+            if isinstance(value, (int, float)):
+                return pd.to_numeric(series, errors="coerce")
+            return series.astype("string")
+
+        def _violates(lo, hi, op, value):
+            # positive violation conditions; NaN compares False, so a
+            # failed coercion never prunes
+            if op == "=":
+                return (lo > value) | (hi < value)
+            if op == ">":
+                return hi <= value
+            if op == ">=":
+                return hi < value
+            if op == "<":
+                return lo >= value
+            if op == "<=":
+                return lo > value
+            return None
+
+        srel = stats[stats["table_id"] == tid]
         for cname, op, value in predicates:
             cid = id_by_name.get(cname)
             if cid is None:
                 continue
-            rel = stats[(stats["table_id"] == tid) & (stats["column_id"] == cid)]
-            for r in rel.itertuples():
-                path = path_by_fid.get(int(r.data_file_id))
-                if path not in keep or r.min_value is None or r.max_value is None:
-                    continue
-                try:
-                    mn, mx = type(value)(r.min_value), type(value)(r.max_value)
-                except (TypeError, ValueError):
-                    continue
-                if (
-                    (op == "=" and not (mn <= value <= mx))
-                    or (op == ">" and not (mx > value))
-                    or (op == ">=" and not (mx >= value))
-                    or (op == "<" and not (mn < value))
-                    or (op == "<=" and not (mn <= value))
-                ):
-                    keep.discard(path)
+            rel = srel[srel["column_id"] == cid]
+            if rel.empty:
+                continue
+            mn = _coerce(rel["min_value"], value)
+            mx = _coerce(rel["max_value"], value)
+            cmp_val = str(value) if isinstance(value, str) else value
+            bad = _violates(mn, mx, op, cmp_val)
+            if bad is None:
+                continue
+            bad = bad.fillna(False) & mn.notna() & mx.notna()
+            drop_fids.update(int(f) for f in rel.loc[bad, "data_file_id"])
         # partition-value pruning (exact, not min/max): a file whose
         # recorded partition value fails the predicate can't match at all
         scheme = self.catalog.partition_scheme(tid, snapshot)
@@ -1114,29 +1199,29 @@ class DuckLakeSpark:
             key_idx_by_name = {
                 name_by_id[cid]: i for i, cid in enumerate(key_col_ids)
             }
-            pv = self.catalog.tables["ducklake_file_partition_value"]
+            pvt = self.catalog.tables["ducklake_file_partition_value"]
+            prel = pvt[pvt["table_id"] == tid]
             for cname, op, value in predicates:
                 ki = key_idx_by_name.get(cname)
                 if ki is None:
                     continue
-                rel = pv[(pv["table_id"] == tid) & (pv["partition_key_index"] == ki)]
-                for r in rel.itertuples():
-                    path = path_by_fid.get(int(r.data_file_id))
-                    if path not in keep or r.partition_value is None:
-                        continue
-                    try:
-                        v = type(value)(r.partition_value)
-                    except (TypeError, ValueError):
-                        continue
-                    if (
-                        (op == "=" and v != value)
-                        or (op == ">" and not (v > value))
-                        or (op == ">=" and not (v >= value))
-                        or (op == "<" and not (v < value))
-                        or (op == "<=" and not (v <= value))
-                    ):
-                        keep.discard(path)
-        return [p for p in paths if p in keep]
+                rel = prel[prel["partition_key_index"] == ki]
+                if rel.empty:
+                    continue
+                v = _coerce(rel["partition_value"], value)
+                cmp_val = str(value) if isinstance(value, str) else value
+                # exact values: '=' prunes on any inequality
+                bad = (
+                    (v != cmp_val)
+                    if op == "="
+                    else _violates(v, v, op, cmp_val)
+                )
+                if bad is None:
+                    continue
+                bad = bad.fillna(False) & v.notna()
+                drop_fids.update(int(f) for f in rel.loc[bad, "data_file_id"])
+        dropped = {path_by_fid.get(f) for f in drop_fids}
+        return [p for p in paths if p not in dropped]
 
     # ------------------------------------------------------------ DELETE/UPDATE
 
@@ -1609,6 +1694,7 @@ class DuckLakeSpark:
             return self._exec_recursive_cte(stmt)
         stmt = self._expand_star_modifiers(stmt)
         stmt = rewrite_exclude(stmt)
+        stmt = rewrite_distinct_on(stmt)
         stmt = rewrite_qualify(stmt)
         stmt = rewrite_using_sample(stmt)
         stmt = self._read_file_views(stmt)

@@ -340,3 +340,64 @@ def lakehouse_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.lit(sampled) <= 0.7 * F.col("n"))
         ).alias("sample_within_bounds"),
     )
+
+
+@query(
+    "lakehouse_distinct_on",
+    pure=False,
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_custkey <= 200
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """,
+)
+def lakehouse_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT DISTINCT ON`` (DuckDB/Postgres sugar) through sql()
+    TEXT: each customer's most recent order, rewritten to a
+    row_number-over-partition window — the standard decorrelation, one
+    shuffle on the key.  DuckDB runs the same statement natively as the
+    oracle."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT DISTINCT ON (o_custkey)
+               o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               round(o_totalprice, 2) AS price
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        WHERE o_custkey <= 200
+        ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+        """
+    )
+
+
+@query(
+    "lakehouse_group_by_all",
+    pure=False,
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def lakehouse_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (DuckDB sugar) through sql()
+    TEXT — Spark 4 parses both natively, so the dialect surface lines up
+    with no rewrite; registered to pin that behavior."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               round(sum(o_totalprice), 2) AS total_price,
+               count(*) AS n_orders
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
