@@ -181,7 +181,8 @@ _MERGE_RE = re.compile(
 )
 _MERGE_CLAUSE_START_RE = re.compile(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.I)
 _MERGE_CLAUSE_RE = re.compile(
-    r"^WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?)\s+)?THEN\s+"
+    r"^WHEN\s+(NOT\s+)?MATCHED\s*(?:BY\s+(SOURCE|TARGET)\s*)?"
+    r"(?:AND\s+(.*?)\s+)?THEN\s+"
     r"((?:UPDATE|DELETE|INSERT)\b.*)$",
     re.I | re.S,
 )
@@ -197,8 +198,11 @@ def _parse_merge_clauses(actions: str) -> list[dict]:
     """Tokenize every WHEN clause of a MERGE, in order; raise on any
     clause the planner does not implement (a silently dropped clause
     would execute a partial merge).  Supported per the SQL shape:
-    ``WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE`` and
-    ``WHEN NOT MATCHED [AND cond] THEN INSERT [*|(cols) VALUES (…)]``."""
+    ``WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE``,
+    ``WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT
+    [*|(cols) VALUES (…)]``, and ``WHEN NOT MATCHED BY SOURCE
+    [AND cond] THEN UPDATE SET …|DELETE`` (target rows with no source
+    match)."""
     starts = [m.start() for m in _MERGE_CLAUSE_START_RE.finditer(actions)]
     if not starts or actions[: starts[0]].strip():
         raise ValueError(f"MERGE: unparsable WHEN clauses: {actions!r}")
@@ -208,11 +212,31 @@ def _parse_merge_clauses(actions: str) -> list[dict]:
         m = _MERGE_CLAUSE_RE.match(chunk)
         if not m:
             raise ValueError(f"MERGE: unsupported WHEN clause: {chunk!r}")
-        matched = m.group(1) is None
-        cond = m.group(2)
-        act = m.group(3).strip()
-        cl: dict = {"matched": matched, "cond": cond}
-        if matched and (u := _MERGE_UPDATE_ACTION_RE.match(act)):
+        is_not = m.group(1) is not None
+        by = (m.group(2) or "").upper()
+        cond = m.group(3)
+        act = m.group(4).strip()
+        if by and not is_not:
+            raise ValueError(f"MERGE: BY {by} requires NOT MATCHED: {chunk!r}")
+        by_source = by == "SOURCE"
+        # NOT MATCHED BY SOURCE acts on *target* rows, so its actions are
+        # the matched-style ones (UPDATE/DELETE), not INSERT
+        matched = not is_not
+        cl: dict = {"matched": matched, "cond": cond, "by_source": by_source}
+        if by_source and (u := _MERGE_UPDATE_ACTION_RE.match(act)):
+            cl["action"] = "update"
+            cl["assignments"] = {}
+            for part in split_top_level(u.group(1)):
+                k, v = part.split("=", 1)
+                cl["assignments"][k.strip().strip('"').split(".")[-1]] = v.strip()
+        elif by_source and _MERGE_DELETE_ACTION_RE.match(act):
+            cl["action"] = "delete"
+        elif by_source:
+            raise ValueError(
+                f"MERGE: NOT MATCHED BY SOURCE allows UPDATE/DELETE "
+                f"only, got: {act!r}"
+            )
+        elif matched and (u := _MERGE_UPDATE_ACTION_RE.match(act)):
             cl["action"] = "update"
             cl["assignments"] = {}
             for part in split_top_level(u.group(1)):
@@ -1382,7 +1406,10 @@ class DuckLakeSpark:
         cols = [f.name for f in schema.fields]
         clauses = _parse_merge_clauses(actions)
         matched_cl = [c for c in clauses if c["matched"]]
-        notm_cl = [c for c in clauses if not c["matched"]]
+        bysrc_cl = [c for c in clauses if c.get("by_source")]
+        notm_cl = [
+            c for c in clauses if not c["matched"] and not c.get("by_source")
+        ]
 
         tdf = self.table_df(name, with_position=True)
         sdf = (
@@ -1432,6 +1459,45 @@ class DuckLakeSpark:
                     ]
                 )
                 new_parts.append(upd)
+
+        if bysrc_cl:
+            # target rows with no source match: same first-match-wins
+            # CASE machinery over a left-anti join (one co-partitioned
+            # shuffle on the join key; no row explosion possible)
+            proj = [c for c in cols] + ["__file", "__pos"]
+            arms = []
+            for i, cl in enumerate(bysrc_cl):
+                arms.append(f"WHEN {cl['cond'] or 'TRUE'} THEN {i}")
+                if cl["action"] == "update":
+                    for c, expr in cl["assignments"].items():
+                        if c not in cols:
+                            raise ValueError(f"MERGE UPDATE: unknown column {c}")
+                        proj.append(f"({expr}) AS __s{i}_{c}")
+            unmatched_t = self.spark.sql(
+                f"SELECT {', '.join(proj)}, CASE {' '.join(arms)} ELSE -1 END"
+                f" AS __clause FROM (SELECT {t_alias}.* FROM __merge_t"
+                f" {t_alias} LEFT ANTI JOIN __merge_s {s_alias} ON {cond})"
+                f" AS {t_alias}"
+            )
+            touched_src = unmatched_t.filter(F.col("__clause") >= 0)
+            touched_src = touched_src.localCheckpoint(eager=True)
+            src_del = touched_src.select(
+                F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+            )
+            del_pos = src_del if del_pos is None else del_pos.unionAll(src_del)
+            for i, cl in enumerate(bysrc_cl):
+                if cl["action"] != "update":
+                    continue
+                new_parts.append(
+                    touched_src.filter(F.col("__clause") == i).select(
+                        *[
+                            F.col(f"__s{i}_{c}").alias(c)
+                            if c in cl["assignments"]
+                            else F.col(c)
+                            for c in cols
+                        ]
+                    )
+                )
 
         if notm_cl:
             anti = (

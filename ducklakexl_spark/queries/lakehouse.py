@@ -401,3 +401,35 @@ def lakehouse_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "lakehouse_merge_by_source",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (2, 'B'), (4, 'd')
+    ) t(id, v)
+    """,
+)
+def lakehouse_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sync MERGE (``WHEN NOT MATCHED BY SOURCE``): one statement
+    upserts the snapshot AND deletes target rows the source no longer
+    carries — matched updates and source-orphans both become positional
+    delete entries plus appends in a single catalog snapshot; the
+    by-source arm is a left-anti join on the merge key (co-partitioned
+    with the match join, no row explosion)."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE cur(id INTEGER, v VARCHAR);
+        INSERT INTO cur VALUES (1, 'a'), (2, 'b'), (3, 'c');
+        CREATE TABLE snap(id INTEGER, v VARCHAR);
+        INSERT INTO snap VALUES (2, 'B'), (4, 'd');
+        MERGE INTO cur USING snap AS s ON cur.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE;
+        """
+    )
+    return lake.sql("SELECT * FROM cur;")

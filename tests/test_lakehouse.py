@@ -498,14 +498,15 @@ def test_merge_unsupported_clause_raises(lake):
             "MERGE INTO t USING (SELECT 1 AS id) s ON t.id = s.id "
             "WHEN MATCHED THEN FROBNICATE"
         )
-    # NOT MATCHED BY SOURCE is recognized-but-unsupported: must raise,
-    # not silently drop
-    with pytest.raises(ValueError, match="MERGE"):
-        lake.sql(
-            "MERGE INTO t USING (SELECT 1 AS id) s ON t.id = s.id "
-            "WHEN MATCHED THEN DELETE "
-            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
-        )
+    # NOT MATCHED BY SOURCE is now a supported clause: matched rows
+    # delete via the match join, orphans via the anti join, one snapshot
+    lake.sql("INSERT INTO t VALUES (2, 'b')")
+    lake.sql(
+        "MERGE INTO t USING (SELECT 1 AS id) s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert rows(lake.sql("SELECT * FROM t")) == []
 
 
 def test_delete_spanning_files_writes_per_file_deletes(lake):
@@ -761,3 +762,49 @@ def test_with_recursive_cycle_terminates_with_union(lake):
         ") SELECT count(*) AS n FROM reach"
     )
     assert out.collect()[0]["n"] == 3  # UNION dedup reaches a fixpoint
+
+
+def test_merge_not_matched_by_source_delete(lake):
+    """Full-sync MERGE: target rows absent from the source are deleted."""
+    lake.sql("CREATE TABLE cur(id INTEGER, v VARCHAR);")
+    lake.sql("INSERT INTO cur VALUES (1, 'a'), (2, 'b'), (3, 'c');")
+    lake.sql("CREATE TABLE snap(id INTEGER, v VARCHAR);")
+    lake.sql("INSERT INTO snap VALUES (2, 'B'), (4, 'd');")
+    lake.sql(
+        "MERGE INTO cur USING snap AS s ON cur.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v) "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE;"
+    )
+    assert rows(lake.sql("SELECT * FROM cur;")) == [(2, "B"), (4, "d")]
+
+
+def test_merge_not_matched_by_source_update_conditional(lake):
+    lake.sql("CREATE TABLE st(id INTEGER, status VARCHAR);")
+    lake.sql(
+        "INSERT INTO st VALUES (1, 'active'), (2, 'active'), (3, 'stale');"
+    )
+    lake.sql("CREATE TABLE seen(id INTEGER);")
+    lake.sql("INSERT INTO seen VALUES (1);")
+    lake.sql(
+        "MERGE INTO st USING seen AS s ON st.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND status = 'active' "
+        "THEN UPDATE SET status = 'stale';"
+    )
+    assert rows(lake.sql("SELECT * FROM st;")) == [
+        (1, "active"),
+        (2, "stale"),
+        (3, "stale"),
+    ]
+
+
+def test_merge_by_source_insert_raises(lake):
+    lake.sql("CREATE TABLE z1(id INTEGER);")
+    lake.sql("CREATE TABLE z2(id INTEGER);")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="BY SOURCE"):
+        lake.sql(
+            "MERGE INTO z1 USING z2 AS s ON z1.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT VALUES (s.id);"
+        )
