@@ -704,6 +704,55 @@ class DuckLakeCatalog:
             stats.loc[mask, "file_size_bytes"] = 0
         return self.register_data_files(table_id, files, column_stats)
 
+    def expire_snapshots(self, before_snapshot: int) -> dict:
+        """Expire every snapshot older than ``before_snapshot`` (never
+        the current one): their rows leave ``ducklake_snapshot``, and any
+        data/delete file whose validity ended at-or-before the retained
+        horizon — invisible to every surviving snapshot — is dropped
+        from the catalog and queued for vacuum().  This is what makes
+        the GC queue safe to drain: a queued file can still back an
+        older snapshot until that snapshot is expired.  Also bounds
+        catalog metadata: dead file rows don't accumulate forever."""
+        snaps = self.tables["ducklake_snapshot"]
+        cutoff = min(int(before_snapshot), self.current_snapshot)
+        expired = snaps[snaps["snapshot_id"] < cutoff]
+        n_expired = int(len(expired))
+        self.tables["ducklake_snapshot"] = snaps[
+            snaps["snapshot_id"] >= cutoff
+        ].reset_index(drop=True)
+        gc_rows: list[dict] = []
+        for t in ("ducklake_data_file", "ducklake_delete_file"):
+            df = self.tables[t]
+            if df.empty:
+                continue
+            dead = df["end_snapshot"].notna() & (df["end_snapshot"] <= cutoff)
+            for r in df[dead].itertuples():
+                gc_rows.append(
+                    {
+                        "data_file_id": int(
+                            getattr(
+                                r,
+                                "data_file_id",
+                                getattr(r, "delete_file_id", 0),
+                            )
+                        ),
+                        "table_id": int(r.table_id),
+                        "path": r.path,
+                        "path_is_relative": False,
+                        "schedule_start": _now(),
+                    }
+                )
+            self.tables[t] = df[~dead].reset_index(drop=True)
+        if gc_rows:
+            seen: set[str] = set()
+            gc_rows = [
+                g for g in gc_rows
+                if g["path"] not in seen and not seen.add(g["path"])
+            ]
+            self._append("ducklake_files_scheduled_for_deletion", gc_rows)
+        self.store.save(self.tables)
+        return {"snapshots_expired": n_expired, "files_queued": len(gc_rows)}
+
     def vacuum(self) -> int:
         """Delete queued files from disk; returns the number removed."""
         import os

@@ -1050,6 +1050,37 @@ class DuckLakeSpark:
         read — the standard expire-snapshots contract."""
         return self.catalog.vacuum()
 
+    def expire_snapshots(
+        self,
+        older_than=None,
+        before_version: int | None = None,
+    ) -> dict:
+        """Expire history: snapshots strictly older than the cutoff stop
+        being time-travel targets, and files only they referenced join
+        the GC queue (run ``vacuum()`` after to reclaim disk).  Cutoff is
+        either an explicit ``before_version`` snapshot id or an
+        ``older_than`` timestamp/ISO-string resolved against snapshot
+        times; the current snapshot always survives."""
+        if (older_than is None) == (before_version is None):
+            raise ValueError(
+                "expire_snapshots: exactly one of older_than / "
+                "before_version required"
+            )
+        if before_version is None:
+            from datetime import datetime
+
+            ts = (
+                datetime.fromisoformat(older_than)
+                if isinstance(older_than, str)
+                else older_than
+            )
+            snaps = self.catalog.snapshots()
+            old = snaps[snaps["snapshot_time"] < ts]
+            if old.empty:
+                return {"snapshots_expired": 0, "files_queued": 0}
+            before_version = int(old["snapshot_id"].max()) + 1
+        return self.catalog.expire_snapshots(before_version)
+
     # -------------------------------------------------------------- scanning
 
     @staticmethod
@@ -1071,6 +1102,12 @@ class DuckLakeSpark:
         files — the same pruning DuckLake does (SURVEY §4 item 2); parquet
         footer pushdown then prunes row groups within surviving files.
         """
+        if snapshot is not None:
+            live = self.catalog.tables["ducklake_snapshot"]["snapshot_id"]
+            if int(snapshot) not in set(int(s) for s in live):
+                raise ValueError(
+                    f"snapshot {snapshot} does not exist (expired?)"
+                )
         tid = self.catalog.table_id(name, snapshot)
         schema = self.table_schema(name, snapshot)
         files = self.catalog.data_files(tid, snapshot)

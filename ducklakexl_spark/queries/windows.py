@@ -429,3 +429,42 @@ def window_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "stream_interval_join",
+    pure=False,
+    oracle="""
+    SELECT a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked interval join driven to completion:
+    purchases within 30 minutes of a click by the same user, two
+    file-source streams joined with event-time bounds on both sides so
+    join state expires (the unbounded-run requirement).  The emitted
+    pairs hash-match the batch self-join oracle — streaming/batch
+    unification for joins, same as the windowed-agg queries."""
+    import os
+    import tempfile
+
+    from ducklakexl_spark.streaming import pipeline as P
+
+    stage = tempfile.mkdtemp(prefix="events_join_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    clicks = P.read_event_stream(spark, stage).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = P.read_event_stream(spark, stage).filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = P.interval_join(clicks, purchases)
+    return P.run_append_to_completion(pairs, "q_stream_interval_join")

@@ -36,6 +36,14 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     micro-batch in tests; a production deployment points the same code at
     a Kafka source — only this reader changes)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # stateful streaming can't use AQE, so a vanilla session's 200
+    # shuffle partitions all materialize as real state-store tasks per
+    # micro-batch; size the state shuffle to the host instead
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -86,6 +94,35 @@ def deduped_stream(events: DataFrame) -> DataFrame:
     within the watermark horizon are dropped."""
     return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def interval_join(clicks: DataFrame, purchases: DataFrame,
+                  horizon: str = "30 minutes") -> DataFrame:
+    """Watermarked stream-stream inner join: purchases within ``horizon``
+    after a click by the same user.  Both sides carry watermarks and the
+    join condition bounds event time in both directions, so Spark can
+    expire join state — the requirement for an unbounded run.  Append
+    mode; each qualifying pair is emitted exactly once."""
+    c = clicks.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts "
+            f"AND p_ts <= c_ts + INTERVAL {horizon}"
+        ),
+    )
+    return joined.select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id")
     )
 
 

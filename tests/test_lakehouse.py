@@ -808,3 +808,42 @@ def test_merge_by_source_insert_raises(lake):
             "MERGE INTO z1 USING z2 AS s ON z1.id = s.id "
             "WHEN NOT MATCHED BY SOURCE THEN INSERT VALUES (s.id);"
         )
+
+
+def test_expire_snapshots_and_vacuum(lake):
+    import os
+
+    lake.sql("CREATE TABLE hist(id INTEGER);")
+    lake.sql("INSERT INTO hist VALUES (1);")          # s2
+    lake.sql("INSERT INTO hist VALUES (2);")          # s3
+    lake.sql("DELETE FROM hist WHERE id = 1;")        # s4: delete file
+    lake.compact("hist")                               # s5: file swap
+    snaps_before = len(lake.catalog.snapshots())
+    live_paths = set(
+        lake.catalog.data_files(lake.catalog.table_id("hist"))["path"]
+    )
+    cur = lake.catalog.current_snapshot
+    res = lake.expire_snapshots(before_version=cur)
+    assert res["snapshots_expired"] == snaps_before - 1
+    assert res["files_queued"] >= 1
+    # current read unaffected; expired version unreadable
+    assert rows(lake.sql("SELECT * FROM hist;")) == [(2,)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired"):
+        lake.table("hist", snapshot=2).collect()
+    removed = lake.vacuum()
+    assert removed >= 1
+    for p in live_paths:
+        assert os.path.exists(p)
+    assert rows(lake.sql("SELECT * FROM hist;")) == [(2,)]
+
+
+def test_expire_snapshots_older_than_timestamp(lake):
+    lake.sql("CREATE TABLE tt(id INTEGER);")
+    lake.sql("INSERT INTO tt VALUES (1);")
+    res = lake.expire_snapshots(older_than="1990-01-01")
+    assert res == {"snapshots_expired": 0, "files_queued": 0}
+    res = lake.expire_snapshots(older_than="2990-01-01")
+    assert res["snapshots_expired"] >= 1
+    assert rows(lake.sql("SELECT * FROM tt;")) == [(1,)]
