@@ -81,3 +81,47 @@ def test_near_dup_pairs_lsh_no_nested_loop_over_corpus(spark):
     plan = executed_plan(spark, "sim_near_dup_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q02_decorrelated_no_cartesian(spark):
+    """Q2's scalar-min correlation must decorrelate into aggregates +
+    equi-joins: no nested-loop re-execution per part."""
+    plan = executed_plan(spark, "q02_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # cost + per-part floor
+
+
+def test_q11_total_broadcasts(spark):
+    """The uncorrelated global total must broadcast to the per-part
+    rows, never shuffle-join a single-row side."""
+    plan = executed_plan(spark, "q11_important_parts")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_and_pushdown(spark):
+    plan = executed_plan(spark, "q20_part_promotion")
+    assert "CartesianProduct" not in plan
+    # the shipdate range must reach the lineitem scan
+    assert "PushedFilters: [" in plan
+
+
+def test_q21_anti_semi_equi_joins(spark):
+    """EXISTS → left-semi, NOT EXISTS → left-anti, both as hash
+    equi-joins on l_orderkey with the supplier-inequality residual."""
+    plan = executed_plan(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    low = plan.lower()
+    assert "leftsemi" in low or "left semi" in low
+    assert "leftanti" in low or "left anti" in low
+
+
+def test_text_filters_single_codegen_stage(spark):
+    """The repetition/Gopher filters are per-row projections: no
+    exchange (shuffle) anywhere in the plan."""
+    for name in ("text_repetition_filter", "text_gopher_filter",
+                 "text_pii_scrub"):
+        plan = executed_plan(spark, name)
+        assert "Exchange" not in plan, name
