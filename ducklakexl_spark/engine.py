@@ -308,8 +308,12 @@ _CREATE_SCHEMA_RE = re.compile(
 )
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(\(.*\)|[\w.\"]+)\s+TO\s+'([^']+)'\s*"
-    r"(?:\(\s*(?:FORMAT\s+)?(\w+)[^)]*\))?\s*$",
+    r"(?:\((.*)\))?\s*$",
     re.I | re.S,
+)
+_COPY_FORMAT_RE = re.compile(r"\bFORMAT\s+(\w+)", re.I)
+_COPY_PARTITION_BY_RE = re.compile(
+    r"\bPARTITION_BY\s*(?:\(([^)]*)\)|([\w\"]+))", re.I
 )
 _READ_FILE_RE = re.compile(r"\bread_(parquet|csv|json)\s*\(\s*'([^']+)'\s*\)", re.I)
 _AT_VERSION_RE = re.compile(
@@ -1609,18 +1613,33 @@ class DuckLakeSpark:
 
     # ------------------------------------------------------------------ COPY
 
-    def _copy_to(self, source: str, path: str, fmt: str | None) -> None:
-        """``COPY (SELECT …) TO 'path' (FORMAT …)`` / ``COPY tbl TO …`` —
-        the reference inherits DuckDB's COPY through its dispatch point
-        (ducklakexl.py:394; SURVEY §2.C "sinks").  The write is an
-        executor-parallel ``df.write``; format defaults by extension."""
+    def _copy_to(self, source: str, path: str, opts: str | None) -> None:
+        """``COPY (SELECT …) TO 'path' (FORMAT …, PARTITION_BY (…))`` /
+        ``COPY tbl TO …`` — the reference inherits DuckDB's COPY through
+        its dispatch point (ducklakexl.py:394; SURVEY §2.C "sinks").
+        The write is an executor-parallel ``df.write``; PARTITION_BY
+        maps to Spark's hive-layout ``partitionBy`` (same key=value
+        directory scheme DuckDB emits); format defaults by extension."""
         source = source.strip()
         if source.startswith("("):
             df = self._select(source[1:-1])
         else:
             df = self.table_df(_unqualify(source))
+        fmt = part_cols = None
+        if opts:
+            if fm := _COPY_FORMAT_RE.search(opts):
+                fmt = fm.group(1)
+            elif re.fullmatch(r"\s*(\w+)\s*", opts):
+                fmt = opts.strip()  # bare '(parquet)' shorthand
+            if pm := _COPY_PARTITION_BY_RE.search(opts):
+                cols = pm.group(1) if pm.group(1) is not None else pm.group(2)
+                part_cols = [
+                    c.strip().strip('"') for c in cols.split(",") if c.strip()
+                ]
         fmt = (fmt or ("csv" if path.lower().endswith(".csv") else "parquet")).lower()
         writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
         if fmt == "csv":
             writer.option("header", "true").csv(path)
         elif fmt == "json":

@@ -344,3 +344,71 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "udf_text_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             greatest(length(text), 1) AS nc,
+             greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS nt,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS np
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
+               AS n_bpe,
+           round((least(nt, 400) / 400.0)
+                 * (1.0 - least(CAST(np AS DOUBLE) / nc, 0.5) * 2.0), 6)
+               AS quality
+    FROM tok
+    """,
+)
+def udf_text_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-registered *pandas UDF* surface under the correctness
+    gate: ``bpe_token_count`` and ``quality_score`` (Arrow-batched,
+    ``functions.register_all``) called from SQL text, hash-matched
+    against the pure-SQL formulation DuckDB runs.  Every arithmetic step
+    is a deterministic per-row IEEE op (no sums), so the two engines
+    agree bit-for-bit before rounding.  Scale shape: Arrow batches
+    stream through the Python workers — no shuffle, no collect."""
+    from ducklakexl_spark import functions as FN
+
+    FN.register_all(spark)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("__udf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               bpe_token_count(text) AS n_bpe,
+               round(quality_score(text), 6) AS quality
+        FROM __udf_docs
+        """
+    )
+
+
+@query(
+    "udf_geo_mean_chars",
+    oracle="""
+    SELECT lang, source,
+           round(exp(avg(ln(n_chars))), 3) AS geo_mean_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY lang, source
+    """,
+)
+def udf_geo_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-aggregate pandas UDF (UDAF shape) under the gate:
+    ``geo_mean`` per (lang, source) against DuckDB's exp(avg(ln)) —
+    rounded to 3 dp because a mean of logs is a float sum whose
+    accumulation order differs between engines.  The UDAF runs as one
+    shuffle on the group key with Arrow-batched state per group."""
+    from ducklakexl_spark import functions as FN
+
+    FN.register_all(spark)
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.expr("geo_mean(n_chars)").alias("g"))
+        .select("lang", "source", F.round("g", 3).alias("geo_mean_chars"))
+    )

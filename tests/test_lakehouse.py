@@ -847,3 +847,33 @@ def test_expire_snapshots_older_than_timestamp(lake):
     res = lake.expire_snapshots(older_than="2990-01-01")
     assert res["snapshots_expired"] >= 1
     assert rows(lake.sql("SELECT * FROM tt;")) == [(1,)]
+
+
+def test_copy_to_partition_by(lake, tmp_path):
+    import os
+
+    lake.sql("CREATE TABLE pt(id INTEGER, grp VARCHAR, v DOUBLE);")
+    lake.sql(
+        "INSERT INTO pt VALUES (1,'a',1.0), (2,'b',2.0), (3,'a',3.0);"
+    )
+    out = str(tmp_path / "pt_out")
+    lake.sql(
+        f"COPY pt TO '{out}' (FORMAT PARQUET, PARTITION_BY (grp));"
+    )
+    subdirs = {d for d in os.listdir(out) if d.startswith("grp=")}
+    assert subdirs == {"grp=a", "grp=b"}
+    back = lake.spark.read.parquet(out)
+    assert sorted((r.id, r.grp) for r in back.collect()) == [
+        (1, "a"), (2, "b"), (3, "a"),
+    ]
+
+
+def test_copy_to_still_works_without_options(lake, tmp_path):
+    lake.sql("CREATE TABLE cp(id INTEGER);")
+    lake.sql("INSERT INTO cp VALUES (1), (2);")
+    out = str(tmp_path / "cp_out.csv")
+    lake.sql(f"COPY cp TO '{out}';")
+    assert lake.spark.read.option("header", True).csv(out).count() == 2
+    out2 = str(tmp_path / "cp_pq")
+    lake.sql(f"COPY (SELECT * FROM cp WHERE id = 1) TO '{out2}' (parquet);")
+    assert lake.spark.read.parquet(out2).count() == 1
