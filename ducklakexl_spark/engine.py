@@ -315,7 +315,13 @@ _COPY_FORMAT_RE = re.compile(r"\bFORMAT\s+(\w+)", re.I)
 _COPY_PARTITION_BY_RE = re.compile(
     r"\bPARTITION_BY\s*(?:\(([^)]*)\)|([\w\"]+))", re.I
 )
-_READ_FILE_RE = re.compile(r"\bread_(parquet|csv|json)\s*\(\s*'([^']+)'\s*\)", re.I)
+_READ_FILE_RE = re.compile(
+    r"\bread_(parquet|csv|json)\s*\(\s*(\[[^\]]*\]|'[^']+')\s*\)", re.I
+)
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+([\w.\"]+)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*$",
+    re.I | re.S,
+)
 _AT_VERSION_RE = re.compile(
     r"\b([\w]+)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)", re.I
 )
@@ -761,6 +767,9 @@ class DuckLakeSpark:
         if m:
             self.catalog.truncate_table(_unqualify(m.group(1)))
             return None
+        m = _COPY_FROM_RE.match(stmt)
+        if m:
+            return self._copy_from(_unqualify(m.group(1)), m.group(2), m.group(3))
         m = _COPY_RE.match(stmt)
         if m:
             return self._copy_to(m.group(1), m.group(2), m.group(3))
@@ -1650,32 +1659,80 @@ class DuckLakeSpark:
             raise ValueError(f"COPY TO: unsupported format {fmt!r}")
         return None
 
+    def _copy_from(self, name: str, path: str, opts: str | None) -> None:
+        """``COPY tbl FROM 'path' [(FORMAT …)]`` — bulk import: read the
+        file(s) with the built-in parallel readers and append as new data
+        files in one snapshot.  Columns align by name when the source
+        covers the table's schema, else positionally; values cast to the
+        declared column types (CSV/JSON arrive stringly)."""
+        fmt = None
+        if opts:
+            if fm := _COPY_FORMAT_RE.search(opts):
+                fmt = fm.group(1)
+            elif re.fullmatch(r"\s*(\w+)\s*", opts):
+                fmt = opts.strip()
+        if fmt is None:
+            low = path.lower()
+            fmt = (
+                "csv" if low.endswith(".csv")
+                else "json" if low.endswith((".json", ".ndjson"))
+                else "parquet"
+            )
+        df = self._read_files(fmt.lower(), [path])
+        schema = self.table_schema(name)
+        if {f.name for f in schema.fields} <= set(df.columns):
+            sel = [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        elif len(df.columns) == len(schema.fields):
+            sel = [
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, schema.fields)
+            ]
+        else:
+            raise ValueError(
+                f"COPY FROM: source columns match table {name!r} neither "
+                f"by name nor by position"
+            )
+        self._write_dataframe(name, df.select(*sel))
+        return None
+
     # --------------------------------------------------------------- SELECT
+
+    def _read_files(self, kind: str, paths: list[str]) -> DataFrame:
+        """Built-in Spark reader for the read_* TVFs and COPY FROM.
+        Paths may be globs — Spark's file index expands them, exactly
+        like DuckDB's read_parquet('dir/*.parquet')."""
+        if kind == "parquet":
+            return self.spark.read.parquet(*paths)
+        if kind == "csv":
+            return (
+                self.spark.read.option("header", "true")
+                .option("inferSchema", "true")
+                .csv(paths)
+            )
+        return self.spark.read.json(paths)
 
     def _read_file_views(self, stmt: str) -> str:
         """Rewrite ``read_parquet('p')`` / ``read_csv('p')`` /
         ``read_json('p')`` table functions (SURVEY §2.C "scans/sources")
         to temp views over the built-in Spark readers — predicate pushdown
-        and column pruning then apply exactly as for lake tables."""
+        and column pruning then apply exactly as for lake tables.  The
+        argument may be one quoted path (glob patterns allowed) or a
+        DuckDB-style list ``['a.parquet', 'b.parquet']``."""
 
         def _sub(m: re.Match) -> str:
             import hashlib
 
-            kind, path = m.group(1).lower(), m.group(2)
+            kind, arg = m.group(1).lower(), m.group(2)
+            paths = re.findall(r"'([^']+)'", arg)
             # md5, not hash(): Python string hashing is per-process
             # salted, so hash()-derived view names differ across runs —
             # a debugging trap for anything that logs plans
-            digest = hashlib.md5(path.encode()).hexdigest()[:10]
+            digest = hashlib.md5(";".join(paths).encode()).hexdigest()[:10]
             view = f"__read_{kind}_{digest}"
-            if kind == "parquet":
-                df = self.spark.read.parquet(path)
-            elif kind == "csv":
-                df = self.spark.read.option("header", "true").option(
-                    "inferSchema", "true"
-                ).csv(path)
-            else:
-                df = self.spark.read.json(path)
-            df.createOrReplaceTempView(view)
+            self._read_files(kind, paths).createOrReplaceTempView(view)
             return f" {view} "
 
         return _READ_FILE_RE.sub(_sub, stmt)

@@ -877,3 +877,32 @@ def test_copy_to_still_works_without_options(lake, tmp_path):
     out2 = str(tmp_path / "cp_pq")
     lake.sql(f"COPY (SELECT * FROM cp WHERE id = 1) TO '{out2}' (parquet);")
     assert lake.spark.read.parquet(out2).count() == 1
+
+
+def test_copy_from_csv_and_parquet(lake, tmp_path):
+    lake.sql("CREATE TABLE imp(id INTEGER, val VARCHAR);")
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,val\n1,a\n2,b\n")
+    lake.sql(f"COPY imp FROM '{csv}';")
+    assert rows(lake.sql("SELECT * FROM imp;")) == [(1, "a"), (2, "b")]
+    # parquet round trip through COPY TO then COPY FROM appends
+    out = str(tmp_path / "exp_pq")
+    lake.sql(f"COPY imp TO '{out}' (FORMAT PARQUET);")
+    lake.sql(f"COPY imp FROM '{out}' (FORMAT PARQUET);")
+    assert rows(lake.sql("SELECT * FROM imp;")) == [
+        (1, "a"), (1, "a"), (2, "b"), (2, "b"),
+    ]
+
+
+def test_read_parquet_list_and_glob(lake, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame({"id": [1], "v": ["x"]}).to_parquet(tmp_path / "p1.parquet")
+    pd.DataFrame({"id": [2], "v": ["y"]}).to_parquet(tmp_path / "p2.parquet")
+    out = lake.sql(
+        f"SELECT * FROM read_parquet(['{tmp_path}/p1.parquet', "
+        f"'{tmp_path}/p2.parquet']) ORDER BY id"
+    )
+    assert rows(out) == [(1, "x"), (2, "y")]
+    out = lake.sql(f"SELECT count(*) AS n FROM read_parquet('{tmp_path}/p*.parquet')")
+    assert rows(out) == [(2,)]
