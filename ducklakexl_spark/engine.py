@@ -1030,7 +1030,12 @@ class DuckLakeSpark:
 
     # ---------------------------------------------------------- maintenance
 
-    def compact(self, name: str, target_file_bytes: int = 128 << 20) -> dict:
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        sort_by: list[str] | None = None,
+    ) -> dict:
         """Small-file compaction (the OPTIMIZE/rewrite-data-files of other
         lakehouse formats): fold the table's live rows into
         ``ceil(bytes/target)`` right-sized files, retire the old data +
@@ -1039,15 +1044,29 @@ class DuckLakeSpark:
         spec's GC queue — old snapshots still reference them until
         ``vacuum``).  At 100 TB this is the essential companion of
         streaming/frequent ingestion, which otherwise accretes a file per
-        micro-batch per partition."""
+        micro-batch per partition.
+
+        ``sort_by`` additionally *clusters* the rewrite: a range
+        repartition on the keys gives each output file a disjoint key
+        interval, so the per-file min/max stats (and parquet row-group
+        stats) become selective and point/range predicates skip most
+        files — the OPTIMIZE ... ZORDER/SORT BY of other formats, as one
+        range shuffle."""
         tid = self.catalog.table_id(name)
         old = self.catalog.data_files(tid)
         dels = self.catalog.delete_files(tid)
-        if len(old) <= 1 and dels.empty:
+        if len(old) <= 1 and dels.empty and not sort_by:
             return {"compacted": False, "files_before": len(old)}
         total_bytes = int(old["file_size_bytes"].fillna(0).sum())
         n_out = max(1, -(-total_bytes // max(1, target_file_bytes)))
-        df = self.table_df(name).repartition(n_out)
+        if sort_by:
+            df = (
+                self.table_df(name)
+                .repartitionByRange(n_out, *sort_by)
+                .sortWithinPartitions(*sort_by)
+            )
+        else:
+            df = self.table_df(name).repartition(n_out)
         files, col_stats = self._write_files(name, tid, df)
         self.catalog.replace_table_files(tid, files, col_stats)
         return {

@@ -433,3 +433,31 @@ def lakehouse_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return lake.sql("SELECT * FROM cur;")
+
+
+@query(
+    "lakehouse_cluster_compact",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'a'), (2, 'd'), (3, 'g'), (50, 'b'), (51, 'e'),
+      (52, 'h'), (100, 'c'), (101, 'f'), (102, 'i')
+    ) t(id, v)
+    """,
+)
+def lakehouse_cluster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered compaction (OPTIMIZE … SORT BY): a range repartition on
+    the key folds interleaved micro-batch files into files with disjoint
+    key intervals, making min/max stats selective for range predicates —
+    content identical across the rewrite, one snapshot."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE cl(id INTEGER, v VARCHAR);
+        INSERT INTO cl VALUES (1,'a'), (50,'b'), (100,'c');
+        INSERT INTO cl VALUES (2,'d'), (51,'e'), (101,'f');
+        INSERT INTO cl VALUES (3,'g'), (52,'h'), (102,'i');
+        """
+    )
+    lake.compact("cl", target_file_bytes=1, sort_by=["id"])
+    return lake.sql("SELECT * FROM cl;")

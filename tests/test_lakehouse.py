@@ -906,3 +906,42 @@ def test_read_parquet_list_and_glob(lake, tmp_path):
     assert rows(out) == [(1, "x"), (2, "y")]
     out = lake.sql(f"SELECT count(*) AS n FROM read_parquet('{tmp_path}/p*.parquet')")
     assert rows(out) == [(2,)]
+
+
+def test_compact_sort_by_clusters_files(lake):
+    """Clustered compaction: range-partitioned rewrite gives files
+    disjoint key intervals, so stats-based skipping prunes for a point
+    predicate (it can't on the interleaved pre-compaction layout)."""
+    lake.sql("CREATE TABLE cl(id INTEGER, v VARCHAR);")
+    lake.sql("INSERT INTO cl VALUES (1,'a'), (50,'b'), (100,'c');")
+    lake.sql("INSERT INTO cl VALUES (2,'d'), (51,'e'), (101,'f');")
+    lake.sql("INSERT INTO cl VALUES (3,'g'), (52,'h'), (102,'i');")
+    tid = lake.catalog.table_id("cl")
+    res = lake.compact("cl", target_file_bytes=1, sort_by=["id"])
+    assert res["compacted"]
+    files = lake.catalog.data_files(tid)
+    assert len(files) >= 2
+    # disjoint per-file id intervals: that's what makes the min/max
+    # stats selective
+    stats = lake.catalog.tables["ducklake_file_column_statistics"]
+    col_id = next(
+        int(r.column_id)
+        for r in lake.catalog.columns(tid).itertuples()
+        if r.column_name == "id"
+    )
+    rel = stats[
+        (stats["table_id"] == tid)
+        & (stats["column_id"] == col_id)
+        & stats["data_file_id"].isin(files["data_file_id"])
+    ]
+    spans = sorted(
+        (int(r.min_value), int(r.max_value)) for r in rel.itertuples()
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # ranges don't overlap
+    kept = lake._skip_files(
+        tid, None, list(files["path"]), [("id", ">", 90)]
+    )
+    assert len(kept) < len(files)  # clustered: range pruning works
+    assert rows(lake.sql("SELECT count(*) AS n FROM cl;")) == [(9,)]
+    assert rows(lake.sql("SELECT v FROM cl WHERE id > 100;")) == [("f",), ("i",)]
