@@ -539,3 +539,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup outcome (survivor corpus)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_survivors_oracle() -> str:
+    return f"""
+    WITH RECURSIVE edges AS ({_minhash_lsh_oracle()}),
+    nodes AS (SELECT doc_a AS n FROM edges UNION SELECT doc_b FROM edges),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(s, t) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.s, y.b FROM reach r JOIN sym y ON r.t = y.a
+    ),
+    labels AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s)
+    SELECT CAST(count(*) AS BIGINT) AS n_before,
+           CAST(count(*) FILTER (WHERE l.cluster_id IS NULL
+                                    OR l.cluster_id = d.doc_id) AS BIGINT)
+               AS n_after,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_before,
+           CAST(sum(d.n_chars) FILTER (WHERE l.cluster_id IS NULL
+                                          OR l.cluster_id = d.doc_id)
+                AS BIGINT) AS chars_after
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    """
+
+
+@query("dedup_survivors", oracle=_dedup_survivors_oracle())
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END fuzzy-dedup outcome: shingle → MinHash → LSH bands
+    → verified pairs → connected components → keep the min-id doc per
+    cluster, reported as the corpus summary every training-data pipeline
+    publishes (docs and chars, before and after).  The keep-rule join is
+    a broadcast of the (tiny) cluster labels against the full corpus; at
+    100 TB the only full-corpus passes remain the signature scan and the
+    final filter."""
+    from ducklakexl_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("l_doc"), F.col("component").alias("cluster_id")
+    )
+    d = load(spark, sf_dir, "documents")
+    keep = F.col("cluster_id").isNull() | (
+        F.col("cluster_id") == F.col("doc_id")
+    )
+    return (
+        d.join(F.broadcast(labels), d.doc_id == labels.l_doc, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(keep, 1)).alias("n_after"),
+            F.sum("n_chars").alias("chars_before"),
+            F.sum(F.when(keep, F.col("n_chars"))).alias("chars_after"),
+        )
+    )

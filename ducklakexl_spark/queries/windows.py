@@ -468,3 +468,47 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = P.interval_join(clicks, purchases)
     return P.run_append_to_completion(pairs, "q_stream_interval_join")
+
+
+@query(
+    "window_nth_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(nth_value(o_totalprice, 3) OVER w, 2)  AS third_price,
+           round(first_value(CASE WHEN o_orderstatus <> 'O'
+                                  THEN o_totalprice END IGNORE NULLS)
+                 OVER w, 2)                             AS first_closed_price,
+           round(lead(o_totalprice, 2, -1.0) OVER w, 2) AS price_after_next
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+    """,
+)
+def window_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function corners the main suite doesn't touch:
+    nth_value with the default running frame, first_value IGNORE NULLS
+    over a sparse expression, and lead with an explicit default.  The
+    o_orderkey ordering key is unique per partition, so every output is
+    deterministic.  One hash partition shuffle on the window key."""
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    closed = F.when(F.col("o_orderstatus") != "O", F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.nth_value("o_totalprice", 3).over(w), 2).alias("third_price"),
+        F.round(F.first(closed, ignorenulls=True).over(w), 2).alias(
+            "first_closed_price"
+        ),
+        F.round(
+            F.lead("o_totalprice", 2, -1.0).over(
+                W.partitionBy("o_orderpriority").orderBy("o_orderkey")
+            ),
+            2,
+        ).alias("price_after_next"),
+    )
