@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the pure parsing/encoding layers
+— the components whose bugs are silent data corruption rather than
+crashes: Excel base-26 column naming (the reference's >26-column bug
+class, ducklakexl.py:570), SQL statement splitting, top-level comma
+splitting, identifier extraction, and the DISTINCT ON rewrite's
+round-trip safety."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ducklakexl_spark.engine import (
+    find_top_level_keyword,
+    rewrite_distinct_on,
+    split_statements,
+    split_top_level,
+    sql_identifiers,
+)
+from ducklakexl_spark.sync.graph import excel_column_name, used_range_address
+
+
+@given(st.integers(min_value=1, max_value=100_000))
+def test_excel_column_name_bijective(n):
+    """Round trip: letters decode back to the index (bijective base 26)."""
+    s = excel_column_name(n)
+    assert s.isalpha() and s.isupper()
+    dec = 0
+    for ch in s:
+        dec = dec * 26 + (ord(ch) - ord("A") + 1)
+    assert dec == n
+
+
+@given(st.integers(min_value=1, max_value=1000), st.integers(min_value=2, max_value=1000))
+def test_excel_column_name_order_preserving(a, b):
+    """Column naming preserves order under (len, lex) comparison —
+    the property the reference's ascii_uppercase indexing broke."""
+    x, y = excel_column_name(a), excel_column_name(a + b)
+    assert (len(x), x) < (len(y), y)
+
+
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=1, max_value=500))
+def test_used_range_covers_header(rows, cols):
+    addr = used_range_address(rows, cols)
+    assert addr.startswith("A1:")
+    assert addr.endswith(str(rows + 1))
+
+
+_ident = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+_lit = st.text(
+    alphabet=string.ascii_letters + string.digits + " ;,()'-", max_size=20
+)
+
+
+@given(st.lists(_ident, min_size=1, max_size=5))
+def test_split_statements_count(idents):
+    """N semicolon-terminated statements split into N statements, and
+    semicolons inside string literals never split."""
+    stmts = [f"SELECT '{i};x' AS c FROM {i}" for i in idents]
+    out = split_statements("; ".join(stmts) + ";")
+    assert out == stmts
+
+
+@given(st.lists(_ident, min_size=1, max_size=6))
+def test_split_top_level_parens(parts):
+    """Commas inside parens never split; top-level commas always do."""
+    items = [f"f({p}, {p})" for p in parts]
+    assert split_top_level(", ".join(items)) == items
+
+
+@given(_ident, _ident)
+def test_sql_identifiers_sees_through_strings(tbl, inside):
+    """A name appearing only inside a string literal is NOT an
+    identifier; the real table reference is."""
+    stmt = f"SELECT * FROM {tbl} WHERE c = '{inside} {tbl}'"
+    ids = sql_identifiers(stmt)
+    assert tbl in ids
+    if inside not in (tbl, "select", "from", "where", "c"):
+        assert inside not in ids
+
+
+@given(_ident)
+def test_find_top_level_keyword_ignores_strings(w):
+    stmt = f"SELECT 'ORDER BY {w}' AS c FROM t ORDER BY c"
+    pos = find_top_level_keyword(stmt, "ORDER BY")
+    assert stmt[pos:].startswith("ORDER BY c")
+
+
+@settings(max_examples=25)
+@given(st.lists(_ident, min_size=1, max_size=3, unique=True))
+def test_rewrite_distinct_on_shape(keys):
+    """The rewrite always produces a __rn window + filter wrapper and
+    never loses the FROM clause."""
+    stmt = (
+        f"SELECT DISTINCT ON ({', '.join(keys)}) a, b FROM t "
+        f"ORDER BY {keys[0]}, b"
+    )
+    out = rewrite_distinct_on(stmt)
+    assert "row_number() OVER (PARTITION BY" in out
+    assert "__rn = 1" in out
+    assert "FROM t" in out
+    # non-DISTINCT-ON statements pass through untouched
+    plain = "SELECT DISTINCT a FROM t"
+    assert rewrite_distinct_on(plain) == plain
