@@ -173,6 +173,8 @@ _COMMENT_RE = re.compile(
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.I)
 _DESCRIBE_RE = re.compile(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(ANALYZE\s+)?(SELECT\b.*|WITH\b.*)$", re.I | re.S)
+_SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+(.*)$", re.I | re.S)
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+([\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
     r"USING\s+(\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
@@ -816,7 +818,85 @@ class DuckLakeSpark:
                 ],
                 "column_name string, column_type string, nulls_allowed boolean",
             )
+        m = _EXPLAIN_RE.match(stmt)
+        if m:
+            df = self._select(m.group(2))
+            mode = (m.group(1) or "").strip().upper()
+            plan = df._jdf.queryExecution()
+            text = (
+                plan.toString() if mode == "ANALYZE"  # full chain
+                else plan.executedPlan().toString()
+            )
+            return self.spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "plan string"
+            )
+        m = _SUMMARIZE_RE.match(stmt)
+        if m:
+            return self._summarize(m.group(1))
         return self._select(stmt)
+
+    def _summarize(self, target: str) -> DataFrame:
+        """DuckDB's ``SUMMARIZE tbl`` / ``SUMMARIZE SELECT …``: one row
+        per column with min/max/distinct/null%, plus avg/std/quartiles
+        for numeric columns.  Computed as a single Spark aggregate pass
+        (every statistic partial-aggregates map-side; quartiles via
+        percentile_approx — documented as approximate, like DuckDB's
+        approx quantiles at scale)."""
+        target = target.strip()
+        if target.upper().startswith("SELECT") or target.startswith("("):
+            df = self._select(target.strip("()"))
+        else:
+            df = self.table_df(_unqualify(target))
+        n = df.count()
+        aggs = []
+        numeric = {
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+        }
+        for f in df.schema.fields:
+            c = f.name
+            aggs += [
+                F.min(c).cast("string").alias(f"__min_{c}"),
+                F.max(c).cast("string").alias(f"__max_{c}"),
+                F.approx_count_distinct(c).alias(f"__dist_{c}"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
+            ]
+            if c in numeric:
+                aggs += [
+                    F.avg(c).cast("double").alias(f"__avg_{c}"),
+                    F.stddev(c).cast("double").alias(f"__std_{c}"),
+                    F.percentile_approx(c, [0.25, 0.5, 0.75]).alias(
+                        f"__q_{c}"
+                    ),
+                ]
+        row = df.agg(*aggs).collect()[0]
+        out = []
+        for f in df.schema.fields:
+            c = f.name
+            q = row[f"__q_{c}"] if c in numeric else None
+            out.append(
+                (
+                    c,
+                    f.dataType.simpleString(),
+                    row[f"__min_{c}"],
+                    row[f"__max_{c}"],
+                    int(row[f"__dist_{c}"]),
+                    float(row[f"__avg_{c}"]) if c in numeric and row[f"__avg_{c}"] is not None else None,
+                    float(row[f"__std_{c}"]) if c in numeric and row[f"__std_{c}"] is not None else None,
+                    float(q[0]) if q else None,
+                    float(q[1]) if q else None,
+                    float(q[2]) if q else None,
+                    int(n),
+                    round(100.0 * row[f"__null_{c}"] / n, 2) if n else 0.0,
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            "column_name string, column_type string, min string, max string, "
+            "approx_unique bigint, avg double, std double, q25 double, "
+            "q50 double, q75 double, count bigint, null_percentage double",
+        )
 
     # ------------------------------------------------------------------- DDL
 

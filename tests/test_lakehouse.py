@@ -945,3 +945,21 @@ def test_compact_sort_by_clusters_files(lake):
     assert len(kept) < len(files)  # clustered: range pruning works
     assert rows(lake.sql("SELECT count(*) AS n FROM cl;")) == [(9,)]
     assert rows(lake.sql("SELECT v FROM cl WHERE id > 100;")) == [("f",), ("i",)]
+
+
+def test_explain_and_summarize(lake):
+    lake.sql("CREATE TABLE ex(id INTEGER, v DOUBLE, s VARCHAR);")
+    lake.sql("INSERT INTO ex VALUES (1, 1.5, 'a'), (2, 2.5, NULL), (3, 3.5, 'c');")
+    plan = lake.sql("EXPLAIN SELECT id FROM ex WHERE id > 1;")
+    text = "\n".join(r.plan for r in plan.collect())
+    assert "Scan" in text or "FileScan" in text
+    summ = {r.column_name: r for r in lake.sql("SUMMARIZE ex;").collect()}
+    assert set(summ) == {"id", "v", "s"}
+    assert summ["id"].min == "1" and summ["id"].max == "3"
+    assert summ["id"]["count"] == 3 and summ["id"].null_percentage == 0.0
+    assert summ["s"].null_percentage == pytest.approx(33.33, abs=0.01)
+    assert summ["v"].q50 == 2.5 and summ["s"].avg is None
+    # SUMMARIZE over a subquery
+    sub = lake.sql("SUMMARIZE SELECT id FROM ex WHERE id >= 2;")
+    r = sub.collect()[0]
+    assert r.min == "2" and r["count"] == 2
