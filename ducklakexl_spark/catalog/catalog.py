@@ -179,8 +179,9 @@ class DuckLakeCatalog:
 
     # -- DDL ---------------------------------------------------------------------
 
-    def create_table(self, name: str, columns: list[tuple[str, str]]) -> int:
-        """columns: [(name, ducklake SQL type)] — returns table_id."""
+    def create_table(self, name: str, columns: list[tuple]) -> int:
+        """columns: [(name, ducklake SQL type[, nulls_allowed, default])]
+        — returns table_id."""
         live = self.live("ducklake_table")
         if (live["table_name"] == name).any():
             raise ValueError(f"table already exists: {name}")
@@ -202,7 +203,10 @@ class DuckLakeCatalog:
             ],
         )
         col_rows = []
-        for order, (cname, ctype) in enumerate(columns):
+        for order, cdef in enumerate(columns):
+            cname, ctype = cdef[0], cdef[1]
+            nulls_allowed = bool(cdef[2]) if len(cdef) > 2 else True
+            default = cdef[3] if len(cdef) > 3 else None
             col_rows.append(
                 {
                     "column_id": next_cat,
@@ -213,8 +217,8 @@ class DuckLakeCatalog:
                     "column_name": cname,
                     "column_type": ctype,
                     "initial_default": None,
-                    "default_value": None,
-                    "nulls_allowed": True,
+                    "default_value": default,
+                    "nulls_allowed": nulls_allowed,
                     "parent_column": None,
                 }
             )

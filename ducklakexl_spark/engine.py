@@ -900,20 +900,34 @@ class DuckLakeSpark:
 
     # ------------------------------------------------------------------- DDL
 
-    def _parse_columns(self, body: str) -> list[tuple[str, str]]:
+    def _parse_columns(self, body: str) -> list[tuple[str, str, bool, str | None]]:
+        """Column definitions → (name, type, nulls_allowed, default_sql).
+        NOT NULL and DEFAULT land in the catalog's ducklake_column row
+        (the spec's nulls_allowed / default_value fields); PRIMARY
+        KEY/UNIQUE parse and are ignored (DuckLake doesn't enforce
+        them)."""
         cols = []
         for coldef in split_top_level(body):
             parts = coldef.split(None, 1)
             if len(parts) != 2:
                 raise ValueError(f"cannot parse column definition: {coldef!r}")
             cname = parts[0].strip('"')
+            rest = parts[1].strip()
+            nulls_allowed = not re.search(r"\bNOT\s+NULL\b", rest, re.I)
+            default = None
+            if dm := re.search(
+                r"\bDEFAULT\s+(.+?)\s*(?:NOT\s+NULL|PRIMARY\s+KEY|UNIQUE|$)",
+                rest,
+                flags=re.I,
+            ):
+                default = dm.group(1).strip() or None
             ctype = re.sub(
                 r"\s+(NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE|DEFAULT\s+.*)$",
                 "",
-                parts[1].strip(),
+                rest,
                 flags=re.I,
             )
-            cols.append((cname, ctype.strip()))
+            cols.append((cname, ctype.strip(), nulls_allowed, default))
         return cols
 
     def _create_table(
@@ -963,20 +977,41 @@ class DuckLakeSpark:
                 df = df.toDF(*names)
         # align to table schema: by-name where names match; positional
         # fallback ONLY when no explicit column list was given (with a
-        # column list, every unlisted table column is NULL — the SQL
-        # semantics; falling through positionally would re-consume listed
-        # source columns into the wrong slots)
+        # column list, every unlisted table column gets its DEFAULT, else
+        # NULL — the SQL semantics; falling through positionally would
+        # re-consume listed source columns into the wrong slots)
+        tid = self.catalog.table_id(name)
+        meta = {
+            r.column_name: (
+                bool(r.nulls_allowed),
+                None if pd.isna(r.default_value) else str(r.default_value),
+            )
+            for r in self.catalog.columns(tid).itertuples()
+        }
         aligned = []
         src_fields = df.schema.fields
         for i, f in enumerate(schema.fields):
+            nulls_ok, default = meta.get(f.name, (True, None))
             if f.name in df.columns:
-                aligned.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                col = F.col(f.name).cast(f.dataType)
             elif col_list is None and i < len(src_fields):
-                aligned.append(
-                    F.col(src_fields[i].name).cast(f.dataType).alias(f.name)
-                )
+                col = F.col(src_fields[i].name).cast(f.dataType)
+            elif default is not None:
+                col = F.expr(default).cast(f.dataType)
             else:
-                aligned.append(F.lit(None).cast(f.dataType).alias(f.name))
+                col = F.lit(None).cast(f.dataType)
+            if not nulls_ok:
+                # enforced inside the write projection (raise_error is a
+                # row expression) — no extra validation pass over the data
+                col = F.when(
+                    col.isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"NOT NULL constraint failed: {name}.{f.name}"
+                        )
+                    ).cast(f.dataType),
+                ).otherwise(col)
+            aligned.append(col.alias(f.name))
         self._write_dataframe(name, df.select(aligned))
         return None
 
@@ -1976,6 +2011,37 @@ class DuckLakeSpark:
         stmt = rewrite_qualify(stmt)
         stmt = rewrite_using_sample(stmt)
         stmt = self._read_file_views(stmt)
+        if re.search(r"\binformation_schema\.columns\b", stmt, re.I):
+            rows = []
+            for t in self.catalog.table_names():
+                tid = self.catalog.table_id(t)
+                for r in self.catalog.columns(tid).itertuples():
+                    rows.append(
+                        (
+                            self.current_db or "memory",
+                            "main",
+                            t,
+                            r.column_name,
+                            int(r.column_order) + 1,
+                            r.column_type,
+                            "YES" if r.nulls_allowed else "NO",
+                            None
+                            if pd.isna(r.default_value)
+                            else str(r.default_value),
+                        )
+                    )
+            self.spark.createDataFrame(
+                rows,
+                "table_catalog string, table_schema string, table_name string, "
+                "column_name string, ordinal_position int, data_type string, "
+                "is_nullable string, column_default string",
+            ).createOrReplaceTempView("__information_schema_columns")
+            stmt = re.sub(
+                r"\binformation_schema\.columns\b",
+                "__information_schema_columns",
+                stmt,
+                flags=re.I,
+            )
         if re.search(r"\binformation_schema\.tables\b", stmt, re.I):
             # the reference's own reflection query (ducklakexl.py:238-240)
             rows = [

@@ -963,3 +963,35 @@ def test_explain_and_summarize(lake):
     sub = lake.sql("SUMMARIZE SELECT id FROM ex WHERE id >= 2;")
     r = sub.collect()[0]
     assert r.min == "2" and r["count"] == 2
+
+
+def test_not_null_and_default(lake):
+    lake.sql(
+        "CREATE TABLE nn(id INTEGER NOT NULL, "
+        "status VARCHAR DEFAULT 'new', n INTEGER DEFAULT 0 NOT NULL);"
+    )
+    lake.sql("INSERT INTO nn (id) VALUES (1);")
+    assert rows(lake.sql("SELECT * FROM nn;")) == [(1, "new", 0)]
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="NOT NULL constraint"):
+        try:
+            lake.sql("INSERT INTO nn VALUES (NULL, 'x', 1);")
+        except Py4JJavaError as ex:
+            raise RuntimeError(str(ex)) from ex
+    # failed insert must not have committed anything
+    assert rows(lake.sql("SELECT * FROM nn;")) == [(1, "new", 0)]
+
+
+def test_information_schema_columns(lake):
+    lake.sql("CREATE TABLE isc(id INTEGER NOT NULL, v VARCHAR DEFAULT 'd');")
+    out = lake.sql(
+        "SELECT column_name, data_type, is_nullable, column_default "
+        "FROM information_schema.columns WHERE table_name = 'isc' "
+        "ORDER BY ordinal_position"
+    )
+    got = [tuple(r) for r in out.collect()]
+    assert got == [
+        ("id", "INTEGER", "NO", None),
+        ("v", "VARCHAR", "YES", "'d'"),
+    ]
