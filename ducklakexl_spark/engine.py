@@ -166,6 +166,16 @@ _DELETE_RE = re.compile(
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
+_UPDATE_FROM_RE = re.compile(
+    r"^\s*UPDATE\s+([\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+SET\s+(.*?)\s+"
+    r"FROM\s+(\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+WHERE\s+(.*)$",
+    re.I | re.S,
+)
+_DELETE_USING_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"USING\s+(\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+WHERE\s+(.*)$",
+    re.I | re.S,
+)
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
 _COMMENT_RE = re.compile(
     r"^\s*COMMENT\s+ON\s+(TABLE|COLUMN)\s+([\w.\"]+)\s+IS\s+'((?:[^']|'')*)'\s*$",
@@ -762,6 +772,26 @@ class DuckLakeSpark:
         m = _DELETE_RE.match(stmt)
         if m:
             return self._delete(_unqualify(m.group(1)), m.group(2))
+        m = _UPDATE_FROM_RE.match(stmt)
+        if m:
+            # UPDATE … FROM (join update, DuckDB/Postgres) is MERGE's
+            # matched-update arm: same delete-file + append commit
+            tgt, talias, set_clause, src, salias, where = m.groups()
+            if salias is None and not src.startswith("("):
+                salias = _unqualify(src)  # bare name refs resolve as-is
+            return self._merge(
+                tgt, talias, src, salias, where,
+                f"WHEN MATCHED THEN UPDATE SET {set_clause}",
+            )
+        m = _DELETE_USING_RE.match(stmt)
+        if m:
+            tgt, talias, src, salias, where = m.groups()
+            if salias is None and not src.startswith("("):
+                salias = _unqualify(src)
+            return self._merge(
+                tgt, talias, src, salias, where,
+                "WHEN MATCHED THEN DELETE",
+            )
         m = _UPDATE_RE.match(stmt)
         if m:
             return self._update(_unqualify(m.group(1)), m.group(2), m.group(3))

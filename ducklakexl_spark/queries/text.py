@@ -412,3 +412,67 @@ def udf_geo_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("geo_mean(n_chars)").alias("g"))
         .select("lang", "source", F.round("g", 3).alias("geo_mean_chars"))
     )
+
+
+def _hash_pct_sql(key: str) -> str:
+    """Portable deterministic [0,100) bucket from md5(key): the first
+    four hex nibbles decoded by character position — the same SQL text
+    runs in Spark and DuckDB (conv()/from_hex are engine-specific)."""
+    h = f"md5(CAST({key} AS STRING))"  # STRING parses in both engines
+    nib = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    val = " + ".join(
+        f"{nib.format(h=h, i=i)} * {16 ** (4 - i)}" for i in range(1, 5)
+    )
+    return f"(({val}) % 100)"
+
+
+_PCT = _hash_pct_sql("doc_id")
+_RATE = "CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 20 ELSE 10 END"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(CASE WHEN {_PCT} < {_RATE} THEN 1 END) AS BIGINT)
+               AS n_kept
+    FROM documents
+    GROUP BY source
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-source quota) sampling, the training-data mixing
+    primitive: keep-rate per source via a deterministic md5 bucket, so
+    the sample is reproducible across engines, runs, and partitionings —
+    the property random() sampling can't give a distributed pipeline.
+    One codegen'd projection + one partial-aggregated groupBy."""
+    d = load(spark, sf_dir, "documents")
+    kept = F.expr(_PCT) < F.expr(_RATE)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+    )
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    SELECT CASE WHEN {_PCT} < 90 THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents
+    GROUP BY split
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by hashed doc_id — stable
+    under re-partitioning and incremental corpus growth (a doc never
+    migrates between splits), which is the requirement for leakage-free
+    eval sets.  Same single-pass shape as sample_stratified."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(F.expr(_PCT) < 90, "train").otherwise("test")
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )

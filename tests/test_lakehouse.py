@@ -995,3 +995,32 @@ def test_information_schema_columns(lake):
         ("id", "INTEGER", "NO", None),
         ("v", "VARCHAR", "YES", "'d'"),
     ]
+
+
+def test_update_from_join(lake):
+    lake.sql("CREATE TABLE bal(id INTEGER, amt DOUBLE);")
+    lake.sql("INSERT INTO bal VALUES (1, 10.0), (2, 20.0), (3, 30.0);")
+    lake.sql("CREATE TABLE adj(id INTEGER, delta DOUBLE);")
+    lake.sql("INSERT INTO adj VALUES (1, 5.0), (3, -10.0);")
+    lake.sql(
+        "UPDATE bal SET amt = bal.amt + adj.delta FROM adj "
+        "WHERE bal.id = adj.id;"
+    )
+    assert rows(lake.sql("SELECT * FROM bal;")) == [
+        (1, 15.0), (2, 20.0), (3, 20.0),
+    ]
+
+
+def test_delete_using_join(lake):
+    lake.sql("CREATE TABLE items(id INTEGER, v VARCHAR);")
+    lake.sql("INSERT INTO items VALUES (1,'a'), (2,'b'), (3,'c');")
+    lake.sql("CREATE TABLE gone(id INTEGER);")
+    lake.sql("INSERT INTO gone VALUES (2);")
+    lake.sql("DELETE FROM items USING gone WHERE items.id = gone.id;")
+    assert rows(lake.sql("SELECT * FROM items;")) == [(1, "a"), (3, "c")]
+    # subquery source with extra target-side predicate
+    lake.sql(
+        "DELETE FROM items USING (SELECT 1 AS gid) g "
+        "WHERE items.id = g.gid AND items.v = 'a';"
+    )
+    assert rows(lake.sql("SELECT * FROM items;")) == [(3, "c")]
