@@ -32,11 +32,59 @@ class DuckLakeCatalog:
     def __init__(self, store: CatalogStore, data_path: str):
         self.store = store
         self.data_path = data_path
+        self._txn_backup: dict[str, pd.DataFrame] | None = None
+        self._txn_files: list[str] = []
         if store.exists():
             self.tables = store.load()
         else:
             self.tables = {t: empty_frame(t) for t in CATALOG_SCHEMAS}
             self._bootstrap()
+
+    # -- transactions --------------------------------------------------------
+
+    def begin_txn(self) -> None:
+        """Multi-statement transaction: snapshot the in-memory catalog;
+        until COMMIT, statements mutate memory only (store saves are
+        deferred), so a crash mid-transaction leaves the persisted
+        catalog at the pre-BEGIN state — readers of the store never see
+        a partial transaction.  No nesting."""
+        if self._txn_backup is not None:
+            raise ValueError("already in a transaction")
+        self._txn_backup = {k: v.copy() for k, v in self.tables.items()}
+        self._txn_files = []
+
+    def in_txn(self) -> bool:
+        return self._txn_backup is not None
+
+    def commit_txn(self) -> None:
+        """Persist everything since BEGIN in one atomic store swap."""
+        if self._txn_backup is None:
+            return  # autocommit mode: COMMIT is a no-op
+        self._txn_backup = None
+        self._txn_files = []
+        self.store.save(self.tables)
+
+    def rollback_txn(self) -> None:
+        """Restore the pre-BEGIN catalog and delete data/delete files
+        written during the transaction (they were never visible outside
+        it, so removal is safe — no snapshot references them)."""
+        import os
+
+        if self._txn_backup is None:
+            return
+        self.tables = self._txn_backup
+        self._txn_backup = None
+        for p in self._txn_files:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+        self._txn_files = []
+
+    def _save(self) -> None:
+        """Persist unless inside a transaction (deferred to COMMIT)."""
+        if self._txn_backup is None:
+            self.store.save(self.tables)
 
     # -- low-level helpers --------------------------------------------------
 
@@ -131,7 +179,7 @@ class DuckLakeCatalog:
             "ducklake_snapshot_changes",
             [{"snapshot_id": sid, "changes_made": changes}],
         )
-        self.store.save(self.tables)
+        self._save()
         return sid
 
     def live_mask(self, df: pd.DataFrame, snapshot: int | None = None):
@@ -613,6 +661,8 @@ class DuckLakeCatalog:
         path, record_count, file_size_bytes, footer_size.
         column_stats rows (optional): per (path, column_id) min/max/nulls.
         Returns the commit snapshot id."""
+        if self._txn_backup is not None:
+            self._txn_files += [f["path"] for f in files]
         next_cat, next_file = self._counters()
         snapshot = self.current_snapshot + 1
         stats = self.tables["ducklake_table_stats"]
@@ -754,7 +804,7 @@ class DuckLakeCatalog:
                 if g["path"] not in seen and not seen.add(g["path"])
             ]
             self._append("ducklake_files_scheduled_for_deletion", gc_rows)
-        self.store.save(self.tables)
+        self._save()
         return {"snapshots_expired": n_expired, "files_queued": len(gc_rows)}
 
     def vacuum(self) -> int:
@@ -817,6 +867,8 @@ class DuckLakeCatalog:
         end-snapshotted.  ``commit=False`` stages the rows for a caller
         that folds them into its own commit (MERGE publishes deletes and
         appends in one atomic snapshot)."""
+        if self._txn_backup is not None:
+            self._txn_files += [e["path"] for e in entries]
         next_cat, next_file = self._counters()
         snapshot = self.current_snapshot + 1
 

@@ -646,8 +646,21 @@ class DuckLakeSpark:
     # ------------------------------------------------------------- dispatch
 
     def _execute(self, stmt: str) -> DataFrame | None:
-        if _ATTACH_RE.match(stmt) or _TXN_RE.match(stmt):
-            return None  # handled by constructor / single-statement atomicity
+        if _ATTACH_RE.match(stmt):
+            return None  # handled by constructor
+        m = _TXN_RE.match(stmt)
+        if m:
+            # multi-statement transactions: BEGIN defers catalog persists,
+            # COMMIT swaps them in atomically, ROLLBACK restores the
+            # pre-BEGIN catalog and deletes files written inside the txn
+            kw = m.group(1).split()[0].upper()
+            if kw == "BEGIN":
+                self.catalog.begin_txn()
+            elif kw == "COMMIT":
+                self.catalog.commit_txn()
+            else:  # ROLLBACK / ABORT
+                self.catalog.rollback_txn()
+            return None
         m = _USE_RE.match(stmt)
         if m:
             self.current_db = m.group(1)

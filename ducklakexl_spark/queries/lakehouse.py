@@ -461,3 +461,32 @@ def lakehouse_cluster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lake.compact("cl", target_file_bytes=1, sort_by=["id"])
     return lake.sql("SELECT * FROM cl;")
+
+
+@query(
+    "lakehouse_transaction",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES (1, 'keep'), (4, 'committed')) t(id, v)
+    """,
+)
+def lakehouse_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statement transactions through sql() text: a rolled-back
+    transaction leaves neither catalog rows nor data files behind (the
+    store never persists mid-transaction state), and a committed one
+    lands as one atomic store swap."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE tx(id INTEGER, v VARCHAR);
+        INSERT INTO tx VALUES (1, 'keep');
+        BEGIN;
+        INSERT INTO tx VALUES (2, 'discarded');
+        INSERT INTO tx VALUES (3, 'discarded');
+        ROLLBACK;
+        BEGIN;
+        INSERT INTO tx VALUES (4, 'committed');
+        COMMIT;
+        """
+    )
+    return lake.sql("SELECT * FROM tx;")

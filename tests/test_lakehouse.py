@@ -1024,3 +1024,46 @@ def test_delete_using_join(lake):
         "WHERE items.id = g.gid AND items.v = 'a';"
     )
     assert rows(lake.sql("SELECT * FROM items;")) == [(3, "c")]
+
+
+def test_transaction_commit_and_rollback(lake, tmp_path):
+    import glob
+    import os
+
+    lake.sql("CREATE TABLE tx(id INTEGER);")
+    lake.sql("INSERT INTO tx VALUES (1);")
+    # rollback: catalog state AND data files revert
+    lake.sql("BEGIN; INSERT INTO tx VALUES (2); INSERT INTO tx VALUES (3);")
+    assert rows(lake.sql("SELECT * FROM tx;")) == [(1,), (2,), (3,)]  # visible in-txn
+    lake.sql("ROLLBACK;")
+    assert rows(lake.sql("SELECT * FROM tx;")) == [(1,)]
+    # files written inside the rolled-back txn are gone from disk
+    tid = lake.catalog.table_id("tx")
+    live = set(lake.catalog.data_files(tid)["path"])
+    on_disk = {
+        p for p in glob.glob(str(tmp_path / "data" / "tx" / "**" / "*.parquet"),
+                             recursive=True)
+    }
+    assert on_disk == live
+    # commit: persists atomically
+    lake.sql("BEGIN; INSERT INTO tx VALUES (4); COMMIT;")
+    assert rows(lake.sql("SELECT * FROM tx;")) == [(1,), (4,)]
+
+
+def test_transaction_crash_leaves_store_clean(spark, tmp_path):
+    lake1 = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+    )
+    lake1.sql("CREATE TABLE t(id INTEGER);")
+    lake1.sql("INSERT INTO t VALUES (1);")
+    lake1.sql("BEGIN;")
+    lake1.sql("INSERT INTO t VALUES (2);")
+    # no COMMIT: simulate a crash by re-opening the store fresh
+    lake2 = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+    )
+    assert rows(lake2.sql("SELECT * FROM t;")) == [(1,)]
