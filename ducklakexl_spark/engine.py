@@ -571,6 +571,9 @@ def rewrite_exclude(stmt: str) -> str:
 
     return _EXCLUDE_RE.sub(_sub, stmt)
 _SNAPSHOTS_RE = re.compile(r"\b[\w.]*snapshots\s*\(\s*\)", re.I)
+_TABLE_CHANGES_RE = re.compile(
+    r"\btable_changes\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)", re.I
+)
 
 
 def _unqualify(name: str) -> str:
@@ -1239,6 +1242,24 @@ class DuckLakeSpark:
         After this, snapshots that referenced those files can no longer be
         read — the standard expire-snapshots contract."""
         return self.catalog.vacuum()
+
+    def table_changes(
+        self, name: str, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed between two snapshots (DuckLake's
+        ``ducklake_table_changes`` shape): rows present at ``to`` but not
+        ``from`` tagged ``insert``, the reverse tagged ``delete`` (an
+        UPDATE appears as its delete+insert pair).  Value-level diff via
+        exceptAll — two co-partitioned hash aggregations, no driver
+        materialization, so the feed scales with the size of the CHANGE,
+        not the table, after partition pruning."""
+        old = self.table_df(name, snapshot=from_snapshot)
+        new = self.table_df(name, snapshot=to_snapshot)
+        return new.exceptAll(old).withColumn(
+            "change_type", F.lit("insert")
+        ).unionAll(
+            old.exceptAll(new).withColumn("change_type", F.lit("delete"))
+        )
 
     def expire_snapshots(
         self,
@@ -2104,6 +2125,13 @@ class DuckLakeSpark:
                 stmt,
                 flags=re.I,
             )
+        def _rewrite_tc(m: re.Match) -> str:
+            tname, a, b = m.group(1), int(m.group(2)), int(m.group(3))
+            view = f"__tc_{tname}_{a}_{b}"
+            self.table_changes(tname, a, b).createOrReplaceTempView(view)
+            return f" {view} "
+
+        stmt = _TABLE_CHANGES_RE.sub(_rewrite_tc, stmt)
         stmt = _SNAPSHOTS_RE.sub(" __ducklake_snapshots ", stmt)
         if "__ducklake_snapshots" in stmt:
             self.spark.createDataFrame(

@@ -490,3 +490,60 @@ def lakehouse_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return lake.sql("SELECT * FROM tx;")
+
+
+@query(
+    "lakehouse_table_changes",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (2, 'B',  'insert'),
+      (4, 'd',  'insert'),
+      (2, 'b',  'delete'),
+      (3, 'c',  'delete')
+    ) t(id, v, change_type)
+    """,
+)
+def lakehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed: ``table_changes('t', from, to)`` through sql()
+    text diffs two snapshots — an UPDATE shows as its delete+insert
+    pair, a DELETE as a delete row.  The DuckLake
+    ducklake_table_changes surface, computed as two co-partitioned
+    exceptAll aggregations."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE cdc(id INTEGER, v VARCHAR);
+        INSERT INTO cdc VALUES (1, 'a'), (2, 'b'), (3, 'c');
+        UPDATE cdc SET v = 'B' WHERE id = 2;
+        DELETE FROM cdc WHERE id = 3;
+        INSERT INTO cdc VALUES (4, 'd');
+        """
+    )
+    base = 2  # snapshot after the first INSERT
+    cur = lake.catalog.current_snapshot
+    return lake.sql(f"SELECT * FROM table_changes('cdc', {base}, {cur})")
+
+
+@query(
+    "lakehouse_partitioned_scan",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (3, 'b', 30.0), (4, 'b', 40.0)
+    ) t(id, grp, v)
+    """,
+)
+def lakehouse_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake table: ALTER TABLE SET PARTITIONED BY
+    clusters writes by key and records per-file partition values, so the
+    grp predicate prunes at the catalog before Spark lists any files."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE pt(id INTEGER, grp VARCHAR, v DOUBLE);
+        ALTER TABLE pt SET PARTITIONED BY (grp);
+        INSERT INTO pt VALUES (1,'a',10.0), (2,'a',20.0), (3,'b',30.0), (4,'b',40.0);
+        """
+    )
+    return lake.table("pt", predicates=[("grp", "=", "b")]).filter("grp = 'b'")
