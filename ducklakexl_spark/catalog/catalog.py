@@ -24,6 +24,11 @@ from ducklakexl_spark.catalog.store import CatalogStore, conform, empty_frame
 MAIN_SCHEMA = "main"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed to the catalog store since this instance
+    last synchronized — refresh() and retry the statement."""
+
+
 def _now() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
@@ -39,6 +44,15 @@ class DuckLakeCatalog:
         else:
             self.tables = {t: empty_frame(t) for t in CATALOG_SCHEMAS}
             self._bootstrap()
+        self._base_snapshot = self.current_snapshot
+
+    def refresh(self) -> None:
+        """Re-synchronize with the store (drop any unsaved in-memory
+        state) — the recovery step after a ConcurrentWriteError."""
+        if self._txn_backup is not None:
+            raise ValueError("refresh() inside a transaction")
+        self.tables = self.store.load()
+        self._base_snapshot = self.current_snapshot
 
     # -- transactions --------------------------------------------------------
 
@@ -62,7 +76,7 @@ class DuckLakeCatalog:
             return  # autocommit mode: COMMIT is a no-op
         self._txn_backup = None
         self._txn_files = []
-        self.store.save(self.tables)
+        self._checked_save()
 
     def rollback_txn(self) -> None:
         """Restore the pre-BEGIN catalog and delete data/delete files
@@ -84,7 +98,23 @@ class DuckLakeCatalog:
     def _save(self) -> None:
         """Persist unless inside a transaction (deferred to COMMIT)."""
         if self._txn_backup is None:
-            self.store.save(self.tables)
+            self._checked_save()
+
+    def _checked_save(self) -> None:
+        """Optimistic concurrency: refuse to clobber a commit another
+        writer landed since this instance last synchronized.  The check
+        reads one column of one small parquet; the save itself is the
+        atomic directory swap.  (Single-writer-at-a-time per store —
+        the same model DuckLake gets from its catalog database's
+        transactions; a loser refresh()es and retries.)"""
+        disk = self.store.peek_snapshot()
+        if disk is not None and disk != self._base_snapshot:
+            raise ConcurrentWriteError(
+                f"catalog store advanced to snapshot {disk} (this writer "
+                f"is at {self._base_snapshot}): refresh() and retry"
+            )
+        self.store.save(self.tables)
+        self._base_snapshot = self.current_snapshot
 
     # -- low-level helpers --------------------------------------------------
 
@@ -824,7 +854,7 @@ class DuckLakeCatalog:
             except FileNotFoundError:
                 pass
         self.tables["ducklake_files_scheduled_for_deletion"] = q.iloc[0:0]
-        self.store.save(self.tables)
+        self._checked_save()
         return removed
 
     def _bump_table_stats(

@@ -89,6 +89,21 @@ class CatalogStore:
             os.path.exists(self._file(t)) for t in CATALOG_SCHEMAS
         )
 
+    def peek_snapshot(self) -> int | None:
+        """The on-disk catalog's latest snapshot id without loading the
+        whole catalog — one column of one small parquet.  Used for
+        optimistic-concurrency checks before a save."""
+        self._recover()
+        f = self._file("ducklake_snapshot")
+        if not os.path.exists(f):
+            return None
+        col = pq.read_table(f, columns=["snapshot_id"])["snapshot_id"]
+        if col.length() == 0:
+            return None
+        import pyarrow.compute as pc
+
+        return int(pc.max(col).as_py())
+
     def load(self) -> dict[str, pd.DataFrame]:
         self._recover()
         tables = {}

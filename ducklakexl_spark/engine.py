@@ -1237,6 +1237,11 @@ class DuckLakeSpark:
             "delete_files_removed": len(dels),
         }
 
+    def refresh(self) -> None:
+        """Re-synchronize with the catalog store — picks up commits from
+        other writers; required after a ConcurrentWriteError."""
+        self.catalog.refresh()
+
     def vacuum(self) -> int:
         """Physically delete every file in the GC queue and clear it.
         After this, snapshots that referenced those files can no longer be

@@ -1067,3 +1067,23 @@ def test_transaction_crash_leaves_store_clean(spark, tmp_path):
         local_catalog=str(tmp_path / "catalog"),
     )
     assert rows(lake2.sql("SELECT * FROM t;")) == [(1,)]
+
+
+def test_optimistic_concurrency_two_writers(spark, tmp_path):
+    from ducklakexl_spark.catalog.catalog import ConcurrentWriteError
+
+    kw = dict(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+    )
+    w1 = DuckLakeSpark(**kw)
+    w1.sql("CREATE TABLE t(id INTEGER);")
+    w2 = DuckLakeSpark(**kw)  # second writer, synced at the same snapshot
+    w1.sql("INSERT INTO t VALUES (1);")  # w1 advances the store
+    with pytest.raises(ConcurrentWriteError):
+        w2.sql("INSERT INTO t VALUES (2);")  # w2 would clobber w1's commit
+    w2.refresh()
+    w2.sql("INSERT INTO t VALUES (2);")  # retry after refresh succeeds
+    w1.refresh()
+    assert rows(w1.sql("SELECT * FROM t;")) == [(1,), (2,)]
