@@ -476,3 +476,49 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id, ln(f.c / tot.n) AS lp
+      FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the statistical quality signal
+    (a doc of common words scores high, gibberish scores low; the
+    classic perplexity-filter family).  Train pass: one token groupBy
+    (vocab-sized result).  Score pass: broadcast the vocab frequencies
+    back and average log-probabilities per document.  At 100 TB the
+    vocabulary stays metadata-sized next to the corpus, so scoring is a
+    broadcast join — no corpus-wide shuffle except the per-doc
+    aggregation."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "w")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

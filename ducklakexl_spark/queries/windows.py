@@ -512,3 +512,52 @@ def window_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("price_after_next"),
     )
+
+
+@query(
+    "stream_sink_to_lake",
+    pure=False,
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_sink_to_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming INGESTION path under the gate: a file-source
+    stream sinks through foreachBatch into a catalog-snapshotted lake
+    table (exactly-once epoch commits), and the LAKE TABLE's content is
+    then aggregated and hash-matched against the batch oracle — the
+    stream → lakehouse → query loop end to end."""
+    import os
+    import tempfile
+
+    from ducklakexl_spark.queries.lakehouse import _fresh_lake
+    from ducklakexl_spark.streaming import pipeline as P
+
+    lake = _fresh_lake(spark)
+    lake.sql(
+        "CREATE TABLE event_sink(event_id BIGINT, ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR);"
+    )
+    stage = tempfile.mkdtemp(prefix="events_sink_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    q = P.sink_stream_to_lake(
+        P.read_event_stream(spark, stage), lake, "event_sink"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return lake.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM event_sink GROUP BY event_type
+        """
+    )
