@@ -482,3 +482,60 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "dim_idx", "centroid_val", "n")
     )
+
+
+@query(
+    "sim_quantize_int8",
+    oracle=f"""
+    WITH dims AS (
+      SELECT i,
+             min(CAST(embedding[i] AS DOUBLE)) AS mn,
+             max(CAST(embedding[i] AS DOUBLE)) AS mx
+      FROM embeddings, generate_series(1, {DIM}) t(i)
+      GROUP BY i
+    ),
+    rec AS (
+      SELECT e.vec_id,
+             CAST(e.embedding[t.i] AS DOUBLE) AS x,
+             CASE WHEN d.mx = d.mn THEN d.mn
+                  ELSE d.mn + round((CAST(e.embedding[t.i] AS DOUBLE) - d.mn)
+                                    / ((d.mx - d.mn) / 255))
+                           * ((d.mx - d.mn) / 255) END AS xr
+      FROM embeddings e, generate_series(1, {DIM}) t(i)
+      JOIN dims d ON d.i = t.i
+    )
+    SELECT vec_id,
+           round(avg(abs(x - xr)), 6) AS avg_abs_err,
+           round(max(abs(x - xr)), 6) AS max_abs_err
+    FROM rec GROUP BY vec_id
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (the memory-
+    compression companion to IVF: 4x smaller vectors for the coarse
+    search, exact re-rank on the originals): per-dimension min/max over
+    the corpus → 255-level codes → reconstruction, audited by per-vector
+    mean/max absolute error.  The dim-stats table is 64 rows — broadcast
+    — and every arithmetic step is a deterministic per-element IEEE op,
+    so both engines reconstruct bit-identical values before rounding."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    dims = x.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    scale = (F.col("mx") - F.col("mn")) / 255
+    xr = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn") + F.round((F.col("x") - F.col("mn")) / scale, 0) * scale
+    )
+    return (
+        x.join(F.broadcast(dims), "pos")
+        .select("vec_id", F.abs(F.col("x") - xr).alias("err"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.avg("err"), 6).alias("avg_abs_err"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+        )
+    )
