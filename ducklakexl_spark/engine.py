@@ -741,18 +741,18 @@ class DuckLakeSpark:
             tid = self.catalog.table_id(name)
             cname = m.group(3).strip('"')
             col_type = m.group(4).strip()
-            if re.search(r"\bDEFAULT\b", col_type, re.I):
-                raise ValueError(
-                    "ADD COLUMN DEFAULT is not supported; add the column, "
-                    "then UPDATE"
-                )
+            default = None
+            if dm := re.search(
+                r"^(.*?)\s+DEFAULT\s+(.+?)\s*$", col_type, re.I | re.S
+            ):
+                col_type, default = dm.group(1).strip(), dm.group(2).strip()
             ducklake_type_to_spark(col_type)  # validate before committing
             cols = self.catalog.columns(tid)
             if (cols["column_name"] == cname).any():
                 if m.group(2):
                     return None
                 raise ValueError(f"column already exists: {cname}")
-            self.catalog.add_column(tid, cname, col_type.upper())
+            self.catalog.add_column(tid, cname, col_type.upper(), default)
             return None
         m = _CREATE_SCHEMA_RE.match(stmt)
         if m:
@@ -1376,8 +1376,16 @@ class DuckLakeSpark:
         else:
             reader = self.spark.read.schema(schema)
 
+        # columns added with a DEFAULT read that default from files
+        # written BEFORE the column existed (the spec's initial_default:
+        # no rewrite); rows written after keep their stored NULLs
+        init_defaults = [
+            (r.column_name, str(r.initial_default), int(r.begin_snapshot))
+            for r in live_cols.itertuples()
+            if pd.notna(r.initial_default)
+        ]
         df = reader.parquet(*paths)
-        if not dels.empty or with_position:
+        if not dels.empty or with_position or init_defaults:
             df = (
                 reader.parquet(*paths)
                 .withColumn(
@@ -1398,6 +1406,28 @@ class DuckLakeSpark:
                 df = df.select(*sel, "__file", "__pos")
             else:
                 df = df.select(*sel)
+        if init_defaults:
+            dtype_by_name = {f.name: f.dataType for f in schema.fields}
+            fmeta = self.spark.createDataFrame(
+                [
+                    (p, int(b))
+                    for p, b in zip(files["path"], files["begin_snapshot"])
+                ],
+                "__dfile string, __fbegin long",
+            )
+            df = df.join(
+                F.broadcast(fmeta), df["__file"] == fmeta["__dfile"], "left"
+            )
+            for cname, dflt, cbegin in init_defaults:
+                df = df.withColumn(
+                    cname,
+                    F.when(
+                        (F.col("__fbegin") < cbegin)
+                        & F.col(cname).isNull(),
+                        F.expr(dflt).cast(dtype_by_name[cname]),
+                    ).otherwise(F.col(cname)),
+                )
+            df = df.drop("__dfile", "__fbegin")
         if not dels.empty:
             del_paths = sorted(set(dels["path"]))
             del_df = self.spark.read.parquet(*del_paths).select("file_path", "pos")

@@ -1087,3 +1087,20 @@ def test_optimistic_concurrency_two_writers(spark, tmp_path):
     w2.sql("INSERT INTO t VALUES (2);")  # retry after refresh succeeds
     w1.refresh()
     assert rows(w1.sql("SELECT * FROM t;")) == [(1,), (2,)]
+
+
+def test_add_column_with_default(lake):
+    """ADD COLUMN … DEFAULT: pre-existing rows read the initial_default
+    with no rewrite; rows written after keep their stored values —
+    including explicit NULLs."""
+    lake.sql("CREATE TABLE ad(id INTEGER);")
+    lake.sql("INSERT INTO ad VALUES (1), (2);")
+    lake.sql("ALTER TABLE ad ADD COLUMN score INTEGER DEFAULT 7;")
+    lake.sql("INSERT INTO ad VALUES (3, NULL);")     # explicit NULL survives
+    lake.sql("INSERT INTO ad (id) VALUES (4);")      # DEFAULT fills
+    assert rows(lake.sql("SELECT * FROM ad;")) == [
+        (1, 7), (2, 7), (3, None), (4, 7),
+    ]
+    # deletes still line up positionally with the default-filled scan
+    lake.sql("DELETE FROM ad WHERE id = 1;")
+    assert rows(lake.sql("SELECT * FROM ad;")) == [(2, 7), (3, None), (4, 7)]
