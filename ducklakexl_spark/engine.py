@@ -148,16 +148,18 @@ _USE_RE = re.compile(r"^\s*USE\s+([\w.]+)\s*$", re.I)
 _ATTACH_RE = re.compile(r"^\s*ATTACH\b", re.I)
 _TXN_RE = re.compile(r"^\s*(BEGIN(\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$", re.I)
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s*\((.*)\)\s*$",
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.\"]+)\s*\((.*)\)\s*$",
     re.I | re.S,
 )
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+([\w.\"]+)\s+AS\s+(SELECT\b.*|WITH\b.*)$",
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.\"]+)\s+AS\s+(SELECT\b.*|WITH\b.*)$",
     re.I | re.S,
 )
 _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", re.I)
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\([^)]*\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*|FROM\b.*)$",
+    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\([^)]*\))?\s*(?:(BY\s+NAME)\s+)?"
+    r"(VALUES\b.*|SELECT\b.*|WITH\b.*|FROM\b.*)$",
     re.I | re.S,
 )
 _DELETE_RE = re.compile(
@@ -767,11 +769,16 @@ class DuckLakeSpark:
             return None
         m = _CTAS_RE.match(stmt)
         if m and not _CREATE_RE.match(stmt):
-            return self._create_table_as(_unqualify(m.group(1)), m.group(2))
+            return self._create_table_as(
+                _unqualify(m.group(2)), m.group(3), replace=bool(m.group(1))
+            )
         m = _CREATE_RE.match(stmt)
         if m:
+            name = _unqualify(m.group(3))
+            if m.group(1) and name in self.catalog.table_names():
+                self.catalog.drop_table(name)
             return self._create_table(
-                _unqualify(m.group(2)), m.group(3), if_not_exists=bool(m.group(1))
+                name, m.group(4), if_not_exists=bool(m.group(2))
             )
         m = _DROP_RE.match(stmt)
         if m:
@@ -783,7 +790,10 @@ class DuckLakeSpark:
         m = _INSERT_RE.match(stmt)
         if m:
             return self._insert(
-                _unqualify(m.group(1)), m.group(2), m.group(3)
+                _unqualify(m.group(1)),
+                m.group(2),
+                m.group(4),
+                by_name=bool(m.group(3)),
             )
         m = _DELETE_RE.match(stmt)
         if m:
@@ -984,8 +994,15 @@ class DuckLakeSpark:
         self.catalog.create_table(name, self._parse_columns(body))
         return None
 
-    def _create_table_as(self, name: str, select_sql: str) -> None:
+    def _create_table_as(
+        self, name: str, select_sql: str, replace: bool = False
+    ) -> None:
         df = self._select(select_sql)
+        if replace and name in self.catalog.table_names():
+            # materialize BEFORE the drop: the select may read the very
+            # table being replaced
+            df = df.localCheckpoint(eager=True)
+            self.catalog.drop_table(name)
         columns = [
             (f.name, _spark_type_to_ducklake(f.dataType)) for f in df.schema.fields
         ]
@@ -1005,7 +1022,16 @@ class DuckLakeSpark:
             ]
         )
 
-    def _insert(self, name: str, col_list: str | None, source_sql: str) -> None:
+    def _insert(
+        self,
+        name: str,
+        col_list: str | None,
+        source_sql: str,
+        by_name: bool = False,
+    ) -> None:
+        """``by_name`` (DuckDB's ``INSERT INTO t BY NAME``): align source
+        columns strictly by name — unmatched table columns take their
+        DEFAULT/NULL, and the positional fallback is disabled."""
         schema = self.table_schema(name)
         if re.match(r"^\s*VALUES", source_sql, re.I):
             names = (
@@ -1040,7 +1066,7 @@ class DuckLakeSpark:
             nulls_ok, default = meta.get(f.name, (True, None))
             if f.name in df.columns:
                 col = F.col(f.name).cast(f.dataType)
-            elif col_list is None and i < len(src_fields):
+            elif col_list is None and not by_name and i < len(src_fields):
                 col = F.col(src_fields[i].name).cast(f.dataType)
             elif default is not None:
                 col = F.expr(default).cast(f.dataType)
@@ -2104,6 +2130,9 @@ class DuckLakeSpark:
     def _select(self, stmt: str) -> DataFrame:
         if _WITH_RECURSIVE_RE.match(stmt):
             return self._exec_recursive_cte(stmt)
+        if re.match(r"^\s*FROM\b", stmt, re.I):
+            # DuckDB's leading-FROM sugar: FROM t [WHERE …] == SELECT * …
+            stmt = "SELECT * " + stmt.strip()
         stmt = self._expand_star_modifiers(stmt)
         stmt = rewrite_exclude(stmt)
         stmt = rewrite_distinct_on(stmt)

@@ -1104,3 +1104,26 @@ def test_add_column_with_default(lake):
     # deletes still line up positionally with the default-filled scan
     lake.sql("DELETE FROM ad WHERE id = 1;")
     assert rows(lake.sql("SELECT * FROM ad;")) == [(2, 7), (3, None), (4, 7)]
+
+
+def test_create_or_replace_table(lake):
+    lake.sql("CREATE TABLE r1(id INTEGER);")
+    lake.sql("INSERT INTO r1 VALUES (1);")
+    lake.sql("CREATE OR REPLACE TABLE r1(id INTEGER, v VARCHAR);")
+    assert rows(lake.sql("SELECT * FROM r1;")) == []
+    lake.sql("INSERT INTO r1 VALUES (2, 'x');")
+    lake.sql("CREATE OR REPLACE TABLE r1 AS SELECT id FROM r1;")
+    assert rows(lake.sql("SELECT * FROM r1;")) == [(2,)]
+
+
+def test_insert_by_name(lake):
+    lake.sql("CREATE TABLE bn(id INTEGER, v VARCHAR DEFAULT 'd', n INTEGER);")
+    lake.sql("INSERT INTO bn BY NAME SELECT 5 AS n, 1 AS id;")
+    assert rows(lake.sql("SELECT * FROM bn;")) == [(1, "d", 5)]
+
+
+def test_leading_from_sugar(lake):
+    lake.sql("CREATE TABLE lf(id INTEGER, v VARCHAR);")
+    lake.sql("INSERT INTO lf VALUES (1,'a'), (2,'b');")
+    assert rows(lake.sql("FROM lf;")) == [(1, "a"), (2, "b")]
+    assert rows(lake.sql("FROM lf WHERE id = 2;")) == [(2, "b")]
