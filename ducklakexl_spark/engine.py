@@ -179,6 +179,11 @@ _DELETE_USING_RE = re.compile(
     re.I | re.S,
 )
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+_PIVOT_RE = re.compile(
+    r"^\s*PIVOT\s+(.+?)\s+ON\s+([\w\"]+)\s+"
+    r"USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
+    re.I | re.S,
+)
 _COMMENT_RE = re.compile(
     r"^\s*COMMENT\s+ON\s+(TABLE|COLUMN)\s+([\w.\"]+)\s+IS\s+'((?:[^']|'')*)'\s*$",
     re.I,
@@ -889,6 +894,22 @@ class DuckLakeSpark:
         m = _SUMMARIZE_RE.match(stmt)
         if m:
             return self._summarize(m.group(1))
+        m = _PIVOT_RE.match(stmt)
+        if m:
+            # DuckDB's PIVOT statement → Spark's native pivot: value
+            # discovery is one distinct scan, then a pivoted hash
+            # aggregation (partial map-side, one shuffle on the group key)
+            src, on, using, group = m.groups()
+            src = src.strip()
+            df = (
+                self._select(src[1:-1])
+                if src.startswith("(") and src.endswith(")")
+                else self._select(f"SELECT * FROM {src}")
+            )
+            if not group:
+                raise ValueError("PIVOT: GROUP BY clause required")
+            gb = [c.strip().strip('"') for c in split_top_level(group)]
+            return df.groupBy(*gb).pivot(on.strip('"')).agg(F.expr(using))
         return self._select(stmt)
 
     def _summarize(self, target: str) -> DataFrame:

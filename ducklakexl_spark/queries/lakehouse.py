@@ -547,3 +547,39 @@ def lakehouse_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return lake.table("pt", predicates=[("grp", "=", "b")]).filter("grp = 'b'")
+
+
+@query(
+    "lakehouse_pivot_statement",
+    pure=False,
+    oracle="""
+    SELECT o_orderpriority,
+           round("F", 2) AS f_total,
+           round("O", 2) AS o_total,
+           round("P", 2) AS p_total
+    FROM (PIVOT orders ON o_orderstatus USING sum(o_totalprice)
+          GROUP BY o_orderpriority)
+    """,
+)
+def lakehouse_pivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's PIVOT statement through sql() text: value discovery is
+    one distinct scan, then Spark's native pivoted hash aggregation
+    (map-side partials, one shuffle on the group key).  Both engines
+    name the pivoted columns by the ON values, so the surfaces line up
+    1:1."""
+    import pyspark.sql.functions as F
+
+    lake = _fresh_lake(spark)
+    out = lake.sql(
+        f"""
+        PIVOT read_parquet('{sf_dir}/orders.parquet')
+        ON o_orderstatus USING sum(o_totalprice)
+        GROUP BY o_orderpriority
+        """
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round("F", 2).alias("f_total"),
+        F.round("O", 2).alias("o_total"),
+        F.round("P", 2).alias("p_total"),
+    )
