@@ -184,6 +184,11 @@ _PIVOT_RE = re.compile(
     r"USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
     re.I | re.S,
 )
+_UNPIVOT_RE = re.compile(
+    r"^\s*UNPIVOT\s+(.+?)\s+ON\s+(.+?)\s+"
+    r"INTO\s+NAME\s+([\w\"]+)\s+VALUE\s+([\w\"]+)\s*$",
+    re.I | re.S,
+)
 _COMMENT_RE = re.compile(
     r"^\s*COMMENT\s+ON\s+(TABLE|COLUMN)\s+([\w.\"]+)\s+IS\s+'((?:[^']|'')*)'\s*$",
     re.I,
@@ -910,6 +915,22 @@ class DuckLakeSpark:
                 raise ValueError("PIVOT: GROUP BY clause required")
             gb = [c.strip().strip('"') for c in split_top_level(group)]
             return df.groupBy(*gb).pivot(on.strip('"')).agg(F.expr(using))
+        m = _UNPIVOT_RE.match(stmt)
+        if m:
+            # DuckDB's UNPIVOT statement → Spark's native unpivot (a
+            # per-row expand, no shuffle)
+            src, on, nname, vname = m.groups()
+            src = src.strip()
+            df = (
+                self._select(src[1:-1])
+                if src.startswith("(") and src.endswith(")")
+                else self._select(f"SELECT * FROM {src}")
+            )
+            vals = [c.strip().strip('"') for c in split_top_level(on)]
+            ids = [c for c in df.columns if c not in vals]
+            return df.unpivot(
+                ids, vals, nname.strip('"'), vname.strip('"')
+            )
         return self._select(stmt)
 
     def _summarize(self, target: str) -> DataFrame:

@@ -583,3 +583,29 @@ def lakehouse_pivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("O", 2).alias("o_total"),
         F.round("P", 2).alias("p_total"),
     )
+
+
+@query(
+    "lakehouse_unpivot_statement",
+    pure=False,
+    oracle="""
+    UNPIVOT (SELECT p_partkey, round(p_retailprice, 2) AS retail,
+                    CAST(p_size AS DOUBLE) AS size_val
+             FROM part WHERE p_partkey <= 50)
+    ON retail, size_val INTO NAME measure VALUE val
+    """,
+)
+def lakehouse_unpivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's UNPIVOT statement through sql() text → Spark's native
+    unpivot: a per-row expand with no shuffle; untouched columns become
+    the identifier set automatically."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        UNPIVOT (SELECT p_partkey, round(p_retailprice, 2) AS retail,
+                        CAST(p_size AS DOUBLE) AS size_val
+                 FROM read_parquet('{sf_dir}/part.parquet')
+                 WHERE p_partkey <= 50)
+        ON retail, size_val INTO NAME measure VALUE val
+        """
+    )
