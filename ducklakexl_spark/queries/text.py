@@ -11,6 +11,7 @@ everywhere is md5 (identical hex output in both engines).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ducklakexl_spark.queries import load, query
@@ -521,4 +522,119 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k - 1 AS BIGINT) AS chunk_idx,
+           CAST(len(w) AS BIGINT) AS n_doc_tokens,
+           CAST(least((k - 1) * ({CHUNK_TOKENS} - {CHUNK_OVERLAP}) + {CHUNK_TOKENS},
+                      len(w))
+                - (k - 1) * ({CHUNK_TOKENS} - {CHUNK_OVERLAP}) AS BIGINT)
+               AS chunk_len,
+           md5(array_to_string(w[(k - 1) * ({CHUNK_TOKENS} - {CHUNK_OVERLAP}) + 1 :
+                                 least((k - 1) * ({CHUNK_TOKENS} - {CHUNK_OVERLAP})
+                                       + {CHUNK_TOKENS}, len(w))], ' '))
+               AS chunk_md5
+    FROM tok CROSS JOIN generate_series(1, 1000) t(k)
+    WHERE k <= greatest(1,
+          CAST(ceil(CAST(len(w) - {CHUNK_OVERLAP} AS DOUBLE)
+                    / ({CHUNK_TOKENS} - {CHUNK_OVERLAP})) AS BIGINT))
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (the RAG/pre-training window
+    split): {CHUNK_TOKENS}-token chunks with {CHUNK_OVERLAP}-token
+    overlap, emitted per document with an md5 of the chunk text so the
+    oracle proves the chunk CONTENT is identical, not just the counts.
+    Pure per-row array arithmetic + one explode — no shuffle; at 100 TB
+    this is a codegen'd map pass whose output feeds the tokenizer."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    d = d.select("doc_id", w.alias("w"), F.size(w).alias("n_doc_tokens"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.col("n_doc_tokens") - CHUNK_OVERLAP) / F.lit(stride)
+        ).cast("long"),
+    )
+    d = d.select(
+        "doc_id",
+        "w",
+        "n_doc_tokens",
+        F.explode(F.sequence(F.lit(1), n_chunks)).alias("k"),
+    )
+    start = (F.col("k") - 1) * stride  # 0-based start
+    end = F.least(start + CHUNK_TOKENS, F.col("n_doc_tokens"))
+    chunk = F.slice(F.col("w"), start + 1, end - start)
+    return d.select(
+        "doc_id",
+        (F.col("k") - 1).cast("long").alias("chunk_idx"),
+        F.col("n_doc_tokens").cast("long"),
+        (end - start).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+PACK_BUDGET = 512
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tok,
+             CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / {PACK_BUDGET}) AS BIGINT) AS seq_id
+      FROM tok
+    )
+    SELECT seq_id,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY seq_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (filling {PACK_BUDGET}-token
+    training sequences): docs in doc_id order, a running token cumsum,
+    and seq_id = floor(preceding_total / budget) — reproducible across
+    engines and partitionings, unlike greedy bin packing.  The window
+    cumsum is the only ordered pass; everything else partial-aggregates.
+    At 100 TB the global sort is the known cost of stable packing — in
+    production the same formula runs per shard (doc_id ranges) so each
+    partition packs independently."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    win = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = d.select("doc_id", n_tok.alias("n_tok")).withColumn(
+        "seq_id",
+        F.floor(
+            (F.sum("n_tok").over(win) - F.col("n_tok")) / PACK_BUDGET
+        ).cast("long"),
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
