@@ -179,6 +179,13 @@ _DELETE_USING_RE = re.compile(
     re.I | re.S,
 )
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+_SET_RE = re.compile(
+    r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([\w.]+)\s*(?:=|TO)\s*(.+?)\s*$", re.I
+)
+_RESET_RE = re.compile(r"^\s*RESET\s+([\w.]+)\s*$", re.I)
+_PRAGMA_RE = re.compile(
+    r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*'?([\w.]*)'?\s*\))?\s*$", re.I
+)
 _PIVOT_RE = re.compile(
     r"^\s*PIVOT\s+(.+?)\s+ON\s+([\w\"]+)\s+"
     r"USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
@@ -620,6 +627,7 @@ class DuckLakeSpark:
         local_catalog = local_catalog or os.path.join(self.data_path, "_catalog")
         self.catalog = DuckLakeCatalog(CatalogStore(local_catalog), self.data_path)
         self.current_db = ducklake_name
+        self.session_settings: dict[str, str] = {}
 
         # workbook sync backend (reference: _pick_client, ducklakexl.py:85-97)
         if workbook is None and excel_file is not None:
@@ -680,6 +688,37 @@ class DuckLakeSpark:
         if m:
             self.current_db = m.group(1)
             return None
+        m = _SET_RE.match(stmt)
+        if m:
+            # SET spark.* keys hit the live session conf; DuckDB-only
+            # settings are accepted and recorded (inert here — a script
+            # written for the reference keeps running)
+            key, value = m.group(1), m.group(2).strip().strip("'\"")
+            if key.startswith("spark."):
+                self.spark.conf.set(key, value)
+            else:
+                self.session_settings[key] = value
+            return None
+        m = _RESET_RE.match(stmt)
+        if m:
+            key = m.group(1)
+            if key.startswith("spark."):
+                self.spark.conf.unset(key)
+            else:
+                self.session_settings.pop(key, None)
+            return None
+        m = _PRAGMA_RE.match(stmt)
+        if m:
+            pragma, arg = m.group(1).lower(), m.group(2)
+            if pragma == "table_info" and arg:
+                return self.sql(f"DESCRIBE {arg}")
+            if pragma == "show_tables":
+                return self.sql("SHOW TABLES")
+            if pragma == "version":
+                return self.spark.createDataFrame(
+                    [(self.spark.version,)], "library_version string"
+                )
+            raise ValueError(f"unsupported PRAGMA: {pragma}")
         m = _CREATE_VIEW_RE.match(stmt)
         if m:
             self.catalog.create_view(

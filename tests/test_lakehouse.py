@@ -1127,3 +1127,22 @@ def test_leading_from_sugar(lake):
     lake.sql("INSERT INTO lf VALUES (1,'a'), (2,'b');")
     assert rows(lake.sql("FROM lf;")) == [(1, "a"), (2, "b")]
     assert rows(lake.sql("FROM lf WHERE id = 2;")) == [(2, "b")]
+
+
+def test_set_reset_pragma(lake):
+    lake.sql("SET memory_limit = '4GB';")  # DuckDB-only: accepted, inert
+    assert lake.session_settings["memory_limit"] == "4GB"
+    lake.sql("SET spark.sql.shuffle.partitions = 16;")
+    assert lake.spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    lake.sql("RESET spark.sql.shuffle.partitions;")
+    lake.sql("RESET memory_limit;")
+    assert "memory_limit" not in lake.session_settings
+    lake.sql("CREATE TABLE pi(id INTEGER, v VARCHAR);")
+    info = lake.sql("PRAGMA table_info('pi');")
+    assert [r.column_name for r in info.collect()] == ["id", "v"]
+    names = [r.name for r in lake.sql("PRAGMA show_tables;").collect()]
+    assert "pi" in names
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PRAGMA"):
+        lake.sql("PRAGMA frobnicate;")
