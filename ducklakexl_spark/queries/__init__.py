@@ -112,6 +112,7 @@ def load_all() -> None:
         multimodal,
         nested,
         relational,
+        retrieval,
         scalars,
         similarity,
         skew,

@@ -1,0 +1,389 @@
+"""Retrieval / curation operators for LLM training-data pipelines
+(SURVEY.md §2.D): benchmark-contamination detection, TF-IDF term
+weighting, BM25 keyword search, inverted-index construction, and
+weighted dataset-mixture sampling.
+
+Reference scope: the reference (ducklakexl.py:394) inherits arbitrary
+SQL over lake tables; these are the text-retrieval patterns a training
+corpus pipeline layers on top.  All are expressed as declarative
+DataFrame plans — explode/groupBy/window over JVM column expressions,
+no Python UDFs — so Catalyst keeps them in whole-stage codegen and the
+only shuffles are the per-key aggregations that any engine needs.
+
+Scale notes (100 TB):
+- contamination joins the corpus against a *small* eval holdout →
+  the holdout gram set is broadcast; the corpus side stays pipelined.
+- tf/df aggregations are partial-aggregated map-side before the one
+  hash shuffle on the (doc, term) / term keys.
+- mixture sampling needs one count per stratum (tiny) broadcast back;
+  ranking is a per-stratum window over a hash order — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ducklakexl_spark.queries import load, query
+
+# alpha word tokens of the lowercased text — the tokenizer every query
+# in this module shares (identical regex semantics in Spark and DuckDB)
+_WORD_RE = "[a-z]+"
+
+
+def _tokens():
+    return F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0)
+
+
+# --------------------------------------------------------------------------
+# benchmark contamination: n-gram overlap against an eval holdout
+# --------------------------------------------------------------------------
+
+@query(
+    "text_contamination_3gram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 97 = 0 AS is_eval,
+             regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, is_eval,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+      FROM toks
+    ),
+    eval_grams AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_overlap
+      FROM grams g JOIN eval_grams e USING (gram)
+      WHERE NOT g.is_eval
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n_overlap, 0) >= 3 AS contaminated
+    FROM toks t LEFT JOIN hits h USING (doc_id)
+    WHERE NOT t.is_eval
+    """,
+)
+def text_contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: word-3-gram overlap between every
+    training document and a deterministic eval holdout (doc_id % 97).
+    Real pipelines use 13-grams (the n is a dial, not the design); the
+    shape is the point — the holdout's distinct gram set is tiny, so it
+    broadcasts, and the corpus side never shuffles for the probe.  One
+    hash shuffle for the per-doc count, then a broadcast join back."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        _tokens().alias("toks"),
+    )
+    n = F.size("toks")
+    grams = toks.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.when(
+                n >= 3,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("toks"), i, 3)
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    eval_grams = grams.filter("is_eval").select("gram").distinct()
+    hits = (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hit_cnt"))
+    )
+    return (
+        toks.filter(~F.col("is_eval"))
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit_cnt", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("hit_cnt", F.lit(0)) >= 3).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+            FROM documents)
+      GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  tf is one exploded groupBy
+    (partial-aggregated map-side); df is a second aggregation over the
+    tf table — both shuffle on their natural keys; df is vocabulary-
+    sized, so it broadcasts back onto tf.  Ranking is a per-doc window
+    ordered by the *rounded* score (identical on both engines) with the
+    term as the deterministic tiebreak."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword search
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "stream")
+_K1, _B = 1.2, 0.75
+
+
+def _bm25_weight_sql(term: str) -> str:
+    """Per-term BM25 weight with the (tf, dl, df, n, avgdl) columns in
+    scope — written once so Spark and DuckDB share the exact same
+    operation order (floating-point identical)."""
+    return (
+        f"ln(1 + (CAST(n AS DOUBLE) - df_{term} + 0.5) / (df_{term} + 0.5)) "
+        f"* (tf_{term} * ({_K1} + 1)) "
+        f"/ (tf_{term} + {_K1} * (1 - {_B} + {_B} * dl / avgdl))"
+    )
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id,
+             {', '.join(f"sum(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
+                        for t in _BM25_TERMS)}
+      FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+      WHERE t IN {_BM25_TERMS!r}
+      GROUP BY doc_id
+    ),
+    dfreq AS (
+      SELECT {', '.join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+                        for t in _BM25_TERMS)}
+      FROM tf
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             {' + '.join(f"(CASE WHEN tf_{t} > 0 THEN {_bm25_weight_sql(t)} ELSE 0.0 END)"
+                         for t in _BM25_TERMS)} AS s
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfreq
+    )
+    SELECT doc_id, round(s, 6) AS bm25
+    FROM scored ORDER BY round(s, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) keyword search for a fixed query over the
+    corpus, top-20.  The per-term tf columns are pivoted into one row
+    per doc so the 3-term score is a fixed-order scalar expression —
+    no sum() over a nondeterministic row order, hence bit-stable across
+    engines.  df/n/avgdl are single-row aggregates, broadcast; the only
+    data-sized shuffle is the per-doc tf aggregation."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    term_col = F.explode("toks").alias("t")
+    tf = (
+        toks.select("doc_id", term_col)
+        .filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("t") == t, 1).otherwise(0)).alias(f"tf_{t}")
+                for t in _BM25_TERMS
+            ]
+        )
+    )
+    dfreq = tf.agg(
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfreq))
+        .select(
+            "doc_id",
+            F.expr(
+                " + ".join(
+                    f"(CASE WHEN tf_{t} > 0 THEN {_bm25_weight_sql(t)} "
+                    f"ELSE 0.0 END)"
+                    for t in _BM25_TERMS
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("s", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# inverted index (postings lists)
+# --------------------------------------------------------------------------
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT term, count(*) AS df,
+             (list(doc_id ORDER BY doc_id))[1:20] AS posting_head
+      FROM pairs GROUP BY term
+    )
+    SELECT term, CAST(df AS BIGINT) AS df, posting_head
+    FROM postings ORDER BY df DESC, term LIMIT 40
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: distinct (term, doc) pairs aggregated into
+    per-term document-frequency + the head of the sorted postings list,
+    for the 40 highest-df terms.  distinct + groupBy both shuffle on
+    the term-keyed pair — partial-aggregated map-side; collect_list is
+    bounded per term by the slice, and at 100 TB the postings body
+    would spill to a term-bucketed table rather than driver memory
+    (this query materializes only the 20-entry head)."""
+    pairs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+        .distinct()
+    )
+    postings = pairs.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+            "posting_head"
+        ),
+    )
+    return postings.orderBy(F.col("df").desc(), "term").limit(40)
+
+
+# --------------------------------------------------------------------------
+# weighted dataset-mixture sampling
+# --------------------------------------------------------------------------
+
+_MIX_WEIGHTS = (("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.1), ("zh", 0.05))
+
+
+@query(
+    "sample_mixture_by_lang",
+    oracle=f"""
+    WITH w(lang, w) AS (VALUES
+      {', '.join(f"('{l}', {x})" for l, x in _MIX_WEIGHTS)}),
+    cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    tgt AS (SELECT min(CAST(floor(c / w) AS BIGINT)) AS n
+            FROM cnt JOIN w USING (lang)),
+    quota AS (SELECT w.lang, CAST(floor(w.w * tgt.n) AS BIGINT) AS q
+              FROM w CROSS JOIN tgt),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN quota USING (lang) WHERE r.rn <= quota.q
+    """,
+)
+def sample_mixture_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling: draw a deterministic subsample whose
+    language proportions hit a target mixture (en .5 / de .2 / fr .15 /
+    es .1 / zh .05), sized to the largest total the scarcest stratum
+    supports.  Per-stratum quotas come from one tiny count aggregate
+    (broadcast); selection is a per-stratum window over the md5 hash
+    order — reproducible across runs and engines, no RNG, no global
+    sort.  The same plan at 100 TB: counts are metadata-sized, the
+    window shuffles once on the stratum key."""
+    docs = load(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        list(_MIX_WEIGHTS), "lang string, w double"
+    )
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    tgt = (
+        cnt.join(weights, "lang")
+        .agg(
+            F.min(F.floor(F.col("c") / F.col("w")).cast("long")).alias("n")
+        )
+    )
+    quota = weights.crossJoin(F.broadcast(tgt)).select(
+        "lang", F.floor(F.col("w") * F.col("n")).cast("long").alias("q")
+    )
+    w_rank = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w_rank).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rn") <= F.col("q"))
+        .select("doc_id", "lang")
+    )
