@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ducklakexl_spark.catalog import CatalogStore, DuckLakeCatalog
+from ducklakexl_spark.operators import joins as joins_ops
 
 # ---------------------------------------------------------------------------
 # SQL text utilities
@@ -399,6 +400,56 @@ def find_top_level_keyword(s: str, kw: str, start: int = 0) -> int:
 _WITH_RECURSIVE_RE = re.compile(
     r"^\s*WITH\s+RECURSIVE\s+(\w+)\s*(?:\(([^)]*)\))?\s*AS\s*\(", re.I
 )
+
+
+def split_rel_alias(seg: str) -> tuple[str, str | None]:
+    """Split a FROM-clause item into (relation, alias).  The relation is
+    either a parenthesized subquery or a dotted identifier; the alias an
+    optional trailing ``[AS] name``."""
+    seg = seg.strip()
+    if seg.startswith("("):
+        close = matching_paren(seg, 0)
+        rel, rest = seg[: close + 1], seg[close + 1 :].strip()
+    else:
+        m = re.match(r"[\w.]+", seg)
+        if not m:
+            raise ValueError(f"cannot parse relation: {seg!r}")
+        rel, rest = m.group(0), seg[m.end() :].strip()
+    alias = None
+    if rest:
+        m = re.fullmatch(r"(?:AS\s+)?(\w+)", rest, re.I)
+        if not m:
+            raise ValueError(f"cannot parse relation alias: {seg!r}")
+        alias = m.group(1)
+    return rel, alias
+
+
+def split_top_level(s: str, kw: str) -> list[str]:
+    """Split ``s`` on top-level occurrences of the keyword ``kw``."""
+    parts, start = [], 0
+    while True:
+        pos = find_top_level_keyword(s, kw, start)
+        if pos < 0:
+            parts.append(s[start:])
+            return parts
+        parts.append(s[start:pos])
+        start = pos + len(kw)
+
+
+_TAIL_KEYWORDS = ("WHERE", "GROUP", "HAVING", "QUALIFY", "ORDER", "LIMIT")
+
+
+def tail_keyword_pos(stmt: str, start: int = 0) -> int:
+    """Position of the first top-level tail-clause keyword at/after
+    ``start``, or len(stmt)."""
+    candidates = [
+        p
+        for p in (
+            find_top_level_keyword(stmt, k, start) for k in _TAIL_KEYWORDS
+        )
+        if p >= 0
+    ]
+    return min(candidates) if candidates else len(stmt)
 
 
 def matching_paren(s: str, open_idx: int) -> int:
@@ -2045,7 +2096,32 @@ class DuckLakeSpark:
         Paths may be globs — Spark's file index expands them, exactly
         like DuckDB's read_parquet('dir/*.parquet')."""
         if kind == "parquet":
-            return self.spark.read.parquet(*paths)
+            # runtime-settable; the driver may hand us a vanilla session
+            # and the fixture parquet carries TIMESTAMP(NANOS) columns
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = self.spark.read.parquet(*paths)
+            # TIMESTAMP(NANOS) columns arrive as LONG under the
+            # nanosAsLong conf (session.py) — normalize them back to
+            # timestamps the way queries.load() does, detecting ns
+            # columns from the parquet footer (first concrete file).
+            ns_cols: set[str] = set()
+            for p in paths:
+                if any(ch in p for ch in "*?[{"):
+                    continue
+                try:
+                    sch = pq.read_schema(p)
+                except Exception:
+                    continue
+                for f in sch:
+                    if str(f.type) == "timestamp[ns]":
+                        ns_cols.add(f.name)
+                break
+            for f in df.schema.fields:
+                if f.name in ns_cols and isinstance(f.dataType, T.LongType):
+                    df = df.withColumn(
+                        f.name, F.timestamp_micros(F.expr(f"{f.name} DIV 1000"))
+                    )
+            return df
         if kind == "csv":
             return (
                 self.spark.read.option("header", "true")
@@ -2208,6 +2284,166 @@ class DuckLakeSpark:
         acc.createOrReplaceTempView(name)
         return self._select(remainder)
 
+    def _rel_df(self, rel: str) -> DataFrame:
+        """DataFrame for a FROM-clause relation: a parenthesized subquery
+        or a table/view/TVF name — resolved through the full sql() text
+        path (lake tables, read_* TVFs, nested dialect sugar)."""
+        rel = rel.strip()
+        if rel.startswith("("):
+            return self._select(rel[1:-1].strip())
+        return self._select(f"SELECT * FROM {rel}")
+
+    def _rewrite_asof_text(self, stmt: str) -> str:
+        """DuckDB's ``ASOF [LEFT] JOIN`` keyword through sql() TEXT
+        (reference inherits it via ducklakexl.py:394): parse the two
+        relations + ON condition, delegate to operators.joins.asof_join
+        (union + carry-forward, one shuffle, no range cross-product),
+        register the result as a view and splice it back in.
+
+        Scope (like rewrite_qualify): one ASOF join per statement, both
+        sides aliased, equality conjuncts plus ONE backward inequality
+        (``l.ts >= r.ts`` / ``>``); carried right columns must not
+        collide with left columns — alias them in the subqueries."""
+        pos = find_top_level_keyword(stmt, "ASOF")
+        if pos < 0:
+            return stmt
+        fpos = find_top_level_keyword(stmt, "FROM")
+        if fpos < 0 or fpos > pos:
+            return stmt
+        lrel, lalias = split_rel_alias(stmt[fpos + 4 : pos])
+        m = re.match(r"ASOF\s+(LEFT\s+)?(?:INNER\s+)?JOIN\s*", stmt[pos:], re.I)
+        how = "left" if m.group(1) else "inner"
+        rstart = pos + m.end()
+        onpos = find_top_level_keyword(stmt, "ON", rstart)
+        if onpos < 0:
+            raise ValueError("ASOF JOIN requires an ON condition")
+        rrel, ralias = split_rel_alias(stmt[rstart:onpos])
+        if not (lalias and ralias):
+            raise NotImplementedError(
+                "ASOF JOIN through sql() text requires aliases on both sides"
+            )
+        cond_end = tail_keyword_pos(stmt, onpos + 2)
+        cond = stmt[onpos + 2 : cond_end]
+        eqs: list[tuple[str, str]] = []
+        ineq: tuple[str, str, bool] | None = None  # (left_ts, right_ts, strict)
+        for conj in split_top_level(cond, "AND"):
+            cm = re.fullmatch(
+                r"\s*(\w+)\.(\w+)\s*(=|>=|<=|>|<)\s*(\w+)\.(\w+)\s*",
+                conj,
+                re.S,
+            )
+            if not cm:
+                raise NotImplementedError(
+                    f"unsupported ASOF JOIN conjunct: {conj.strip()!r}"
+                )
+            a1, c1, op, a2, c2 = cm.groups()
+            if a2 == lalias and a1 == ralias:
+                # orient left-alias first, mirroring the comparison
+                a1, c1, a2, c2 = a2, c2, a1, c1
+                op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}.get(op, op)
+            if a1 != lalias or a2 != ralias:
+                raise ValueError(f"ASOF JOIN conjunct aliases: {conj.strip()!r}")
+            if op == "=":
+                eqs.append((c1, c2))
+            elif op in (">=", ">"):
+                if ineq is not None:
+                    raise NotImplementedError("multiple ASOF inequalities")
+                ineq = (c1, c2, op == ">")
+            else:
+                raise NotImplementedError(
+                    "forward (<=) ASOF JOIN not supported through sql() text"
+                )
+        if ineq is None:
+            raise ValueError("ASOF JOIN requires an inequality condition")
+        left_ts, right_ts, strict = ineq
+        ldf, rdf = self._rel_df(lrel), self._rel_df(rrel)
+        for lk, rk in eqs:
+            if lk != rk:
+                rdf = rdf.withColumnRenamed(rk, lk)
+        keys = [lk for lk, _ in eqs]
+        right_cols = [c for c in rdf.columns if c not in keys]
+        collide = set(right_cols) & set(ldf.columns)
+        if collide:
+            raise ValueError(
+                f"ASOF JOIN carried columns collide with left side: "
+                f"{sorted(collide)}; alias them in the subqueries"
+            )
+        out = joins_ops.asof_join(
+            ldf,
+            rdf,
+            on=keys,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            right_cols=right_cols,
+            how=how,
+            strict=strict,
+        )
+        view = "__asof_join_result"
+        out.createOrReplaceTempView(view)
+        new_stmt = stmt[:fpos] + f"FROM {view} " + stmt[cond_end:]
+        for a in (lalias, ralias):
+            new_stmt = re.sub(rf"\b{a}\.", "", new_stmt)
+        return new_stmt
+
+    def _rewrite_positional_text(self, stmt: str) -> str:
+        """DuckDB's ``POSITIONAL JOIN`` through sql() TEXT.  Physical row
+        order does not exist in a distributed engine, so each side must
+        be a subquery with a top-level ORDER BY — the zip is defined
+        under those explicit total orders (operators/joins.py)."""
+        pos = find_top_level_keyword(stmt, "POSITIONAL")
+        if pos < 0:
+            return stmt
+        fpos = find_top_level_keyword(stmt, "FROM")
+        if fpos < 0 or fpos > pos:
+            return stmt
+        lrel, lalias = split_rel_alias(stmt[fpos + 4 : pos])
+        m = re.match(r"POSITIONAL\s+JOIN\s*", stmt[pos:], re.I)
+        rstart = pos + m.end()
+        tail_pos = tail_keyword_pos(stmt, rstart)
+        rrel, ralias = split_rel_alias(stmt[rstart:tail_pos])
+
+        def order_cols(rel: str) -> list:
+            if not rel.startswith("("):
+                raise NotImplementedError(
+                    "POSITIONAL JOIN sides must be subqueries with an "
+                    "explicit ORDER BY (distributed engines have no "
+                    "physical row order)"
+                )
+            inner = rel[1:-1]
+            opos = find_top_level_keyword(inner, "ORDER")
+            if opos < 0:
+                raise NotImplementedError(
+                    "POSITIONAL JOIN side lacks a top-level ORDER BY"
+                )
+            seg = re.match(r"ORDER\s+BY\s+(.*)$", inner[opos:], re.I | re.S)
+            cols_txt = seg.group(1)
+            lpos = find_top_level_keyword(cols_txt, "LIMIT")
+            if lpos >= 0:
+                cols_txt = cols_txt[:lpos]
+            cols = []
+            for item in cols_txt.split(","):
+                im = re.fullmatch(
+                    r"\s*(.*?)(?:\s+(ASC|DESC))?\s*", item, re.I | re.S
+                )
+                e = F.expr(im.group(1))
+                cols.append(
+                    e.desc() if (im.group(2) or "").upper() == "DESC" else e
+                )
+            return cols
+        out = joins_ops.positional_join(
+            self._rel_df(lrel),
+            self._rel_df(rrel),
+            left_order=order_cols(lrel),
+            right_order=order_cols(rrel),
+        )
+        view = "__positional_join_result"
+        out.createOrReplaceTempView(view)
+        new_stmt = stmt[:fpos] + f"FROM {view} " + stmt[tail_pos:]
+        for a in (lalias, ralias):
+            if a:
+                new_stmt = re.sub(rf"\b{a}\.", "", new_stmt)
+        return new_stmt
+
     def _select(self, stmt: str) -> DataFrame:
         if _WITH_RECURSIVE_RE.match(stmt):
             return self._exec_recursive_cte(stmt)
@@ -2217,6 +2453,8 @@ class DuckLakeSpark:
         stmt = self._expand_star_modifiers(stmt)
         stmt = rewrite_exclude(stmt)
         stmt = rewrite_distinct_on(stmt)
+        stmt = self._rewrite_asof_text(stmt)
+        stmt = self._rewrite_positional_text(stmt)
         stmt = rewrite_qualify(stmt)
         stmt = rewrite_using_sample(stmt)
         stmt = self._read_file_views(stmt)

@@ -21,34 +21,43 @@ from pyspark.sql import functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    how: str = "left",
+    strict: bool = False,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right.right_ts <= left.left_ts`` within the same ``on`` key.
+    ``right.right_ts <= left.left_ts`` (``<`` when ``strict``) within the
+    same ``on`` key(s).  ``how='inner'`` drops left rows with no match
+    (DuckDB's plain ``ASOF JOIN``); ``'left'`` keeps them NULL-padded.
 
     Implementation: tag and union both sides, sort per key by (ts,
     side-priority), carry the right side's values forward with
     ``last(..., ignorenulls=True)``, keep left rows.  Exactly one shuffle
     on the key — never a range cross-product, and skew on the key is
     AQE-handled like any other sort."""
+    keys = [on] if isinstance(on, str) else list(on)
     lt = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
         "__side", F.lit(1)
     )
+    # inclusive match: right rows sort BEFORE left rows at equal ts (side 0)
+    # strict match: right rows sort AFTER left rows at equal ts (side 2),
+    # so an equal-ts right row is invisible to the carry-forward window.
     rt = (
-        right.select(
-            F.col(on),
+        right.withColumn("__m", F.lit(1))
+        .select(
+            *[F.col(k) for k in keys],
             F.col(right_ts).cast("timestamp").alias("__ts"),
-            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+            *[F.col(c).alias(f"__r_{c}") for c in [*right_cols, "__m"]],
         )
-        .withColumn("__side", F.lit(0))
+        .withColumn("__side", F.lit(2 if strict else 0))
     )
     merged = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts => 'at or before' semantics
+    carry = [*right_cols, "__m"]
     w = (
-        W.partitionBy(on)
+        W.partitionBy(*keys)
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
@@ -56,15 +65,17 @@ def asof_join(
         "*",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_cols
+            for c in carry
         ],
     )
     out = carried.filter(F.col("__side") == 1).drop(
-        "__side", "__ts", *[f"__r_{c}" for c in right_cols]
+        "__side", "__ts", "__m", *[f"__r_{c}" for c in carry]
     )
     for c in right_cols:
         out = out.withColumnRenamed(f"__asof_{c}", c)
-    return out
+    if how == "inner":
+        out = out.filter(F.col("__asof___m").isNotNull())
+    return out.drop("__asof___m")
 
 
 def positional_join(

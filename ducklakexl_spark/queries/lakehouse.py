@@ -609,3 +609,71 @@ def lakehouse_unpivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON retail, size_val INTO NAME measure VALUE val
         """
     )
+
+
+@query(
+    "lakehouse_asof_statement",
+    pure=False,
+    oracle="""
+    SELECT event_id, user_id, purchase_value, last_click_value
+    FROM (SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id AS uid, ts AS click_ts,
+                 round(value, 2) AS last_click_value
+          FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.uid AND p.ts >= c.click_ts
+    """,
+)
+def lakehouse_asof_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's ``ASOF LEFT JOIN`` keyword through the engine's sql()
+    TEXT path (the reference accepts it verbatim via ducklakexl.py:394):
+    parsed and delegated to the union + carry-forward composite
+    (operators/joins.py:asof_join) — one shuffle on the key, no range
+    cross-product."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT event_id, user_id, purchase_value, last_click_value
+        FROM (SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+              FROM read_parquet('{sf_dir}/events.parquet')
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT user_id AS uid, ts AS click_ts,
+                     round(value, 2) AS last_click_value
+              FROM read_parquet('{sf_dir}/events.parquet')
+              WHERE event_type = 'click') c
+          ON p.user_id = c.uid AND p.ts >= c.click_ts
+        """
+    )
+
+
+@query(
+    "lakehouse_positional_statement",
+    pure=False,
+    oracle="""
+    SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+    FROM (SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey) r
+    POSITIONAL JOIN
+         (SELECT n_nationkey, n_name FROM nation
+          ORDER BY n_nationkey LIMIT 7) n
+    """,
+)
+def lakehouse_positional_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's ``POSITIONAL JOIN`` keyword through sql() TEXT — each
+    side must carry a top-level ORDER BY (a distributed engine has no
+    physical row order), and the zip is the row_number full-outer
+    composite (operators/joins.py:positional_join)."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+        FROM (SELECT r_regionkey, r_name
+              FROM read_parquet('{sf_dir}/region.parquet')
+              ORDER BY r_regionkey) r
+        POSITIONAL JOIN
+             (SELECT n_nationkey, n_name
+              FROM read_parquet('{sf_dir}/nation.parquet')
+              ORDER BY n_nationkey LIMIT 7) n
+        """
+    )
