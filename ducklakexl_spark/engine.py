@@ -401,6 +401,22 @@ _WITH_RECURSIVE_RE = re.compile(
     r"^\s*WITH\s+RECURSIVE\s+(\w+)\s*(?:\(([^)]*)\))?\s*AS\s*\(", re.I
 )
 
+_CREATE_MACRO_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+(\w+)\s*\(([^)]*)\)\s*AS\s+(.*)$",
+    re.I | re.S,
+)
+_DROP_MACRO_RE = re.compile(
+    r"^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.I
+)
+
+_CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\(([^)]*)\)\s*$", re.I)
+
+_SERIES_TVF_RE = re.compile(
+    r"(\bFROM\s+|\bJOIN\s+)(generate_series|range)\s*\(\s*(-?\d+)\s*,"
+    r"\s*(-?\d+)\s*(?:,\s*(-?\d+))?\s*\)",
+    re.I,
+)
+
 
 def split_rel_alias(seg: str) -> tuple[str, str | None]:
     """Split a FROM-clause item into (relation, alias).  The relation is
@@ -424,7 +440,7 @@ def split_rel_alias(seg: str) -> tuple[str, str | None]:
     return rel, alias
 
 
-def split_top_level(s: str, kw: str) -> list[str]:
+def split_top_level_kw(s: str, kw: str) -> list[str]:
     """Split ``s`` on top-level occurrences of the keyword ``kw``."""
     parts, start = [], 0
     while True:
@@ -679,6 +695,8 @@ class DuckLakeSpark:
         self.catalog = DuckLakeCatalog(CatalogStore(local_catalog), self.data_path)
         self.current_db = ducklake_name
         self.session_settings: dict[str, str] = {}
+        # name -> (param names, body SQL text, is_table)
+        self._macros: dict[str, tuple[list[str], str, bool]] = {}
 
         # workbook sync backend (reference: _pick_client, ducklakexl.py:85-97)
         if workbook is None and excel_file is not None:
@@ -722,6 +740,26 @@ class DuckLakeSpark:
     def _execute(self, stmt: str) -> DataFrame | None:
         if _ATTACH_RE.match(stmt):
             return None  # handled by constructor
+        m = _CREATE_MACRO_RE.match(stmt)
+        if m:
+            # DuckDB CREATE MACRO (scalar and TABLE): stored as text,
+            # expanded by _expand_macros at reference time — the same
+            # lazy-template semantics DuckDB gives them
+            name, params, body = m.group(1), m.group(2), m.group(3).strip()
+            is_table = False
+            tm = re.match(r"TABLE\s+(.*)$", body, re.I | re.S)
+            if tm:
+                is_table, body = True, tm.group(1).strip()
+            self._macros[name] = (
+                [p.strip() for p in params.split(",") if p.strip()],
+                body,
+                is_table,
+            )
+            return None
+        m = _DROP_MACRO_RE.match(stmt)
+        if m:
+            self._macros.pop(m.group(2), None)
+            return None
         m = _TXN_RE.match(stmt)
         if m:
             # multi-statement transactions: BEGIN defers catalog persists,
@@ -770,6 +808,53 @@ class DuckLakeSpark:
                     [(self.spark.version,)], "library_version string"
                 )
             raise ValueError(f"unsupported PRAGMA: {pragma}")
+        if re.match(r"^\s*(FORCE\s+)?CHECKPOINT\s*$", stmt, re.I):
+            # DuckDB flushes its WAL here; our commits are already
+            # durable per-statement, so CHECKPOINT is an accepted no-op
+            return None
+        if re.match(r"^\s*VACUUM\s*$", stmt, re.I):
+            return self.spark.createDataFrame(
+                [(self.vacuum(),)], "files_deleted int"
+            )
+        m = _CALL_RE.match(stmt)
+        if m:
+            # DuckLake's maintenance functions (spec surface: CALL
+            # ducklake_*/<db>.merge_adjacent_files() etc.), mapped onto
+            # the engine's compaction / snapshot-expiry / GC methods
+            fn = m.group(1).split(".")[-1].lower().removeprefix("ducklake_")
+            arg_txt = (m.group(2) or "").strip()
+            args = [
+                a.strip().strip("'\"")
+                for a in split_top_level(arg_txt)
+                if a.strip()
+            ]
+            if fn in ("merge_adjacent_files", "compact"):
+                names = args or self.catalog.table_names()
+                rows = [
+                    (t, str(self.compact(t))) for t in names
+                ]
+                return self.spark.createDataFrame(
+                    rows, "table_name string, result string"
+                )
+            if fn == "expire_snapshots":
+                kw = dict(
+                    kv.split("=>") for kv in (a.replace(" ", "") for a in args)
+                    if "=>" in kv
+                )
+                res = self.expire_snapshots(
+                    older_than=kw.get("older_than"),
+                    before_version=(
+                        int(kw["before_version"])
+                        if "before_version" in kw
+                        else None
+                    ),
+                )
+                return self.spark.createDataFrame([(str(res),)], "result string")
+            if fn in ("cleanup_old_files", "delete_orphaned_files"):
+                return self.spark.createDataFrame(
+                    [(self.vacuum(),)], "files_deleted int"
+                )
+            raise ValueError(f"unsupported CALL function: {fn}")
         m = _CREATE_VIEW_RE.match(stmt)
         if m:
             self.catalog.create_view(
@@ -2284,6 +2369,72 @@ class DuckLakeSpark:
         acc.createOrReplaceTempView(name)
         return self._select(remainder)
 
+    def _expand_macros(self, stmt: str) -> str:
+        """Expand CREATE MACRO templates (DuckDB semantics: textual
+        substitution at reference time).  Scalar macros expand to a
+        parenthesized expression, TABLE macros to a subquery; arguments
+        substitute for parameter names word-bounded.  Nested macro
+        calls expand on the following passes (bounded depth)."""
+        if not self._macros:
+            return stmt
+        for _ in range(8):  # nested expansion, cycle-bounded
+            changed = False
+            for name, (params, body, is_table) in self._macros.items():
+                while True:
+                    m = re.search(rf"\b{name}\s*\(", stmt)
+                    if not m:
+                        break
+                    open_idx = m.end() - 1
+                    close = matching_paren(stmt, open_idx)
+                    args = [
+                        a.strip()
+                        for a in split_top_level(stmt[open_idx + 1 : close])
+                        if a.strip()
+                    ]
+                    if len(args) != len(params):
+                        raise ValueError(
+                            f"macro {name} expects {len(params)} args, "
+                            f"got {len(args)}"
+                        )
+                    expansion = body
+                    for p, a in zip(params, args):
+                        expansion = re.sub(
+                            rf"\b{p}\b", f"({a})", expansion
+                        )
+                    expansion = (
+                        f"(SELECT * FROM ({expansion}))"
+                        if is_table
+                        else f"({expansion})"
+                    )
+                    stmt = stmt[: m.start()] + expansion + stmt[close + 1 :]
+                    changed = True
+            if not changed:
+                return stmt
+        return stmt
+
+    def _rewrite_series_tvf(self, stmt: str) -> str:
+        """DuckDB's ``generate_series(a, b[, s])`` (inclusive end) and
+        ``range(a, b[, s])`` (exclusive end) table functions in FROM/JOIN
+        position → explode(sequence(...)) temp views."""
+
+        def _sub(m: re.Match) -> str:
+            kw, name = m.group(1), m.group(2).lower()
+            a, b = int(m.group(3)), int(m.group(4))
+            step = int(m.group(5)) if m.group(5) else 1
+            end = b if name == "generate_series" else (b - (1 if step > 0 else -1))
+            view = f"__series_{name}_{a}_{b}_{step}".replace("-", "m")
+            if (step > 0 and end < a) or (step < 0 and end > a) or step == 0:
+                body = f"SELECT CAST(NULL AS BIGINT) AS {name} WHERE 1 = 0"
+            else:
+                body = (
+                    f"SELECT explode(sequence(CAST({a} AS BIGINT), "
+                    f"CAST({end} AS BIGINT), {step})) AS {name}"
+                )
+            self.spark.sql(body).createOrReplaceTempView(view)
+            return f"{kw}{view} "
+
+        return _SERIES_TVF_RE.sub(_sub, stmt)
+
     def _rel_df(self, rel: str) -> DataFrame:
         """DataFrame for a FROM-clause relation: a parenthesized subquery
         or a table/view/TVF name — resolved through the full sql() text
@@ -2326,7 +2477,7 @@ class DuckLakeSpark:
         cond = stmt[onpos + 2 : cond_end]
         eqs: list[tuple[str, str]] = []
         ineq: tuple[str, str, bool] | None = None  # (left_ts, right_ts, strict)
-        for conj in split_top_level(cond, "AND"):
+        for conj in split_top_level_kw(cond, "AND"):
             cm = re.fullmatch(
                 r"\s*(\w+)\.(\w+)\s*(=|>=|<=|>|<)\s*(\w+)\.(\w+)\s*",
                 conj,
@@ -2445,11 +2596,13 @@ class DuckLakeSpark:
         return new_stmt
 
     def _select(self, stmt: str) -> DataFrame:
+        stmt = self._expand_macros(stmt)
         if _WITH_RECURSIVE_RE.match(stmt):
             return self._exec_recursive_cte(stmt)
         if re.match(r"^\s*FROM\b", stmt, re.I):
             # DuckDB's leading-FROM sugar: FROM t [WHERE …] == SELECT * …
             stmt = "SELECT * " + stmt.strip()
+        stmt = self._rewrite_series_tvf(stmt)
         stmt = self._expand_star_modifiers(stmt)
         stmt = rewrite_exclude(stmt)
         stmt = rewrite_distinct_on(stmt)

@@ -677,3 +677,55 @@ def lakehouse_positional_statement(spark: SparkSession, sf_dir: str) -> DataFram
               ORDER BY n_nationkey LIMIT 7) n
         """
     )
+
+
+@query(
+    "lakehouse_macro_statement",
+    pure=False,
+    oracle="""
+    CREATE MACRO disc_price(p, d) AS p * (1 - d);
+    SELECT l_orderkey, round(sum(disc_price(l_extendedprice, l_discount)), 2) AS rev
+    FROM lineitem GROUP BY l_orderkey ORDER BY rev DESC, l_orderkey LIMIT 10
+    """,
+)
+def lakehouse_macro_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``CREATE MACRO`` through sql() text: the macro is stored
+    as a template and textually expanded at reference time (DuckDB's own
+    lazy-binding semantics), so the expression runs JVM-side like any
+    hand-written column expression — no UDF, no Python."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        CREATE MACRO disc_price(p, d) AS p * (1 - d);
+        SELECT l_orderkey,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2) AS rev
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        GROUP BY l_orderkey ORDER BY rev DESC, l_orderkey LIMIT 10
+        """
+    )
+
+
+@query(
+    "lakehouse_series_statement",
+    pure=False,
+    oracle="""
+    SELECT g.n, count(*) AS cnt
+    FROM (SELECT generate_series AS n FROM generate_series(0, 9)) g
+    JOIN orders o ON o.o_orderkey % 10 = g.n
+    GROUP BY g.n ORDER BY g.n
+    """,
+)
+def lakehouse_series_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``generate_series``/``range`` table functions in FROM
+    position through sql() text — rewritten to explode(sequence(...))
+    views (the 10-row side broadcasts into the join)."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT g.n, count(*) AS cnt
+        FROM (SELECT generate_series AS n FROM generate_series(0, 9)) g
+        JOIN read_parquet('{sf_dir}/orders.parquet') o
+          ON o.o_orderkey % 10 = g.n
+        GROUP BY g.n ORDER BY g.n
+        """
+    )

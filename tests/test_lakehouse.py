@@ -1146,3 +1146,36 @@ def test_set_reset_pragma(lake):
 
     with _pytest.raises(ValueError, match="PRAGMA"):
         lake.sql("PRAGMA frobnicate;")
+
+
+def test_maintenance_statements(lake):
+    """CHECKPOINT / VACUUM / CALL ducklake_* maintenance surface through
+    sql() text (DuckLake spec maintenance functions)."""
+    lake.sql(
+        "CREATE TABLE mt(id INTEGER);"
+        "INSERT INTO mt VALUES (1); INSERT INTO mt VALUES (2);"
+        "INSERT INTO mt VALUES (3)"
+    )
+    assert lake.sql("CHECKPOINT") is None
+    res = rows(lake.sql("CALL ducklake_merge_adjacent_files('mt')"))
+    assert res[0][0] == "mt" and "'compacted': True" in res[0][1]
+    lake.sql("CALL ducklake_expire_snapshots(before_version => 4)")
+    deleted = rows(lake.sql("VACUUM"))[0][0]
+    assert deleted == 3  # the three pre-compaction single-row files
+    assert lake.sql("SELECT * FROM mt").count() == 3
+
+
+def test_macro_statements(lake):
+    """Scalar + table macros store, expand (nested), and drop."""
+    lake.sql("CREATE MACRO twice(x) AS x * 2")
+    lake.sql("CREATE MACRO quad(x) AS twice(twice(x))")
+    assert rows(lake.sql("SELECT quad(3) AS v"))[0][0] == 12
+    lake.sql("CREATE TABLE nums(n INTEGER); INSERT INTO nums VALUES (5), (7)")
+    lake.sql(
+        "CREATE MACRO big_nums(lo) AS TABLE "
+        "SELECT n FROM nums WHERE n > lo"
+    )
+    assert rows(lake.sql("SELECT * FROM big_nums(6) b")) == [(7,)]
+    lake.sql("DROP MACRO quad")
+    with pytest.raises(Exception):
+        lake.sql("SELECT quad(1) AS v").collect()
