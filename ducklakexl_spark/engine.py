@@ -411,6 +411,13 @@ _DROP_MACRO_RE = re.compile(
 
 _CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\(([^)]*)\)\s*$", re.I)
 
+_ON_CONFLICT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\([^)]*\))?\s*"
+    r"(VALUES\b.*?|SELECT\b.*?|FROM\b.*?)\s*"
+    r"ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+(.*)$",
+    re.I | re.S,
+)
+
 _SERIES_TVF_RE = re.compile(
     r"(\bFROM\s+|\bJOIN\s+)(generate_series|range)\s*\(\s*(-?\d+)\s*,"
     r"\s*(-?\d+)\s*(?:,\s*(-?\d+))?\s*\)",
@@ -972,6 +979,71 @@ class DuckLakeSpark:
                 return None
             self.catalog.drop_table(name)
             return None
+        rm = re.match(r"^\s*(INSERT|DELETE|UPDATE)\b", stmt, re.I)
+        if rm:
+            # DuckDB's RETURNING clause on DML: run the statement, then
+            # derive the affected rows from the change feed between the
+            # pre/post snapshots — INSERT/UPDATE return the new row
+            # versions, DELETE the removed ones
+            rpos = find_top_level_keyword(stmt, "RETURNING")
+            if rpos >= 0:
+                proj = stmt[rpos + len("RETURNING") :].strip()
+                tname = _unqualify(
+                    re.search(
+                        r"^\s*(?:INSERT\s+INTO|DELETE\s+FROM|UPDATE)\s+"
+                        r"([\w.\"]+)",
+                        stmt,
+                        re.I,
+                    ).group(1)
+                )
+                pre = self.catalog.current_snapshot
+                self._execute(stmt[:rpos].strip())
+                changes = self.table_changes(tname, pre)
+                kind = (
+                    "delete" if rm.group(1).upper() == "DELETE" else "insert"
+                )
+                out = changes.filter(F.col("change_type") == kind).drop(
+                    "change_type"
+                )
+                return out.selectExpr(
+                    *[p.strip() for p in split_top_level(proj)]
+                )
+        m = _ON_CONFLICT_RE.match(stmt)
+        if m:
+            # DuckDB upsert: INSERT … ON CONFLICT (keys) DO NOTHING /
+            # DO UPDATE SET … — rewritten onto the MERGE machinery
+            # (delete-file + append commit; no table rewrite), with the
+            # source exposed under the standard ``excluded`` alias
+            name = _unqualify(m.group(1))
+            col_list, source, keys_txt, action = (
+                m.group(2),
+                m.group(3).strip(),
+                m.group(4),
+                m.group(5).strip(),
+            )
+            names = (
+                [c.strip().strip('"') for c in col_list.strip("()").split(",")]
+                if col_list
+                else [f.name for f in self.table_schema(name).fields]
+            )
+            keys = [k.strip().strip('"') for k in keys_txt.split(",")]
+            if re.match(r"^\s*VALUES", source, re.I):
+                src = (
+                    f"(SELECT * FROM ({source}) "
+                    f"AS __v({', '.join(names)}))"
+                )
+            else:
+                src = f"({source})"
+            cond = " AND ".join(f"{name}.{k} = excluded.{k}" for k in keys)
+            actions = "WHEN NOT MATCHED THEN INSERT *"
+            um = re.match(r"^UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+            if um:
+                actions += f" WHEN MATCHED THEN UPDATE SET {um.group(1)}"
+            elif not re.match(r"^NOTHING\s*$", action, re.I):
+                raise ValueError(
+                    f"ON CONFLICT: unsupported action {action!r}"
+                )
+            return self._merge(name, None, src, "excluded", cond, actions)
         m = _INSERT_RE.match(stmt)
         if m:
             return self._insert(
@@ -1046,6 +1118,22 @@ class DuckLakeSpark:
             return self._select(
                 "SELECT table_name AS name FROM information_schema.tables "
                 "ORDER BY table_name"
+            )
+        m = re.match(
+            r"^\s*(?:DESCRIBE|DESC)\s+((?:SELECT|WITH|FROM)\b.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if m:
+            # DuckDB's DESCRIBE <query>: the query's schema without
+            # executing it (analysis only — no jobs run)
+            df = self._select(m.group(1))
+            return self.spark.createDataFrame(
+                [
+                    (f.name, _spark_type_to_ducklake(f.dataType), f.nullable)
+                    for f in df.schema.fields
+                ],
+                "column_name string, column_type string, nulls_allowed boolean",
             )
         m = _DESCRIBE_RE.match(stmt)
         if m:

@@ -729,3 +729,33 @@ def lakehouse_series_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY g.n ORDER BY g.n
         """
     )
+
+
+@query(
+    "lakehouse_upsert_returning",
+    pure=False,
+    oracle="""
+    CREATE TABLE up_t(id INTEGER PRIMARY KEY, v VARCHAR);
+    INSERT INTO up_t VALUES (1, 'a'), (2, 'b');
+    INSERT INTO up_t VALUES (2, 'b2'), (3, 'c')
+      ON CONFLICT (id) DO UPDATE SET v = excluded.v;
+    INSERT INTO up_t VALUES (3, 'zzz'), (4, 'd') ON CONFLICT (id) DO NOTHING;
+    SELECT * FROM up_t ORDER BY id
+    """,
+)
+def lakehouse_upsert_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's ``INSERT … ON CONFLICT DO UPDATE/NOTHING`` upsert through
+    sql() text, MERGE-backed (delete-file + append commit — a 1-row
+    upsert never rewrites the table).  Oracle is DuckDB's native upsert
+    over a PRIMARY KEY table."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        """
+        CREATE TABLE up_t(id INTEGER PRIMARY KEY, v VARCHAR);
+        INSERT INTO up_t VALUES (1, 'a'), (2, 'b');
+        INSERT INTO up_t VALUES (2, 'b2'), (3, 'c')
+          ON CONFLICT (id) DO UPDATE SET v = excluded.v;
+        INSERT INTO up_t VALUES (3, 'zzz'), (4, 'd') ON CONFLICT (id) DO NOTHING;
+        SELECT * FROM up_t ORDER BY id
+        """
+    )

@@ -1179,3 +1179,42 @@ def test_macro_statements(lake):
     lake.sql("DROP MACRO quad")
     with pytest.raises(Exception):
         lake.sql("SELECT quad(1) AS v").collect()
+
+
+def test_returning_clause(lake):
+    """DuckDB's RETURNING on INSERT/UPDATE/DELETE via the change feed."""
+    lake.sql("CREATE TABLE rt(id INTEGER, v VARCHAR)")
+    ins = rows(lake.sql("INSERT INTO rt VALUES (1,'a'), (2,'b') RETURNING id, upper(v) AS uv"))
+    assert sorted(ins) == [(1, "A"), (2, "B")]
+    upd = rows(lake.sql("UPDATE rt SET v = 'bb' WHERE id = 2 RETURNING id, v"))
+    assert upd == [(2, "bb")]
+    dele = rows(lake.sql("DELETE FROM rt WHERE id = 1 RETURNING *"))
+    assert dele == [(1, "a")]
+    assert rows(lake.sql("SELECT * FROM rt")) == [(2, "bb")]
+
+
+def test_on_conflict_upsert(lake):
+    """INSERT … ON CONFLICT (k) DO UPDATE/NOTHING — MERGE-backed upsert."""
+    lake.sql(
+        "CREATE TABLE up(id INTEGER, v VARCHAR);"
+        "INSERT INTO up VALUES (1,'a'), (2,'b')"
+    )
+    lake.sql(
+        "INSERT INTO up VALUES (2,'B2'), (3,'c') "
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v"
+    )
+    assert sorted(rows(lake.sql("SELECT * FROM up"))) == [
+        (1, "a"), (2, "B2"), (3, "c"),
+    ]
+    lake.sql(
+        "INSERT INTO up VALUES (3,'zzz'), (4,'d') ON CONFLICT (id) DO NOTHING"
+    )
+    assert sorted(rows(lake.sql("SELECT * FROM up"))) == [
+        (1, "a"), (2, "B2"), (3, "c"), (4, "d"),
+    ]
+
+
+def test_describe_select(lake):
+    lake.sql("CREATE TABLE ds(id INTEGER, v VARCHAR)")
+    out = rows(lake.sql("DESCRIBE SELECT id, upper(v) AS uv FROM ds"))
+    assert [(r[0], r[1]) for r in out] == [("id", "INTEGER"), ("uv", "VARCHAR")]
