@@ -205,13 +205,12 @@ def _bm25_weight_sql(term: str) -> str:
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
       FROM documents
     ),
-    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
-    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM toks),
     tf AS (
-      SELECT doc_id,
+      SELECT doc_id, max(dl) AS dl,
              {', '.join(f"sum(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
                         for t in _BM25_TERMS)}
-      FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+      FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM toks)
       WHERE t IN {_BM25_TERMS!r}
       GROUP BY doc_id
     ),
@@ -224,7 +223,7 @@ def _bm25_weight_sql(term: str) -> str:
       SELECT tf.doc_id,
              {' + '.join(f"(CASE WHEN tf_{t} > 0 THEN {_bm25_weight_sql(t)} ELSE 0.0 END)"
                          for t in _BM25_TERMS)} AS s
-      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfreq
+      FROM tf CROSS JOIN stats CROSS JOIN dfreq
     )
     SELECT doc_id, round(s, 6) AS bm25
     FROM scored ORDER BY round(s, 6) DESC, doc_id LIMIT 20
@@ -235,19 +234,26 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, top-20.  The per-term tf columns are pivoted into one row
     per doc so the 3-term score is a fixed-order scalar expression —
     no sum() over a nondeterministic row order, hence bit-stable across
-    engines.  df/n/avgdl are single-row aggregates, broadcast; the only
-    data-sized shuffle is the per-doc tf aggregation."""
+    engines.  df/n/avgdl are single-row aggregates, broadcast; doc
+    length rides through the tf aggregation (constant per doc), so the
+    ONLY data-sized shuffle is that one per-doc groupBy — no
+    corpus-vs-corpus join anywhere."""
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", _tokens().alias("toks")
     )
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-    term_col = F.explode("toks").alias("t")
+    stats = toks.agg(
+        F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
+    )
     tf = (
-        toks.select("doc_id", term_col)
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("t"),
+        )
         .filter(F.col("t").isin(*_BM25_TERMS))
         .groupBy("doc_id")
         .agg(
+            F.max("dl").alias("dl"),
             *[
                 F.sum(F.when(F.col("t") == t, 1).otherwise(0)).alias(f"tf_{t}")
                 for t in _BM25_TERMS
@@ -261,8 +267,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     scored = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(dfreq))
         .select(
             "doc_id",

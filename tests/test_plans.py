@@ -125,3 +125,34 @@ def test_text_filters_single_codegen_stage(spark):
                  "text_pii_scrub"):
         plan = executed_plan(spark, name)
         assert "Exchange" not in plan, name
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """The eval-holdout gram probe must broadcast — the corpus side never
+    shuffles for the join (the 100 TB property of the contamination
+    check)."""
+    plan = executed_plan(spark, "text_contamination_3gram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    """df (vocabulary-sized) and N (single row) broadcast back onto tf —
+    the only data-sized shuffles are the two key aggregations."""
+    plan = executed_plan(spark, "text_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_single_corpus_shuffle(spark):
+    plan = executed_plan(spark, "text_bm25_search")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
+
+
+def test_mixture_quota_broadcasts(spark):
+    plan = executed_plan(spark, "sample_mixture_by_lang")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
