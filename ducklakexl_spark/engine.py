@@ -2523,6 +2523,69 @@ class DuckLakeSpark:
 
         return _SERIES_TVF_RE.sub(_sub, stmt)
 
+    _COLUMNS_CALL_RE = re.compile(r"\bCOLUMNS\s*\(", re.I)
+
+    def _expand_columns_expr(self, stmt: str) -> str:
+        """DuckDB's ``COLUMNS(*)`` / ``COLUMNS('regex')`` star expression
+        in the select list: the containing item is replicated once per
+        matched column of the (single-table) FROM relation, each
+        expansion aliased to the column name — DuckDB's own naming for
+        function-wrapped expansions (``min(COLUMNS(*))`` yields one
+        ``min`` per column, named after the column)."""
+        if not self._COLUMNS_CALL_RE.search(stmt):
+            return stmt
+        selm = re.match(r"^\s*SELECT\s+(DISTINCT\s+)?", stmt, re.I)
+        if not selm:
+            return stmt
+        sel_start = selm.end()
+        fpos = find_top_level_keyword(stmt, "FROM", sel_start)
+        if fpos < 0:
+            return stmt
+        try:
+            rel, _alias = split_rel_alias(
+                stmt[fpos + 4 : tail_keyword_pos(stmt, fpos + 4)]
+            )
+        except ValueError:
+            raise NotImplementedError(
+                "COLUMNS(...) requires a single-relation FROM clause"
+            ) from None
+        cols = self._rel_df(rel).columns
+
+        def sub_all(body: str, col: str) -> str:
+            while True:
+                cm = self._COLUMNS_CALL_RE.search(body)
+                if not cm:
+                    return body
+                close = matching_paren(body, cm.end() - 1)
+                body = body[: cm.start()] + col + body[close + 1 :]
+
+        new_items = []
+        for item in split_top_level(stmt[sel_start:fpos]):
+            cm = self._COLUMNS_CALL_RE.search(item)
+            if not cm:
+                new_items.append(item)
+                continue
+            close = matching_paren(item, cm.end() - 1)
+            arg = item[cm.end() : close].strip()
+            if arg == "*":
+                matched = list(cols)
+            else:
+                rx = re.compile(arg.strip("'\""))
+                matched = [c for c in cols if rx.search(c)]
+            if not matched:
+                raise ValueError(f"COLUMNS({arg}) matched no columns")
+            # an explicit alias would duplicate output names across the
+            # expansion (DuckDB allows that; Spark does not) — drop it
+            # in favor of the per-column names
+            am = re.search(r"\s+AS\s+\w+\s*$", item, re.I)
+            body = item[: am.start()] if am else item
+            for c in matched:
+                new_items.append(f"{sub_all(body, c)} AS {c}")
+        return (
+            stmt[:sel_start] + ", ".join(i.strip() for i in new_items)
+            + " " + stmt[fpos:]
+        )
+
     def _rel_df(self, rel: str) -> DataFrame:
         """DataFrame for a FROM-clause relation: a parenthesized subquery
         or a table/view/TVF name — resolved through the full sql() text
@@ -2699,6 +2762,7 @@ class DuckLakeSpark:
         stmt = rewrite_qualify(stmt)
         stmt = rewrite_using_sample(stmt)
         stmt = self._read_file_views(stmt)
+        stmt = self._expand_columns_expr(stmt)
         if re.search(r"\binformation_schema\.columns\b", stmt, re.I):
             rows = []
             for t in self.catalog.table_names():

@@ -759,3 +759,28 @@ def lakehouse_upsert_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM up_t ORDER BY id
         """
     )
+
+
+@query(
+    "lakehouse_columns_expression",
+    pure=False,
+    oracle="""
+    SELECT l_returnflag,
+           round(min(COLUMNS('l_(quantity|discount|tax)')), 4)
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def lakehouse_columns_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's ``COLUMNS('regex')`` star expression through sql() text:
+    the wrapped aggregate replicates per matched column, each expansion
+    named after its column (DuckDB's own naming) — one scan, one
+    aggregation, columns pruned to the regex matches."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT l_returnflag,
+               round(min(COLUMNS('l_(quantity|discount|tax)')), 4)
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )

@@ -392,3 +392,43 @@ def sample_mixture_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("q"))
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic corpus shuffle + shard assignment (training order)
+# --------------------------------------------------------------------------
+
+from ducklakexl_spark.queries.text import _hash_pct_sql  # noqa: E402
+
+_SHARD_SQL = f"CAST({_hash_pct_sql('doc_id')} % 8 AS BIGINT)"
+
+
+@query(
+    "sample_shuffle_shards",
+    oracle=f"""
+    SELECT doc_id,
+           {_SHARD_SQL} AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY {_SHARD_SQL}
+             ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    order: every document lands in one of 8 shards by a portable md5
+    bucket, ordered within its shard by the md5 hash — a reproducible
+    'random' order that does not depend on engine, partitioning, or
+    run (no RNG, no seed drift between preemptions).  At 100 TB this is
+    a per-row hash + ONE shuffle on the shard key for the window; in
+    production each shard is a separate output partition
+    (partitionBy(shard)) so downstream loaders stream shards
+    independently."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", F.expr(_SHARD_SQL).alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
