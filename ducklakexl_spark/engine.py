@@ -862,6 +862,34 @@ class DuckLakeSpark:
                     [(self.vacuum(),)], "files_deleted int"
                 )
             raise ValueError(f"unsupported CALL function: {fn}")
+        m = re.match(r"^\s*EXPORT\s+DATABASE\s+'([^']+)'", stmt, re.I)
+        if m:
+            # DuckDB's EXPORT DATABASE: every table as parquet plus a
+            # schema.sql replay script (CREATE TABLE + COPY FROM) —
+            # the portable dump/restore pair
+            outdir = m.group(1)
+            os.makedirs(outdir, exist_ok=True)
+            lines = []
+            for t in self.catalog.table_names():
+                path = os.path.join(outdir, f"{t}.parquet")
+                self.table_df(t).write.mode("overwrite").parquet(path)
+                tid = self.catalog.table_id(t)
+                coldefs = ", ".join(
+                    f'"{r.column_name}" {r.column_type}'
+                    + ("" if r.nulls_allowed else " NOT NULL")
+                    for r in self.catalog.columns(tid).itertuples()
+                )
+                lines.append(f"CREATE TABLE {t}({coldefs});")
+                lines.append(f"COPY {t} FROM '{path}' (FORMAT PARQUET);")
+            with open(os.path.join(outdir, "schema.sql"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            return None
+        m = re.match(r"^\s*IMPORT\s+DATABASE\s+'([^']+)'", stmt, re.I)
+        if m:
+            with open(os.path.join(m.group(1), "schema.sql")) as f:
+                for s in split_statements(f.read()):
+                    self._execute(s)
+            return None
         m = _CREATE_VIEW_RE.match(stmt)
         if m:
             self.catalog.create_view(

@@ -1218,3 +1218,28 @@ def test_describe_select(lake):
     lake.sql("CREATE TABLE ds(id INTEGER, v VARCHAR)")
     out = rows(lake.sql("DESCRIBE SELECT id, upper(v) AS uv FROM ds"))
     assert [(r[0], r[1]) for r in out] == [("id", "INTEGER"), ("uv", "VARCHAR")]
+
+
+def test_export_import_database(lake, spark, tmp_path):
+    """EXPORT DATABASE dumps parquet + schema.sql; IMPORT DATABASE
+    replays it into a fresh lake."""
+    lake.sql(
+        "CREATE TABLE ex1(id INTEGER NOT NULL, v VARCHAR);"
+        "INSERT INTO ex1 VALUES (1,'a'), (2,'b');"
+        "CREATE TABLE ex2(x DOUBLE);"
+        "INSERT INTO ex2 VALUES (1.5), (2.5)"
+    )
+    dump = str(tmp_path / "dump")
+    lake.sql(f"EXPORT DATABASE '{dump}'")
+    other = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data2"),
+        local_catalog=str(tmp_path / "catalog2"),
+    )
+    other.sql(f"IMPORT DATABASE '{dump}'")
+    assert sorted(rows(other.sql("SELECT * FROM ex1"))) == [(1, "a"), (2, "b")]
+    assert sorted(rows(other.sql("SELECT * FROM ex2"))) == [(1.5,), (2.5,)]
+    # NOT NULL survived the round trip
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        other.sql("INSERT INTO ex1 VALUES (NULL, 'x')").collect()
