@@ -2715,6 +2715,37 @@ class DuckLakeSpark:
             new_stmt = re.sub(rf"\b{a}\.", "", new_stmt)
         return new_stmt
 
+    def _rewrite_union_by_name(self, stmt: str) -> str:
+        """DuckDB's ``UNION [ALL] BY NAME`` through sql() text: columns
+        align by name (missing ones NULL-fill), not position.  Each side
+        resolves through the full text path; plain BY NAME (no ALL)
+        dedups like standard UNION.  A trailing top-level ORDER BY/LIMIT
+        applies to the combined result."""
+        upos = find_top_level_keyword(stmt, "UNION")
+        if upos < 0:
+            return stmt
+        m = re.match(r"UNION\s+(ALL\s+)?BY\s+NAME\s*", stmt[upos:], re.I)
+        if not m:
+            return stmt
+        rest = stmt[upos + m.end() :]
+        tail_pos = min(
+            p
+            for p in (
+                find_top_level_keyword(rest, k) for k in ("ORDER", "LIMIT")
+            )
+            if p >= 0
+        ) if any(
+            find_top_level_keyword(rest, k) >= 0 for k in ("ORDER", "LIMIT")
+        ) else len(rest)
+        out = self._select(stmt[:upos]).unionByName(
+            self._select(rest[:tail_pos]), allowMissingColumns=True
+        )
+        if not m.group(1):
+            out = out.distinct()
+        view = "__union_by_name_result"
+        out.createOrReplaceTempView(view)
+        return f"SELECT * FROM {view} {rest[tail_pos:]}"
+
     def _rewrite_positional_text(self, stmt: str) -> str:
         """DuckDB's ``POSITIONAL JOIN`` through sql() TEXT.  Physical row
         order does not exist in a distributed engine, so each side must
@@ -2785,6 +2816,7 @@ class DuckLakeSpark:
         stmt = self._expand_star_modifiers(stmt)
         stmt = rewrite_exclude(stmt)
         stmt = rewrite_distinct_on(stmt)
+        stmt = self._rewrite_union_by_name(stmt)
         stmt = self._rewrite_asof_text(stmt)
         stmt = self._rewrite_positional_text(stmt)
         stmt = rewrite_qualify(stmt)

@@ -784,3 +784,31 @@ def lakehouse_columns_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "lakehouse_union_by_name",
+    pure=False,
+    oracle="""
+    SELECT n_name AS name, CAST(n_nationkey AS INTEGER) AS key, 'nation' AS src
+    FROM nation WHERE n_nationkey < 3
+    UNION ALL BY NAME
+    SELECT 'region' AS src, r_name AS name FROM region WHERE r_regionkey < 2
+    ORDER BY src, name
+    """,
+)
+def lakehouse_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's ``UNION ALL BY NAME`` through sql() text: by-name column
+    alignment with NULL fill for missing columns (here `key` is absent
+    on the region side), independent of projection order."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT n_name AS name, CAST(n_nationkey AS INTEGER) AS key, 'nation' AS src
+        FROM read_parquet('{sf_dir}/nation.parquet') WHERE n_nationkey < 3
+        UNION ALL BY NAME
+        SELECT 'region' AS src, r_name AS name
+        FROM read_parquet('{sf_dir}/region.parquet') WHERE r_regionkey < 2
+        ORDER BY src, name
+        """
+    )
