@@ -104,3 +104,37 @@ def test_rewrite_distinct_on_shape(keys):
     # non-DISTINCT-ON statements pass through untouched
     plain = "SELECT DISTINCT a FROM t"
     assert rewrite_distinct_on(plain) == plain
+
+
+_ident = st.text(string.ascii_lowercase, min_size=1, max_size=8)
+
+
+@given(_ident, _ident, st.booleans(), st.booleans())
+def test_split_rel_alias_roundtrip(rel, alias, as_kw, parenthesized):
+    from ducklakexl_spark.engine import split_rel_alias
+
+    rel_txt = f"(SELECT * FROM {rel})" if parenthesized else rel
+    seg = f"{rel_txt} {'AS ' if as_kw else ''}{alias}"
+    r, a = split_rel_alias(seg)
+    assert r == rel_txt and a == alias
+    r2, a2 = split_rel_alias(rel_txt)
+    assert r2 == rel_txt and a2 is None
+
+
+@given(st.lists(_ident, min_size=1, max_size=5))
+def test_split_top_level_kw_respects_parens(parts):
+    from ducklakexl_spark.engine import split_top_level_kw
+
+    # AND inside parens/strings must not split
+    joined = " AND ".join(f"({p} AND x) = 'a AND b'" for p in parts)
+    out = split_top_level_kw(joined, "AND")
+    assert len(out) == len(parts)
+
+
+@given(_ident, st.integers(-50, 50), st.integers(-50, 50))
+def test_tail_keyword_pos_skips_nested(col, a, b):
+    from ducklakexl_spark.engine import tail_keyword_pos
+
+    stmt = f"SELECT {col} FROM (SELECT 1 ORDER BY 1 LIMIT 5) t WHERE {col} > {min(a,b)} ORDER BY {col} LIMIT {abs(b)+1}"
+    pos = tail_keyword_pos(stmt, stmt.index(" t ") + 3)
+    assert stmt[pos:].upper().startswith("WHERE")
