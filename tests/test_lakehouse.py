@@ -947,6 +947,63 @@ def test_compact_sort_by_clusters_files(lake):
     assert rows(lake.sql("SELECT v FROM cl WHERE id > 100;")) == [("f",), ("i",)]
 
 
+def test_compact_zorder_clusters_both_dims(lake, tmp_path):
+    """Z-order compaction: interleaving two independent keys gives every
+    output file a bounded span on BOTH columns (a plain sort_by=[a]
+    leaves b full-range in every file), so stats-based skipping prunes
+    on predicates over either dimension."""
+    import pandas as pd
+
+    grid = pd.DataFrame(
+        [(a, b) for a in range(16) for b in range(16)], columns=["a", "b"]
+    )
+    grid.to_parquet(tmp_path / "grid.parquet")
+    lake.sql(
+        f"CREATE TABLE zt AS SELECT * FROM read_parquet('{tmp_path}/grid.parquet');"
+    )
+    tid = lake.catalog.table_id("zt")
+    total = int(lake.catalog.data_files(tid)["file_size_bytes"].fillna(0).sum())
+    res = lake.compact("zt", target_file_bytes=max(1, total // 4), zorder_by=["a", "b"])
+    assert res["compacted"]
+    files = lake.catalog.data_files(tid)
+    assert len(files) >= 3
+    stats = lake.catalog.tables["ducklake_file_column_statistics"]
+    col_ids = {
+        r.column_name: int(r.column_id)
+        for r in lake.catalog.columns(tid).itertuples()
+    }
+    spans = {}
+    for col in ("a", "b"):
+        rel = stats[
+            (stats["table_id"] == tid)
+            & (stats["column_id"] == col_ids[col])
+            & stats["data_file_id"].isin(files["data_file_id"])
+        ]
+        spans[col] = {
+            int(r.data_file_id): int(r.max_value) - int(r.min_value)
+            for r in rel.itertuples()
+        }
+        assert len(spans[col]) == len(files)
+    # 2D locality: the files' bounding boxes cover well under the
+    # len(files)×full-grid area an unclustered layout would (a file
+    # straddling a z-curve quadrant boundary may span one full dim,
+    # but its OTHER dim is then tight — the area stays bounded)
+    area = sum(
+        (spans["a"][f] + 1) * (spans["b"][f] + 1) for f in spans["a"]
+    )
+    assert area <= 0.6 * len(files) * 256, (area, spans)
+    # pruning works on BOTH dimensions (sort_by=['a'] would only give a)
+    for col in ("a", "b"):
+        kept = lake._skip_files(tid, None, list(files["path"]), [(col, ">", 12)])
+        assert len(kept) < len(files), col
+    assert rows(lake.sql("SELECT count(*) AS n FROM zt;")) == [(256,)]
+    assert rows(
+        lake.sql("SELECT count(*) AS n FROM zt WHERE a > 12 AND b > 12;")
+    ) == [(9,)]
+    with pytest.raises(ValueError):
+        lake.compact("zt", sort_by=["a"], zorder_by=["b"])
+
+
 def test_explain_and_summarize(lake):
     lake.sql("CREATE TABLE ex(id INTEGER, v DOUBLE, s VARCHAR);")
     lake.sql("INSERT INTO ex VALUES (1, 1.5, 'a'), (2, 2.5, NULL), (3, 3.5, 'c');")
