@@ -137,6 +137,53 @@ def lakehouse_merge_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_zorder_compact",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'rows',       CAST(64 AS BIGINT)),
+      (2, 'sum_a',      CAST(224 AS BIGINT)),
+      (3, 'sum_b',      CAST(224 AS BIGINT)),
+      (4, 'files_ge_2', CAST(1 AS BIGINT)),
+      (5, 'prune_a',    CAST(1 AS BIGINT)),
+      (6, 'prune_b',    CAST(1 AS BIGINT))
+    ) t(probe, label, n)
+    """,
+)
+def lakehouse_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact(zorder_by=[a, b]): content survives the clustered rewrite
+    and the per-file min/max stats prune on BOTH interleaved dimensions
+    (a sort_by=[a] layout could only prune on a)."""
+    lake = _fresh_lake(spark)
+    vals = ", ".join(f"({a}, {b})" for a in range(8) for b in range(8))
+    lake.sql(
+        f"""
+        CREATE TABLE zg(a INTEGER, b INTEGER);
+        INSERT INTO zg VALUES {vals};
+        """
+    )
+    tid = lake.catalog.table_id("zg")
+    total = int(
+        lake.catalog.data_files(tid)["file_size_bytes"].fillna(0).sum()
+    )
+    lake.compact("zg", target_file_bytes=max(1, total // 4), zorder_by=["a", "b"])
+    files = lake.catalog.data_files(tid)
+    paths = list(files["path"])
+    kept_a = lake._skip_files(tid, None, paths, [("a", ">", 6)])
+    kept_b = lake._skip_files(tid, None, paths, [("b", ">", 6)])
+    agg = lake.sql("SELECT count(*) AS c, sum(a) AS sa, sum(b) AS sb FROM zg;").first()
+    probe = [
+        (1, "rows", int(agg["c"])),
+        (2, "sum_a", int(agg["sa"])),
+        (3, "sum_b", int(agg["sb"])),
+        (4, "files_ge_2", int(len(files) >= 2)),
+        (5, "prune_a", int(len(kept_a) < len(files))),
+        (6, "prune_b", int(len(kept_b) < len(files))),
+    ]
+    return spark.createDataFrame(probe, "probe int, label string, n bigint")
+
+
+@query(
     "lakehouse_schema_evolution",
     pure=False,
     oracle="""
