@@ -1004,6 +1004,22 @@ def test_compact_zorder_clusters_both_dims(lake, tmp_path):
         lake.compact("zt", sort_by=["a"], zorder_by=["b"])
 
 
+def test_compact_zorder_edge_types(lake):
+    """zorder_by handles NULL keys (bucket 0), a constant key (span 0),
+    and DATE keys; string keys raise."""
+    lake.sql("CREATE TABLE ze(a INTEGER, k INTEGER, d DATE, s VARCHAR);")
+    lake.sql(
+        "INSERT INTO ze VALUES (1, 7, DATE '2024-01-01', 'x'), "
+        "(NULL, 7, DATE '2024-06-01', 'y'), (9, 7, NULL, 'z');"
+    )
+    res = lake.compact("ze", zorder_by=["a", "k", "d"])
+    assert res["compacted"]
+    assert rows(lake.sql("SELECT count(*) AS n FROM ze;")) == [(3,)]
+    assert rows(lake.sql("SELECT s FROM ze WHERE a = 9;")) == [("z",)]
+    with pytest.raises(ValueError, match="unsupported type"):
+        lake.compact("ze", zorder_by=["s"])
+
+
 def test_explain_and_summarize(lake):
     lake.sql("CREATE TABLE ex(id INTEGER, v DOUBLE, s VARCHAR);")
     lake.sql("INSERT INTO ex VALUES (1, 1.5, 'a'), (2, 2.5, NULL), (3, 3.5, 'c');")
