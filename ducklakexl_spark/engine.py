@@ -146,7 +146,7 @@ def ducklake_type_to_spark(sql_type: str) -> T.DataType:
 
 
 _USE_RE = re.compile(r"^\s*USE\s+([\w.]+)\s*$", re.I)
-_ATTACH_RE = re.compile(r"^\s*ATTACH\b", re.I)
+_ATTACH_RE = re.compile(r"^\s*(?:ATTACH|DETACH)\b", re.I)
 _TXN_RE = re.compile(r"^\s*(BEGIN(\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$", re.I)
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
@@ -746,7 +746,11 @@ class DuckLakeSpark:
 
     def _execute(self, stmt: str) -> DataFrame | None:
         if _ATTACH_RE.match(stmt):
-            return None  # handled by constructor
+            # ATTACH 'ducklake:...' (DATA_PATH ...) / DETACH are the
+            # reference's bootstrap statements (ducklakexl.py:236);
+            # lifetime is owned by the constructor here, so both are
+            # accepted no-ops — a reference script replays verbatim
+            return None
         m = _CREATE_MACRO_RE.match(stmt)
         if m:
             # DuckDB CREATE MACRO (scalar and TABLE): stored as text,

@@ -1004,6 +1004,23 @@ def test_compact_zorder_clusters_both_dims(lake, tmp_path):
         lake.compact("zt", sort_by=["a"], zorder_by=["b"])
 
 
+def test_attach_detach_pass_through(lake):
+    """The reference's bootstrap statements (ducklakexl.py:236) replay
+    verbatim through sql(): ATTACH/DETACH are accepted no-ops (catalog
+    lifetime is the constructor's here)."""
+    out = lake.sql(
+        """
+        ATTACH 'ducklake:meta' AS lakedb (DATA_PATH 'files');
+        USE lakedb;
+        CREATE TABLE ad(id INTEGER);
+        INSERT INTO ad VALUES (1), (2);
+        DETACH lakedb;
+        SELECT count(*) AS n FROM ad;
+        """
+    )
+    assert rows(out) == [(2,)]
+
+
 def test_compact_zorder_edge_types(lake):
     """zorder_by handles NULL keys (bucket 0), a constant key (span 0),
     and DATE keys; string keys raise."""
