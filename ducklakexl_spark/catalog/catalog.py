@@ -838,10 +838,20 @@ class DuckLakeCatalog:
         return {"snapshots_expired": n_expired, "files_queued": len(gc_rows)}
 
     def vacuum(self) -> int:
-        """Delete queued files from disk; returns the number removed."""
+        """Delete queued files from disk; returns the number removed.
+
+        Refused inside BEGIN…COMMIT: the physical deletes are not
+        rollback-able and the save here would persist mid-transaction
+        catalog state, breaking the invariant that store readers never
+        see a partial transaction."""
         import os
         import shutil
 
+        if self.in_txn():
+            raise ValueError(
+                "VACUUM cannot run inside a transaction: its file deletes "
+                "are irreversible; COMMIT or ROLLBACK first"
+            )
         q = self.tables["ducklake_files_scheduled_for_deletion"]
         removed = 0
         for r in q.itertuples():

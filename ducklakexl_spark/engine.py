@@ -761,6 +761,11 @@ class DuckLakeSpark:
             tm = re.match(r"TABLE\s+(.*)$", body, re.I | re.S)
             if tm:
                 is_table, body = True, tm.group(1).strip()
+            if re.search(rf"\b{re.escape(name)}\s*\(", body):
+                # DuckDB rejects recursive macros at creation; without
+                # this guard _expand_macros would re-match the name
+                # inside its own expansion forever
+                raise ValueError(f"macro {name} may not reference itself")
             self._macros[name] = (
                 [p.strip() for p in params.split(",") if p.strip()],
                 body,
@@ -1013,13 +1018,18 @@ class DuckLakeSpark:
             return None
         rm = re.match(r"^\s*(INSERT|DELETE|UPDATE)\b", stmt, re.I)
         if rm:
-            # DuckDB's RETURNING clause on DML: run the statement, then
-            # derive the affected rows from the change feed between the
-            # pre/post snapshots — INSERT/UPDATE return the new row
-            # versions, DELETE the removed ones
+            # DuckDB's RETURNING clause on DML.  UPDATE/DELETE derive the
+            # affected rows from the statement's own match set — the
+            # pre-snapshot scan filtered by WHERE (with SET applied for
+            # UPDATE's post-image) — so a no-op UPDATE (SET v = v)
+            # returns every matched row, per affected row, exactly like
+            # SQL.  INSERT derives the new row versions from the
+            # pre/post snapshot change feed (handles NULL-fill, DEFAULT,
+            # and BY NAME alignment without re-parsing the source).
             rpos = find_top_level_keyword(stmt, "RETURNING")
             if rpos >= 0:
                 proj = stmt[rpos + len("RETURNING") :].strip()
+                body = stmt[:rpos].strip()
                 tname = _unqualify(
                     re.search(
                         r"^\s*(?:INSERT\s+INTO|DELETE\s+FROM|UPDATE)\s+"
@@ -1028,18 +1038,47 @@ class DuckLakeSpark:
                         re.I,
                     ).group(1)
                 )
+                kw = rm.group(1).upper()
+                projections = [p.strip() for p in split_top_level(proj)]
+                if kw in ("UPDATE", "DELETE"):
+                    um = _UPDATE_RE.match(body) if kw == "UPDATE" else None
+                    dm = _DELETE_RE.match(body) if kw == "DELETE" else None
+                    if um or dm:
+                        where = (um or dm).group(3 if um else 2)
+                        pre = self.catalog.current_snapshot
+                        self._execute(body)
+                        # pre-image via time travel: stays distributed
+                        # (no driver-side collect of the affected set)
+                        hits = self.table_df(tname, snapshot=pre)
+                        if where:
+                            hits = hits.filter(where)
+                        if um:
+                            schema = self.table_schema(tname)
+                            assignments = {}
+                            for part in split_top_level(um.group(2)):
+                                col, expr = part.split("=", 1)
+                                assignments[col.strip().strip('"')] = (
+                                    expr.strip()
+                                )
+                            hits = hits.select(
+                                *[
+                                    F.expr(assignments[f.name])
+                                    .cast(f.dataType)
+                                    .alias(f.name)
+                                    if f.name in assignments
+                                    else F.col(f.name)
+                                    for f in schema.fields
+                                ]
+                            )
+                        return hits.selectExpr(*projections)
                 pre = self.catalog.current_snapshot
-                self._execute(stmt[:rpos].strip())
+                self._execute(body)
                 changes = self.table_changes(tname, pre)
-                kind = (
-                    "delete" if rm.group(1).upper() == "DELETE" else "insert"
-                )
+                kind = "delete" if kw == "DELETE" else "insert"
                 out = changes.filter(F.col("change_type") == kind).drop(
                     "change_type"
                 )
-                return out.selectExpr(
-                    *[p.strip() for p in split_top_level(proj)]
-                )
+                return out.selectExpr(*projections)
         m = _ON_CONFLICT_RE.match(stmt)
         if m:
             # DuckDB upsert: INSERT … ON CONFLICT (keys) DO NOTHING /
@@ -1653,7 +1692,16 @@ class DuckLakeSpark:
                 )
             ]
         ).first()
-        top = (1 << self._ZBITS) - 1
+        # scale per-key bits so the interleave never reaches bit 63:
+        # with the full _ZBITS=16 and 4+ keys the top shift would hit the
+        # sign bit (breaking monotonic order) or wrap mod 64 on the JVM
+        # (silently colliding bits)
+        nbits = min(self._ZBITS, 63 // len(cols))
+        if nbits < 1:
+            raise ValueError(
+                f"zorder_by supports at most 63 keys, got {len(cols)}"
+            )
+        top = (1 << nbits) - 1
         z = F.lit(0).cast("long")
         for j, c in enumerate(cols):
             mn = bounds[f"mn_{c}"]
@@ -1666,7 +1714,7 @@ class DuckLakeSpark:
                 ),
                 F.lit(0),
             ).cast("long")
-            for i in range(self._ZBITS):
+            for i in range(nbits):
                 bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
                 z = z + F.shiftleft(bit, i * len(cols) + j)
         return z
@@ -2378,20 +2426,33 @@ class DuckLakeSpark:
             df = self.spark.read.parquet(*paths)
             # TIMESTAMP(NANOS) columns arrive as LONG under the
             # nanosAsLong conf (session.py) — normalize them back to
-            # timestamps the way queries.load() does, detecting ns
-            # columns from the parquet footer (first concrete file).
+            # timestamps the way queries.load() does.  Detect ns columns
+            # from footers of the files Spark actually resolved
+            # (inputFiles expands globs and lists), continuing until
+            # every LONG-typed column has been seen in some footer — a
+            # ns column first appearing in a later file (schema merge)
+            # is still caught.
             ns_cols: set[str] = set()
-            for p in paths:
-                if any(ch in p for ch in "*?[{"):
-                    continue
+            long_cols = {
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, T.LongType)
+            }
+            seen: set[str] = set()
+            for p in df.inputFiles() if long_cols else []:
+                if p.startswith("file:"):
+                    p = re.sub(r"^file:/{0,2}(?=/)", "", p)
                 try:
                     sch = pq.read_schema(p)
                 except Exception:
                     continue
                 for f in sch:
-                    if str(f.type) == "timestamp[ns]":
-                        ns_cols.add(f.name)
-                break
+                    if f.name in long_cols:
+                        seen.add(f.name)
+                        if str(f.type) == "timestamp[ns]":
+                            ns_cols.add(f.name)
+                if seen >= long_cols:
+                    break
             for f in df.schema.fields:
                 if f.name in ns_cols and isinstance(f.dataType, T.LongType):
                     df = df.withColumn(
@@ -2568,6 +2629,10 @@ class DuckLakeSpark:
         calls expand on the following passes (bounded depth)."""
         if not self._macros:
             return stmt
+        budget = 256  # hard cap on total substitutions per statement:
+        # mutually-recursive macros (f calls g calls f) survive the
+        # per-macro CREATE guard, and each expansion grows the text, so
+        # an unbounded loop here would hang sql() with unbounded growth
         for _ in range(8):  # nested expansion, cycle-bounded
             changed = False
             for name, (params, body, is_table) in self._macros.items():
@@ -2575,6 +2640,12 @@ class DuckLakeSpark:
                     m = re.search(rf"\b{name}\s*\(", stmt)
                     if not m:
                         break
+                    budget -= 1
+                    if budget < 0:
+                        raise ValueError(
+                            "macro expansion exceeded 256 substitutions "
+                            f"(recursive macro chain involving {name}?)"
+                        )
                     open_idx = m.end() - 1
                     close = matching_paren(stmt, open_idx)
                     args = [
