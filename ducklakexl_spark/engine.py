@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import re
+import urllib.parse
 import uuid
 
 import pandas as pd
@@ -1041,7 +1042,15 @@ class DuckLakeSpark:
                 kw = rm.group(1).upper()
                 projections = [p.strip() for p in split_top_level(proj)]
                 if kw in ("UPDATE", "DELETE"):
-                    um = _UPDATE_RE.match(body) if kw == "UPDATE" else None
+                    # UPDATE ... FROM must take the change-feed path below:
+                    # _UPDATE_RE's lazy SET group would swallow the FROM
+                    # clause and misparse the assignments (mirrors the
+                    # dispatch order in _execute)
+                    um = (
+                        _UPDATE_RE.match(body)
+                        if kw == "UPDATE" and not _UPDATE_FROM_RE.match(body)
+                        else None
+                    )
                     dm = _DELETE_RE.match(body) if kw == "DELETE" else None
                     if um or dm:
                         where = (um or dm).group(3 if um else 2)
@@ -2441,7 +2450,11 @@ class DuckLakeSpark:
             seen: set[str] = set()
             for p in df.inputFiles() if long_cols else []:
                 if p.startswith("file:"):
-                    p = re.sub(r"^file:/{0,2}(?=/)", "", p)
+                    # inputFiles returns percent-encoded file URIs; decode
+                    # so paths with spaces/special chars still resolve
+                    p = urllib.parse.unquote(
+                        re.sub(r"^file:/{0,2}(?=/)", "", p)
+                    )
                 try:
                     sch = pq.read_schema(p)
                 except Exception:
@@ -2457,6 +2470,13 @@ class DuckLakeSpark:
                 if f.name in ns_cols and isinstance(f.dataType, T.LongType):
                     df = df.withColumn(
                         f.name, F.timestamp_micros(F.expr(f"{f.name} DIV 1000"))
+                    )
+                elif isinstance(f.dataType, T.TimestampNTZType):
+                    # timestamp[us] no-tz parquet: relabel to TIMESTAMP
+                    # under the UTC session so epoch casts and DuckDB
+                    # parity hold (same normalization as queries.load)
+                    df = df.withColumn(
+                        f.name, F.col(f.name).cast(T.TimestampType())
                     )
             return df
         if kind == "csv":
@@ -2629,10 +2649,13 @@ class DuckLakeSpark:
         calls expand on the following passes (bounded depth)."""
         if not self._macros:
             return stmt
-        budget = 256  # hard cap on total substitutions per statement:
-        # mutually-recursive macros (f calls g calls f) survive the
-        # per-macro CREATE guard, and each expansion grows the text, so
-        # an unbounded loop here would hang sql() with unbounded growth
+        # Guard against mutually-recursive macros (f calls g calls f),
+        # which survive the per-macro CREATE guard: bound the *growth* of
+        # the statement, not the substitution count — a flat statement
+        # legitimately calling a simple macro thousands of times expands
+        # fine, while recursive chains grow the text geometrically and
+        # trip the cap within a few passes.
+        max_len = max(len(stmt) * 64, 1 << 20)
         for _ in range(8):  # nested expansion, cycle-bounded
             changed = False
             for name, (params, body, is_table) in self._macros.items():
@@ -2640,11 +2663,11 @@ class DuckLakeSpark:
                     m = re.search(rf"\b{name}\s*\(", stmt)
                     if not m:
                         break
-                    budget -= 1
-                    if budget < 0:
+                    if len(stmt) > max_len:
                         raise ValueError(
-                            "macro expansion exceeded 256 substitutions "
-                            f"(recursive macro chain involving {name}?)"
+                            "macro expansion exceeded statement growth "
+                            f"bound (recursive macro chain involving "
+                            f"{name}?)"
                         )
                     open_idx = m.end() - 1
                     close = matching_paren(stmt, open_idx)

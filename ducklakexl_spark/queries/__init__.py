@@ -77,20 +77,30 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
-    # the driver may hand us a vanilla session; events.parquet carries
-    # TIMESTAMP(NANOS) which Spark only reads with this legacy conf on
-    # (runtime-settable, verified on Spark 4.1)
+    # the driver may hand us a vanilla session; some fixture generations
+    # carry TIMESTAMP(NANOS) which Spark only reads with this legacy conf
+    # on (runtime-settable, verified on Spark 4.1), and DuckDB-oracle
+    # parity requires UTC wall-clock semantics either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    # events.ts is TIMESTAMP(NANOS) in the fixture parquet; with
-    # nanosAsLong it arrives as a long — integer-divide (no double
-    # round-trip: ns epochs exceed 2^53) down to microseconds.
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # TIMESTAMP(NANOS) fixture: with nanosAsLong it arrives as a
+            # long — integer-divide (no double round-trip: ns epochs
+            # exceed 2^53) down to microseconds.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            # timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+            # TIMESTAMP_NTZ, which rejects epoch casts (cast to BIGINT)
+            # that the query plane relies on.  The fixtures' naive
+            # wall-clocks are UTC (DuckDB reads them the same way), and
+            # the session tz is pinned UTC above, so ntz -> ltz is a
+            # wall-clock-preserving relabel, not a shift.
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     _LOAD_CACHE[key] = df
     if spark not in _LOAD_CACHE_SESSIONS:
         _LOAD_CACHE_SESSIONS.append(spark)

@@ -19,23 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch in tests; a production deployment points the same code at
-    a Kafka source — only this reader changes)."""
+    a Kafka source — only this reader changes).
+
+    The fixture's ``ts`` physical type has varied across generations
+    (TIMESTAMP(NANOS) → long under nanosAsLong; timestamp[us] no-tz →
+    TIMESTAMP_NTZ), so the stream schema is inferred from a batch read of
+    the same files and ``ts`` is normalized to TIMESTAMP (UTC wall-clock,
+    matching queries.load) whichever form it arrives in."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # stateful streaming can't use AQE, so a vanilla session's 200
     # shuffle partitions all materialize as real state-store tasks per
     # micro-batch; size the state shuffle to the host instead
@@ -44,12 +39,21 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism),
         )
+    schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = schema["ts"].dataType if "ts" in schema.fieldNames() else None
+    if isinstance(ts_type, T.LongType):
+        # TIMESTAMP(NANOS) read as raw ns epoch under nanosAsLong
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # naive wall-clock is UTC; session tz pinned UTC above makes this
+        # a relabel, and downstream watermarks require TIMESTAMP
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

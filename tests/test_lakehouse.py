@@ -1283,6 +1283,43 @@ def test_returning_clause(lake):
     assert rows(lake.sql("SELECT * FROM rt")) == [(2, "bb")]
 
 
+def test_returning_update_from(lake):
+    """UPDATE ... FROM ... RETURNING routes through the change feed (the
+    fast-path regex must not swallow the FROM clause into SET)."""
+    lake.sql(
+        "CREATE TABLE rtf(id INTEGER, v VARCHAR);"
+        "INSERT INTO rtf VALUES (1,'a'), (2,'b');"
+        "CREATE TABLE src(id INTEGER, nv VARCHAR);"
+        "INSERT INTO src VALUES (2,'B!')"
+    )
+    out = rows(
+        lake.sql(
+            "UPDATE rtf SET v = src.nv FROM src "
+            "WHERE rtf.id = src.id RETURNING id, v"
+        )
+    )
+    assert out == [(2, "B!")]
+    # exactly one post-image row committed; no double-apply
+    assert sorted(rows(lake.sql("SELECT * FROM rtf"))) == [
+        (1, "a"), (2, "B!"),
+    ]
+
+
+def test_macro_many_flat_call_sites(lake):
+    """A non-recursive macro called at many sites expands without
+    tripping the recursion guard (growth-bounded, not count-bounded)."""
+    lake.sql("CREATE MACRO inc(x) AS x + 1")
+    expr = " + ".join(f"inc({i})" for i in range(300))
+    assert rows(lake.sql(f"SELECT {expr} AS s"))[0][0] == sum(
+        i + 1 for i in range(300)
+    )
+    # mutually recursive macros still raise instead of hanging
+    lake.sql("CREATE MACRO f1(x) AS g1(x)")
+    lake.sql("CREATE MACRO g1(x) AS f1(x)")
+    with pytest.raises(Exception):
+        lake.sql("SELECT f1(1) AS v")
+
+
 def test_on_conflict_upsert(lake):
     """INSERT … ON CONFLICT (k) DO UPDATE/NOTHING — MERGE-backed upsert."""
     lake.sql(
