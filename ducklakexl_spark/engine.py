@@ -664,6 +664,247 @@ def rewrite_exclude(stmt: str) -> str:
         return f"{m.group(1)}EXCEPT({cols})"
 
     return _EXCLUDE_RE.sub(_sub, stmt)
+
+
+# --------------------------------------------------------------- dialect fns
+# DuckDB scalar/aggregate function names a reference user would write in
+# sql() text, mapped onto the Spark SQL builtin surface.  Two tiers:
+# straight renames (argument lists pass through untouched) and template
+# transforms (argument reorder / format-string translation / composition).
+# The rewriter is quote- and comment-aware and recurses into argument
+# lists, so nested dialect calls translate too.
+
+_DUCK_FN_RENAME = {
+    # list/array family (DuckDB list_* ↔ Spark array/higher-order names)
+    "list_contains": "array_contains",
+    "list_has_any": "arrays_overlap",
+    "list_transform": "transform",
+    "list_apply": "transform",
+    "list_filter": "filter",
+    "list_distinct": "array_distinct",
+    "list_value": "array",
+    "list_pack": "array",
+    "list_append": "array_append",
+    "list_concat": "concat",
+    "list_extract": "element_at",
+    "list_element": "element_at",
+    "array_extract": "element_at",
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "list_sort": "array_sort",
+    "array_to_string": "array_join",
+    # string family
+    "strpos": "instr",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "ucase": "upper",
+    "lcase": "lower",
+    "regexp_matches": "regexp_like",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    # date/time family
+    "epoch_ms": "unix_millis",
+    "epoch_us": "unix_micros",
+    # aggregate family
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "string_agg": "listagg",
+    "group_concat": "listagg",
+    "quantile_cont": "percentile",
+    "countif": "count_if",
+    "favg": "avg",
+    "fsum": "sum",
+    # misc
+    "unnest": "explode",
+}
+
+# C-style strftime codes (DuckDB) → Java SimpleDateFormat (Spark)
+_STRFTIME_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%g": "SSS",
+    "%j": "DDD", "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
+    "%p": "a", "%Z": "zzz", "%G": "YYYY", "%V": "ww", "%%": "%",
+}
+
+_SQL_LITERAL_RE = re.compile(r"^'((?:[^']|'')*)'$")
+
+
+def _strftime_to_java(fmt: str) -> str:
+    """Translate a C strftime pattern to a Java datetime pattern; literal
+    alphabetic runs are quoted so Java doesn't interpret them."""
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        if fmt[i] == "%" and i + 1 < n:
+            code = fmt[i : i + 2]
+            if code not in _STRFTIME_MAP:
+                raise ValueError(f"strftime: unsupported code {code}")
+            out.append(_STRFTIME_MAP[code])
+            i += 2
+        else:
+            j = i
+            while j < n and not (fmt[j] == "%"):
+                j += 1
+            lit = fmt[i:j]
+            if any(c.isalpha() for c in lit):
+                out.append("'" + lit.replace("'", "''") + "'")
+            else:
+                out.append(lit)
+            i = j
+    return "".join(out)
+
+
+def _sql_str(value: str) -> str:
+    """Encode a Python string as a Spark SQL single-quoted literal
+    (backslashes are escape chars in Spark's default literal parsing)."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _literal_str(arg: str) -> str | None:
+    """The Python value of a SQL string literal argument, else None."""
+    m = _SQL_LITERAL_RE.match(arg.strip())
+    return m.group(1).replace("''", "'") if m else None
+
+
+def _duck_fn_emit(key: str, args: list[str]) -> str:
+    """Emit the Spark SQL call for one DuckDB-dialect call site."""
+    a = args
+    if key in ("string_split", "str_split", "string_to_array"):
+        # DuckDB splits on a LITERAL separator; Spark split() takes a
+        # regex — escape metachars when the separator is a literal
+        sep = _literal_str(a[1]) if len(a) == 2 else None
+        if sep is not None:
+            return f"split({a[0]}, {_sql_str(re.escape(sep))})"
+        return f"split({', '.join(a)})"
+    if key in ("string_split_regex", "str_split_regex", "regexp_split_to_array"):
+        return f"split({', '.join(a)})"
+    if key == "strftime":
+        # strftime(ts, '%Y-%m-%d') → date_format(ts, 'yyyy-MM-dd');
+        # DuckDB also accepts (fmt, ts) — detect by which side is a
+        # %-carrying literal
+        ts, fmt = (a[0], a[1]) if len(a) == 2 else (a[0], "'%Y-%m-%d'")
+        fl = _literal_str(fmt)
+        tl = _literal_str(ts)
+        if fl is None and tl is not None and "%" in tl:
+            ts, fl = fmt, tl
+        if fl is None:
+            raise ValueError("strftime: format must be a string literal")
+        return f"date_format({ts}, {_sql_str(_strftime_to_java(fl))})"
+    if key == "strptime":
+        fl = _literal_str(a[1])
+        if fl is None:
+            raise ValueError("strptime: format must be a string literal")
+        return f"to_timestamp({a[0]}, {_sql_str(_strftime_to_java(fl))})"
+    if key in ("list_slice", "array_slice"):
+        # DuckDB: 1-based inclusive [a, b] → Spark slice(l, a, b-a+1)
+        return f"slice({a[0]}, {a[1]}, ({a[2]}) - ({a[1]}) + 1)"
+    if key == "list_prepend":
+        # DuckDB list_prepend(elem, list) → Spark array_prepend(list, elem)
+        return f"array_prepend({a[1]}, {a[0]})"
+    if key == "struct_pack":
+        # struct_pack(k := v, …) → named_struct('k', v, …)
+        parts = []
+        for arg in a:
+            k, _, v = arg.partition(":=")
+            if not v:
+                raise ValueError(f"struct_pack: expected k := v, got {arg!r}")
+            parts.append(f"'{k.strip()}', {v.strip()}")
+        return f"named_struct({', '.join(parts)})"
+    if key == "date_diff":
+        # date_diff('day', a, b) → timestampdiff(DAY, a, b)
+        part = _literal_str(a[0])
+        if part is None:
+            raise ValueError("date_diff: part must be a string literal")
+        return f"timestampdiff({part.upper()}, {a[1]}, {a[2]})"
+    if key == "epoch":
+        # DuckDB epoch() returns DOUBLE seconds (fraction preserved)
+        return f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 1000000.0)"
+    if key == "isodow":
+        return f"(weekday({a[0]}) + 1)"
+    if key == "dayname":
+        return f"date_format({a[0]}, 'EEEE')"
+    if key == "monthname":
+        return f"date_format({a[0]}, 'MMMM')"
+    if key == "log" and len(a) == 1:
+        # DuckDB single-arg log is base-10; Spark's is natural
+        return f"log10({a[0]})"
+    if key == "list_reverse_sort":
+        return f"sort_array({a[0]}, false)"
+    if key == "list_unique":
+        return f"size(array_distinct({a[0]}))"
+    name = _DUCK_FN_RENAME[key]
+    return f"{name}({', '.join(a)})"
+
+
+_DUCK_FN_TEMPLATES = {
+    "string_split", "str_split", "string_to_array", "string_split_regex",
+    "str_split_regex", "regexp_split_to_array", "strftime", "strptime",
+    "list_slice", "array_slice", "list_prepend", "struct_pack",
+    "date_diff", "isodow", "dayname", "monthname", "log", "epoch",
+    "list_unique", "list_reverse_sort",
+}
+_DUCK_FNS = set(_DUCK_FN_RENAME) | _DUCK_FN_TEMPLATES
+
+
+def rewrite_duckdb_functions(stmt: str) -> str:
+    """Translate DuckDB-dialect function calls in a statement to Spark
+    SQL builtins so reference users' SQL runs verbatim.  Quote- and
+    comment-aware; recurses into argument lists; unknown names pass
+    through untouched (Spark raises its own resolution error)."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if stmt[j] == "'":
+                    if j + 1 < n and stmt[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(stmt[i : j + 1])
+            i = j + 1
+            continue
+        if ch == '"':
+            j = stmt.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(stmt[i : j + 1])
+            i = j + 1
+            continue
+        if stmt[i : i + 2] == "--":
+            j = stmt.find("\n", i)
+            j = n if j < 0 else j
+            out.append(stmt[i:j])
+            i = j
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (stmt[j].isalnum() or stmt[j] == "_"):
+                j += 1
+            word = stmt[i:j]
+            k = j
+            while k < n and stmt[k].isspace():
+                k += 1
+            key = word.lower()
+            # a qualified name (x.epoch) is a column access, not a call
+            qualified = i > 0 and stmt[i - 1] == "."
+            if k < n and stmt[k] == "(" and key in _DUCK_FNS and not qualified:
+                close = matching_paren(stmt, k)
+                inner = rewrite_duckdb_functions(stmt[k + 1 : close])
+                args = [s.strip() for s in split_top_level(inner) if s.strip()]
+                out.append(_duck_fn_emit(key, args))
+                i = close + 1
+                continue
+            out.append(word)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 _SNAPSHOTS_RE = re.compile(r"\b[\w.]*snapshots\s*\(\s*\)", re.I)
 _TABLE_CHANGES_RE = re.compile(
     r"\btable_changes\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)", re.I
@@ -2981,6 +3222,7 @@ class DuckLakeSpark:
         if re.match(r"^\s*FROM\b", stmt, re.I):
             # DuckDB's leading-FROM sugar: FROM t [WHERE …] == SELECT * …
             stmt = "SELECT * " + stmt.strip()
+        stmt = rewrite_duckdb_functions(stmt)
         stmt = self._rewrite_series_tvf(stmt)
         stmt = self._expand_star_modifiers(stmt)
         stmt = rewrite_exclude(stmt)

@@ -859,3 +859,37 @@ def lakehouse_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY src, name
         """
     )
+
+
+_DIALECT_FN_BODY = """
+    SELECT event_type,
+           round(epoch(arg_max(ts, event_id)), 6)     AS ep_latest,
+           round(quantile_cont(value, 0.5), 6)        AS med_value,
+           isodow(min(ts))                            AS dw_first,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S')     AS first_ts,
+           list_extract(
+             list_sort(list_value(max(user_id), min(user_id))), 1
+           )                                          AS lo_user,
+           count_if(starts_with(event_type, 'c'))     AS n_c
+    FROM {src}
+    GROUP BY event_type
+"""
+
+
+@query(
+    "lakehouse_duckdb_fn_dialect",
+    pure=False,
+    oracle=_DIALECT_FN_BODY.format(src="events"),
+)
+def lakehouse_duckdb_fn_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-dialect function names through sql() text: the engine runs
+    the ORACLE'S OWN SQL verbatim (epoch, arg_max, quantile_cont,
+    isodow, C-style strftime, list_*, starts_with, count_if), translated
+    to Spark builtins by rewrite_duckdb_functions — a reference user's
+    DuckDB SQL keeps working unchanged."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        _DIALECT_FN_BODY.format(
+            src=f"read_parquet('{sf_dir}/events.parquet')"
+        )
+    )

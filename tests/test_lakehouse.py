@@ -1320,6 +1320,63 @@ def test_macro_many_flat_call_sites(lake):
         lake.sql("SELECT f1(1) AS v")
 
 
+def test_duckdb_function_dialect(lake):
+    """DuckDB-dialect function names in sql() text translate to Spark
+    builtins (a reference user's SQL runs verbatim)."""
+    lake.sql(
+        "CREATE TABLE fd(id INTEGER, s VARCHAR, xs VARCHAR);"
+        "INSERT INTO fd VALUES (1, 'a.b.c', 'x'), (2, 'd.e', 'yy')"
+    )
+    # string family: string_split (literal sep, regex-escaped), strpos,
+    # starts_with, regexp_matches
+    out = rows(
+        lake.sql(
+            "SELECT id, string_split(s, '.') AS parts, strpos(s, 'b') AS p, "
+            "starts_with(s, 'a') AS st, regexp_matches(s, '[de]') AS rm "
+            "FROM fd ORDER BY id"
+        )
+    )
+    assert out[0] == (1, ["a", "b", "c"], 3, True, False)
+    assert out[1] == (2, ["d", "e"], 0, False, True)
+    # list family on a built array + slice semantics (1-based inclusive)
+    out = rows(
+        lake.sql(
+            "SELECT list_contains(list_value(1,2,3), 2) AS c, "
+            "list_slice(list_value(10,20,30,40), 2, 3) AS sl, "
+            "list_extract(list_value(5,6,7), 3) AS e, "
+            "list_transform(list_value(1,2), x -> x * 10) AS t, "
+            "array_to_string(list_value('a','b'), '-') AS j"
+        )
+    )
+    assert out[0] == (True, [20, 30], 7, [10, 20], "a-b")
+    # date/time family: strftime C-codes, epoch, isodow, date_diff
+    out = rows(
+        lake.sql(
+            "SELECT strftime(TIMESTAMP '2024-03-05 07:08:09', "
+            "'%Y-%m-%dT%H:%M:%S') AS f, "
+            "epoch(TIMESTAMP '1970-01-02 00:00:00') AS ep, "
+            "isodow(DATE '2024-03-05') AS dw, "
+            "dayname(DATE '2024-03-04') AS dn, "
+            "date_diff('day', DATE '2024-03-01', DATE '2024-03-05') AS dd"
+        )
+    )
+    assert out[0] == ("2024-03-05T07:08:09", 86400.0, 2, "Monday", 4)
+    # aggregates: arg_max, string_agg, quantile_cont, countif; plus
+    # single-arg log (base 10 in DuckDB)
+    out = rows(
+        lake.sql(
+            "SELECT arg_max(s, id) AS am, "
+            "quantile_cont(id, 0.5) AS med, "
+            "countif(id > 1) AS ci, round(log(100), 6) AS lg "
+            "FROM fd"
+        )
+    )
+    assert out[0] == ("d.e", 1.5, 1, 2.0)
+    # struct_pack := syntax
+    out = rows(lake.sql("SELECT struct_pack(a := 1, b := 'z') AS st"))
+    assert out[0][0].asDict() == {"a": 1, "b": "z"}
+
+
 def test_on_conflict_upsert(lake):
     """INSERT … ON CONFLICT (k) DO UPDATE/NOTHING — MERGE-backed upsert."""
     lake.sql(
