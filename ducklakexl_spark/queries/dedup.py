@@ -598,3 +598,100 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(keep, F.col("n_chars"))).alias("chars_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact n-gram span duplication (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": find exact
+# token spans shared across documents; here the per-doc duplication
+# profile a span-removal pass would consume)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8  # span length in tokens
+
+
+def _ngram_spans_oracle() -> str:
+    gh = _sql_hash("g", 97)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(toks) - {SPAN_N - 1}),
+               i -> array_to_string(list_slice(toks, i, i + {SPAN_N - 1}), ' ')
+             )) AS gs
+      FROM toks WHERE len(toks) >= {SPAN_N}
+    ),
+    exploded AS (
+      SELECT doc_id, {gh} AS gh
+      FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+    ),
+    counts AS (SELECT gh, count(*) AS n_docs FROM exploded GROUP BY gh),
+    perdoc AS (
+      SELECT e.doc_id, count(*) AS n_dup
+      FROM exploded e JOIN counts c ON e.gh = c.gh
+      WHERE c.n_docs >= 2
+      GROUP BY e.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.gs) AS BIGINT)                  AS n_grams,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT)       AS n_dup_grams,
+           round(coalesce(p.n_dup, 0) * 1.0 / len(g.gs), 6) AS dup_frac
+    FROM grams g LEFT JOIN perdoc p ON g.doc_id = p.doc_id
+    """
+
+
+@query("dedup_ngram_spans", oracle=_ngram_spans_oracle())
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-duplicate span profile: how many of a doc's
+    distinct word 8-grams also occur in at least one OTHER document (or
+    twice anywhere).
+
+    Scale shape (the part that matters at 100 TB): grams never leave the
+    row until a single explode; only 60-bit md5-derived longs cross the
+    wire; the gram-frequency groupBy and the dup-gram join share the
+    same key, so the exchange is reused (co-partitioned equi-join, no
+    broadcast of anything corpus-sized); the final per-doc rollup is one
+    narrow shuffle on doc_id.  No cross product anywhere — this is the
+    candidate-free exact-span analogue of the MinHash pipeline above."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(SPAN_N - 1)),
+            lambda i: F.array_join(F.slice(toks, i, SPAN_N), " "),
+        )
+    )
+    base = docs.filter(n >= SPAN_N).select("doc_id", grams.alias("gs"))
+    ex = base.select("doc_id", F.explode("gs").alias("g")).select(
+        "doc_id", portable_hash(F.col("g"), 97).alias("gh")
+    )
+    dup = (
+        ex.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gh")
+    )
+    perdoc = (
+        ex.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        base.select(
+            "doc_id", F.size("gs").cast("long").alias("n_grams")
+        )
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("dup_frac"),
+        )
+    )

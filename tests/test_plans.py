@@ -156,3 +156,12 @@ def test_mixture_quota_broadcasts(spark):
     plan = executed_plan(spark, "sample_mixture_by_lang")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_spans_no_cartesian_no_bnlj(spark):
+    """Exact-span dup profile: the dup-gram join must be an equi-join on
+    the gram hash (co-partitioned with the frequency groupBy), never a
+    nested-loop or cartesian over the exploded gram set."""
+    plan = executed_plan(spark, "dedup_ngram_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
