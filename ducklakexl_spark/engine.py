@@ -846,6 +846,244 @@ _DUCK_FN_TEMPLATES = {
 _DUCK_FNS = set(_DUCK_FN_RENAME) | _DUCK_FN_TEMPLATES
 
 
+_BRACKET_PAIRS = {"(": ")", "[": "]", "{": "}"}
+_SQL_KEYWORDS = frozenset(
+    """select from where group having order limit offset join on using as and
+    or not in is null true false case when then else end union all except
+    intersect distinct values returning set insert update delete into with
+    recursive over partition window rows range between unbounded preceding
+    following current row like ilike rlike exists any some cast try_cast
+    interval lateral left right full inner outer cross semi anti natural asc
+    desc nulls first last filter within qualify sample tablesample pivot
+    unpivot by if then""".split()
+)
+
+
+def _matching_bracket(s: str, open_idx: int) -> int:
+    """Index of the bracket closing the one at ``open_idx`` — handles
+    (), [], {} uniformly, quote-aware."""
+    stack: list[str] = []
+    in_str: str | None = None
+    i, n = open_idx, len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                if in_str == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch in _BRACKET_PAIRS:
+            stack.append(ch)
+        elif ch in (")", "]", "}"):
+            if not stack or _BRACKET_PAIRS[stack.pop()] != ch:
+                raise ValueError("mismatched brackets in statement")
+            if not stack:
+                return i
+        i += 1
+    raise ValueError("unbalanced brackets in statement")
+
+
+def _split_bracket_args(s: str, sep: str = ",") -> list[str]:
+    """Split at depth 0 across (), [], {} — quote-aware."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_str: str | None = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            buf.append(ch)
+            if ch == in_str:
+                if in_str == "'" and i + 1 < n and s[i + 1] == "'":
+                    buf.append(s[i + 1])
+                    i += 2
+                    continue
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            buf.append(ch)
+        elif ch in _BRACKET_PAIRS:
+            depth += 1
+            buf.append(ch)
+        elif ch in (")", "]", "}"):
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _top_level_colon(s: str) -> int:
+    """Index of a depth-0 ':' (slice separator), -1 if none."""
+    depth = 0
+    in_str: str | None = None
+    for i, ch in enumerate(s):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch in _BRACKET_PAIRS:
+            depth += 1
+        elif ch in (")", "]", "}"):
+            depth -= 1
+        elif ch == ":" and depth == 0:
+            return i
+    return -1
+
+
+def rewrite_bracket_syntax(stmt: str) -> str:
+    """DuckDB bracket syntax → Spark SQL:
+
+    - ``[e1, e2, …]`` list literal → ``array(e1, e2, …)``
+    - ``expr[i]`` (1-based, like DuckDB) → ``element_at(expr, i)``
+    - ``expr[a:b]`` (1-based inclusive) → ``slice(expr, a, b-a+1)``
+      (open ends default to 1 / size(expr))
+    - ``{'k': v, …}`` struct literal → ``named_struct('k', v, …)``
+
+    A bracket is INDEXING when the previous significant token is an
+    identifier / ``)`` / ``]`` / string literal (chained through ``.``),
+    and a LITERAL otherwise (after keywords, operators, commas, or at
+    expression start).  Quote/comment-aware; recursive."""
+    out: list[str] = []
+    mark: int | None = None  # out-index where the current primary expr begins
+    prev = ""  # last significant char class: 'w' word, '.', ')', "'", etc.
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if stmt[j] == "'":
+                    if j + 1 < n and stmt[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            mark = len(out)
+            out.append(stmt[i : j + 1])
+            prev = "'"
+            i = j + 1
+            continue
+        if ch == '"':
+            j = stmt.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            if prev != ".":
+                mark = len(out)
+            out.append(stmt[i : j + 1])
+            prev = "w"
+            i = j + 1
+            continue
+        if stmt[i : i + 2] == "--":
+            j = stmt.find("\n", i)
+            j = n if j < 0 else j
+            out.append(stmt[i:j])
+            i = j
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (stmt[j].isalnum() or stmt[j] == "_"):
+                j += 1
+            word = stmt[i:j]
+            if word.lower() in _SQL_KEYWORDS:
+                mark = None
+                prev = "k"
+            else:
+                if prev != ".":
+                    mark = len(out)
+                prev = "w"
+            out.append(word)
+            i = j
+            continue
+        if ch == "(":
+            close = _matching_bracket(stmt, i)
+            inner = rewrite_bracket_syntax(stmt[i + 1 : close])
+            if prev not in ("w",):  # not a function call → new primary
+                mark = len(out)
+            out.append("(" + inner + ")")
+            prev = ")"
+            i = close + 1
+            continue
+        if ch == "[":
+            close = _matching_bracket(stmt, i)
+            inner = rewrite_bracket_syntax(stmt[i + 1 : close]).strip()
+            indexing = prev in ("w", ")", "]", "'") and mark is not None
+            if indexing and not inner:
+                # DDL array-type suffix (INT[]) — leave untouched
+                out.append("[]")
+                prev = "]"
+            elif indexing:
+                expr = "".join(out[mark:])
+                del out[mark:]
+                cpos = _top_level_colon(inner)
+                if cpos >= 0:
+                    lo = inner[:cpos].strip() or "1"
+                    hi = inner[cpos + 1 :].strip() or f"size({expr})"
+                    new = f"slice({expr}, {lo}, ({hi}) - ({lo}) + 1)"
+                else:
+                    new = f"element_at({expr}, {inner})"
+                mark = len(out)
+                out.append(new)
+                prev = ")"
+            else:
+                args = _split_bracket_args(inner)
+                mark = len(out)
+                out.append(f"array({', '.join(args)})")
+                prev = ")"
+            i = close + 1
+            continue
+        if ch == "{":
+            close = _matching_bracket(stmt, i)
+            inner = rewrite_bracket_syntax(stmt[i + 1 : close])
+            pairs = _split_bracket_args(inner)
+            fields: list[str] = []
+            ok = bool(pairs)
+            for p in pairs:
+                cpos = _top_level_colon(p)
+                if cpos < 0:
+                    ok = False
+                    break
+                key = p[:cpos].strip()
+                val = p[cpos + 1 :].strip()
+                kl = _literal_str(key)
+                key = kl if kl is not None else key.strip('"')
+                fields.append(f"{_sql_str(key)}, {val}")
+            if ok:
+                mark = len(out)
+                out.append(f"named_struct({', '.join(fields)})")
+                prev = ")"
+            else:
+                out.append("{" + inner + "}")
+                prev = "}"
+            i = close + 1
+            continue
+        if ch.isspace():
+            out.append(ch)
+            i += 1
+            continue
+        if ch == ".":
+            out.append(ch)
+            prev = "."
+            i += 1
+            continue
+        out.append(ch)
+        mark = None
+        prev = ch
+        i += 1
+    return "".join(out)
+
+
 def rewrite_duckdb_functions(stmt: str) -> str:
     """Translate DuckDB-dialect function calls in a statement to Spark
     SQL builtins so reference users' SQL runs verbatim.  Quote- and
@@ -3222,6 +3460,10 @@ class DuckLakeSpark:
         if re.match(r"^\s*FROM\b", stmt, re.I):
             # DuckDB's leading-FROM sugar: FROM t [WHERE …] == SELECT * …
             stmt = "SELECT * " + stmt.strip()
+        # read_* TVFs first: their ['p1','p2'] path-list syntax must be
+        # consumed before the bracket rewrite turns it into array(…)
+        stmt = self._read_file_views(stmt)
+        stmt = rewrite_bracket_syntax(stmt)
         stmt = rewrite_duckdb_functions(stmt)
         stmt = self._rewrite_series_tvf(stmt)
         stmt = self._expand_star_modifiers(stmt)
@@ -3232,7 +3474,6 @@ class DuckLakeSpark:
         stmt = self._rewrite_positional_text(stmt)
         stmt = rewrite_qualify(stmt)
         stmt = rewrite_using_sample(stmt)
-        stmt = self._read_file_views(stmt)
         stmt = self._expand_columns_expr(stmt)
         if re.search(r"\binformation_schema\.columns\b", stmt, re.I):
             rows = []

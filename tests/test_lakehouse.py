@@ -1377,6 +1377,44 @@ def test_duckdb_function_dialect(lake):
     assert out[0][0].asDict() == {"a": 1, "b": "z"}
 
 
+def test_duckdb_bracket_dialect(lake):
+    """DuckDB bracket syntax: list literals, 1-based indexing, 1-based
+    inclusive slices, struct literals — matching DuckDB's own results."""
+    out = rows(
+        lake.sql(
+            "SELECT [1,2,3] AS lst, [10,20,30][2] AS ix, "
+            "[1,2,3,4][2:3] AS sl, [5,6,7][:2] AS hd, [5,6,7][2:] AS tl, "
+            "{'a': 1, 'b': 'z'} AS st, [[1],[2,3]][2] AS nested"
+        )
+    )
+    lst, ix, sl, hd, tl, st, nested = out[0]
+    assert lst == [1, 2, 3] and ix == 20
+    assert sl == [2, 3] and hd == [5, 6] and tl == [6, 7]
+    assert st.asDict() == {"a": 1, "b": "z"} and nested == [2, 3]
+    # same expressions in DuckDB ground truth
+    import duckdb
+
+    d = duckdb.sql(
+        "SELECT [1,2,3] AS lst, [10,20,30][2] AS ix, [1,2,3,4][2:3] AS sl, "
+        "[5,6,7][:2] AS hd, [5,6,7][2:] AS tl, {'a': 1, 'b': 'z'} AS st, "
+        "[[1],[2,3]][2] AS nested"
+    ).fetchone()
+    assert (lst, ix, sl, hd, tl, nested) == (d[0], d[1], d[2], d[3], d[4], d[6])
+    assert st.asDict() == d[5]
+    # bracket indexing composes with dialect functions and columns
+    lake.sql(
+        "CREATE TABLE br(id INTEGER, xs VARCHAR);"
+        "INSERT INTO br VALUES (1, 'p q r')"
+    )
+    out = rows(
+        lake.sql(
+            "SELECT string_split(xs, ' ')[2] AS second, "
+            "list_slice(string_split(xs, ' '), 1, 2) AS firsttwo FROM br"
+        )
+    )
+    assert out[0] == ("q", ["p", "q"])
+
+
 def test_on_conflict_upsert(lake):
     """INSERT … ON CONFLICT (k) DO UPDATE/NOTHING — MERGE-backed upsert."""
     lake.sql(
