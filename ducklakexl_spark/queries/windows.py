@@ -471,6 +471,48 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    pure=False,
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*)             AS n_events,
+           round(sum(e.value), 2) AS total_value,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC dimension join driven to completion: the canonical
+    streaming-ETL enrichment — each micro-batch probes a broadcast
+    customer dim (stateless, no join state), enriched rows land in the
+    sink, and the rollup over the sink hash-matches the batch join
+    oracle.  At scale the stream side never shuffles for the join."""
+    import os
+    import tempfile
+
+    from ducklakexl_spark.streaming import pipeline as P
+
+    stage = tempfile.mkdtemp(prefix="events_enrich_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    stream = P.read_event_stream(spark, stage)
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = P.enrich_with_dim(stream, dim).select(
+        "user_id", "value", "c_mktsegment"
+    )
+    out = P.run_append_to_completion(enriched, "q_stream_enrich")
+    return out.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
     "window_nth_ignore_nulls",
     oracle="""
     SELECT o_orderkey,

@@ -130,6 +130,19 @@ def interval_join(clicks: DataFrame, purchases: DataFrame,
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame,
+                    on_stream: str = "user_id",
+                    on_dim: str = "c_custkey") -> DataFrame:
+    """Stream-static dimension enrichment: the canonical streaming-ETL
+    join.  The static side is broadcast into every micro-batch — no
+    join state accumulates (stream-static inner joins are stateless),
+    and at 100 TB/day the stream side never shuffles: each task probes
+    the broadcast dim locally."""
+    return events.join(
+        F.broadcast(dim), events[on_stream] == dim[on_dim], "inner"
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-user event counts and value totals that survive across
