@@ -420,8 +420,9 @@ _ON_CONFLICT_RE = re.compile(
 )
 
 _SERIES_TVF_RE = re.compile(
-    r"(\bFROM\s+|\bJOIN\s+)(generate_series|range)\s*\(\s*(-?\d+)\s*,"
-    r"\s*(-?\d+)\s*(?:,\s*(-?\d+))?\s*\)",
+    r"(\bFROM\s+|\bJOIN\s+|,\s*)(generate_series|range)\s*\(\s*(-?\d+)\s*,"
+    r"\s*(-?\d+)\s*(?:,\s*(-?\d+))?\s*\)"
+    r"(?:\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\))?",
     re.I,
 )
 
@@ -693,6 +694,11 @@ _DUCK_FN_RENAME = {
     "list_indexof": "array_position",
     "list_sort": "array_sort",
     "array_to_string": "array_join",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "len": "size",  # DuckDB len() is list length; strings use length()
+    "array_length": "size",
+    "generate_series": "sequence",  # scalar position (FROM handled earlier)
     # string family
     "strpos": "instr",
     "starts_with": "startswith",
@@ -702,16 +708,19 @@ _DUCK_FN_RENAME = {
     "regexp_matches": "regexp_like",
     "to_hex": "hex",
     "from_hex": "unhex",
+    "strlen": "length",
+    "json_extract_string": "get_json_object",
+    "json_extract_path_text": "get_json_object",
+    "json_extract": "get_json_object",
     # date/time family
     "epoch_ms": "unix_millis",
     "epoch_us": "unix_micros",
     # aggregate family
     "arg_max": "max_by",
     "arg_min": "min_by",
-    "string_agg": "listagg",
-    "group_concat": "listagg",
     "quantile_cont": "percentile",
     "countif": "count_if",
+    "ord": "ascii",
     "favg": "avg",
     "fsum": "sum",
     # misc
@@ -755,9 +764,17 @@ def _strftime_to_java(fmt: str) -> str:
 
 
 def _sql_str(value: str) -> str:
-    """Encode a Python string as a Spark SQL single-quoted literal
-    (backslashes are escape chars in Spark's default literal parsing)."""
-    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
+    """Encode a Python string as a SQL string literal.  The engine runs
+    with ``spark.sql.parser.escapedStringLiterals=true`` (standard /
+    DuckDB literal semantics: backslashes are verbatim) — in that mode
+    ``''`` doubling does NOT collapse, so values containing a single
+    quote use a double-quoted literal (or concat() when both appear)."""
+    if "'" not in value:
+        return f"'{value}'"
+    if '"' not in value:
+        return f'"{value}"'
+    pieces = [f"'{p}'" for p in value.split("'")]
+    return "concat(" + ", \"'\", ".join(pieces) + ")"
 
 
 def _literal_str(arg: str) -> str | None:
@@ -819,6 +836,75 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key == "epoch":
         # DuckDB epoch() returns DOUBLE seconds (fraction preserved)
         return f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 1000000.0)"
+    if key == "xor":
+        return f"(({a[0]}) ^ ({a[1]}))"
+    if key in ("list", "array_agg"):
+        # DuckDB list(x ORDER BY k…) — ordered aggregation; Spark's
+        # collect_list has no internal order, so collect (key, value)
+        # structs and sort (array_sort orders by fields left-to-right)
+        last = a[-1] if a else ""
+        m = re.search(r"\bORDER\s+BY\b", last, re.I)
+        if not m:
+            return f"collect_list({', '.join(a)})"
+        val = last[: m.start()].strip()
+        keys = split_top_level(last[m.end() :])
+        desc = len(keys) == 1 and re.search(r"\bDESC\b", keys[0], re.I)
+        fields = []
+        for idx, kexpr in enumerate(keys):
+            kexpr = re.sub(r"\s+(ASC|DESC)\s*$", "", kexpr.strip(), flags=re.I)
+            fields.append(f"{kexpr} AS __k{idx}")
+        inner = (
+            f"transform(array_sort(collect_list(struct("
+            f"{', '.join(fields)}, {val} AS __v))), s -> s.__v)"
+        )
+        return f"reverse({inner})" if desc else inner
+    if key in ("string_agg", "group_concat", "listagg"):
+        # DuckDB: string_agg(x, sep ORDER BY o) — the ORDER BY rides
+        # inside the last argument; Spark wants WITHIN GROUP
+        last = a[-1]
+        m = re.search(r"\bORDER\s+BY\b", last, re.I)
+        if m:
+            a = a[:-1] + [last[: m.start()].strip()]
+            order = last[m.start() :]
+            return f"listagg({', '.join(a)}) WITHIN GROUP ({order})"
+        return f"listagg({', '.join(a)})"
+    if key == "range":
+        # DuckDB range() is END-EXCLUSIVE; Spark sequence() inclusive
+        if len(a) == 1:
+            return f"sequence(0, ({a[0]}) - 1)"
+        if len(a) == 2:
+            return f"sequence({a[0]}, ({a[1]}) - 1)"
+        return (
+            f"sequence({a[0]}, ({a[1]}) - CAST(sign({a[2]}) AS BIGINT), "
+            f"{a[2]})"
+        )
+    if key == "list_sum":
+        return f"aggregate({a[0]}, 0D, (acc, v) -> acc + v)"
+    if key == "list_avg":
+        return (
+            f"(aggregate({a[0]}, 0D, (acc, v) -> acc + v) / size({a[0]}))"
+        )
+    if key in ("encode", "decode"):
+        # DuckDB's 1-arg form is UTF-8; Spark requires the charset
+        if len(a) == 1:
+            return f"{key}({a[0]}, 'UTF-8')"
+        return f"{key}({', '.join(a)})"
+    if key == "regexp_extract" and len(a) == 2:
+        # DuckDB's default group is 0 (whole match); Spark's is 1
+        return f"regexp_extract({a[0]}, {a[1]}, 0)"
+    if key == "regexp_extract_all" and len(a) == 2:
+        return f"regexp_extract_all({a[0]}, {a[1]}, 0)"
+    if key == "regexp_replace" and len(a) == 4:
+        # DuckDB's 4th arg is an options string; Spark is global by
+        # default, so 'g' drops and 'i' folds into the pattern
+        flags = _literal_str(a[3])
+        if flags is not None:
+            pat = a[1]
+            if "i" in flags:
+                pl = _literal_str(pat)
+                pat = _sql_str("(?i)" + pl) if pl is not None else pat
+            return f"regexp_replace({a[0]}, {pat}, {a[2]})"
+        return f"regexp_replace({', '.join(a)})"
     if key == "isodow":
         return f"(weekday({a[0]}) + 1)"
     if key == "dayname":
@@ -832,7 +918,9 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         return f"sort_array({a[0]}, false)"
     if key == "list_unique":
         return f"size(array_distinct({a[0]}))"
-    name = _DUCK_FN_RENAME[key]
+    # template keys whose guard didn't match (e.g. Spark-style arg
+    # counts) pass through under their own name
+    name = _DUCK_FN_RENAME.get(key, key)
     return f"{name}({', '.join(a)})"
 
 
@@ -841,7 +929,33 @@ _DUCK_FN_TEMPLATES = {
     "str_split_regex", "regexp_split_to_array", "strftime", "strptime",
     "list_slice", "array_slice", "list_prepend", "struct_pack",
     "date_diff", "isodow", "dayname", "monthname", "log", "epoch",
-    "list_unique", "list_reverse_sort",
+    "list_unique", "list_reverse_sort", "xor", "range", "list_sum",
+    "list_avg", "encode", "decode", "regexp_extract",
+    "regexp_extract_all", "regexp_replace", "string_agg",
+    "group_concat", "listagg", "list", "array_agg",
+}
+
+# DuckDB type names (in CAST position etc.) Spark spells differently.
+# Only bare names translate; parameterized forms (VARCHAR(10)) are valid
+# Spark already.  'text' is NOT aliased — it is a common column name.
+_DUCK_TYPE_ALIASES = {
+    "varchar": "STRING",
+    "bpchar": "STRING",
+    "hugeint": "DECIMAL(38,0)",
+    "ubigint": "DECIMAL(20,0)",
+    "uinteger": "BIGINT",
+    "usmallint": "INT",
+    "utinyint": "SMALLINT",
+    "int1": "TINYINT",
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "signed": "INT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "logical": "BOOLEAN",
+    "blob": "BINARY",
+    "bytea": "BINARY",
 }
 _DUCK_FNS = set(_DUCK_FN_RENAME) | _DUCK_FN_TEMPLATES
 
@@ -1084,6 +1198,79 @@ def rewrite_bracket_syntax(stmt: str) -> str:
     return "".join(out)
 
 
+_IGNORE_NULLS_RE = re.compile(r"\s+((?:IGNORE|RESPECT)\s+NULLS)\s*\)", re.I)
+_HEX_CONCAT_RE = re.compile(r"'0x'\s*\|\|")
+_INT_TYPE_RE = re.compile(r"^(BIGINT|HUGEINT|INT\w*|LONG|DECIMAL.*)$", re.I)
+
+
+_SIMILAR_TO_RE = re.compile(
+    r"\b(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'", re.I
+)
+
+
+def rewrite_similar_to(stmt: str) -> str:
+    """``x SIMILAR TO 'p'`` (full-match regex, DuckDB/standard) →
+    ``x RLIKE '^(?:p)$'`` (Spark's partial-match rlike, anchored)."""
+
+    def _sub(m: re.Match) -> str:
+        neg = "NOT " if m.group(1) else ""
+        return f"{neg}RLIKE '^(?:{m.group(2)})$'"
+
+    return _SIMILAR_TO_RE.sub(_sub, stmt)
+
+
+def rewrite_ignore_nulls(stmt: str) -> str:
+    """DuckDB puts IGNORE/RESPECT NULLS inside the window-function call
+    (``nth_value(x, 3 IGNORE NULLS)``); Spark takes it after the closing
+    paren."""
+    return _IGNORE_NULLS_RE.sub(r") \1", stmt)
+
+
+def rewrite_hex_casts(stmt: str) -> str:
+    """DuckDB casts hex strings to integers directly —
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT`` is the portable-hash
+    idiom.  Spark needs ``conv(hex, 16, 10)``; rewrite both the postfix
+    and CAST() forms."""
+    pos = 0
+    while True:
+        m = _HEX_CONCAT_RE.search(stmt, pos)
+        if not m:
+            return stmt
+        # nearest significant char before the '0x' literal
+        k = m.start() - 1
+        while k >= 0 and stmt[k].isspace():
+            k -= 1
+        if k < 0 or stmt[k] != "(":
+            pos = m.end()
+            continue
+        popen = k
+        close = matching_paren(stmt, popen)
+        inner = stmt[m.end() : close].strip()
+        # word before the '(' — CAST form carries the type inside
+        w = popen - 1
+        while w >= 0 and stmt[w].isspace():
+            w -= 1
+        wstart = w
+        while wstart >= 0 and (stmt[wstart].isalnum() or stmt[wstart] == "_"):
+            wstart -= 1
+        word = stmt[wstart + 1 : w + 1].upper()
+        if word == "CAST":
+            am = re.search(r"\s+AS\s+(\w[\w(),\s]*)$", inner, re.I)
+            if am and _INT_TYPE_RE.match(am.group(1).strip()):
+                expr = inner[: am.start()].strip()
+                repl = f"CAST(conv({expr}, 16, 10) AS BIGINT)"
+                stmt = stmt[: wstart + 1] + repl + stmt[close + 1 :]
+                pos = wstart + 1 + len(repl)
+                continue
+        tm = re.match(r"\s*::\s*(\w+)", stmt[close + 1 :])
+        if tm and _INT_TYPE_RE.match(tm.group(1)):
+            repl = f"CAST(conv({inner}, 16, 10) AS BIGINT)"
+            stmt = stmt[:popen] + repl + stmt[close + 1 + tm.end() :]
+            pos = popen + len(repl)
+            continue
+        pos = m.end()
+
+
 def rewrite_duckdb_functions(stmt: str) -> str:
     """Translate DuckDB-dialect function calls in a statement to Spark
     SQL builtins so reference users' SQL runs verbatim.  Quote- and
@@ -1135,6 +1322,14 @@ def rewrite_duckdb_functions(stmt: str) -> str:
                 out.append(_duck_fn_emit(key, args))
                 i = close + 1
                 continue
+            if (
+                key in _DUCK_TYPE_ALIASES
+                and not qualified
+                and not (k < n and stmt[k] == "(")
+            ):
+                out.append(_DUCK_TYPE_ALIASES[key])
+                i = j
+                continue
             out.append(word)
             i = j
             continue
@@ -1175,6 +1370,11 @@ class DuckLakeSpark:
         from ducklakexl_spark.session import get_spark
 
         self.spark = spark or get_spark()
+        # standard / DuckDB string-literal semantics for the SQL surface:
+        # '\s+' stays a regex escape instead of collapsing to 's+'
+        # (Spark's default Hive-style literal parsing).  Runtime-settable;
+        # DataFrame-API code paths are unaffected by the parser conf.
+        self.spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
         self.name = ducklake_name
         self.data_path = os.path.abspath(data_path)
         os.makedirs(self.data_path, exist_ok=True)
@@ -3067,9 +3267,22 @@ class DuckLakeSpark:
         body = stmt[open_idx + 1 : close_idx]
         rest = stmt[close_idx + 1 :].lstrip()
         if rest.startswith(","):
-            remainder = "WITH " + rest[1:].lstrip()
+            # keep the RECURSIVE marker: the actually-recursive CTE may
+            # appear later in the list (WITH RECURSIVE a AS …, reach AS …)
+            remainder = "WITH RECURSIVE " + rest[1:].lstrip()
         else:
             remainder = rest
+
+        if name not in sql_identifiers(body):
+            # not self-referential — an ordinary CTE in a RECURSIVE list;
+            # materialize it as a view and recurse into the remainder
+            df = self._select(body)
+            if col_list:
+                df = df.toDF(
+                    *[c.strip().strip('"') for c in col_list.split(",")]
+                )
+            df.createOrReplaceTempView(name)
+            return self._select(remainder)
 
         upos = find_top_level_keyword(body, "UNION")
         if upos < 0:
@@ -3110,7 +3323,15 @@ class DuckLakeSpark:
                     )
                 if new.isEmpty():
                     break
-                acc = acc.unionByName(new).localCheckpoint(eager=True)
+                # union at the RDD level: Catalyst's Union constraint
+                # rewriting can hit "key not found: <attr>" when both
+                # children are checkpointed frames whose lineages shared
+                # expression ids (UnionBase.rewriteConstraints); both
+                # sides are materialized RDDs already, so this is a
+                # zero-shuffle concatenation with a clean one-node plan
+                acc = self.spark.createDataFrame(
+                    acc.rdd.union(new.rdd), acc.schema
+                ).localCheckpoint(eager=True)
                 frontier = new
             else:
                 raise RuntimeError(
@@ -3185,17 +3406,27 @@ class DuckLakeSpark:
             kw, name = m.group(1), m.group(2).lower()
             a, b = int(m.group(3)), int(m.group(4))
             step = int(m.group(5)) if m.group(5) else 1
+            talias, calias = m.group(6), m.group(7)
+            col = calias or name
             end = b if name == "generate_series" else (b - (1 if step > 0 else -1))
-            view = f"__series_{name}_{a}_{b}_{step}".replace("-", "m")
+            view = f"__series_{name}_{a}_{b}_{step}_{col}".replace("-", "m")
+            # INT elements when the bounds fit: series values are used as
+            # array indices (element_at rejects BIGINT) and compare fine
+            # against wider types either way
+            t = (
+                "INT"
+                if max(abs(a), abs(end)) < 2**31
+                else "BIGINT"
+            )
             if (step > 0 and end < a) or (step < 0 and end > a) or step == 0:
-                body = f"SELECT CAST(NULL AS BIGINT) AS {name} WHERE 1 = 0"
+                body = f"SELECT CAST(NULL AS {t}) AS {col} WHERE 1 = 0"
             else:
                 body = (
-                    f"SELECT explode(sequence(CAST({a} AS BIGINT), "
-                    f"CAST({end} AS BIGINT), {step})) AS {name}"
+                    f"SELECT explode(sequence(CAST({a} AS {t}), "
+                    f"CAST({end} AS {t}), {step})) AS {col}"
                 )
             self.spark.sql(body).createOrReplaceTempView(view)
-            return f"{kw}{view} "
+            return f"{kw}{view} {talias + ' ' if talias else ''}"
 
         return _SERIES_TVF_RE.sub(_sub, stmt)
 
@@ -3340,18 +3571,21 @@ class DuckLakeSpark:
                 rdf = rdf.withColumnRenamed(rk, lk)
         keys = [lk for lk, _ in eqs]
         right_cols = [c for c in rdf.columns if c not in keys]
+        # carried right columns that collide with left ones get a prefix;
+        # qualified references (ralias.col) are mapped to it below, so
+        # self-joins (events ASOF JOIN events) work without manual
+        # aliasing.  Non-colliding names stay bare for unqualified use.
         collide = set(right_cols) & set(ldf.columns)
-        if collide:
-            raise ValueError(
-                f"ASOF JOIN carried columns collide with left side: "
-                f"{sorted(collide)}; alias them in the subqueries"
-            )
+        rename = {c: f"__asof_{ralias}_{c}" for c in collide}
+        for old, newc in rename.items():
+            rdf = rdf.withColumnRenamed(old, newc)
+        right_cols = [rename.get(c, c) for c in right_cols]
         out = joins_ops.asof_join(
             ldf,
             rdf,
             on=keys,
             left_ts=left_ts,
-            right_ts=right_ts,
+            right_ts=rename.get(right_ts, right_ts),
             right_cols=right_cols,
             how=how,
             strict=strict,
@@ -3359,8 +3593,12 @@ class DuckLakeSpark:
         view = "__asof_join_result"
         out.createOrReplaceTempView(view)
         new_stmt = stmt[:fpos] + f"FROM {view} " + stmt[cond_end:]
-        for a in (lalias, ralias):
-            new_stmt = re.sub(rf"\b{a}\.", "", new_stmt)
+        new_stmt = re.sub(
+            rf"\b{ralias}\.(\w+)",
+            lambda mm: rename.get(mm.group(1), mm.group(1)),
+            new_stmt,
+        )
+        new_stmt = re.sub(rf"\b{lalias}\.", "", new_stmt)
         return new_stmt
 
     def _rewrite_union_by_name(self, stmt: str) -> str:
@@ -3464,8 +3702,13 @@ class DuckLakeSpark:
         # consumed before the bracket rewrite turns it into array(…)
         stmt = self._read_file_views(stmt)
         stmt = rewrite_bracket_syntax(stmt)
-        stmt = rewrite_duckdb_functions(stmt)
+        # FROM-position series TVFs must resolve before the dialect pass
+        # renames scalar generate_series/range to sequence()
         stmt = self._rewrite_series_tvf(stmt)
+        stmt = rewrite_hex_casts(stmt)
+        stmt = rewrite_duckdb_functions(stmt)
+        stmt = rewrite_ignore_nulls(stmt)
+        stmt = rewrite_similar_to(stmt)
         stmt = self._expand_star_modifiers(stmt)
         stmt = rewrite_exclude(stmt)
         stmt = rewrite_distinct_on(stmt)

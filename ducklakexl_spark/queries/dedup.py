@@ -639,7 +639,7 @@ def _ngram_spans_oracle() -> str:
     SELECT g.doc_id,
            CAST(len(g.gs) AS BIGINT)                  AS n_grams,
            CAST(coalesce(p.n_dup, 0) AS BIGINT)       AS n_dup_grams,
-           round(coalesce(p.n_dup, 0) * 1.0 / len(g.gs), 6) AS dup_frac
+           round(CAST(coalesce(p.n_dup, 0) AS DOUBLE) / len(g.gs), 6) AS dup_frac
     FROM grams g LEFT JOIN perdoc p ON g.doc_id = p.doc_id
     """
 
