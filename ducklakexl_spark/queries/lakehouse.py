@@ -893,3 +893,32 @@ def lakehouse_duckdb_fn_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
             src=f"read_parquet('{sf_dir}/events.parquet')"
         )
     )
+
+
+_BRACKET_RECURSIVE_BODY = """
+    WITH RECURSIVE fib(n, a, b) AS (
+      SELECT 1, 0, 1
+      UNION ALL
+      SELECT n + 1, b, a + b FROM fib WHERE n < 12
+    )
+    SELECT n,
+           a AS fib_n,
+           [a, b][1]                 AS via_index,
+           [a, b, a + b][2:3]        AS next_two,
+           {'n': n, 'fib': a}.fib    AS via_struct
+    FROM fib
+"""
+
+
+@query(
+    "lakehouse_bracket_recursive",
+    pure=False,
+    oracle=_BRACKET_RECURSIVE_BODY,
+)
+def lakehouse_bracket_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE + DuckDB bracket syntax through sql() text — the
+    engine runs the ORACLE'S OWN SQL verbatim: semi-naive fixpoint for
+    the recursive CTE, list literals, 1-based indexing/slicing, struct
+    literals with field access."""
+    lake = _fresh_lake(spark)
+    return lake.sql(_BRACKET_RECURSIVE_BODY)

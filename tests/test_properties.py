@@ -138,3 +138,55 @@ def test_tail_keyword_pos_skips_nested(col, a, b):
     stmt = f"SELECT {col} FROM (SELECT 1 ORDER BY 1 LIMIT 5) t WHERE {col} > {min(a,b)} ORDER BY {col} LIMIT {abs(b)+1}"
     pos = tail_keyword_pos(stmt, stmt.index(" t ") + 3)
     assert stmt[pos:].upper().startswith("WHERE")
+
+
+# --------------------------------------------------------------- dialect
+from ducklakexl_spark import queries as _qmod
+from ducklakexl_spark.engine import (
+    rewrite_bracket_syntax,
+    rewrite_duckdb_functions,
+    rewrite_hex_casts,
+    rewrite_ignore_nulls,
+    rewrite_similar_to,
+)
+
+_qmod.load_all()
+_ORACLE_TEXTS = sorted(
+    (n, o) for n, o in _qmod.ORACLES.items()
+    if not n.startswith(("lakehouse_", "stream_"))
+)
+
+
+def _dialect_chain(s: str) -> str:
+    s = rewrite_bracket_syntax(s)
+    s = rewrite_hex_casts(s)
+    s = rewrite_duckdb_functions(s)
+    s = rewrite_ignore_nulls(s)
+    return rewrite_similar_to(s)
+
+
+def test_dialect_rewrites_idempotent_on_oracle_corpus():
+    """Rewriting already-rewritten SQL must be a no-op — otherwise
+    chained passes (views over views, macros) corrupt statements."""
+    for name, osql in _ORACLE_TEXTS:
+        once = _dialect_chain(osql)
+        twice = _dialect_chain(once)
+        assert once == twice, name
+
+
+def test_bracket_rewrite_noop_without_brackets():
+    for name, osql in _ORACLE_TEXTS:
+        if "[" in osql or "{" in osql:
+            continue
+        assert rewrite_bracket_syntax(osql) == osql, name
+
+
+@given(st.text(alphabet=string.ascii_letters + " ,.()'\"0123456789_", max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_bracket_rewrite_total_on_bracketless(s):
+    """No brackets in → identical out (never mangles plain SQL text)."""
+    try:
+        out = rewrite_bracket_syntax(s)
+    except ValueError:
+        return  # unbalanced quotes/parens may legitimately raise
+    assert out == s
