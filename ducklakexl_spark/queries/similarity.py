@@ -304,6 +304,54 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF building block: (vec_id, evec, scores) where scores[j]
+    is (cosine-to-centroid-j, -cell) — one corpus scan, centroids folded
+    into constant codegen expressions.
+
+    Training collects per-label centroids to the driver (k x DIM doubles
+    is metadata-sized at any corpus scale; k ~ thousands even at 100 TB),
+    and folding them into constants means every consumer (assign, probe,
+    cluster-dedup) is a SINGLE scan with zero joins and zero
+    recomputation.  Centroid values round to 6 dp so Spark's and the
+    oracle's float-sum orders can't diverge."""
+    import math
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
+            ).alias("cvec")
+        )
+    )
+    cents = sorted((r["cell"], list(r["cvec"])) for r in cent.collect())
+    # Python doubles sum left-to-right exactly like the oracle's list_sum
+    cnorm = {c: math.sqrt(sum(v * v for v in cv)) for c, cv in cents}
+    enorm_sql = (
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
+    )
+    score_structs = [
+        F.struct(
+            F.expr(
+                f"({dot_lit_sql('embedding', cv)}) / ({enorm_sql} * {cnorm[c]!r}D)"
+            ).alias("cs"),
+            F.lit(-c).cast("long").alias("negcell"),
+        )
+        for c, cv in cents
+    ]
+    return e.select(
+        "vec_id",
+        F.col("embedding").alias("evec"),
+        F.array(*score_structs).alias("scores"),
+    )
+
+
 @query(
     "sim_ivf_topk",
     oracle=f"""
@@ -369,55 +417,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the corpus-side work is a broadcast map pass plus an
     equi-join on cell — the inverted lists are just hash partitions, and
     the quadratic step only ever sees ~nprobe/k of the corpus."""
-    import math
-
     from pyspark.sql import Window as W
 
-    e = load(spark, sf_dir, "embeddings")
-
-    # -- train: per-label centroids, rounded to 6 dp, collected to the
-    # driver.  This is the IVF training phase: k centroids x DIM doubles is
-    # metadata-sized at any corpus scale (k ~ thousands even at 100 TB), and
-    # folding them into constant expressions means the assign/probe passes
-    # below are a SINGLE scan of the corpus with zero joins and zero
-    # recomputation (the old crossJoin(scored) shape re-executed the
-    # centroid scoring once per consumer branch).
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
-        .groupBy(F.col("label").alias("cell"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
-            ).alias("cvec")
-        )
-    )
-    cents = sorted((r["cell"], list(r["cvec"])) for r in cent.collect())
-    # Python doubles sum left-to-right exactly like the oracle's list_sum
-    cnorm = {c: math.sqrt(sum(v * v for v in cv)) for c, cv in cents}
-
-    # -- assign + probe in one pass: per-row unrolled dot against every
-    # centroid (codegen'd), cs = dot / (|e| * |c|) with |c| a driver-side
-    # constant.  Struct max/sort gives nearest cell (cs DESC, cell ASC).
-    enorm_sql = (
-        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
-        "CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
-    )
-    score_structs = [
-        F.struct(
-            F.expr(
-                f"({dot_lit_sql('embedding', cv)}) / ({enorm_sql} * {cnorm[c]!r}D)"
-            ).alias("cs"),
-            F.lit(-c).cast("long").alias("negcell"),
-        )
-        for c, cv in cents
-    ]
-    scored = e.select(
-        "vec_id",
-        F.col("embedding").alias("evec"),
-        F.array(*score_structs).alias("scores"),
-    )
+    scored = _ivf_scored(spark, sf_dir)
     assign = scored.select(
         "vec_id",
         "evec",
@@ -437,8 +439,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") != F.col("qid")
     )
 
-    qv = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    qv = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     )
     pairs = cand.join(F.broadcast(qv), "qid").select(
         "qid", "vec_id", cosine_cols(F.col("qvec"), F.col("evec")).alias("cos_raw")
@@ -537,5 +541,108 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.avg("err"), 6).alias("avg_abs_err"),
             F.round(F.max("err"), 6).alias("max_abs_err"),
+        )
+    )
+
+
+SEMDEDUP_TH = 0.3  # cosine threshold within a cell (synthetic embeddings
+# are near-orthogonal; real text embeddings would use ~0.95+)
+
+
+@query(
+    "sim_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label AS cell, list(v ORDER BY i) AS cvec
+      FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+            FROM embeddings, generate_series(1, {DIM}) t(i)
+            GROUP BY label, i)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cell,
+             {_sql_cosine("e.embedding", "c.cvec")} AS cs
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cell) AS rn
+        FROM scored) t WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.cell, a.vec_id AS va, b.vec_id AS vb
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {_sql_cosine("ea.embedding", "eb.embedding")} >= {SEMDEDUP_TH}
+    ),
+    removed AS (SELECT cell, count(DISTINCT vb) AS n_removed
+                FROM pairs GROUP BY cell),
+    npairs AS (SELECT cell, count(*) AS n_dup_pairs FROM pairs GROUP BY cell)
+    SELECT s.cell,
+           count(*)                              AS n_members,
+           CAST(coalesce(max(p.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(max(r.n_removed), 0) AS BIGINT)   AS n_removed,
+           CAST(count(*) - coalesce(max(r.n_removed), 0) AS BIGINT)
+                                                 AS n_survivors
+    FROM assign s
+    LEFT JOIN npairs p ON p.cell = s.cell
+    LEFT JOIN removed r ON r.cell = s.cell
+    GROUP BY s.cell
+    """,
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer,
+    then find near-duplicate pairs ONLY within each cluster and keep the
+    lowest-id member of every duplicate relation.
+
+    Scale shape: clustering is the same single-scan constant-folded
+    centroid pass as sim_ivf_topk (no joins, no shuffle); the pairwise
+    step is an equi-join on cell — quadratic only within a cell, which
+    is exactly the SemDeDup trick (k cells cut the O(n^2) global problem
+    to O(n^2/k); at 100 TB you additionally cap cell sizes by
+    sub-splitting hot cells).  The keep-rule is per-relation (drop the
+    higher id of each pair) rather than full transitive closure — the
+    deterministic greedy form both engines express relationally."""
+    scored = _ivf_scored(spark, sf_dir)
+    assign = scored.select(
+        "vec_id",
+        "evec",
+        (-F.array_max("scores").getField("negcell")).alias("cell"),
+    )
+    a = assign.select(
+        "cell", F.col("vec_id").alias("va"), F.col("evec").alias("ea")
+    )
+    b = assign.select(
+        "cell", F.col("vec_id").alias("vb"), F.col("evec").alias("eb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            cosine_cols(F.col("ea"), F.col("eb")) >= F.lit(SEMDEDUP_TH)
+        )
+        .select("cell", "va", "vb")
+    )
+    removed = pairs.groupBy("cell").agg(
+        F.countDistinct("vb").alias("n_removed"),
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+    )
+    return (
+        assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(removed, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (
+                F.col("n_members") - F.coalesce("n_removed", F.lit(0))
+            ).cast("long").alias("n_survivors"),
         )
     )

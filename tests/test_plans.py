@@ -165,3 +165,10 @@ def test_ngram_spans_no_cartesian_no_bnlj(spark):
     plan = executed_plan(spark, "dedup_ngram_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_equi_join_on_cell(spark):
+    """SemDeDup pairwise step must be an equi-join on the cluster cell
+    (the O(n^2/k) trick), never a corpus-wide cartesian."""
+    plan = executed_plan(spark, "sim_semantic_dedup")
+    assert "CartesianProduct" not in plan
