@@ -36,7 +36,9 @@ def _cost_tier(name: str) -> int:
         return 3
     if name.startswith(("lakehouse_", "mm_")):
         return 2
-    if name.startswith(("dedup_clusters", "dedup_survivors", "sim_ivf")):
+    if name.startswith(
+        ("dedup_clusters", "dedup_survivors", "sim_ivf", "sim_semantic")
+    ):
         return 1  # iterative / multi-stage but still batch
     return 0
 

@@ -1384,6 +1384,8 @@ class DuckLakeSpark:
         self.session_settings: dict[str, str] = {}
         # name -> (param names, body SQL text, is_table)
         self._macros: dict[str, tuple[list[str], str, bool]] = {}
+        # name -> statement template ($1/$2 or ? placeholders)
+        self._prepared: dict[str, str] = {}
 
         # workbook sync backend (reference: _pick_client, ducklakexl.py:85-97)
         if workbook is None and excel_file is not None:
@@ -1424,7 +1426,56 @@ class DuckLakeSpark:
 
     # ------------------------------------------------------------- dispatch
 
+    _PREPARE_RE = re.compile(r"^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S)
+    _EXECUTE_RE = re.compile(
+        r"^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$", re.I | re.S
+    )
+    _DEALLOCATE_RE = re.compile(
+        r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*$", re.I
+    )
+    _CREATE_INDEX_RE = re.compile(
+        r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(\w+)\s+ON\s+[\w.\"]+\s*\(", re.I
+    )
+    _DROP_INDEX_RE = re.compile(
+        r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I
+    )
+
     def _execute(self, stmt: str) -> DataFrame | None:
+        m = self._PREPARE_RE.match(stmt)
+        if m:
+            # DuckDB prepared statements: store the template; EXECUTE
+            # substitutes $1/$2… (or ?) positionally with encoded
+            # literals and runs through the normal dispatch
+            self._prepared[m.group(1)] = m.group(2).strip()
+            return None
+        m = self._EXECUTE_RE.match(stmt)
+        if m:
+            name, args_txt = m.group(1), m.group(2)
+            tmpl = self._prepared.get(name)
+            if tmpl is None:
+                raise ValueError(f"no prepared statement named {name}")
+            body = tmpl
+            if args_txt is not None:
+                args = [a.strip() for a in split_top_level(args_txt)]
+                for idx, arg in enumerate(args, start=1):
+                    body = re.sub(rf"\${idx}\b", arg, body)
+                for arg in args:
+                    if "?" not in body:
+                        break
+                    body = body.replace("?", arg, 1)
+            return self._execute(body)
+        m = self._DEALLOCATE_RE.match(stmt)
+        if m:
+            self._prepared.pop(m.group(1), None)
+            return None
+        if self._CREATE_INDEX_RE.match(stmt) or self._DROP_INDEX_RE.match(
+            stmt
+        ):
+            # DuckDB ART indexes have no lakehouse analogue — scans prune
+            # via per-file min/max stats and partition values instead;
+            # accepted as no-ops so reference scripts replay verbatim
+            return None
         if _ATTACH_RE.match(stmt):
             # ATTACH 'ducklake:...' (DATA_PATH ...) / DETACH are the
             # reference's bootstrap statements (ducklakexl.py:236);

@@ -1415,6 +1415,23 @@ def test_duckdb_bracket_dialect(lake):
     assert out[0] == ("q", ["p", "q"])
 
 
+def test_prepare_execute(lake):
+    """DuckDB prepared statements: PREPARE/EXECUTE with $n and ?
+    placeholders, DEALLOCATE, and index statements as accepted no-ops."""
+    lake.sql("CREATE TABLE pe(id INTEGER, v VARCHAR)")
+    lake.sql("PREPARE ins AS INSERT INTO pe VALUES ($1, $2)")
+    lake.sql("EXECUTE ins(1, 'a'); EXECUTE ins(2, 'b')")
+    lake.sql("PREPARE sel AS SELECT v FROM pe WHERE id = ?")
+    assert rows(lake.sql("EXECUTE sel(2)")) == [("b",)]
+    lake.sql("DEALLOCATE ins")
+    with pytest.raises(Exception):
+        lake.sql("EXECUTE ins(3, 'c')")
+    # index DDL accepted as no-ops (scans prune via file stats instead)
+    assert lake.sql("CREATE INDEX pe_idx ON pe(id)") is None
+    assert lake.sql("DROP INDEX pe_idx") is None
+    assert sorted(rows(lake.sql("SELECT * FROM pe"))) == [(1, "a"), (2, "b")]
+
+
 def test_on_conflict_upsert(lake):
     """INSERT … ON CONFLICT (k) DO UPDATE/NOTHING — MERGE-backed upsert."""
     lake.sql(
