@@ -695,3 +695,115 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+def _span_removal_oracle() -> str:
+    gh = _sql_hash("g", 97)
+    n = SPAN_N
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - {n - 1}),
+               i -> struct_pack(p := i,
+                 h := ('0x' || substr(md5(
+                   array_to_string(list_slice(toks, i, i + {n - 1}), ' ')
+                   || '#97'), 1, 15))::BIGINT)) AS gs
+      FROM toks WHERE len(toks) >= {n}
+    ),
+    exploded AS (SELECT doc_id, u.p AS p, u.h AS h
+                 FROM (SELECT doc_id, unnest(gs) AS u FROM grams)),
+    dups AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                            FROM exploded GROUP BY h) WHERE nd >= 2),
+    dup_pos AS (
+      SELECT e.doc_id, list(e.p ORDER BY e.p) AS dp
+      FROM exploded e JOIN dups d ON e.h = d.h
+      GROUP BY e.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens_before,
+           CAST(len(kept) AS BIGINT)   AS n_tokens_after,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+           -- DuckDB array_to_string([]) is NULL, not ''
+    FROM (
+      SELECT t.doc_id, t.toks,
+             list_transform(
+               list_filter(generate_series(1, len(t.toks)),
+                 i -> len(list_filter(coalesce(d.dp, []),
+                        p -> p >= i - {n - 1} AND p <= i)) = 0),
+               i -> t.toks[i]) AS kept
+      FROM toks t LEFT JOIN dup_pos d ON d.doc_id = t.doc_id
+      WHERE len(t.toks) >= {n}
+    ) t
+    """
+
+
+@query("dedup_span_removal", oracle=_span_removal_oracle())
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate SPAN REMOVAL (the second half of Lee et al. 2022):
+    cut every token covered by a cross-document duplicate 8-gram and emit
+    the cleaned corpus (md5-proven per doc).
+
+    Same scale shape as dedup_ngram_spans — only 60-bit gram hashes cross
+    shuffles, frequency groupBy and dup join share a key — plus one
+    narrow per-doc rollup collecting duplicate START positions (a small
+    int array per doc, bounded by doc length); the token cut is then a
+    per-row higher-order filter with no further shuffle."""
+    n = SPAN_N
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.filter(F.size(toks) >= n).select(
+        "doc_id", toks.alias("toks")
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    portable_hash(
+                        F.array_join(F.slice(F.col("toks"), i, n), " "), 97
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    dups = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_pos = (
+        grams.join(dups, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("dp"))
+    )
+    joined = base.join(dup_pos, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("dp", F.array().cast("array<int>")).alias("dp"),
+    )
+    kept = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: F.size(
+                F.filter(
+                    F.col("dp"),
+                    lambda p: (p >= i - F.lit(n - 1)) & (p <= i),
+                )
+            )
+            == 0,
+        ),
+        lambda i: F.element_at(F.col("toks"), i),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )

@@ -172,3 +172,9 @@ def test_semantic_dedup_equi_join_on_cell(spark):
     (the O(n^2/k) trick), never a corpus-wide cartesian."""
     plan = executed_plan(spark, "sim_semantic_dedup")
     assert "CartesianProduct" not in plan
+
+
+def test_span_removal_no_cartesian_no_bnlj(spark):
+    plan = executed_plan(spark, "dedup_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
