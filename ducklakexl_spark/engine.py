@@ -349,7 +349,9 @@ _COPY_PARTITION_BY_RE = re.compile(
     r"\bPARTITION_BY\s*(?:\(([^)]*)\)|([\w\"]+))", re.I
 )
 _READ_FILE_RE = re.compile(
-    r"\bread_(parquet|csv|json)\s*\(\s*(\[[^\]]*\]|'[^']+')\s*\)", re.I
+    r"\bread_(parquet|csv|json|csv_auto|json_auto|ndjson|ndjson_auto)"
+    r"\s*\(\s*(\[[^\]]*\]|'[^']+')\s*\)",
+    re.I,
 )
 _COPY_FROM_RE = re.compile(
     r"^\s*COPY\s+([\w.\"]+)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*$",
@@ -1217,6 +1219,41 @@ def rewrite_similar_to(stmt: str) -> str:
         return f"{neg}RLIKE '^(?:{m.group(2)})$'"
 
     return _SIMILAR_TO_RE.sub(_sub, stmt)
+
+
+def rewrite_floor_div(stmt: str) -> str:
+    """DuckDB's ``//`` floor-division operator → Spark's ``DIV``
+    (quote/comment-aware; ``//`` is not a comment marker in either
+    dialect)."""
+    out: list[str] = []
+    in_str: str | None = None
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if stmt[i : i + 2] == "--":
+            j = stmt.find("\n", i)
+            j = n if j < 0 else j
+            out.append(stmt[i:j])
+            i = j
+            continue
+        if stmt[i : i + 2] == "//":
+            out.append(" DIV ")
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def rewrite_ignore_nulls(stmt: str) -> str:
@@ -3229,6 +3266,9 @@ class DuckLakeSpark:
             import hashlib
 
             kind, arg = m.group(1).lower(), m.group(2)
+            # DuckDB's *_auto / ndjson aliases use the same readers
+            kind = {"csv_auto": "csv", "json_auto": "json",
+                    "ndjson": "json", "ndjson_auto": "json"}.get(kind, kind)
             paths = re.findall(r"'([^']+)'", arg)
             # md5, not hash(): Python string hashing is per-process
             # salted, so hash()-derived view names differ across runs —
@@ -3760,6 +3800,19 @@ class DuckLakeSpark:
         stmt = rewrite_duckdb_functions(stmt)
         stmt = rewrite_ignore_nulls(stmt)
         stmt = rewrite_similar_to(stmt)
+        stmt = rewrite_floor_div(stmt)
+        stmt = re.sub(
+            r"\bversion\s*\(\s*\)", f"'spark-{self.spark.version}'", stmt,
+            flags=re.I,
+        )
+        stmt = re.sub(
+            r"\bcurrent_setting\s*\(\s*'(\w+)'\s*\)",
+            lambda m: _sql_str(
+                str(self.session_settings.get(m.group(1), ""))
+            ),
+            stmt,
+            flags=re.I,
+        )
         stmt = self._expand_star_modifiers(stmt)
         stmt = rewrite_exclude(stmt)
         stmt = rewrite_distinct_on(stmt)

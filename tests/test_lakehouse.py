@@ -1415,6 +1415,19 @@ def test_duckdb_bracket_dialect(lake):
     assert out[0] == ("q", ["p", "q"])
 
 
+def test_dialect_misc_operators(lake):
+    """// floor division, version(), current_setting(), read_csv_auto."""
+    # DuckDB // truncates toward zero for integers, same as Spark DIV
+    assert rows(lake.sql("SELECT 7 // 2 AS d, -7 // 2 AS nd"))[0] == (3, -3)
+    assert rows(lake.sql("SELECT version() AS v"))[0][0].startswith("spark-")
+    lake.sql("SET my_knob = 'abc'")
+    assert rows(lake.sql("SELECT current_setting('my_knob') AS s"))[0] == (
+        "abc",
+    )
+    # '//' inside string literals must survive untouched
+    assert rows(lake.sql("SELECT 'http://x' AS u"))[0] == ("http://x",)
+
+
 def test_prepare_execute(lake):
     """DuckDB prepared statements: PREPARE/EXECUTE with $n and ?
     placeholders, DEALLOCATE, and index statements as accepted no-ops."""
