@@ -1222,11 +1222,13 @@ def rewrite_similar_to(stmt: str) -> str:
 
 
 def rewrite_floor_div(stmt: str) -> str:
-    """DuckDB's ``//`` floor-division operator → Spark's ``DIV``
-    (quote/comment-aware; ``//`` is not a comment marker in either
-    dialect)."""
+    """DuckDB operator spellings → Spark: ``//`` floor division → ``DIV``
+    (both truncate toward zero on integers), binary ``~`` / ``!~`` regex
+    match → ``RLIKE`` / ``NOT RLIKE`` (unary bitwise ``~`` — no operand
+    on the left — is left alone).  Quote/comment-aware."""
     out: list[str] = []
     in_str: str | None = None
+    prev_sig = ""  # last significant char — '' at start
     i, n = 0, len(stmt)
     while i < n:
         ch = stmt[i]
@@ -1234,6 +1236,7 @@ def rewrite_floor_div(stmt: str) -> str:
             out.append(ch)
             if ch == in_str:
                 in_str = None
+                prev_sig = ch
             i += 1
             continue
         if ch in ("'", '"'):
@@ -1249,9 +1252,25 @@ def rewrite_floor_div(stmt: str) -> str:
             continue
         if stmt[i : i + 2] == "//":
             out.append(" DIV ")
+            prev_sig = "/"
             i += 2
             continue
+        operand_before = bool(prev_sig) and (
+            prev_sig.isalnum() or prev_sig in (")", "]", "'", '"', "_")
+        )
+        if stmt[i : i + 2] == "!~" and operand_before:
+            out.append(" NOT RLIKE ")
+            prev_sig = "~"
+            i += 2
+            continue
+        if ch == "~" and operand_before:
+            out.append(" RLIKE ")
+            prev_sig = "~"
+            i += 1
+            continue
         out.append(ch)
+        if not ch.isspace():
+            prev_sig = ch
         i += 1
     return "".join(out)
 

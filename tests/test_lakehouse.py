@@ -1426,6 +1426,13 @@ def test_dialect_misc_operators(lake):
     )
     # '//' inside string literals must survive untouched
     assert rows(lake.sql("SELECT 'http://x' AS u"))[0] == ("http://x",)
+    # ~ / !~ regex-match operators; unary bitwise ~ untouched
+    out = rows(
+        lake.sql(
+            "SELECT 'abc' ~ 'b' AS m, 'abc' !~ 'z' AS nm, ~5 AS bnot"
+        )
+    )
+    assert out[0] == (True, True, -6)
 
 
 def test_prepare_execute(lake):
