@@ -922,3 +922,28 @@ def lakehouse_bracket_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals with field access."""
     lake = _fresh_lake(spark)
     return lake.sql(_BRACKET_RECURSIVE_BODY)
+
+
+@query(
+    "lakehouse_prepared_statements",
+    pure=False,
+    oracle="""
+    SELECT id, grp, CAST(amount AS DOUBLE) AS amount FROM (VALUES
+      (1, 'a', 10.5), (2, 'b', 21.0), (3, 'b', 1.25)
+    ) t(id, grp, amount)
+    """,
+)
+def lakehouse_prepared_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB prepared statements through sql() text: PREPARE templates,
+    EXECUTE with $n and ? placeholders feeding INSERTs and a
+    parameterized SELECT."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        "CREATE TABLE ps(id INTEGER, grp VARCHAR, amount DOUBLE);"
+        "PREPARE ins AS INSERT INTO ps VALUES ($1, $2, $3)"
+    )
+    lake.sql("EXECUTE ins(1, 'a', 10.5)")
+    lake.sql("EXECUTE ins(2, 'b', 21.0)")
+    lake.sql("EXECUTE ins(3, 'b', 1.25)")
+    lake.sql("PREPARE sel AS SELECT * FROM ps WHERE amount >= ? ORDER BY id")
+    return lake.sql("EXECUTE sel(0.0)")
