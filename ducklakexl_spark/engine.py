@@ -3218,6 +3218,11 @@ class DuckLakeSpark:
             # runtime-settable; the driver may hand us a vanilla session
             # and the fixture parquet carries TIMESTAMP(NANOS) columns
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # read no-tz timestamp[us] as TIMESTAMP (not NTZ) so filters
+            # on those columns still push to the parquet scan
+            self.spark.conf.set(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+            )
             df = self.spark.read.parquet(*paths)
             # TIMESTAMP(NANOS) columns arrive as LONG under the
             # nanosAsLong conf (session.py) — normalize them back to

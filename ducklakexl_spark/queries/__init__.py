@@ -83,6 +83,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # parity requires UTC wall-clock semantics either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # timestamp[us] isAdjustedToUTC=false parquet would infer as
+    # TIMESTAMP_NTZ; reading it as TIMESTAMP directly (UTC session, so
+    # same wall-clock) keeps min/max filter pushdown on ts columns — a
+    # cast-in-a-Project over the scan defeats pushdown and forces a full
+    # decode of the column at 100 TB.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

@@ -42,6 +42,10 @@ def get_spark(
         # some fixtures carry TIMESTAMP(NANOS) parquet columns, which Spark
         # rejects natively; read them as long and convert at load time
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # no-tz timestamp[us] parquet reads as TIMESTAMP, not NTZ: the UTC
+        # session tz makes it the same wall-clock, and scan-level min/max
+        # pushdown on timestamp columns survives (NTZ + cast would not)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -31,6 +31,10 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     matching queries.load) whichever form it arrives in."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # no-tz timestamp[us] reads as TIMESTAMP directly (UTC session ⇒ same
+    # wall-clock); avoids a cast Project that would break pushdown and
+    # keeps watermark columns natively TIMESTAMP-typed
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # stateful streaming can't use AQE, so a vanilla session's 200
     # shuffle partitions all materialize as real state-store tasks per
     # micro-batch; size the state shuffle to the host instead
