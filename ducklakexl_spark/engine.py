@@ -2070,12 +2070,17 @@ class DuckLakeSpark:
         percentile_approx — documented as approximate, like DuckDB's
         approx quantiles at scale)."""
         target = target.strip()
-        if target.upper().startswith("SELECT") or target.startswith("("):
+        if target.upper().startswith(
+            ("SELECT", "WITH", "FROM", "VALUES")
+        ) or target.startswith("("):
             df = self._select(target.strip("()"))
+        elif re.match(r"^read_\w+\s*\(", target, re.I):
+            df = self._select(f"SELECT * FROM {target}")
         else:
             df = self.table_df(_unqualify(target))
-        n = df.count()
-        aggs = []
+        # row count folds into the same aggregate pass as the per-column
+        # stats — one job, not a count() job plus an agg job
+        aggs = [F.count(F.lit(1)).alias("__smz_n")]
         numeric = {
             f.name
             for f in df.schema.fields
@@ -2098,6 +2103,7 @@ class DuckLakeSpark:
                     ),
                 ]
         row = df.agg(*aggs).collect()[0]
+        n = row["__smz_n"]
         out = []
         for f in df.schema.fields:
             c = f.name

@@ -1,0 +1,151 @@
+"""Behavioral-analytics operators over the events table (SURVEY.md §2.D
+extension surface): ordered funnel conversion and cohort retention — the
+two queries every product-analytics workload runs hourly.
+
+Both are expressed as join cascades / re-aggregations over frames that are
+already reduced to user granularity, so the big events scan is touched
+once per step with its filter pushed to parquet, and everything that
+crosses a shuffle afterwards is user-sized, not event-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ducklakexl_spark.queries import load, query
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      GROUP BY e.user_id
+    )
+    SELECT step, step_name, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / max(n_users) OVER (), 6) AS pct_of_top
+    FROM (
+      SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', count(*) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', count(*) FROM s3
+    ) t
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose earliest 'view' precedes an earliest
+    subsequent 'click' precedes an earliest subsequent 'purchase'.
+
+    The classic SQL funnel shape (reference query plane reached it via
+    DuckDB pass-through, /root/reference/ducklakexl/ducklakexl.py:394):
+    each step is `events ⋈ prior-step` on user_id with a strictly-later
+    timestamp predicate, then min(ts) per user.  Scale shape: the events
+    scan is read once per step WITH the event_type filter pushed to
+    parquet (a step touches only its own type's rows); the join input on
+    the right is the prior step's user-level aggregate — monotonically
+    shrinking, user-sized, hash-partitionable on user_id.  Every shuffle
+    key is user_id, so AQE reuses one exchange layout across steps.  The
+    final step counts are single-row aggregates unioned driver-free.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    steps: list[DataFrame] = []
+    prior: DataFrame | None = None
+    for name in FUNNEL_STEPS:
+        stage = ev.filter(F.col("event_type") == name)
+        if prior is not None:
+            stage = stage.join(
+                prior.select("user_id", F.col("t").alias("prev_t")), "user_id"
+            ).filter(F.col("ts") > F.col("prev_t"))
+        cur = stage.groupBy("user_id").agg(F.min("ts").alias("t"))
+        steps.append(cur)
+        prior = cur
+
+    counts = None
+    for i, (name, s) in enumerate(zip(FUNNEL_STEPS, steps), start=1):
+        row = s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col("n_users").cast("long"),
+        )
+        counts = row if counts is None else counts.unionAll(row)
+
+    from pyspark.sql import Window as W
+
+    top = F.max("n_users").over(W.partitionBy())
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / top, 6).alias("pct_of_top"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7
+                AS BIGINT) AS week_offset,
+           count(*) AS n_active
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each later week they were active.
+
+    Scale shape: `first_seen` is a user-level min-aggregate (one shuffle
+    on user_id, map-side partial); `active` is a distinct over
+    (user_id, week) — same shuffle key, so the join back is co-partitioned
+    and AQE reuses the exchange.  Nothing event-sized crosses a shuffle
+    twice, and the output is (weeks × offsets)-sized — metadata next to
+    the corpus.  Both engines truncate weeks to Monday and the diff is an
+    exact multiple of 7 days (both sides are week-truncated), so the
+    integer division is exact.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

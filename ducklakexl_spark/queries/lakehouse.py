@@ -947,3 +947,58 @@ def lakehouse_prepared_statements(spark: SparkSession, sf_dir: str) -> DataFrame
     lake.sql("EXECUTE ins(3, 'b', 1.25)")
     lake.sql("PREPARE sel AS SELECT * FROM ps WHERE amount >= ? ORDER BY id")
     return lake.sql("EXECUTE sel(0.0)")
+
+
+def _smz_col_oracle(name: str, spark_type: str) -> str:
+    """One SUMMARIZE output row, recomputed explicitly in DuckDB SQL.
+
+    The engine's SUMMARIZE mirrors DuckDB's shape (approx_unique, avg,
+    std, quartiles); the oracle checks the deterministic subset —
+    min/max/count/null% — because approx_unique is HLL-estimated and the
+    quantiles are percentile_approx on the Spark side.  Timestamp min/max
+    are VARCHAR-cast the way Spark casts them."""
+    if spark_type == "timestamp":
+        mn = f"strftime(min({name}), '%Y-%m-%d %H:%M:%S')"
+        mx = f"strftime(max({name}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn, mx = f"CAST(min({name}) AS VARCHAR)", f"CAST(max({name}) AS VARCHAR)"
+    return f"""
+      SELECT '{name}' AS column_name, '{spark_type}' AS column_type,
+             {mn} AS min, {mx} AS max,
+             round(100.0 * (count(*) - count({name})) / count(*), 2)
+                 AS null_percentage,
+             count(*) AS count
+      FROM orders"""
+
+
+_SMZ_ORDERS_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+
+@query(
+    "lakehouse_summarize",
+    pure=False,
+    oracle="\nUNION ALL\n".join(
+        _smz_col_oracle(n, s) for n, s in _SMZ_ORDERS_COLS
+    ),
+)
+def lakehouse_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's ``SUMMARIZE <table|query>`` statement through the
+    engine's sql() TEXT path (the reference reached SUMMARIZE through its
+    DuckDB dispatch, /root/reference/ducklakexl/ducklakexl.py:394): one
+    aggregation pass computes every column's stats with map-side
+    partials.  The registered result projects the deterministic columns
+    (min/max/null%/count) — approx_unique and the quartiles are
+    estimator-based on both engines and legitimately differ."""
+    lake = _fresh_lake(spark)
+    summ = lake.sql(f"SUMMARIZE read_parquet('{sf_dir}/orders.parquet')")
+    return summ.select(
+        "column_name", "column_type", "min", "max",
+        "null_percentage", "count",
+    )

@@ -646,3 +646,48 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_survivors"),
         )
     )
+
+
+RANGE_TH = 0.25  # cosine radius for range search
+N_RANGE_QUERIES = 5
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_RANGE_QUERIES})
+    SELECT q.qid, e.vec_id AS neighbor_id,
+           round({_sql_cosine("e.embedding", "q.qv")}, 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+      AND {_sql_cosine("e.embedding", "q.qv")} >= {RANGE_TH}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every corpus vector within a
+    cosine threshold of each query — the other half of the ANN surface
+    next to top-k (top-k bounds *count*, range search bounds *distance*).
+
+    Scale shape: the query block broadcasts (it is k rows of one
+    embedding each), the corpus side is scanned exactly once map-side
+    with no shuffle at all — score + filter happen inside whole-stage
+    codegen per partition, and the output is only the matches.  This is
+    embarrassingly parallel at 100 TB; a 1000-executor cluster scans its
+    own splits and emits matches with zero exchange."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_RANGE_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cos = cosine_cols(F.col("embedding"), F.col("qv"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= F.lit(RANGE_TH))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

@@ -638,3 +638,80 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id, ln(f.c / tot.n) AS lp
+      FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    ),
+    tiled AS (
+      SELECT doc_id, avg_logprob,
+             ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS t3
+      FROM per_doc
+    )
+    SELECT CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(avg_logprob), 6) AS min_lp,
+           round(max(avg_logprob), 6) AS max_lp
+    FROM tiled GROUP BY bucket
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-Net-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus unigram LM, rank, and cut into head/middle/
+    tail thirds — the standard pretraining-data quality tiers.
+
+    Scale shape: scoring is the text_unigram_logprob plan (vocab groupBy
+    + broadcast score-back).  The global rank is the one intrinsically
+    global step; ntile over an un-partitioned window is a single-reducer
+    sort, which is fine for the per-doc *score table* (doc_id + double —
+    ~16 bytes/doc, i.e. GBs at 100 TB corpus scale, and in production the
+    cutoffs would come from approx quantiles instead, turning bucketing
+    into a map-side comparison).  Ties order by (score, doc_id) on both
+    engines, and bucketing uses the 6-decimal-rounded score so the
+    FP-summation-order difference between engines cannot flip a rank."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    per_doc = (
+        tok.join(F.broadcast(freq), "w")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("lp"), 6).alias("avg_logprob"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("avg_logprob").desc(), "doc_id")
+    tiled = per_doc.withColumn("t3", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("t3") == 1, "head")
+        .when(F.col("t3") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("avg_logprob"), 6).alias("min_lp"),
+            F.round(F.max("avg_logprob"), 6).alias("max_lp"),
+        )
+    )
