@@ -67,3 +67,68 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 10,
+) -> DataFrame:
+    """PageRank by fixed-iteration power method over an undirected graph
+    (edges are symmetrized; every node therefore has in- and out-degree).
+
+    The other half of the iterative-graph surface next to
+    ``connected_components``: convergence there is data-dependent (driver
+    fixpoint check); here the iteration count is fixed, so the loop is a
+    pure driver-side plan builder — no count() per round, one groupBy
+    shuffle per iteration, keyed the same way every round so AQE reuses
+    the exchange layout.  ``localCheckpoint`` per round truncates lineage
+    exactly like the CC loop.
+
+    Ranks are rounded to ``round_dp`` decimals at the END of each
+    iteration: partial-sum order across partitions differs run to run
+    (and engine to engine), and without the per-round quantization those
+    1-ulp differences would compound through the damping recurrence.
+    10 dp sits far above double noise (~1e-16 relative) and far below any
+    meaningful rank difference.
+
+    Scale: the edge list is the big side and is scanned once per
+    iteration with a rank broadcast-or-shuffle hash join on the node key;
+    the rank table itself is node-sized.  100 TB of edges works exactly
+    like the 60k-row fixture — iterations × (one join + one aggregate).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select(
+        F.col("a").alias("node"), "d", F.lit(1.0 / n_nodes).alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, sym.a == ranks.node)
+            .select(F.col("b").alias("node"), (F.col("r") / F.col("d")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, deg.a == contrib.node)
+            .select(
+                "node",
+                "d",
+                F.round(F.lit(base) + F.lit(damping) * F.col("s"), round_dp)
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

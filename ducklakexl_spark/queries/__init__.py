@@ -124,6 +124,7 @@ def load_all() -> None:
     from ducklakexl_spark.queries import (  # noqa: F401
         dedup,
         funnel,
+        graph,
         joins,
         lakehouse,
         multimodal,

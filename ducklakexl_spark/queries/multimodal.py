@@ -229,3 +229,114 @@ def mm_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("fpd").cast("long").alias("n_frames"),
     )
+
+
+PHASH_BITS = 32
+PHASH_BLOCKS = 4        # 8-bit blocks; pigeonhole: hamming<=3 => a block matches
+PHASH_MAX_HAMMING = 3
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB perceptual hash: a real pHash DCTs the decoded image — no
+    codecs in this container, so the fingerprint is stripe-parity over
+    the raw payload bytes (deterministic, reproducible relationally by
+    the oracle).  The *plumbing* is the production shape: Arrow batches
+    in, one fingerprint row out per payload, no shuffle."""
+    import numpy as np
+
+    for pdf in batches:
+        hashes = []
+        for b in pdf["content"]:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            ph = 0
+            for s in range(PHASH_BITS):
+                if int(arr[s::PHASH_BITS].sum()) % 2:
+                    ph |= 1 << s
+            hashes.append(ph)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+
+@query(
+    "mm_phash_dedup",
+    # ASCII fixture ⇒ ord(char) == payload byte (same equivalence
+    # mm_feature_extract documents); the oracle recomputes the stripe
+    # parities, the banding, and the hamming verify relationally.
+    oracle=f"""
+    WITH ph AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(generate_series(1, {PHASH_BITS}),
+                i -> CASE WHEN (coalesce(list_sum(list_transform(
+                            generate_series(i, length(text), {PHASH_BITS}),
+                            p -> ord(substr(text, p, 1)))), 0) % 2) = 1
+                     THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)), 0)
+                AS BIGINT) AS phash
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, phash, j, (phash >> (8 * j)) & 255 AS bv
+      FROM ph, generate_series(0, {PHASH_BLOCKS - 1}) t(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.phash AS pa, b.phash AS pb
+      FROM blocks a JOIN blocks b
+        ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over the multimodal BINARY payload:
+    decode→fingerprint via Arrow-batched ``mapInPandas`` (the pHash
+    stage), then the banded hamming join — NEVER all-pairs.
+
+    Same pigeonhole scheme as dedup_simhash: hamming ≤ {3} on a 32-bit
+    fingerprint means at least one of 4 8-bit blocks is identical, so
+    candidates come from 4 equi-joins on (block, value) expressed as one
+    exploded equi-join; exact hamming (bit_count of xor) verifies only
+    bucket-mates.  At 100 TB the fingerprint table is 12 bytes/row next
+    to the payload bytes (column-pruned away), and every shuffle key is
+    (block, value) — hash-partitionable, skew-salted if a degenerate
+    block value ever hot-spots."""
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    ph = d.select("doc_id", "content").mapInPandas(
+        _phash_batches, schema=PHASH_SCHEMA
+    )
+    blocks = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright("phash", 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for j in range(PHASH_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", F.col("bk.j").alias("j"), F.col("bk.bv").alias("bv"))
+    a = blocks.select(
+        F.col("j"), F.col("bv"), F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa")
+    )
+    b = blocks.select(
+        F.col("j"), F.col("bv"), F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb")
+    )
+    cand = (
+        a.join(b, ["j", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.filter(ham <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
