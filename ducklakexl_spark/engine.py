@@ -22,8 +22,10 @@ files, stats collection from parquet footers).
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import shutil
 import urllib.parse
 import uuid
 
@@ -2133,19 +2135,55 @@ class DuckLakeSpark:
 
     # ------------------------------------------------------------------- DDL
 
-    def _parse_columns(self, body: str) -> list[tuple[str, str, bool, str | None]]:
-        """Column definitions → (name, type, nulls_allowed, default_sql).
-        NOT NULL and DEFAULT land in the catalog's ducklake_column row
-        (the spec's nulls_allowed / default_value fields); PRIMARY
-        KEY/UNIQUE parse and are ignored (DuckLake doesn't enforce
-        them)."""
+    def _parse_columns(
+        self, body: str
+    ) -> tuple[list[tuple[str, str, bool, str | None]], list[str]]:
+        """Column definitions → ((name, type, nulls_allowed, default_sql)
+        list, CHECK-expression list).  NOT NULL and DEFAULT land in the
+        catalog's ducklake_column row (the spec's nulls_allowed /
+        default_value fields); CHECK constraints — column-level and
+        table-level, optionally CONSTRAINT-named — are collected for
+        write-time enforcement; PRIMARY KEY/UNIQUE/FOREIGN KEY parse and
+        are ignored (DuckLake doesn't enforce them)."""
         cols = []
+        checks: list[str] = []
+
+        def take_check(text: str) -> tuple[str, str | None]:
+            """Remove the first CHECK (...) from text, returning
+            (text-without-it, inner expression or None)."""
+            cm = re.search(r"\bCHECK\s*\(", text, re.I)
+            if not cm:
+                return text, None
+            open_idx = cm.end() - 1
+            close = matching_paren(text, open_idx)
+            return (
+                text[: cm.start()] + text[close + 1 :],
+                text[open_idx + 1 : close].strip(),
+            )
+
         for coldef in split_top_level(body):
-            parts = coldef.split(None, 1)
+            entry = coldef.strip()
+            tm = re.match(
+                r'(?:CONSTRAINT\s+[\w"]+\s+)?'
+                r"(CHECK|PRIMARY\s+KEY|UNIQUE|FOREIGN\s+KEY)\s*\(",
+                entry,
+                re.I,
+            )
+            if tm:
+                # table-level constraint entry, not a column definition
+                if tm.group(1).upper() == "CHECK":
+                    _, expr = take_check(entry)
+                    if expr:
+                        checks.append(expr)
+                continue
+            parts = entry.split(None, 1)
             if len(parts) != 2:
                 raise ValueError(f"cannot parse column definition: {coldef!r}")
             cname = parts[0].strip('"')
-            rest = parts[1].strip()
+            rest, col_check = take_check(parts[1].strip())
+            rest = rest.strip()
+            if col_check:
+                checks.append(col_check)
             nulls_allowed = not re.search(r"\bNOT\s+NULL\b", rest, re.I)
             default = None
             if dm := re.search(
@@ -2161,14 +2199,19 @@ class DuckLakeSpark:
                 flags=re.I,
             )
             cols.append((cname, ctype.strip(), nulls_allowed, default))
-        return cols
+        return cols, checks
 
     def _create_table(
         self, name: str, body: str, if_not_exists: bool = False
     ) -> None:
         if if_not_exists and name in self.catalog.table_names():
             return None
-        self.catalog.create_table(name, self._parse_columns(body))
+        cols, checks = self._parse_columns(body)
+        tid = self.catalog.create_table(name, cols)
+        if checks:
+            # persisted as an MVCC table tag so constraints survive
+            # engine restarts and version with the schema
+            self.catalog.set_tag(tid, "checks", json.dumps(checks))
         return None
 
     def _create_table_as(
@@ -2267,11 +2310,73 @@ class DuckLakeSpark:
     def _write_dataframe(self, name: str, df: DataFrame) -> None:
         """Write parquet through executors, then register files + footer
         stats (SURVEY §4 item 4: stats from parquet footers — metadata-only,
-        no second Spark job)."""
+        no second Spark job).
+
+        CHECK constraints are enforced by fusing a violation counter into
+        the write job itself via ``df.observe`` — no separate validation
+        pass over the data.  On violation the just-written files were
+        never registered (so no snapshot ever exposed them); their bytes
+        are removed and the statement fails, which is the DuckDB abort
+        semantic.  NULL check results pass, per the SQL standard."""
         tid = self.catalog.table_id(name)
+        df, raise_on_violation = self._check_observer(tid, name, df)
         files, col_stats = self._write_files(name, tid, df)
+        try:
+            raise_on_violation()
+        except ValueError:
+            if files:
+                # every file of this statement lives under one
+                # insert-<uuid> directory — drop it whole
+                d = os.path.dirname(files[0]["path"])
+                while d and not os.path.basename(d).startswith("insert-"):
+                    d = os.path.dirname(d)
+                if os.path.basename(d).startswith("insert-"):
+                    shutil.rmtree(d, ignore_errors=True)
+            raise
         if files:
             self.catalog.register_data_files(tid, files, col_stats)
+
+    def _check_observer(self, tid: int, name: str, df: DataFrame):
+        """Attach the table's CHECK-constraint violation counter to df.
+
+        Returns ``(df, raise_on_violation)``: if the table has CHECKs, a
+        ``CollectMetrics`` node counting violating rows is fused into the
+        plan (computed by whatever action runs next — write or cache
+        materialization — never a separate validation pass), and calling
+        ``raise_on_violation()`` after that action raises if any row
+        failed.  NULL check results pass, per the SQL standard.  Tables
+        without CHECKs get the df back untouched and a no-op callback."""
+        viol, checks = self._check_violation_col(tid)
+        if viol is None:
+            return df, lambda: None
+        from pyspark.sql import Observation
+
+        obs = Observation(f"checks_{uuid.uuid4().hex[:8]}")
+        df = df.observe(obs, F.sum(viol.cast("long")).alias("violations"))
+
+        def raise_on_violation():
+            n_viol = obs.get["violations"] or 0
+            if n_viol:
+                raise ValueError(
+                    f"CHECK constraint violated on table {name!r}: "
+                    f"{n_viol} row(s) failed {checks}"
+                )
+
+        return df, raise_on_violation
+
+    def _check_violation_col(self, tid: int):
+        """(violation boolean Column, parsed CHECK list) for the table,
+        or (None, None) when it has no CHECK constraints.  A row violates
+        when any CHECK evaluates to FALSE; NULL passes (SQL standard)."""
+        checks_json = self.catalog.get_tag(tid, "checks")
+        if not checks_json:
+            return None, None
+        checks = json.loads(checks_json)
+        viol = None
+        for expr in checks:
+            bad = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            viol = bad if viol is None else (viol | bad)
+        return viol, checks
 
     def _write_files(
         self, name: str, tid: int, df: DataFrame
@@ -2927,9 +3032,19 @@ class DuckLakeSpark:
             ]
         )
         # materialize new rows BEFORE the delete commits (the scan they came
-        # from must not see the delete file)
+        # from must not see the delete file); CHECK validation rides the
+        # same materialization job so a violating UPDATE aborts before
+        # the delete — the statement stays atomic
+        new_rows, raise_on_violation = self._check_observer(
+            self.catalog.table_id(name), name, new_rows
+        )
         new_rows = new_rows.cache()
         new_rows.count()
+        try:
+            raise_on_violation()
+        except ValueError:
+            new_rows.unpersist()
+            raise
         self._delete(name, where)
         self._write_dataframe(name, new_rows)
         new_rows.unpersist()
@@ -2966,7 +3081,15 @@ class DuckLakeSpark:
         cardinality rule; violations produce one new row per match)."""
         name = _unqualify(target)
         t_alias = t_alias or name
-        s_alias = s_alias or "__merge_src"
+        if s_alias is None:
+            # an unaliased bare-table source is referenceable by its own
+            # name (MERGE INTO t USING src ON t.id = src.id), exactly as
+            # in DuckDB; only a subquery source needs a synthetic alias
+            s_alias = (
+                _unqualify(source)
+                if re.match(r'^[\w."]+$', source.strip())
+                else "__merge_src"
+            )
         tid = self.catalog.table_id(name)
         schema = self.table_schema(name)
         cols = [f.name for f in schema.fields]
@@ -3127,7 +3250,25 @@ class DuckLakeSpark:
             # came from must not see the new delete file
             new_rows = new_rows.localCheckpoint(eager=True)
 
-        n_new = new_rows.count() if new_rows is not None else 0
+        n_new = 0
+        if new_rows is not None:
+            # CHECK validation folds into the row-count job over the
+            # checkpointed rows — a violating MERGE aborts HERE, before
+            # any delete is staged, keeping the statement atomic
+            viol, checks = self._check_violation_col(tid)
+            if viol is not None:
+                r = new_rows.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(viol.cast("long")).alias("v"),
+                ).first()
+                n_new, n_viol = r["n"], r["v"] or 0
+                if n_viol:
+                    raise ValueError(
+                        f"CHECK constraint violated on table {name!r}: "
+                        f"{n_viol} row(s) failed {checks}"
+                    )
+            else:
+                n_new = new_rows.count()
         if del_pos is not None:
             # with appends coming, stage the deletes into the appends'
             # commit; a delete-only merge commits its own snapshot

@@ -1502,3 +1502,56 @@ def test_export_import_database(lake, spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         other.sql("INSERT INTO ex1 VALUES (NULL, 'x')").collect()
+
+
+def test_check_constraints(lake):
+    lake.sql(
+        "CREATE TABLE chk(x INTEGER CHECK (x > 0), y VARCHAR, "
+        "CONSTRAINT ylen CHECK (length(y) < 10));"
+    )
+    lake.sql("INSERT INTO chk VALUES (1, 'ok'), (2, 'fine');")
+    assert rows(lake.sql("SELECT count(*) FROM chk;")) == [(2,)]
+    # column-level violation aborts the statement, nothing registered
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        lake.sql("INSERT INTO chk VALUES (-1, 'bad');")
+    assert rows(lake.sql("SELECT count(*) FROM chk;")) == [(2,)]
+    # table-level violation
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        lake.sql("INSERT INTO chk VALUES (5, 'waaaaaay too long');")
+    # NULL check result passes (SQL standard)
+    lake.sql("INSERT INTO chk VALUES (NULL, 'nul');")
+    assert rows(lake.sql("SELECT count(*) FROM chk;")) == [(3,)]
+    # UPDATE re-validates through the same write path
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        lake.sql("UPDATE chk SET x = -5 WHERE y = 'ok';")
+    assert rows(lake.sql("SELECT x FROM chk WHERE y = 'ok';")) == [(1,)]
+
+
+def test_check_constraints_survive_restart(lake):
+    lake.sql("CREATE TABLE chk2(v INTEGER CHECK (v BETWEEN 0 AND 100));")
+    lake.sql("INSERT INTO chk2 VALUES (50);")
+    from ducklakexl_spark.engine import DuckLakeSpark
+
+    lake2 = DuckLakeSpark(
+        spark=lake.spark,
+        data_path=lake.data_path,
+        local_catalog=lake.catalog.store.path,
+    )
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        lake2.sql("INSERT INTO chk2 VALUES (101);")
+    assert rows(lake2.sql("SELECT count(*) FROM chk2;")) == [(1,)]
+
+
+def test_check_constraints_merge_atomic(lake):
+    lake.sql("CREATE TABLE mt(id INTEGER, v INTEGER CHECK (v >= 0));")
+    lake.sql("INSERT INTO mt VALUES (1, 10), (2, 20);")
+    lake.sql("CREATE TABLE src(id INTEGER, v INTEGER);")
+    lake.sql("INSERT INTO src VALUES (1, -99), (3, 30);")
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        lake.sql(
+            "MERGE INTO mt USING src ON mt.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET v = src.v "
+            "WHEN NOT MATCHED THEN INSERT VALUES (src.id, src.v);"
+        )
+    # nothing deleted, nothing inserted — the merge aborted whole
+    assert rows(lake.sql("SELECT * FROM mt;")) == [(1, 10), (2, 20)]
