@@ -151,6 +151,16 @@ def ducklake_type_to_spark(sql_type: str) -> T.DataType:
 _USE_RE = re.compile(r"^\s*USE\s+([\w.]+)\s*$", re.I)
 _ATTACH_RE = re.compile(r"^\s*(?:ATTACH|DETACH)\b", re.I)
 _TXN_RE = re.compile(r"^\s*(BEGIN(\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$", re.I)
+_CREATE_SEQ_RE = re.compile(
+    r"^\s*CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)"
+    r"(?:\s+START(?:\s+WITH)?\s+(-?\d+))?"
+    r"(?:\s+INCREMENT(?:\s+BY)?\s+(-?\d+))?\s*$",
+    re.I,
+)
+_DROP_SEQ_RE = re.compile(
+    r"^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", re.I
+)
+_NEXTVAL_RE = re.compile(r"\b(nextval|currval)\s*\(\s*'([^']+)'\s*\)", re.I)
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
     r"([\w.\"]+)\s*\((.*)\)\s*$",
@@ -191,7 +201,8 @@ _PRAGMA_RE = re.compile(
     r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*'?([\w.]*)'?\s*\))?\s*$", re.I
 )
 _PIVOT_RE = re.compile(
-    r"^\s*PIVOT\s+(.+?)\s+ON\s+([\w\"]+)\s+"
+    r"^\s*PIVOT\s+(.+?)\s+ON\s+([\w\"]+)"
+    r"(?:\s+IN\s+\(([^)]*)\))?\s+"
     r"USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
     re.I | re.S,
 )
@@ -1565,6 +1576,44 @@ class DuckLakeSpark:
         if m:
             self._macros.pop(m.group(2), None)
             return None
+        m = _CREATE_SEQ_RE.match(stmt)
+        if m:
+            # DuckDB CREATE SEQUENCE: persisted as a database-level MVCC
+            # tag so sequences survive engine restarts and version with
+            # the catalog
+            if_ne, name = m.group(1), _unqualify(m.group(2))
+            if self._seq_state(name) is not None:
+                if if_ne:
+                    return None
+                raise ValueError(f"sequence {name!r} already exists")
+            self.catalog.set_tag(
+                0,
+                f"sequence:{name}",
+                json.dumps(
+                    {
+                        "next": int(m.group(3)) if m.group(3) else 1,
+                        "increment": int(m.group(4)) if m.group(4) else 1,
+                        "last": None,
+                    }
+                ),
+            )
+            return None
+        m = _DROP_SEQ_RE.match(stmt)
+        if m:
+            if_e, name = m.group(1), _unqualify(m.group(2))
+            if self._seq_state(name) is None:
+                if if_e:
+                    return None
+                raise ValueError(f"no sequence named {name!r}")
+            self.catalog.set_tag(0, f"sequence:{name}", json.dumps(None))
+            return None
+        if _NEXTVAL_RE.search(stmt) and not re.match(
+            r"^\s*CREATE\s+(TABLE|SEQUENCE)\b", stmt, re.I
+        ):
+            # evaluate nextval/currval call sites driver-side (CREATE
+            # TABLE is excluded so DEFAULT nextval('s') stays lazy text
+            # evaluated per INSERT, and CREATE SEQUENCE never recurses)
+            stmt = self._rewrite_seq_calls(stmt)
         m = _TXN_RE.match(stmt)
         if m:
             # multi-statement transactions: BEGIN defers catalog persists,
@@ -2033,19 +2082,35 @@ class DuckLakeSpark:
         m = _PIVOT_RE.match(stmt)
         if m:
             # DuckDB's PIVOT statement → Spark's native pivot: value
-            # discovery is one distinct scan, then a pivoted hash
-            # aggregation (partial map-side, one shuffle on the group key)
-            src, on, using, group = m.groups()
+            # discovery is one distinct scan (skipped when IN (…) pins
+            # the values), then a pivoted hash aggregation (partial
+            # map-side, one shuffle on the group key)
+            src, on, in_vals, using, group = m.groups()
             src = src.strip()
+            on = on.strip('"')
             df = (
                 self._select(src[1:-1])
                 if src.startswith("(") and src.endswith(")")
                 else self._select(f"SELECT * FROM {src}")
             )
-            if not group:
-                raise ValueError("PIVOT: GROUP BY clause required")
-            gb = [c.strip().strip('"') for c in split_top_level(group)]
-            return df.groupBy(*gb).pivot(on.strip('"')).agg(F.expr(using))
+            if group:
+                gb = [c.strip().strip('"') for c in split_top_level(group)]
+            else:
+                # DuckDB's implicit grouping: every column not pivoted ON
+                # and not referenced by the USING aggregate
+                gb = [
+                    c
+                    for c in df.columns
+                    if c != on
+                    and not re.search(rf"\b{re.escape(c)}\b", using, re.I)
+                ]
+            piv = df.groupBy(*gb)
+            if in_vals is not None:
+                values = [
+                    v.strip().strip("'\"") for v in split_top_level(in_vals)
+                ]
+                return piv.pivot(on, values).agg(F.expr(using))
+            return piv.pivot(on).agg(F.expr(using))
         m = _UNPIVOT_RE.match(stmt)
         if m:
             # DuckDB's UNPIVOT statement → Spark's native unpivot (a
@@ -2282,12 +2347,37 @@ class DuckLakeSpark:
         }
         aligned = []
         src_fields = df.schema.fields
+        n_rows: int | None = None
         for i, f in enumerate(schema.fields):
             nulls_ok, default = meta.get(f.name, (True, None))
+            seq_m = (
+                re.fullmatch(r"\s*nextval\(\s*'([^']+)'\s*\)\s*", default, re.I)
+                if default is not None
+                else None
+            )
             if f.name in df.columns:
                 col = F.col(f.name).cast(f.dataType)
             elif col_list is None and not by_name and i < len(src_fields):
                 col = F.col(src_fields[i].name).cast(f.dataType)
+            elif seq_m:
+                # DEFAULT nextval('seq'): block-allocate against the
+                # actual row count (one count job, one catalog commit),
+                # then assign base + increment*(row_number-1).  The
+                # un-partitioned row_number is the id-assignment step; at
+                # 100 TB you'd block-allocate per partition
+                # (mapPartitions + partition offsets) — same contract,
+                # no global sort
+                if n_rows is None:
+                    n_rows = df.count()
+                base, inc = self._seq_alloc(seq_m.group(1), n_rows)
+                from pyspark.sql import Window as W
+
+                rn = F.row_number().over(
+                    W.orderBy(F.monotonically_increasing_id())
+                )
+                col = (
+                    F.lit(base) + F.lit(inc) * (rn - F.lit(1))
+                ).cast(f.dataType)
             elif default is not None:
                 col = F.expr(default).cast(f.dataType)
             else:
@@ -2363,6 +2453,71 @@ class DuckLakeSpark:
                 )
 
         return df, raise_on_violation
+
+    # ------------------------------------------------------------- sequences
+
+    def _seq_state(self, name: str) -> dict | None:
+        raw = self.catalog.get_tag(0, f"sequence:{name}")
+        if raw is None:
+            return None
+        return json.loads(raw)  # None after DROP SEQUENCE
+
+    def _seq_alloc(self, name: str, n: int = 1) -> tuple[int, int]:
+        """Block-allocate ``n`` consecutive sequence values; returns
+        (first value, increment).  One catalog-tag commit per STATEMENT,
+        never per row — the only scalable sequence shape: a 100 TB insert
+        takes one allocation of its row count, not 10^11 round-trips."""
+        st = self._seq_state(name)
+        if not st:
+            raise ValueError(f"no sequence named {name!r}")
+        base, inc = st["next"], st["increment"]
+        if n > 0:
+            st["next"] = base + n * inc
+            st["last"] = base + (n - 1) * inc
+            self.catalog.set_tag(0, f"sequence:{name}", json.dumps(st))
+        return base, inc
+
+    def _seq_curr(self, name: str) -> int:
+        st = self._seq_state(name)
+        if not st:
+            raise ValueError(f"no sequence named {name!r}")
+        if st.get("last") is None:
+            raise ValueError(
+                f"currval: sequence {name!r} has not been used yet"
+            )
+        return st["last"]
+
+    def _rewrite_seq_calls(self, stmt: str) -> str:
+        """Substitute nextval('s')/currval('s') call sites with allocated
+        literal values.  INSERT … VALUES allocates per row-tuple per call
+        site (DuckDB's order); a FROM-less statement (SELECT nextval(…))
+        allocates once per call site.  nextval over an arbitrary
+        FROM-bearing query is rejected with guidance — per-row sequence
+        assignment on a scan belongs in a DEFAULT nextval column, where
+        the insert path block-allocates against the actual row count."""
+
+        def repl_in(text: str) -> str:
+            def sub(m: re.Match) -> str:
+                fn, name = m.group(1).lower(), m.group(2)
+                if fn == "nextval":
+                    base, _inc = self._seq_alloc(name, 1)
+                    return str(base)
+                return str(self._seq_curr(name))
+
+            return _NEXTVAL_RE.sub(sub, text)
+
+        vm = re.search(r"\bVALUES\b", stmt, re.I)
+        if vm and re.match(r"^\s*INSERT\b", stmt, re.I):
+            head, tail = stmt[: vm.end()], stmt[vm.end() :]
+            tuples = split_top_level(tail)
+            return head + " " + ", ".join(repl_in(t) for t in tuples)
+        if find_top_level_keyword(stmt, "FROM") == -1:
+            return repl_in(stmt)
+        raise ValueError(
+            "nextval()/currval() inside a FROM-bearing query is not "
+            "supported; give the target column DEFAULT nextval('<seq>') "
+            "and omit it from the INSERT instead"
+        )
 
     def _check_violation_col(self, tid: int):
         """(violation boolean Column, parsed CHECK list) for the table,

@@ -1555,3 +1555,60 @@ def test_check_constraints_merge_atomic(lake):
         )
     # nothing deleted, nothing inserted — the merge aborted whole
     assert rows(lake.sql("SELECT * FROM mt;")) == [(1, 10), (2, 20)]
+
+
+def test_sequences(lake):
+    lake.sql("CREATE SEQUENCE ids START 100 INCREMENT 2;")
+    assert rows(lake.sql("SELECT nextval('ids') AS v;")) == [(100,)]
+    assert rows(lake.sql("SELECT nextval('ids') AS v, nextval('ids') AS w;")) == [
+        (102, 104)
+    ]
+    assert rows(lake.sql("SELECT currval('ids') AS c;")) == [(104,)]
+    # DEFAULT nextval: block-allocated against the insert's row count
+    lake.sql("CREATE TABLE st(id INTEGER DEFAULT nextval('ids'), nm VARCHAR);")
+    lake.sql("INSERT INTO st (nm) VALUES ('a'), ('b'), ('c');")
+    assert rows(lake.sql("SELECT id FROM st;")) == [(106,), (108,), (110,)]
+    # VALUES-form call sites allocate per tuple
+    lake.sql("INSERT INTO st VALUES (nextval('ids'), 'x'), (nextval('ids'), 'y');")
+    assert rows(lake.sql("SELECT max(id) FROM st;")) == [(114,)]
+    # FROM-bearing nextval is rejected with guidance
+    with pytest.raises(ValueError, match="DEFAULT nextval"):
+        lake.sql("SELECT nextval('ids') FROM st;")
+    lake.sql("DROP SEQUENCE ids;")
+    with pytest.raises(ValueError, match="no sequence"):
+        lake.sql("SELECT nextval('ids') AS v;")
+    lake.sql("CREATE SEQUENCE IF NOT EXISTS ids;")
+    assert rows(lake.sql("SELECT nextval('ids') AS v;")) == [(1,)]
+
+
+def test_sequences_survive_restart(lake):
+    lake.sql("CREATE SEQUENCE rs;")
+    lake.sql("SELECT nextval('rs');")
+    from ducklakexl_spark.engine import DuckLakeSpark
+
+    lake2 = DuckLakeSpark(
+        spark=lake.spark,
+        data_path=lake.data_path,
+        local_catalog=lake.catalog.store.path,
+    )
+    assert rows(lake2.sql("SELECT nextval('rs') AS v;")) == [(2,)]
+
+
+def test_pivot_dynamic_forms(lake):
+    lake.sql("CREATE TABLE pv(region VARCHAR, q VARCHAR, amt INTEGER);")
+    lake.sql(
+        "INSERT INTO pv VALUES ('e','q1',10),('e','q2',20),('w','q1',5),('w','q2',7);"
+    )
+    assert rows(lake.sql("PIVOT pv ON q USING sum(amt) GROUP BY region;")) == [
+        ("e", 10, 20),
+        ("w", 5, 7),
+    ]
+    # implicit GROUP BY: every column not pivoted/aggregated
+    assert rows(lake.sql("PIVOT pv ON q USING sum(amt);")) == [
+        ("e", 10, 20),
+        ("w", 5, 7),
+    ]
+    # IN-pinned values skip discovery
+    assert rows(
+        lake.sql("PIVOT pv ON q IN ('q1') USING sum(amt) GROUP BY region;")
+    ) == [("e", 10), ("w", 5)]
