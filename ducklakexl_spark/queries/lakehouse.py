@@ -1002,3 +1002,53 @@ def lakehouse_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "column_type", "min", "max",
         "null_percentage", "count",
     )
+
+
+@query(
+    "lakehouse_sequences",
+    pure=False,
+    oracle="""
+    SELECT CAST(1000 + 3 * (i - 1) AS INTEGER) AS id,
+           ['a', 'b', 'c', 'd', 'e'][i] AS nm
+    FROM generate_series(1, 5) t(i)
+    """,
+)
+def lakehouse_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE SEQUENCE + DEFAULT nextval id assignment through sql()
+    text: the insert block-allocates ONE range against its row count
+    (one catalog commit per statement — the only sequence shape that
+    scales; see engine._seq_alloc).  The oracle recomputes the arithmetic
+    the allocation guarantees."""
+    lake = _fresh_lake(spark)
+    lake.sql("CREATE SEQUENCE ids START 1000 INCREMENT 3;")
+    lake.sql("CREATE TABLE seq_t(id INTEGER DEFAULT nextval('ids'), nm VARCHAR);")
+    lake.sql("INSERT INTO seq_t (nm) VALUES ('a'), ('b'), ('c'), ('d'), ('e');")
+    return lake.sql("SELECT id, nm FROM seq_t;")
+
+
+@query(
+    "lakehouse_check_constraint",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES (1, 10), (2, 20)) t(id, v)
+    """,
+)
+def lakehouse_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement through sql() text: a violating
+    INSERT and a violating UPDATE both abort atomically (validation is
+    fused into the write/materialization job — engine._check_observer),
+    leaving exactly the valid rows.  The oracle pins the surviving
+    table."""
+    lake = _fresh_lake(spark)
+    lake.sql("CREATE TABLE ct(id INTEGER, v INTEGER CHECK (v > 0));")
+    lake.sql("INSERT INTO ct VALUES (1, 10), (2, 20);")
+    for bad in (
+        "INSERT INTO ct VALUES (3, -5);",
+        "UPDATE ct SET v = -1 WHERE id = 1;",
+    ):
+        try:
+            lake.sql(bad)
+            raise AssertionError("CHECK violation not raised")
+        except ValueError:
+            pass
+    return lake.sql("SELECT id, v FROM ct;")

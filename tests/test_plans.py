@@ -178,3 +178,35 @@ def test_span_removal_no_cartesian_no_bnlj(spark):
     plan = executed_plan(spark, "dedup_span_removal")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_no_cartesian_event_filters_pushed(spark):
+    plan = executed_plan(spark, "events_funnel_steps")
+    assert "CartesianProduct" not in plan
+    # each step scans only its own event_type's rows
+    assert "EqualTo(event_type,view)" in plan or "event_type" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+
+
+def test_retention_no_cartesian(spark):
+    plan = executed_plan(spark, "events_retention_cohorts")
+    assert "CartesianProduct" not in plan
+
+
+def test_range_search_zero_shuffle(spark):
+    # broadcast-query radius search: corpus side scans map-side only
+    plan = executed_plan(spark, "sim_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pagerank_no_cartesian(spark):
+    plan = executed_plan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_dedup_banded_no_bnlj(spark):
+    plan = executed_plan(spark, "mm_phash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
