@@ -807,3 +807,100 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_tokens_after"),
         F.md5(F.array_join(kept, " ")).alias("clean_md5"),
     )
+
+
+BLOOM_BITS = 1 << 14     # m: filter size in bits (256 64-bit words)
+BLOOM_HASHES = 3         # k
+BLOOM_SPLIT = 250        # doc_id < split = existing corpus; rest = incoming
+BLOOM_PREFIX = 64        # prefix-fingerprint key (catches templated heads)
+
+
+@query(
+    "dedup_incremental_bloom",
+    # The oracle computes the exact containment join directly: the bloom
+    # stage is a PREFILTER with zero false negatives (and its false
+    # positives die in the exact verify join), so the final answer is
+    # by construction identical to the plain exact join — which is
+    # precisely what this checks.
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(substr(trim(lower(text)), 1, {BLOOM_PREFIX})) AS k
+      FROM documents
+    ),
+    existing AS (SELECT * FROM keyed WHERE doc_id < {BLOOM_SPLIT}),
+    incoming AS (SELECT * FROM keyed WHERE doc_id >= {BLOOM_SPLIT})
+    SELECT i.doc_id AS new_doc_id, min(e.doc_id) AS dup_of
+    FROM incoming i JOIN existing e ON i.k = e.k
+    GROUP BY i.doc_id
+    """,
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with a relational Bloom prefilter — the standard
+    shape for "dedupe today's crawl against the 100 TB historical corpus":
+
+    1. build: each existing content key sets {BLOOM_HASHES} bits of a
+       2^14-bit filter, materialized as ≤256 OR-aggregated 64-bit words
+       (one partial-aggregated groupBy; the filter is KBs regardless of
+       corpus size — at 100 TB you size m up, it stays broadcastable);
+    2. probe: incoming keys compute the same bit positions map-side and
+       join the BROADCAST word table; a key is bloom-positive iff all k
+       bits are set (count == k);
+    3. verify: only bloom-positive candidates — an e^-kn/m-thin slice of
+       the incoming set — reach the exact key equi-join against the
+       existing corpus, so the expensive shuffle join runs on a fraction
+       of the data while the result stays exact (no false negatives by
+       construction; false positives die here).
+
+    Spark's own runtime bloom (``spark.sql.optimizer.runtime.bloomFilter``)
+    applies the same idea automatically inside joins; this operator makes
+    the filter a first-class, reusable artifact (persist the word table,
+    reuse it for every future increment)."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.substring(F.trim(F.lower(F.col("text"))), 1, BLOOM_PREFIX))
+    keyed = d.select("doc_id", key.alias("k"))
+    existing = keyed.filter(F.col("doc_id") < BLOOM_SPLIT)
+    incoming = keyed.filter(F.col("doc_id") >= BLOOM_SPLIT)
+
+    def bit_positions(df: DataFrame) -> DataFrame:
+        # k seeded xxhash64 positions; pmod keeps them in [0, m)
+        pos = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(BLOOM_BITS))
+                for i in range(BLOOM_HASHES)
+            ]
+        )
+        return df.select(
+            "doc_id",
+            "k",
+            F.explode(pos).alias("p"),
+        ).select(
+            "doc_id",
+            "k",
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+
+    words = (
+        bit_positions(existing)
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    probes = bit_positions(incoming)
+    bloom_positive = (
+        probes.join(F.broadcast(words), "w")
+        .filter(F.col("bits").bitwiseAND(F.col("bit")) != 0)
+        .groupBy("doc_id", "k")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == BLOOM_HASHES)
+        .select("doc_id", "k")
+    )
+    return (
+        bloom_positive.join(
+            existing.select(F.col("doc_id").alias("e_doc_id"), "k"), "k"
+        )
+        .groupBy(F.col("doc_id").alias("new_doc_id"))
+        .agg(F.min("e_doc_id").alias("dup_of"))
+    )

@@ -715,3 +715,51 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("avg_logprob"), 6).alias("max_lp"),
         )
     )
+
+
+BPE_TOPK = 50
+
+
+@query(
+    "text_bpe_pair_freqs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair FROM (
+        SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM tok WHERE length(w) >= 2) t
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOPK}
+    """,
+)
+def text_bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core BPE-training step: adjacent-symbol pair frequencies over
+    the corpus, top-{50} merge candidates.  (Real BPE iterates this count
+    → merge → recount loop; each round is exactly this plan, so the
+    operator IS the inner loop of tokenizer training at corpus scale.)
+
+    Scale shape: pair extraction is a per-row higher-order transform
+    (sequence + substr — JVM codegen, no Python), the count is one
+    map-side-combined groupBy on a vocab²-bounded key space, and the
+    top-k executes as TakeOrderedAndProject — no global sort of the
+    pair table."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOPK)
+    )

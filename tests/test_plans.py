@@ -210,3 +210,15 @@ def test_phash_dedup_banded_no_bnlj(spark):
     plan = executed_plan(spark, "mm_phash_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_broadcasts_words(spark):
+    plan = executed_plan(spark, "dedup_incremental_bloom")
+    assert "CartesianProduct" not in plan
+    # the word table joins broadcast; only candidates reach the exact join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_pairs_topk_no_global_sort(spark):
+    plan = executed_plan(spark, "text_bpe_pair_freqs")
+    assert "TakeOrderedAndProject" in plan
