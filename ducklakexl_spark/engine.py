@@ -179,6 +179,11 @@ _INSERT_RE = re.compile(
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.\"]+)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
+_DELETE_USING_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"USING\s+(\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+WHERE\s+(.*)$",
+    re.I | re.S,
+)
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
@@ -1969,6 +1974,9 @@ class DuckLakeSpark:
                 m.group(4),
                 by_name=bool(m.group(3)),
             )
+        m = _DELETE_USING_RE.match(stmt)
+        if m:
+            return self._delete_using(*m.groups())
         m = _DELETE_RE.match(stmt)
         if m:
             return self._delete(_unqualify(m.group(1)), m.group(2))
@@ -3074,6 +3082,45 @@ class DuckLakeSpark:
         return [p for p in paths if p not in dropped]
 
     # ------------------------------------------------------------ DELETE/UPDATE
+
+    def _delete_using(
+        self,
+        target: str,
+        t_alias: str | None,
+        source: str,
+        s_alias: str | None,
+        cond: str,
+    ) -> None:
+        """``DELETE FROM t [AS a] USING s [AS b] WHERE cond`` (DuckDB/
+        Postgres join-delete): rows of t with ANY matching s row are
+        deleted — LEFT SEMI join semantics, so a target row never emits
+        duplicate delete positions however many source rows match.  The
+        commit shape is the ordinary positional-delete path (one delete
+        parquet per touched data file; untouched files unread)."""
+        name = _unqualify(target)
+        t_alias = t_alias or name
+        if s_alias is None:
+            s_alias = (
+                _unqualify(source)
+                if re.match(r'^[\w."]+$', source.strip())
+                else "__del_src"
+            )
+        tid = self.catalog.table_id(name)
+        live = self.table_df(name, with_position=True)
+        sdf = (
+            self._select(source[1:-1])
+            if source.startswith("(")
+            else self._select(f"SELECT * FROM {_unqualify(source)}")
+        )
+        live.createOrReplaceTempView("__del_t")
+        sdf.createOrReplaceTempView("__del_s")
+        hit_pos = self.spark.sql(
+            f"SELECT {t_alias}.__file AS file_path, {t_alias}.__pos AS pos"
+            f" FROM __del_t {t_alias} WHERE EXISTS"
+            f" (SELECT 1 FROM __del_s {s_alias} WHERE {cond})"
+        )
+        self._register_deletes(name, tid, hit_pos)
+        return None
 
     def _delete(self, name: str, where: str | None) -> None:
         tid = self.catalog.table_id(name)

@@ -1052,3 +1052,27 @@ def lakehouse_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         except ValueError:
             pass
     return lake.sql("SELECT id, v FROM ct;")
+
+
+@query(
+    "lakehouse_delete_using",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES (1, 'a'), (3, 'c')) t(id, v)
+    """,
+)
+def lakehouse_delete_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB/Postgres join-delete through sql() text: LEFT SEMI
+    semantics (duplicate source matches never double-delete), positional
+    delete files against only the touched data files."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        """
+        CREATE TABLE dt(id INTEGER, v VARCHAR);
+        INSERT INTO dt VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d');
+        CREATE TABLE kill(id INTEGER);
+        INSERT INTO kill VALUES (2),(2),(4);
+        DELETE FROM dt USING kill WHERE dt.id = kill.id;
+        SELECT * FROM dt;
+        """
+    )

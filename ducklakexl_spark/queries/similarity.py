@@ -691,3 +691,96 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+PREFIX_DIM = 16      # coarse stage scores only the leading dims
+PREFIX_CAND = 30     # stage-1 candidates per query
+PREFIX_TOPK = 5
+
+
+@query(
+    "sim_prefix_rerank_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    coarse AS (
+      SELECT q.qid, e.vec_id, e.embedding, q.qv,
+             ({_SQL_DOT.format(a="e.embedding", b="q.qv", dim=PREFIX_DIM)} /
+              (sqrt(list_sum(list_transform(e.embedding[1:{PREFIX_DIM}],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(q.qv[1:{PREFIX_DIM}],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS ccos
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+    ),
+    cand AS (
+      SELECT qid, vec_id, embedding, qv FROM (
+        SELECT qid, vec_id, embedding, qv,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ccos DESC, vec_id) AS crn
+        FROM coarse) t
+      WHERE crn <= {PREFIX_CAND}
+    ),
+    exact AS (
+      SELECT qid, vec_id,
+             {_sql_cosine("embedding", "qv")} AS cos_raw
+      FROM cand
+    )
+    SELECT qid, vec_id AS neighbor_id, rnk, round(cos_raw, 6) AS cosine
+    FROM (SELECT qid, vec_id, cos_raw,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_raw DESC, vec_id) AS rnk
+          FROM exact) t
+    WHERE rnk <= {PREFIX_TOPK}
+    """,
+)
+def sim_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (matryoshka-style) retrieval funnel: score every corpus
+    vector against each query on only the LEADING {16} dimensions (4× less
+    arithmetic and memory traffic per pair — with MRL-trained embeddings
+    the prefix is a faithful coarse proxy), keep {30} candidates per
+    query, then exact full-dimension re-rank to the final top-{5}.
+
+    Scale shape: stage 1 is the brute-force broadcast scan but at
+    prefix-width cost; stage 2 touches CAND × queries rows — negligible.
+    The candidate frame carries its embedding through the window, so
+    re-rank needs NO second corpus join (at 100 TB that join, not the
+    arithmetic, would dominate).  Same left-fold double accumulation as
+    every vector op here, so the oracle is bit-identical."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    coarse = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "ccos",
+            cosine_cols(
+                F.slice(F.col("embedding"), 1, PREFIX_DIM),
+                F.slice(F.col("qv"), 1, PREFIX_DIM),
+            ),
+        )
+    )
+    wc = W.partitionBy("qid").orderBy(F.col("ccos").desc(), "vec_id")
+    cand = (
+        coarse.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= PREFIX_CAND)
+        .select("qid", "vec_id", "embedding", "qv")
+    )
+    wr = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        cand.withColumn(
+            "cos_raw", cosine_cols(F.col("embedding"), F.col("qv"))
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= PREFIX_TOPK)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "rnk",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

@@ -1612,3 +1612,18 @@ def test_pivot_dynamic_forms(lake):
     assert rows(
         lake.sql("PIVOT pv ON q IN ('q1') USING sum(amt) GROUP BY region;")
     ) == [("e", 10), ("w", 5)]
+
+
+def test_delete_using(lake):
+    lake.sql("CREATE TABLE dt(id INTEGER, v VARCHAR);")
+    lake.sql("INSERT INTO dt VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d');")
+    lake.sql("CREATE TABLE kill(id INTEGER);")
+    # duplicate source matches must not double-delete a target row
+    lake.sql("INSERT INTO kill VALUES (2),(2),(4);")
+    lake.sql("DELETE FROM dt USING kill WHERE dt.id = kill.id;")
+    assert rows(lake.sql("SELECT * FROM dt;")) == [(1, "a"), (3, "c")]
+    # aliased + subquery source
+    lake.sql(
+        "DELETE FROM dt AS t USING (SELECT 1 AS kid) s WHERE t.id = s.kid;"
+    )
+    assert rows(lake.sql("SELECT * FROM dt;")) == [(3, "c")]
