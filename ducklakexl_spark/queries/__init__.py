@@ -123,8 +123,10 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from ducklakexl_spark.queries import (  # noqa: F401
         dedup,
+        entity,
         funnel,
         graph,
+        ml,
         joins,
         lakehouse,
         multimodal,
@@ -135,6 +137,7 @@ def load_all() -> None:
         similarity,
         skew,
         text,
+        timeseries,
         tpch,
         windows,
     )

@@ -82,3 +82,92 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PR_TOPN)
         .select("node", "rnk", F.round("rank", 6).alias("rank"))
     )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT 'n_nodes' AS metric,
+           (SELECT count(DISTINCT u) FROM (SELECT u FROM e0
+                                           UNION ALL SELECT v FROM e0) t)
+             AS value
+    UNION ALL
+    SELECT 'n_edges', (SELECT count(*) FROM e0)
+    UNION ALL
+    SELECT 'n_triangles',
+           (SELECT count(*)
+            FROM e0 e1
+            JOIN e0 e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v)
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts appearing in
+    the same order are adjacent) — the clustering-coefficient /
+    community-density primitive.
+
+    Scale shape: the degree-ORIENTED algorithm (Cohen 2009; also the
+    GraphX/Trino shape).  Each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one, so every out-degree is
+    bounded by O(sqrt(m)) and wedge generation — the self-join on the
+    shared source — produces sum-over-nodes C(out_deg, 2) candidates
+    instead of C(deg, 2) around hubs; each wedge closes with one more
+    equi-join against the oriented edge list.  All three joins are
+    equi-joins on node keys (no BNLJ, no cartesian); the naive id-ordered
+    triple join stays in the DuckDB oracle only, where it is exact by
+    symmetry.  The three scalar aggregates UNION into (metric, value)
+    rows — no scalar-combine join in the plan.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lower_first = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, "src")
+        .filter(
+            F.struct(F.col("o1.ddeg"), F.col("o1.dst"))
+            < F.struct(F.col("o2.ddeg"), F.col("o2.dst"))
+        )
+        .select(F.col("o1.dst").alias("wa"), F.col("o2.dst").alias("wb"))
+    )
+    closing = oriented.select(
+        F.col("src").alias("wa"), F.col("dst").alias("wb")
+    )
+    tri = wedges.join(closing, ["wa", "wb"]).agg(
+        F.count(F.lit(1)).alias("value")
+    ).select(F.lit("n_triangles").alias("metric"), "value")
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("n_nodes").alias("metric"), "value"
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("n_edges").alias("metric"), "value"
+    )
+    return n_nodes.unionAll(n_edges).unionAll(tri)

@@ -1,0 +1,157 @@
+"""Iterative ML-on-Spark operators (SURVEY.md §2.D extension surface):
+Lloyd's k-means over the embedding corpus — the canonical
+driver-coordinates / executors-sweep iterative algorithm, and the full
+version of the coarse-quantizer training step the IVF / SemDeDup
+operators share (similarity._ivf_scored trains one round from labels;
+this trains from scratch).
+
+Numerical discipline follows the proven similarity-module pattern: every
+per-row fold (norms, dots) runs left-to-right in doubles on both engines,
+trained centroids quantize to 6 dp per round so row-order summation drift
+cannot compound, and collected centroid constants fold into whole-stage
+codegen expressions (k x DIM doubles is metadata-sized at any corpus
+scale — k-means at 100 TB is bounded by the assignment sweeps, which here
+are single scans with zero joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ducklakexl_spark.queries import load, query
+from ducklakexl_spark.queries.similarity import DIM, dot_lit_sql
+
+K = 4
+ITERS = 2
+
+_ENORM_SQL = (
+    "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
+    "CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+)
+_DUCK_ENORM = (
+    "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * "
+    "CAST(x AS DOUBLE)))"
+)
+_DUCK_DOT_CVEC = (
+    f"list_sum(list_transform(generate_series(1, {DIM}), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))"
+)
+_DUCK_CNORM2 = "list_sum(list_transform(c.cvec, x -> x * x))"
+
+# Squared L2 distance via the |e|^2 - 2 e.c + |c|^2 identity: each of the
+# three terms is a fold both engines execute in the identical order, so
+# the assembled distance is bit-identical and argmin ties (ORDER BY dist,
+# cell) resolve the same way.
+_DUCK_DIST = f"(({_DUCK_ENORM}) - 2.0 * ({_DUCK_DOT_CVEC}) + ({_DUCK_CNORM2}))"
+
+
+def _duck_assign(cent_cte: str) -> str:
+    return f"""
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_DUCK_DIST}, c.cell) AS rn
+        FROM embeddings e CROSS JOIN {cent_cte} c) t
+      WHERE rn = 1
+    """
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH init AS (
+      SELECT vec_id AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < {K}
+    ),
+    a1 AS ({_duck_assign("init")}),
+    c1 AS (
+      SELECT cell, list(v ORDER BY i) AS cvec
+      FROM (SELECT a1.cell, i,
+                   round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS v
+            FROM a1 JOIN embeddings e USING (vec_id),
+                 generate_series(1, {DIM}) t(i)
+            GROUP BY a1.cell, i)
+      GROUP BY cell
+    ),
+    a2 AS ({_duck_assign("c1")})
+    SELECT a2.cell AS cluster, count(*) AS n,
+           any_value(round(sqrt(list_sum(list_transform(c.cvec, x -> x * x))),
+                           6)) AS centroid_norm
+    FROM a2 JOIN c1 c ON c.cell = a2.cell
+    GROUP BY a2.cell
+    """
+
+
+@query("ml_kmeans_iter", oracle=_kmeans_oracle())
+def ml_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k = {4}) on the embedding corpus,
+    seeded from the first k vectors; reports per-cluster size and the
+    trained centroid's norm.
+
+    Scale shape per iteration: centroids collect to the driver (k x DIM
+    doubles — metadata) and fold into ONE constant-unrolled assignment
+    expression, so the E-step is a single corpus scan with no join and no
+    shuffle; the M-step is posexplode + groupBy(cell, dim) — one narrow
+    shuffle with map-side partial aggregation, output k x DIM rows.  That
+    is the identical dataflow MLlib's KMeans runs (broadcast centers +
+    treeAggregate); expressed relationally it stays whole-stage-codegen
+    JVM work end-to-end with no Python in the loop.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    init = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < K).collect()
+    )
+    cents: list[tuple[int, list[float]]] = init
+
+    assigned = None
+    for _ in range(ITERS):
+        structs = [
+            F.struct(
+                F.expr(
+                    f"({_ENORM_SQL}) - 2.0D * ({dot_lit_sql('embedding', cv)})"
+                    f" + {sum(v * v for v in cv)!r}D"
+                ).alias("dist"),
+                F.lit(int(cell)).cast("long").alias("cell"),
+            )
+            for cell, cv in cents
+        ]
+        assigned = e.select(
+            "vec_id",
+            "embedding",
+            F.array_min(F.array(*structs)).getField("cell").alias("cell"),
+        )
+        if _ < ITERS - 1:
+            rows = (
+                assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                        lambda s: s.v,
+                    ).alias("cvec")
+                )
+                .collect()
+            )
+            cents = sorted((r["cell"], list(r["cvec"])) for r in rows)
+
+    import math
+
+    norm = {c: round(math.sqrt(sum(v * v for v in cv)), 6) for c, cv in cents}
+    norm_col = F.create_map(
+        *[x for c in norm for x in (F.lit(int(c)), F.lit(norm[c]))]
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("cell").alias("cluster"),
+            "n",
+            norm_col[F.col("cell")].alias("centroid_norm"),
+        )
+    )

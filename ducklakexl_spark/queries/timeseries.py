@@ -1,0 +1,225 @@
+"""Time-series operators over the events/lineitem tables (SURVEY.md §2.D
+extension surface): gap-filling with last-observation-carried-forward,
+exponential moving averages, and rolling correlation — the hypertable /
+continuous-aggregate workload the reference's query plane reaches through
+DuckDB pass-through (/root/reference/ducklakexl/ducklakexl.py:394) and a
+feature-store pipeline runs on every ingest.
+
+Scale notes common to all three: every shuffle is keyed on the series id
+(user_id / l_suppkey), partial aggregation runs map-side, and the dense
+grid for gap-filling is *generated* per-series with ``sequence`` — the
+grid never crosses a shuffle at event granularity, and AQE reuses one
+exchange layout across the agg → span → join → window chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ducklakexl_spark.queries import load, query
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(sum(value), 6) AS v
+      FROM events WHERE user_id % 10 = 0
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM span
+    )
+    SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:00') AS hour,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled,
+           o.v IS NULL AS was_gap
+    FROM grid g
+    LEFT JOIN hourly o ON g.user_id = o.user_id AND g.h = o.h
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill an hourly per-user rollup to a dense grid and fill holes
+    with the last observed value (LOCF) — the TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` shape.
+
+    Scale shape: the hourly rollup is ONE shuffle on (user_id, hour) with
+    map-side partial sums; the per-user [min, max] span is a re-aggregate
+    on the same user key; the dense grid is *generated* map-side with
+    ``sequence``/``explode`` (grid rows never shuffle at event
+    granularity); the left join back and the LOCF window are both keyed
+    and partitioned on user_id, so AQE reuses one exchange layout
+    end-to-end.  The user filter (``% 10``) stands in for the series
+    predicate a dashboard would push — it reaches the parquet scan.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+    )
+
+
+@query(
+    "events_ewma",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average (alpha = 0.3) over the event
+    value series, seeded at the first observation — the classic
+    smoothing recurrence no built-in window function expresses.
+
+    Expressed as ONE groupBy(user_id) collecting the ordered series into
+    an array, then a JVM-side higher-order ``aggregate`` fold — no Python
+    in the loop, one shuffle, map-side partial collect.  The fold is
+    sequential per series by definition (each EWMA value depends on the
+    previous), so an array fold inside the row is exactly the right
+    parallelism: series × partitions run concurrently, the recurrence
+    itself stays local.  Order is pinned by (ts, event_id) on both
+    engines, and both fold left-to-right in doubles, so results are
+    bit-identical before the final rounding.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s.value,
+    )
+    ewma = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * 0.7 + x * 0.3,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(ewma, 6).alias("ewma"),
+        )
+    )
+
+
+# Day-number anchor for the RANGE frame: both engines order by an integer
+# day offset so the 30-day trailing frame is the same closed interval.
+_EPOCH = "1992-01-01"
+
+
+@query(
+    "supplier_rolling_corr",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_suppkey,
+             count(*) OVER w AS n_frame,
+             sum(CAST(l_quantity AS DOUBLE)) OVER w AS sx,
+             sum(l_extendedprice) OVER w AS sy,
+             sum(CAST(l_quantity AS DOUBLE) * l_extendedprice) OVER w AS sxy,
+             sum(CAST(l_quantity AS DOUBLE) * l_quantity) OVER w AS sxx,
+             sum(l_extendedprice * l_extendedprice) OVER w AS syy,
+             row_number() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+             ) AS rn
+      FROM lineitem
+      WINDOW w AS (
+        PARTITION BY l_suppkey
+        ORDER BY date_diff('day', DATE '{_EPOCH}', l_shipdate)
+        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT l_suppkey, n_frame,
+           round((n_frame * sxy - sx * sy)
+                 / nullif(sqrt((n_frame * sxx - sx * sx)
+                               * (n_frame * syy - sy * sy)), 0),
+                 6) AS rolling_corr
+    FROM ranked WHERE rn = 1
+    """,
+)
+def supplier_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day rolling correlation of quantity vs price per
+    supplier, reported at each supplier's latest shipment — the
+    risk-metrics window shape (rolling beta/corr over a time RANGE, not a
+    row count).
+
+    The RANGE frame orders by an integer day offset so the trailing
+    window is a value interval: suppliers shipping on sparse days get
+    exactly the last 30 calendar days, not the last N rows.  One shuffle
+    on l_suppkey serves all six frame sums and the latest-row pick.  The
+    correlation assembles from plain SUM/COUNT window aggregates (the
+    textbook co-moment identity) rather than the ``corr`` window
+    function: Spark's ANSI-mode corr raises DIVIDE_BY_ZERO on 1-row
+    frames, while the explicit form null-guards the denominator — and
+    identical sums on both engines make the 6-dp rounding exact (the
+    operands here keep variance ~ mean², so the subtraction loses no
+    meaningful precision).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    d = F.datediff("l_shipdate", F.lit(_EPOCH).cast("date"))
+    wf = (
+        Window.partitionBy("l_suppkey").orderBy(d.alias("d")).rangeBetween(-29, 0)
+    )
+    wr = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_orderkey").desc(),
+        F.col("l_linenumber").desc(),
+    )
+    n = F.count(F.lit(1)).over(wf)
+    sx = F.sum("x").over(wf)
+    sy = F.sum("y").over(wf)
+    sxy = F.sum(F.col("x") * F.col("y")).over(wf)
+    sxx = F.sum(F.col("x") * F.col("x")).over(wf)
+    syy = F.sum(F.col("y") * F.col("y")).over(wf)
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        li.select(
+            "l_suppkey",
+            n.alias("n_frame"),
+            F.round(
+                (n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6
+            ).alias("rolling_corr"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("l_suppkey", "n_frame", "rolling_corr")
+    )

@@ -222,3 +222,39 @@ def test_bloom_prefilter_broadcasts_words(spark):
 def test_bpe_pairs_topk_no_global_sort(spark):
     plan = executed_plan(spark, "text_bpe_pair_freqs")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_er_blocking_equi_join_no_cartesian(spark):
+    """Entity-resolution candidates must come from the hash equi-join on
+    the (nation, segment) block key — the edit-distance verify runs on
+    block-mates only, never a corpus cross product."""
+    plan = executed_plan(spark, "er_blocked_match")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangles_oriented_equi_joins_only(spark):
+    """Degree-oriented triangle counting: wedge generation and closure are
+    equi-joins on node keys; a BNLJ/cartesian would mean the orientation
+    got lost in a refactor."""
+    plan = executed_plan(spark, "graph_triangles")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_single_user_exchange_layout(spark):
+    """Gap-fill chain (hourly agg -> span -> grid join -> LOCF window) is
+    keyed on user_id throughout; the event_type-free user filter must
+    reach the parquet scan."""
+    plan = executed_plan(spark, "events_gapfill_locf")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_kmeans_assign_no_join(spark):
+    """k-means E-step folds centroids into constants: the assignment scan
+    has no join at all (the only joins in the plan would come from a
+    regression to a centroid-table join)."""
+    plan = executed_plan(spark, "ml_kmeans_iter")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
