@@ -123,6 +123,7 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from ducklakexl_spark.queries import (  # noqa: F401
         dedup,
+        drift,
         entity,
         funnel,
         graph,

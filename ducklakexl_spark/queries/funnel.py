@@ -149,3 +149,52 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, length(seq) AS seq_len,
+           regexp_matches(seq, 'v[^e]*c[^e]*p') AS matched
+    FROM seqs
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE / funnel-with-exclusion shape: did the user
+    view -> click -> purchase with no intervening error?
+
+    Each user's ordered event-type sequence encodes to a one-char-per-
+    event string inside ONE groupBy(user_id) (map-side partial collect,
+    one shuffle), and the pattern runs as a regex over that string —
+    per-row JVM work, embarrassingly parallel, no joins.  This is the
+    scalable shape for order-sensitive predicates Spark SQL can't window:
+    state collapses to a per-key string, and patterns compose as regex
+    instead of N self-joins (contrast events_funnel_steps, which pays one
+    join per step).  Order is pinned by (ts, event_id) on both engines;
+    the character classes used ([^e], literals) behave identically in
+    Java regex and RE2.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: F.substring(s.event_type, 1, 1),
+        ),
+        "",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").alias("seq_len"),
+            F.col("seq").rlike("v[^e]*c[^e]*p").alias("matched"),
+        )
+    )

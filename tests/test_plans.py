@@ -258,3 +258,20 @@ def test_kmeans_assign_no_join(spark):
     plan = executed_plan(spark, "ml_kmeans_iter")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pattern_match_single_shuffle_no_join(spark):
+    """Sequence pattern matching folds each user's stream into one string
+    in a single groupBy — any join in the plan means a funnel-style
+    regression."""
+    plan = executed_plan(spark, "events_pattern_match")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)
+
+
+def test_mad_joins_broadcast_median(spark):
+    """MAD's join-back of the per-type medians must broadcast (|types|
+    rows), never shuffle the events side twice for the join."""
+    plan = executed_plan(spark, "robust_stats_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
