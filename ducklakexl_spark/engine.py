@@ -735,6 +735,10 @@ _DUCK_FN_RENAME = {
     # date/time family
     "epoch_ms": "unix_millis",
     "epoch_us": "unix_micros",
+    "week": "weekofyear",
+    "weekofyear": "weekofyear",
+    "today": "current_date",
+    "get_current_timestamp": "current_timestamp",
     # aggregate family
     "arg_max": "max_by",
     "arg_min": "min_by",
@@ -745,6 +749,12 @@ _DUCK_FN_RENAME = {
     "fsum": "sum",
     # misc
     "unnest": "explode",
+    "gen_random_uuid": "uuid",
+    "uuid": "uuid",
+    "unicode": "ascii",  # Spark ascii() returns the first code point
+    "from_base64": "unbase64",
+    "to_base64": "base64",
+    "base64": "base64",
 }
 
 # C-style strftime codes (DuckDB) → Java SimpleDateFormat (Spark)
@@ -925,6 +935,36 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
                 pat = _sql_str("(?i)" + pl) if pl is not None else pat
             return f"regexp_replace({a[0]}, {pat}, {a[2]})"
         return f"regexp_replace({', '.join(a)})"
+    if key == "sha256":
+        return f"sha2({a[0]}, 256)"
+    if key == "to_base":
+        return f"conv(CAST({a[0]} AS STRING), 10, {a[1]})"
+    if key == "trunc" and len(a) == 1:
+        # DuckDB numeric trunc (toward zero); 2-arg date trunc passes
+        # through to Spark's own trunc below
+        return f"(floor(abs({a[0]})) * CAST(sign({a[0]}) AS BIGINT))"
+    if key == "age":
+        # interval between timestamps (1-arg: from now)
+        if len(a) == 1:
+            return f"(current_timestamp() - CAST({a[0]} AS TIMESTAMP))"
+        return f"(CAST({a[0]} AS TIMESTAMP) - CAST({a[1]} AS TIMESTAMP))"
+    if key == "even":
+        # round away from zero to the next even number
+        return (
+            f"(CASE WHEN ({a[0]}) >= 0 THEN "
+            f"CASE WHEN ceil({a[0]}) % 2 = 0 THEN CAST(ceil({a[0]}) AS DOUBLE)"
+            f" ELSE CAST(ceil({a[0]}) + 1 AS DOUBLE) END "
+            f"ELSE CASE WHEN floor({a[0]}) % 2 = 0 THEN "
+            f"CAST(floor({a[0]}) AS DOUBLE)"
+            f" ELSE CAST(floor({a[0]}) - 1 AS DOUBLE) END END)"
+        )
+    if key == "signbit":
+        # true for negatives AND -0.0 (1/-0.0 = -Infinity)
+        return (
+            f"(CASE WHEN CAST({a[0]} AS DOUBLE) = 0.0D "
+            f"THEN (1.0D / CAST({a[0]} AS DOUBLE)) < 0 "
+            f"ELSE CAST({a[0]} AS DOUBLE) < 0 END)"
+        )
     if key == "isodow":
         return f"(weekday({a[0]}) + 1)"
     if key == "dayname":
@@ -953,6 +993,7 @@ _DUCK_FN_TEMPLATES = {
     "list_avg", "encode", "decode", "regexp_extract",
     "regexp_extract_all", "regexp_replace", "string_agg",
     "group_concat", "listagg", "list", "array_agg",
+    "sha256", "to_base", "trunc", "age", "even", "signbit",
 }
 
 # DuckDB type names (in CAST position etc.) Spark spells differently.
@@ -1449,6 +1490,10 @@ class DuckLakeSpark:
         # (Spark's default Hive-style literal parsing).  Runtime-settable;
         # DataFrame-API code paths are unaffected by the parser conf.
         self.spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+        # SQL-callable UDF surface (fuzzy-string scalars etc.) — idempotent
+        from ducklakexl_spark.functions import register_all
+
+        register_all(self.spark)
         self.name = ducklake_name
         self.data_path = os.path.abspath(data_path)
         os.makedirs(self.data_path, exist_ok=True)

@@ -68,9 +68,146 @@ def geo_mean(vals: pd.Series) -> float:
     return float(math.exp(clean.map(math.log).mean()))
 
 
+def _dl_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment Damerau-Levenshtein (the variant DuckDB's
+    damerau_levenshtein computes: one transposition per block)."""
+    la, lb = len(a), len(b)
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+@pandas_udf(T.LongType())
+def damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
+    """DuckDB's damerau_levenshtein (OSA variant).  Hot-path alternative
+    for plain edit distance: built-in ``levenshtein`` (JVM)."""
+    return pd.Series(
+        [_dl_distance(x or "", y or "") for x, y in zip(a, b)], dtype="int64"
+    )
+
+
+@pandas_udf(T.DoubleType())
+def jaccard_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Character-set Jaccard similarity (DuckDB ``jaccard``)."""
+
+    def j(x, y):
+        sx, sy = set(x or ""), set(y or "")
+        return float(len(sx & sy)) / len(sx | sy) if (sx or sy) else 1.0
+
+    return pd.Series([j(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+def _jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    ma = [False] * la
+    mb = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    m = float(matches)
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+@pandas_udf(T.DoubleType())
+def jaro_winkler_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaro-Winkler similarity (DuckDB signature, p = 0.1, 4-char prefix)."""
+
+    def jw(x, y):
+        x, y = x or "", y or ""
+        j = _jaro(x, y)
+        prefix = 0
+        for cx, cy in zip(x[:4], y[:4]):
+            if cx != cy:
+                break
+            prefix += 1
+        return j + prefix * 0.1 * (1.0 - j)
+
+    return pd.Series([jw(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+@pandas_udf(T.LongType())
+def hamming(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Character Hamming distance of equal-length strings (DuckDB errors
+    on length mismatch; so does this)."""
+
+    def h(x, y):
+        x, y = x or "", y or ""
+        if len(x) != len(y):
+            raise ValueError("hamming: strings must be of equal length")
+        return sum(cx != cy for cx, cy in zip(x, y))
+
+    return pd.Series([h(x, y) for x, y in zip(a, b)], dtype="int64")
+
+
+@pandas_udf(T.DoubleType())
+def gamma_fn(x: pd.Series) -> pd.Series:
+    return x.map(lambda v: math.gamma(v) if v is not None else None)
+
+
+@pandas_udf(T.DoubleType())
+def lgamma_fn(x: pd.Series) -> pd.Series:
+    return x.map(lambda v: math.lgamma(v) if v is not None else None)
+
+
+@pandas_udf(T.DoubleType())
+def nextafter_fn(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            math.nextafter(a, b) if a is not None and b is not None else None
+            for a, b in zip(x, y)
+        ],
+        dtype="float64",
+    )
+
+
 def register_all(spark: SparkSession) -> None:
     """Install every engine UDF into the session's SQL namespace."""
     spark.udf.register("bpe_token_count", bpe_token_count)
     spark.udf.register("quality_score", quality_score)
     spark.udf.register("l2_normalize", l2_normalize)
     spark.udf.register("geo_mean", geo_mean)
+    # DuckDB fuzzy-string / math scalars with no Spark builtin —
+    # Arrow-batched, deterministic, slow-path by declaration
+    spark.udf.register("damerau_levenshtein", damerau_levenshtein)
+    spark.udf.register("jaccard", jaccard_sim)
+    spark.udf.register("jaro_winkler_similarity", jaro_winkler_similarity)
+    spark.udf.register("hamming", hamming)
+    spark.udf.register("mismatches", hamming)
+    spark.udf.register("gamma", gamma_fn)
+    spark.udf.register("lgamma", lgamma_fn)
+    spark.udf.register("nextafter", nextafter_fn)

@@ -1076,3 +1076,83 @@ def lakehouse_delete_using(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM dt;
         """
     )
+
+
+@query(
+    "lakehouse_fuzzy_strings",
+    pure=False,
+    oracle="""
+    SELECT c_custkey,
+           damerau_levenshtein(c_name, 'Customer#000000042') AS dl,
+           round(jaccard(c_name, 'Customer#000000042'), 6) AS jac,
+           round(jaro_winkler_similarity(c_name, 'Customer#000000042'), 6)
+             AS jw,
+           hamming(c_name, 'Customer#000000042') AS ham
+    FROM customer WHERE c_custkey < 50
+    """,
+)
+def lakehouse_fuzzy_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's fuzzy-string scalar family through sql() TEXT —
+    damerau_levenshtein (OSA), char-set jaccard, jaro_winkler_similarity,
+    hamming — implemented as Arrow-batched pandas UDFs registered at
+    engine construction (functions/__init__.py::register_all; the
+    reference reaches these via DuckDB pass-through,
+    /root/reference/ducklakexl/ducklakexl.py:394).  Slow-path by
+    declaration: each docstring names the JVM built-in to prefer
+    (levenshtein) where exact parity with DuckDB's variant isn't needed.
+    """
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT c_custkey,
+               damerau_levenshtein(c_name, 'Customer#000000042') AS dl,
+               round(jaccard(c_name, 'Customer#000000042'), 6) AS jac,
+               round(jaro_winkler_similarity(c_name,
+                     'Customer#000000042'), 6) AS jw,
+               hamming(c_name, 'Customer#000000042') AS ham
+        FROM read_parquet('{sf_dir}/customer.parquet')
+        WHERE c_custkey < 50
+        """
+    )
+
+
+@query(
+    "lakehouse_scalar_compat",
+    pure=False,
+    oracle="""
+    SELECT week(DATE '2024-02-03') AS wk,
+           sha256('spark') AS h,
+           even(2.5) AS ev,
+           signbit(-0.5) AS sb,
+           CAST(trunc(-1.7) AS BIGINT) AS tr,
+           to_base(255, 16) AS tb,
+           unicode('A') AS uc,
+           to_base64('abc'::BLOB) AS b64,
+           CAST(from_base64('YWJj') AS VARCHAR) AS unb64,
+           nextafter(1.0, 2.0) AS na,
+           round(gamma(5.0), 6) AS gm,
+           round(lgamma(5.0), 6) AS lg
+    """,
+)
+def lakehouse_scalar_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 scalar-dialect sweep through sql() TEXT: week, sha256,
+    even, signbit, numeric trunc, to_base, unicode, base64 both ways,
+    nextafter, gamma, lgamma — each rewritten to a Spark builtin where
+    one exists and a registered UDF where not."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        """
+        SELECT week(DATE '2024-02-03') AS wk,
+               sha256('spark') AS h,
+               even(2.5) AS ev,
+               signbit(-0.5) AS sb,
+               CAST(trunc(-1.7) AS BIGINT) AS tr,
+               to_base(255, 16) AS tb,
+               unicode('A') AS uc,
+               to_base64('abc'::BLOB) AS b64,
+               CAST(from_base64('YWJj') AS VARCHAR) AS unb64,
+               nextafter(1.0, 2.0) AS na,
+               round(gamma(5.0), 6) AS gm,
+               round(lgamma(5.0), 6) AS lg
+        """
+    )
