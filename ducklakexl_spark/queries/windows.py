@@ -603,3 +603,72 @@ def stream_sink_to_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM event_sink GROUP BY event_type
         """
     )
+
+
+@query(
+    "stream_late_data_drop",
+    pure=False,
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+             AS bucket_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics across real micro-batches: batch 1 =
+    first half of the month, batch 2 = second half (on time), batch 3 =
+    re-sent copies of EVERY day-1 event (late by four weeks), batch 4 = a
+    single far-future sentinel.  Append-mode eviction lags one batch
+    (state merges before end-of-batch eviction — verified empirically:
+    late rows landing in the SAME batch that evicts their window still
+    merge), so the late batch must follow an intervening on-time batch;
+    by batch 3 the watermark sits at max(batch-2 ts)-1h ≈ Jan 30 and the
+    day-1 window state is already evicted, so every re-sent copy is
+    DROPPED (numRowsDroppedByWatermark in the progress metrics).  The
+    sentinel then pushes the watermark past every real window so append
+    emits the rest (its own window stays open and never emits).  The
+    streamed per-day rollup therefore hash-matches the batch oracle over
+    the ORIGINAL events — the late duplicates provably did not
+    double-count and did not re-open state: the bounded-state guarantee a
+    100 TB ingest relies on.
+
+    File order (and so batch order) is pinned by explicit mtimes on the
+    staged files — the file source processes them oldest-first with
+    maxFilesPerTrigger=1.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ducklakexl_spark.streaming import pipeline as P
+
+    ev = load(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="events_late_")
+
+    def _write_single(df, name: str, mtime: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="late_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{stage}/{name}"
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    first_half = ev.filter(F.dayofmonth("ts") <= 15)
+    second_half = ev.filter(F.dayofmonth("ts") > 15)
+    late_copies = ev.filter(F.dayofmonth("ts") == 1)
+    sentinel = spark.createDataFrame(
+        [(999999999, None, 0, "sentinel", 0.0, "{}")], ev.schema
+    ).withColumn("ts", F.lit("2024-03-01 00:00:00").cast("timestamp"))
+    _write_single(first_half, "batch1.parquet", 1_000_000_000)
+    _write_single(second_half, "batch2.parquet", 1_000_000_100)
+    _write_single(late_copies, "batch3.parquet", 1_000_000_200)
+    _write_single(sentinel, "batch4.parquet", 1_000_000_300)
+
+    stream = P.read_event_stream(spark, stage)
+    return P.run_append_to_completion(
+        P.tumbling_counts(stream, window="1 day", watermark="1 hour"),
+        "q_stream_late_drop",
+    )
