@@ -687,6 +687,102 @@ def rewrite_exclude(stmt: str) -> str:
     return _EXCLUDE_RE.sub(_sub, stmt)
 
 
+_WINDOW_EXCLUDE_RE = re.compile(
+    r"\s*EXCLUDE\s+(CURRENT\s+ROW|NO\s+OTHERS|GROUP|TIES)\s*", re.I
+)
+
+
+def rewrite_window_exclude(stmt: str) -> str:
+    """DuckDB window-frame ``EXCLUDE CURRENT ROW`` → algebraic rewrite
+    over Spark's EXCLUDE-less frames: the current row's contribution is
+    SUBTRACTED from the including frame (``sum(x) OVER f - coalesce(x,
+    0)``; count subtracts its null-aware indicator; avg recomposes from
+    both).  Valid because every frame that can carry EXCLUDE contains the
+    current row (ROWS/RANGE ... AND CURRENT ROW/FOLLOWING; RANGE frames
+    always include peers).  ``EXCLUDE NO OTHERS`` is the default —
+    stripped; EXCLUDE GROUP/TIES (peer exclusion) and non-subtractable
+    aggregates (min/max/...) raise rather than mis-answer.  Inline OVER
+    specs only — a named WINDOW clause carrying EXCLUDE also raises."""
+    while True:
+        target = None
+        for m in re.finditer(r"\bOVER\s*\(", stmt, re.I):
+            close = _matching_bracket(stmt, m.end() - 1)
+            spec = stmt[m.end() : close]
+            em = _WINDOW_EXCLUDE_RE.search(spec)
+            if em:
+                target = (m, close, spec, em)
+                break
+        if target is None:
+            if _WINDOW_EXCLUDE_RE.search(stmt):
+                raise ValueError(
+                    "EXCLUDE in a named WINDOW clause is not supported — "
+                    "inline the OVER specification"
+                )
+            return stmt
+        m, close, spec, em = target
+        mode = re.sub(r"\s+", " ", em.group(1).upper())
+        spec2 = (spec[: em.start()] + " " + spec[em.end() :]).strip()
+        if mode == "NO OTHERS":
+            stmt = stmt[: m.end()] + spec2 + stmt[close:]
+            continue
+        if mode in ("GROUP", "TIES"):
+            raise ValueError(f"EXCLUDE {mode} is not supported")
+        # locate the aggregate call `fn(args)` immediately before OVER
+        i = m.start() - 1
+        while i >= 0 and stmt[i].isspace():
+            i -= 1
+        if i < 0 or stmt[i] != ")":
+            raise ValueError("EXCLUDE CURRENT ROW: cannot parse the "
+                             "window aggregate preceding OVER")
+        depth = 0
+        j = i
+        while j >= 0:
+            if stmt[j] == ")":
+                depth += 1
+            elif stmt[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        args = stmt[j + 1 : i].strip()
+        k = j - 1
+        while k >= 0 and (stmt[k].isalnum() or stmt[k] == "_"):
+            k -= 1
+        fn = stmt[k + 1 : j].strip().lower()
+        over2 = f"OVER ({spec2})"
+        nn = (
+            f"(count({args}) {over2} - CASE WHEN ({args}) IS NULL "
+            f"THEN 0 ELSE 1 END)"
+        )
+        if fn == "sum":
+            # NULL when the exclusive frame holds no non-null values
+            # (empty frame, or every other row NULL) — DuckDB semantics
+            repl = (
+                f"(CASE WHEN {nn} = 0 THEN NULL "
+                f"ELSE sum({args}) {over2} - coalesce({args}, 0) END)"
+            )
+        elif fn == "count":
+            if args.strip() == "*":
+                repl = f"(count(*) {over2} - 1)"
+            else:
+                repl = (
+                    f"(count({args}) {over2} - CASE WHEN ({args}) IS NULL "
+                    f"THEN 0 ELSE 1 END)"
+                )
+        elif fn == "avg":
+            repl = (
+                f"(CAST(sum({args}) {over2} - coalesce({args}, 0) AS DOUBLE)"
+                f" / nullif(count({args}) {over2} - CASE WHEN ({args}) IS "
+                f"NULL THEN 0 ELSE 1 END, 0))"
+            )
+        else:
+            raise ValueError(
+                f"EXCLUDE CURRENT ROW is supported for sum/count/avg, "
+                f"not {fn!r}"
+            )
+        stmt = stmt[: k + 1] + repl + stmt[close + 1 :]
+
+
 # --------------------------------------------------------------- dialect fns
 # DuckDB scalar/aggregate function names a reference user would write in
 # sql() text, mapped onto the Spark SQL builtin surface.  Two tiers:
@@ -871,13 +967,15 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key in ("list", "array_agg"):
         # DuckDB list(x ORDER BY k…) — ordered aggregation; Spark's
         # collect_list has no internal order, so collect (key, value)
-        # structs and sort (array_sort orders by fields left-to-right)
-        last = a[-1] if a else ""
-        m = re.search(r"\bORDER\s+BY\b", last, re.I)
+        # structs and sort (array_sort orders by fields left-to-right).
+        # ORDER BY is located in the REJOINED argument text: a multi-key
+        # order ("ORDER BY ts, id") was comma-split across args.
+        joined = ", ".join(a)
+        m = re.search(r"\bORDER\s+BY\b", joined, re.I)
         if not m:
-            return f"collect_list({', '.join(a)})"
-        val = last[: m.start()].strip()
-        keys = split_top_level(last[m.end() :])
+            return f"collect_list({joined})"
+        val = joined[: m.start()].strip().rstrip(",").strip()
+        keys = split_top_level(joined[m.end() :])
         desc = len(keys) == 1 and re.search(r"\bDESC\b", keys[0], re.I)
         fields = []
         for idx, kexpr in enumerate(keys):
@@ -889,15 +987,46 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         )
         return f"reverse({inner})" if desc else inner
     if key in ("string_agg", "group_concat", "listagg"):
-        # DuckDB: string_agg(x, sep ORDER BY o) — the ORDER BY rides
-        # inside the last argument; Spark wants WITHIN GROUP
-        last = a[-1]
-        m = re.search(r"\bORDER\s+BY\b", last, re.I)
+        # DuckDB: string_agg(x, sep ORDER BY o…) — the ORDER BY rides
+        # inside the argument list (and a multi-key order was comma-split
+        # across args, so search the REJOINED text); Spark wants WITHIN
+        # GROUP.  Spark's listagg accepts ONE sort key, so multi-key
+        # orders go through the collect-sort-join shape instead (same as
+        # ordered list()).
+        joined = ", ".join(a)
+        m = re.search(r"\bORDER\s+BY\b", joined, re.I)
         if m:
-            a = a[:-1] + [last[: m.start()].strip()]
-            order = last[m.start() :]
-            return f"listagg({', '.join(a)}) WITHIN GROUP ({order})"
+            a = split_top_level(joined[: m.start()].strip().rstrip(","))
+            order = joined[m.start() :]
+            keys = split_top_level(
+                re.sub(r"^\s*ORDER\s+BY\s*", "", order, flags=re.I)
+            )
+            if len(keys) == 1:
+                return f"listagg({', '.join(a)}) WITHIN GROUP ({order})"
+            val = a[0]
+            sep = a[1] if len(a) > 1 else "','"
+            desc = any(re.search(r"\bDESC\b", k, re.I) for k in keys)
+            if desc:
+                raise ValueError(
+                    "string_agg: multi-key DESC ordering is not supported"
+                )
+            fields = []
+            for idx, kexpr in enumerate(keys):
+                kexpr = re.sub(
+                    r"\s+(ASC|DESC)\s*$", "", kexpr.strip(), flags=re.I
+                )
+                fields.append(f"{kexpr} AS __k{idx}")
+            return (
+                f"array_join(transform(array_sort(collect_list(struct("
+                f"{', '.join(fields)}, {val} AS __v))), s -> s.__v), {sep})"
+            )
         return f"listagg({', '.join(a)})"
+    if key == "list_reduce":
+        # DuckDB list_reduce seeds the fold with the FIRST element
+        return (
+            f"aggregate(slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0)), "
+            f"element_at({a[0]}, 1), {a[1]})"
+        )
     if key == "range":
         # DuckDB range() is END-EXCLUSIVE; Spark sequence() inclusive
         if len(a) == 1:
@@ -993,7 +1122,7 @@ _DUCK_FN_TEMPLATES = {
     "list_avg", "encode", "decode", "regexp_extract",
     "regexp_extract_all", "regexp_replace", "string_agg",
     "group_concat", "listagg", "list", "array_agg",
-    "sha256", "to_base", "trunc", "age", "even", "signbit",
+    "sha256", "to_base", "trunc", "age", "even", "signbit", "list_reduce",
 }
 
 # DuckDB type names (in CAST position etc.) Spark spells differently.
@@ -4238,6 +4367,7 @@ class DuckLakeSpark:
         stmt = self._rewrite_asof_text(stmt)
         stmt = self._rewrite_positional_text(stmt)
         stmt = rewrite_qualify(stmt)
+        stmt = rewrite_window_exclude(stmt)
         stmt = rewrite_using_sample(stmt)
         stmt = self._expand_columns_expr(stmt)
         if re.search(r"\binformation_schema\.columns\b", stmt, re.I):

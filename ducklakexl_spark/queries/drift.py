@@ -29,8 +29,10 @@ SPLIT = "2024-01-16"
     oracle=f"""
     WITH counts AS (
       SELECT least(CAST(floor(value / {BIN_W}) AS BIGINT), {N_BINS - 1}) AS bin,
-             sum(CASE WHEN ts < TIMESTAMP '{SPLIT}' THEN 1 ELSE 0 END) AS n_ref,
-             sum(CASE WHEN ts < TIMESTAMP '{SPLIT}' THEN 0 ELSE 1 END) AS n_cur
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{SPLIT}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{SPLIT}' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_cur
       FROM events GROUP BY 1
     ),
     grid AS (
@@ -39,9 +41,13 @@ SPLIT = "2024-01-16"
       LEFT JOIN counts c ON c.bin = g.bin
     ),
     probs AS (
+      -- explicit DOUBLE literals: Spark parses a bare 0.5 as DECIMAL,
+      -- and decimal division would change the output type (not values)
       SELECT bin, n_ref, n_cur,
-             (n_ref + 0.5) / (sum(n_ref) OVER () + {N_BINS / 2.0}) AS p_ref,
-             (n_cur + 0.5) / (sum(n_cur) OVER () + {N_BINS / 2.0}) AS p_cur
+             (n_ref + CAST(0.5 AS DOUBLE))
+               / (sum(n_ref) OVER () + CAST({N_BINS / 2.0} AS DOUBLE)) AS p_ref,
+             (n_cur + CAST(0.5 AS DOUBLE))
+               / (sum(n_cur) OVER () + CAST({N_BINS / 2.0} AS DOUBLE)) AS p_cur
       FROM grid
     )
     SELECT bin, n_ref, n_cur,

@@ -1156,3 +1156,50 @@ def lakehouse_scalar_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(lgamma(5.0), 6) AS lg
         """
     )
+
+
+@query(
+    "lakehouse_window_exclude",
+    pure=False,
+    oracle="""
+    SELECT o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             EXCLUDE CURRENT ROW), 2) AS sum_others,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             EXCLUDE CURRENT ROW) AS n_others,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             EXCLUDE CURRENT ROW), 6) AS avg_others
+    FROM orders WHERE o_custkey < 40
+    """,
+)
+def lakehouse_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB window-frame ``EXCLUDE CURRENT ROW`` through sql() TEXT —
+    Spark has no frame exclusion, so the rewriter subtracts the current
+    row's contribution algebraically (engine.rewrite_window_exclude):
+    sum/count/avg over the same frame minus the row's own null-aware
+    term.  DuckDB evaluates the native EXCLUDE on the oracle side."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        SELECT o_custkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                 EXCLUDE CURRENT ROW), 2) AS sum_others,
+               count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                 EXCLUDE CURRENT ROW) AS n_others,
+               round(avg(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                 EXCLUDE CURRENT ROW), 6) AS avg_others
+        FROM read_parquet('{sf_dir}/orders.parquet') WHERE o_custkey < 40
+        """
+    )

@@ -845,3 +845,57 @@ def sim_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+@query(
+    "sim_ivf_recall",
+    # both sides are deterministic rankings, so recall@5 is exact; the
+    # parenthesized WITH-queries nest the two existing oracles verbatim
+    oracle=None,  # assembled below after both parent oracles register
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the IVF index against the
+    brute-force exact top-5, per query — the metric that decides nprobe/k
+    tuning before an index ships.  Pure composition: both rankings are
+    already-registered operators; the join is (qid, neighbor)-keyed on
+    query-sized frames, so the evaluation costs two index runs plus a
+    metadata-sized join at any corpus scale."""
+    from ducklakexl_spark.queries import QUERIES
+
+    ivf = QUERIES["sim_ivf_topk"](spark, sf_dir).select("qid", "neighbor_id")
+    bf = QUERIES["sim_bruteforce_topk"](spark, sf_dir).select(
+        "qid", "neighbor_id"
+    )
+    hits = ivf.join(bf, ["qid", "neighbor_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return (
+        bf.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.round(
+                F.coalesce("n_matched", F.lit(0)) / F.col("k"), 6
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+from ducklakexl_spark.queries import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["sim_ivf_recall"] = f"""
+    WITH ivf AS (SELECT * FROM ({_ORACLES["sim_ivf_topk"]}) t),
+         bf  AS (SELECT * FROM ({_ORACLES["sim_bruteforce_topk"]}) t),
+         hits AS (
+           SELECT ivf.qid, count(*) AS n_matched
+           FROM ivf JOIN bf ON ivf.qid = bf.qid
+                           AND ivf.neighbor_id = bf.neighbor_id
+           GROUP BY ivf.qid
+         )
+    SELECT b.qid, coalesce(h.n_matched, 0) AS n_matched,
+           round(coalesce(h.n_matched, 0) / count(*), 6) AS recall_at_5
+    FROM bf b LEFT JOIN hits h ON h.qid = b.qid
+    GROUP BY b.qid, h.n_matched
+"""
