@@ -692,6 +692,37 @@ _WINDOW_EXCLUDE_RE = re.compile(
 )
 
 
+_GROUPS_FRAME_RE = re.compile(
+    r"\bGROUPS\s+(BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+CURRENT\s+ROW"
+    r"|BETWEEN\s+CURRENT\s+ROW\s+AND\s+UNBOUNDED\s+FOLLOWING"
+    r"|UNBOUNDED\s+PRECEDING)\b",
+    re.I,
+)
+
+
+def rewrite_groups_frame(stmt: str) -> str:
+    """DuckDB ``GROUPS`` frame mode, for the frames where it coincides
+    with RANGE: unbounded-to-current (RANGE includes the current row's
+    peer group by definition, which is exactly what GROUPS means there)
+    and the mirror current-to-unbounded.  Offset GROUPS frames (``2
+    PRECEDING``) count peer GROUPS, which RANGE cannot express without a
+    dense_rank pre-pass — those raise rather than silently mis-frame."""
+    out = _GROUPS_FRAME_RE.sub(lambda m: "RANGE " + m.group(1), stmt)
+    # residual GROUPS frames (offset form) — keyword sequence only, so a
+    # column literally named "groups" in a BETWEEN predicate can't trip it
+    if re.search(
+        r"\bGROUPS\s+(?:BETWEEN\s+)?(?:\d+|UNBOUNDED|CURRENT)\s+"
+        r"(?:PRECEDING|FOLLOWING|ROW)\b",
+        out,
+        re.I,
+    ):
+        raise ValueError(
+            "GROUPS frames with group offsets are not supported — "
+            "use RANGE over a dense_rank() ordering instead"
+        )
+    return out
+
+
 def rewrite_window_exclude(stmt: str) -> str:
     """DuckDB window-frame ``EXCLUDE CURRENT ROW`` → algebraic rewrite
     over Spark's EXCLUDE-less frames: the current row's contribution is
@@ -4368,6 +4399,7 @@ class DuckLakeSpark:
         stmt = self._rewrite_positional_text(stmt)
         stmt = rewrite_qualify(stmt)
         stmt = rewrite_window_exclude(stmt)
+        stmt = rewrite_groups_frame(stmt)
         stmt = rewrite_using_sample(stmt)
         stmt = self._expand_columns_expr(stmt)
         if re.search(r"\binformation_schema\.columns\b", stmt, re.I):

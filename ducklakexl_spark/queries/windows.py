@@ -672,3 +672,61 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.tumbling_counts(stream, window="1 day", watermark="1 hour"),
         "q_stream_late_drop",
     )
+
+
+@query(
+    "events_session_window_native",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN ``session_window`` in batch
+    mode (the same operator Structured Streaming uses for stateful
+    session aggregation) — the native twin of the lag/cumsum
+    ``sessionize_events`` formulation.
+
+    ``session_window(ts, gap)`` merges rows whose gaps are <= 30 min and
+    reports [start, last_event + gap) bounds; the oracle reconstructs the
+    identical segmentation with the lag/cumsum idiom (strict > breaks the
+    session, matching session_window's gap-inclusive merge).  One shuffle
+    on user_id; the window-merge runs inside the aggregation operator —
+    no self-join, no second exchange, and the SAME code path scales to
+    the streaming ingest via applyInPandasWithState-free native state.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
