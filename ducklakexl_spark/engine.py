@@ -692,6 +692,13 @@ _WINDOW_EXCLUDE_RE = re.compile(
 )
 
 
+def _inside_string_literal(stmt: str, pos: int) -> bool:
+    """Quote-parity check: an odd number of single quotes before ``pos``
+    means the position sits inside a '…' literal ('' escapes flip parity
+    twice, so they cancel)."""
+    return stmt.count("'", 0, pos) % 2 == 1
+
+
 _GROUPS_FRAME_RE = re.compile(
     r"\bGROUPS\s+(BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+CURRENT\s+ROW"
     r"|BETWEEN\s+CURRENT\s+ROW\s+AND\s+UNBOUNDED\s+FOLLOWING"
@@ -707,15 +714,21 @@ def rewrite_groups_frame(stmt: str) -> str:
     and the mirror current-to-unbounded.  Offset GROUPS frames (``2
     PRECEDING``) count peer GROUPS, which RANGE cannot express without a
     dense_rank pre-pass — those raise rather than silently mis-frame."""
-    out = _GROUPS_FRAME_RE.sub(lambda m: "RANGE " + m.group(1), stmt)
+    out = _GROUPS_FRAME_RE.sub(
+        lambda m: m.group(0)
+        if _inside_string_literal(stmt, m.start())
+        else "RANGE " + m.group(1),
+        stmt,
+    )
     # residual GROUPS frames (offset form) — keyword sequence only, so a
     # column literally named "groups" in a BETWEEN predicate can't trip it
-    if re.search(
+    rm = re.search(
         r"\bGROUPS\s+(?:BETWEEN\s+)?(?:\d+|UNBOUNDED|CURRENT)\s+"
         r"(?:PRECEDING|FOLLOWING|ROW)\b",
         out,
         re.I,
-    ):
+    )
+    if rm and not _inside_string_literal(out, rm.start()):
         raise ValueError(
             "GROUPS frames with group offsets are not supported — "
             "use RANGE over a dense_rank() ordering instead"
@@ -737,14 +750,17 @@ def rewrite_window_exclude(stmt: str) -> str:
     while True:
         target = None
         for m in re.finditer(r"\bOVER\s*\(", stmt, re.I):
+            if _inside_string_literal(stmt, m.start()):
+                continue
             close = _matching_bracket(stmt, m.end() - 1)
             spec = stmt[m.end() : close]
             em = _WINDOW_EXCLUDE_RE.search(spec)
-            if em:
+            if em and not _inside_string_literal(spec, em.start()):
                 target = (m, close, spec, em)
                 break
         if target is None:
-            if _WINDOW_EXCLUDE_RE.search(stmt):
+            wm = _WINDOW_EXCLUDE_RE.search(stmt)
+            if wm and not _inside_string_literal(stmt, wm.start()):
                 raise ValueError(
                     "EXCLUDE in a named WINDOW clause is not supported — "
                     "inline the OVER specification"

@@ -57,3 +57,35 @@ def test_engine_runs_oracle_sql_verbatim(compat, name):
     d2 = sorted(tuple(str(r[i]) for i in didx) for r in d)
     assert len(s2) == len(d2), f"{name}: {len(s2)} vs {len(d2)} rows"
     assert s2 == d2, f"{name}: value mismatch"
+
+
+def test_window_exclude_rewrite_literal_safe(compat):
+    lake, _ = compat
+    r = lake.sql("SELECT 'x OVER (y EXCLUDE CURRENT ROW' AS s").collect()
+    assert r[0]["s"] == "x OVER (y EXCLUDE CURRENT ROW"
+
+
+def test_window_exclude_empty_frame_is_null(compat):
+    lake, _ = compat
+    rows = lake.sql(
+        "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW EXCLUDE CURRENT ROW) AS s "
+        "FROM (VALUES (1),(2),(4)) t(x)"
+    ).collect()
+    assert sorted((r["x"], r["s"]) for r in rows) == [(1, None), (2, 1), (4, 2)]
+
+
+def test_groups_frame_rewrites_and_offsets_raise(compat):
+    lake, _ = compat
+    rows = lake.sql(
+        "SELECT x, sum(x) OVER (ORDER BY x GROUPS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS s FROM (VALUES (1),(1),(2)) t(x)"
+    ).collect()
+    assert sorted((r["x"], r["s"]) for r in rows) == [(1, 2), (1, 2), (2, 4)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="GROUPS frames"):
+        lake.sql(
+            "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING "
+            "AND CURRENT ROW) FROM (VALUES (1)) t(x)"
+        )
