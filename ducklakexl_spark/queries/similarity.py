@@ -193,13 +193,28 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     traversals.  The bucket histogram is one groupBy; ANN search then
     probes a handful of buckets instead of the corpus."""
     e = load(spark, sf_dir, "embeddings")
+    # one aliased column per plane dot + a CollapseProject barrier: an
+    # 8x64-term fused expression exceeds the JVM's JIT method budget and
+    # runs interpreted (~2x slower, measured in _ivf_scored) — split,
+    # each method JITs, and the bucket assembly is bit math over refs
+    lower = e.select(
+        "vec_id",
+        "label",
+        *[
+            F.expr(f"({dot_lit_sql('embedding', plane_weights_py(p))})").alias(
+                f"_d{p}"
+            )
+            for p in range(N_PLANES)
+        ],
+        F.monotonically_increasing_id().alias("_b"),
+    ).filter(F.col("_b") >= 0)
     bits = " + ".join(
-        f"(CASE WHEN {dot_lit_sql('embedding', plane_weights_py(p))} > 0D "
-        f"THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        f"(CASE WHEN _d{p} > 0D THEN CAST({2 ** p} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
         for p in range(N_PLANES)
     )
     return (
-        e.select("vec_id", "label", F.expr(bits).alias("bucket"))
+        lower.select("vec_id", "label", F.expr(bits).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
