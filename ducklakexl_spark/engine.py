@@ -439,6 +439,12 @@ _ON_CONFLICT_RE = re.compile(
     re.I | re.S,
 )
 
+_INSERT_OR_RE = re.compile(
+    r"^\s*INSERT\s+OR\s+(REPLACE|IGNORE)\s+INTO\s+([\w.\"]+)\s*"
+    r"(\([^)]*\))?\s*(VALUES\b.*|SELECT\b.*|FROM\b.*)$",
+    re.I | re.S,
+)
+
 _SERIES_TVF_RE = re.compile(
     r"(\bFROM\s+|\bJOIN\s+|,\s*)(generate_series|range)\s*\(\s*(-?\d+)\s*,"
     r"\s*(-?\d+)\s*(?:,\s*(-?\d+))?\s*\)"
@@ -2151,6 +2157,40 @@ class DuckLakeSpark:
                     "change_type"
                 )
                 return out.selectExpr(*projections)
+        m = _INSERT_OR_RE.match(stmt)
+        if m:
+            # DuckDB shorthand upserts keyed by the table's PRIMARY KEY:
+            # INSERT OR REPLACE = ON CONFLICT DO UPDATE every non-key
+            # column; INSERT OR IGNORE = ON CONFLICT DO NOTHING.  Pure
+            # text rewrite onto the ON CONFLICT machinery below.
+            mode, tname, col_list, source = m.groups()
+            name = _unqualify(tname)
+            tid = self.catalog.table_id(name)
+            pk_json = self.catalog.get_tag(tid, "primary_key")
+            if not pk_json:
+                raise ValueError(
+                    f"INSERT OR {mode.upper()}: table {name!r} has no "
+                    "PRIMARY KEY to detect conflicts on"
+                )
+            pks = json.loads(pk_json)
+            if mode.upper() == "IGNORE":
+                action = "NOTHING"
+            else:
+                non_pk = [
+                    f.name
+                    for f in self.table_schema(name).fields
+                    if f.name not in pks
+                ]
+                if not non_pk:
+                    action = "NOTHING"
+                else:
+                    action = "UPDATE SET " + ", ".join(
+                        f"{c} = excluded.{c}" for c in non_pk
+                    )
+            return self._execute(
+                f"INSERT INTO {tname} {col_list or ''} {source} "
+                f"ON CONFLICT ({', '.join(pks)}) DO {action}"
+            )
         m = _ON_CONFLICT_RE.match(stmt)
         if m:
             # DuckDB upsert: INSERT … ON CONFLICT (keys) DO NOTHING /
@@ -2431,16 +2471,21 @@ class DuckLakeSpark:
 
     def _parse_columns(
         self, body: str
-    ) -> tuple[list[tuple[str, str, bool, str | None]], list[str]]:
+    ) -> tuple[
+        list[tuple[str, str, bool, str | None]], list[str], list[str]
+    ]:
         """Column definitions → ((name, type, nulls_allowed, default_sql)
-        list, CHECK-expression list).  NOT NULL and DEFAULT land in the
-        catalog's ducklake_column row (the spec's nulls_allowed /
-        default_value fields); CHECK constraints — column-level and
-        table-level, optionally CONSTRAINT-named — are collected for
-        write-time enforcement; PRIMARY KEY/UNIQUE/FOREIGN KEY parse and
-        are ignored (DuckLake doesn't enforce them)."""
+        list, CHECK-expression list, primary-key column list).  NOT NULL
+        and DEFAULT land in the catalog's ducklake_column row (the spec's
+        nulls_allowed / default_value fields); CHECK constraints —
+        column-level and table-level, optionally CONSTRAINT-named — are
+        collected for write-time enforcement; PRIMARY KEY columns are
+        RECORDED (they key the INSERT OR REPLACE/IGNORE upsert sugar) but
+        not uniqueness-enforced (DuckLake doesn't enforce them);
+        UNIQUE/FOREIGN KEY parse and are ignored."""
         cols = []
         checks: list[str] = []
+        pks: list[str] = []
 
         def take_check(text: str) -> tuple[str, str | None]:
             """Remove the first CHECK (...) from text, returning
@@ -2465,10 +2510,18 @@ class DuckLakeSpark:
             )
             if tm:
                 # table-level constraint entry, not a column definition
-                if tm.group(1).upper() == "CHECK":
+                kind = re.sub(r"\s+", " ", tm.group(1).upper())
+                if kind == "CHECK":
                     _, expr = take_check(entry)
                     if expr:
                         checks.append(expr)
+                elif kind == "PRIMARY KEY":
+                    close = matching_paren(entry, tm.end() - 1)
+                    pks.extend(
+                        c.strip().strip('"')
+                        for c in entry[tm.end() : close].split(",")
+                        if c.strip()
+                    )
                 continue
             parts = entry.split(None, 1)
             if len(parts) != 2:
@@ -2479,6 +2532,8 @@ class DuckLakeSpark:
             if col_check:
                 checks.append(col_check)
             nulls_allowed = not re.search(r"\bNOT\s+NULL\b", rest, re.I)
+            if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
+                pks.append(cname)
             default = None
             if dm := re.search(
                 r"\bDEFAULT\s+(.+?)\s*(?:NOT\s+NULL|PRIMARY\s+KEY|UNIQUE|$)",
@@ -2493,19 +2548,21 @@ class DuckLakeSpark:
                 flags=re.I,
             )
             cols.append((cname, ctype.strip(), nulls_allowed, default))
-        return cols, checks
+        return cols, checks, pks
 
     def _create_table(
         self, name: str, body: str, if_not_exists: bool = False
     ) -> None:
         if if_not_exists and name in self.catalog.table_names():
             return None
-        cols, checks = self._parse_columns(body)
+        cols, checks, pks = self._parse_columns(body)
         tid = self.catalog.create_table(name, cols)
         if checks:
             # persisted as an MVCC table tag so constraints survive
             # engine restarts and version with the schema
             self.catalog.set_tag(tid, "checks", json.dumps(checks))
+        if pks:
+            self.catalog.set_tag(tid, "primary_key", json.dumps(pks))
         return None
 
     def _create_table_as(

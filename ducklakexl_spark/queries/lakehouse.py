@@ -1203,3 +1203,26 @@ def lakehouse_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM read_parquet('{sf_dir}/orders.parquet') WHERE o_custkey < 40
         """
     )
+
+
+@query(
+    "lakehouse_insert_or_replace",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'a', 10), (2, 'B', 21), (3, 'c', 30), (4, 'd', 40)
+    ) t(k, v, n)
+    """,
+)
+def lakehouse_insert_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's ``INSERT OR REPLACE / OR IGNORE`` shorthand upserts keyed
+    by the table's declared PRIMARY KEY — text-rewritten onto the ON
+    CONFLICT machinery, which commits as delete-file + append (never a
+    table rewrite).  The PK columns persist as an MVCC table tag at
+    CREATE TABLE, so the shorthand survives engine restarts."""
+    lake = _fresh_lake(spark)
+    lake.sql("CREATE TABLE kv (k INT PRIMARY KEY, v VARCHAR, n INT)")
+    lake.sql("INSERT INTO kv VALUES (1, 'a', 10), (2, 'b', 20)")
+    lake.sql("INSERT OR REPLACE INTO kv VALUES (2, 'B', 21), (3, 'c', 30)")
+    lake.sql("INSERT OR IGNORE INTO kv VALUES (3, 'X', 99), (4, 'd', 40)")
+    return lake.sql("SELECT * FROM kv")

@@ -1627,3 +1627,19 @@ def test_delete_using(lake):
         "DELETE FROM dt AS t USING (SELECT 1 AS kid) s WHERE t.id = s.kid;"
     )
     assert rows(lake.sql("SELECT * FROM dt;")) == [(3, "c")]
+
+
+def test_insert_or_replace_composite_pk(lake):
+    lake.sql("CREATE TABLE c2 (a INT, b INT, v INT, PRIMARY KEY (a, b))")
+    lake.sql("INSERT INTO c2 VALUES (1, 1, 5)")
+    lake.sql("INSERT OR REPLACE INTO c2 VALUES (1, 1, 6), (1, 2, 7)")
+    rows = sorted(tuple(r) for r in lake.sql("SELECT * FROM c2").collect())
+    assert rows == [(1, 1, 6), (1, 2, 7)]
+
+
+def test_insert_or_replace_requires_pk(lake):
+    import pytest as _pt
+
+    lake.sql("CREATE TABLE np (x INT)")
+    with _pt.raises(ValueError, match="PRIMARY KEY"):
+        lake.sql("INSERT OR REPLACE INTO np VALUES (1)")
