@@ -112,11 +112,12 @@ def jaccard_sim(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def _jaro(a: str, b: str) -> float:
     la, lb = len(a), len(b)
-    if la == 0 and lb == 0:
-        return 1.0
     if la == 0 or lb == 0:
+        # DuckDB's jaro_similarity returns 0 even for two empties
         return 0.0
-    window = max(la, lb) // 2 - 1
+    # the match window floor is 0: for 1-2 char strings the textbook
+    # max//2 - 1 goes negative and same-position matches would be missed
+    window = max(max(la, lb) // 2 - 1, 0)
     ma = [False] * la
     mb = [False] * lb
     matches = 0

@@ -190,3 +190,35 @@ def test_bracket_rewrite_total_on_bracketless(s):
     except ValueError:
         return  # unbalanced quotes/parens may legitimately raise
     assert out == s
+
+
+# ---------------------------------------------------------- fuzzy strings
+# pure-python kernels behind the registered pandas UDFs
+
+from ducklakexl_spark.functions import _dl_distance, _jaro  # noqa: E402
+
+_word = st.text(alphabet=string.ascii_lowercase, max_size=12)
+
+
+@given(_word, _word)
+def test_damerau_symmetric_and_bounded(a, b):
+    d = _dl_distance(a, b)
+    assert d == _dl_distance(b, a)
+    assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
+    assert (d == 0) == (a == b)
+
+
+@given(_word)
+def test_damerau_transposition_costs_one(s):
+    if len(s) >= 2 and s[0] != s[1]:
+        swapped = s[1] + s[0] + s[2:]
+        assert _dl_distance(s, swapped) == 1
+
+
+@given(_word, _word)
+def test_jaro_range_and_identity(a, b):
+    j = _jaro(a, b)
+    assert 0.0 <= j <= 1.0
+    # DuckDB convention: empty strings score 0 even against themselves
+    assert _jaro(a, a) == (1.0 if a else 0.0)
+    assert j == _jaro(b, a)
