@@ -865,6 +865,7 @@ _DUCK_FN_RENAME = {
     "array_to_string": "array_join",
     "list_min": "array_min",
     "list_max": "array_max",
+    "list_zip": "arrays_zip",  # Spark names struct fields 0/1, not list_N
     "len": "size",  # DuckDB len() is list length; strings use length()
     "array_length": "size",
     "generate_series": "sequence",  # scalar position (FROM handled earlier)
@@ -1080,6 +1081,71 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"aggregate(slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0)), "
             f"element_at({a[0]}, 1), {a[1]})"
         )
+    if key == "struct_extract":
+        field = _literal_str(a[1])
+        if field is None:
+            raise ValueError("struct_extract: field must be a string literal")
+        return f"({a[0]}).{field}"
+    if key == "list_any_value":
+        return f"element_at(filter({a[0]}, x -> x IS NOT NULL), 1)"
+    if key == "product":
+        # multiset product as an array fold (commutative, so collect
+        # order doesn't matter); NULLs ignored like every aggregate
+        return (
+            f"aggregate(filter(collect_list(CAST({a[0]} AS DOUBLE)), "
+            f"x -> x IS NOT NULL), CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"
+        )
+    if key == "entropy":
+        # Shannon entropy (base 2) of the value multiset:
+        # log2(n) - sum(c*log2(c))/n over per-distinct-value counts c
+        lst = f"collect_list(CAST({a[0]} AS STRING))"
+        counts = (
+            f"transform(array_distinct({lst}), "
+            f"v -> CAST(size(filter({lst}, y -> y = v)) AS DOUBLE))"
+        )
+        return (
+            f"(log2(size({lst})) - aggregate({counts}, 0D, "
+            f"(acc, c) -> acc + c * log2(c)) / size({lst}))"
+        )
+    if key == "quantile_disc" and len(a) == 2:
+        return f"percentile_disc({a[1]}) WITHIN GROUP (ORDER BY {a[0]})"
+    if key == "mad":
+        # median absolute deviation via one collected sorted array; the
+        # inner median expression repeats (no SQL lets), Catalyst CSE
+        # collapses the duplicate aggregates
+        lst = f"array_sort(collect_list(CAST({a[0]} AS DOUBLE)))"
+        med = (
+            f"((element_at({lst}, CAST((size({lst}) + 1) / 2 AS INT)) + "
+            f"element_at({lst}, CAST(size({lst}) / 2 + 1 AS INT))) / 2.0)"
+        )
+        dev = f"array_sort(transform({lst}, v -> abs(v - {med})))"
+        return (
+            f"((element_at({dev}, CAST((size({dev}) + 1) / 2 AS INT)) + "
+            f"element_at({dev}, CAST(size({dev}) / 2 + 1 AS INT))) / 2.0)"
+        )
+    if key in ("first", "last"):
+        # DuckDB's ordered first/last aggregate: first(x ORDER BY k) —
+        # collect (key, value) structs, sort, take an end.  Orderless
+        # forms pass through to Spark's own first/last.
+        joined = ", ".join(a)
+        m = re.search(r"\bORDER\s+BY\b", joined, re.I)
+        if not m:
+            return f"{key}({joined})"
+        val = joined[: m.start()].strip().rstrip(",").strip()
+        keys = split_top_level(joined[m.end() :])
+        desc = any(re.search(r"\bDESC\b", k, re.I) for k in keys)
+        if desc and len(keys) > 1:
+            raise ValueError(f"{key}: multi-key DESC ordering unsupported")
+        fields = []
+        for idx, kexpr in enumerate(keys):
+            kexpr = re.sub(r"\s+(ASC|DESC)\s*$", "", kexpr.strip(), flags=re.I)
+            fields.append(f"{kexpr} AS __k{idx}")
+        arr = (
+            f"transform(array_sort(collect_list(struct("
+            f"{', '.join(fields)}, {val} AS __v))), s -> s.__v)"
+        )
+        pick_last = (key == "last") != desc
+        return f"element_at({arr}, {-1 if pick_last else 1})"
     if key == "range":
         # DuckDB range() is END-EXCLUSIVE; Spark sequence() inclusive
         if len(a) == 1:
@@ -1176,6 +1242,8 @@ _DUCK_FN_TEMPLATES = {
     "regexp_extract_all", "regexp_replace", "string_agg",
     "group_concat", "listagg", "list", "array_agg",
     "sha256", "to_base", "trunc", "age", "even", "signbit", "list_reduce",
+    "struct_extract", "list_any_value", "product", "entropy",
+    "quantile_disc", "mad", "first", "last",
 }
 
 # DuckDB type names (in CAST position etc.) Spark spells differently.
@@ -1384,10 +1452,19 @@ def rewrite_bracket_syntax(stmt: str) -> str:
                 expr = "".join(out[mark:])
                 del out[mark:]
                 cpos = _top_level_colon(inner)
+                # a string-literal primary subscripts CHARACTERS (DuckDB
+                # 'abc'[2] / 'abcdef'[2:4]) — element_at/slice are
+                # array-only in Spark, so literals go through substr
+                is_str = expr.startswith("'") and expr.endswith("'")
                 if cpos >= 0:
                     lo = inner[:cpos].strip() or "1"
-                    hi = inner[cpos + 1 :].strip() or f"size({expr})"
-                    new = f"slice({expr}, {lo}, ({hi}) - ({lo}) + 1)"
+                    hi = inner[cpos + 1 :].strip() or (
+                        f"length({expr})" if is_str else f"size({expr})"
+                    )
+                    fn = "substr" if is_str else "slice"
+                    new = f"{fn}({expr}, {lo}, ({hi}) - ({lo}) + 1)"
+                elif is_str:
+                    new = f"substr({expr}, {inner}, 1)"
                 else:
                     new = f"element_at({expr}, {inner})"
                 mark = len(out)
@@ -1404,6 +1481,12 @@ def rewrite_bracket_syntax(stmt: str) -> str:
             close = _matching_bracket(stmt, i)
             inner = rewrite_bracket_syntax(stmt[i + 1 : close])
             pairs = _split_bracket_args(inner)
+            # MAP {'k': v, …} → map('k', v, …); bare {…} → named_struct
+            as_map = (
+                prev == "w"
+                and mark is not None
+                and "".join(out[mark:]).strip().upper() == "MAP"
+            )
             fields: list[str] = []
             ok = bool(pairs)
             for p in pairs:
@@ -1413,10 +1496,18 @@ def rewrite_bracket_syntax(stmt: str) -> str:
                     break
                 key = p[:cpos].strip()
                 val = p[cpos + 1 :].strip()
+                if as_map:
+                    fields.append(f"{key}, {val}")
+                    continue
                 kl = _literal_str(key)
                 key = kl if kl is not None else key.strip('"')
                 fields.append(f"{_sql_str(key)}, {val}")
-            if ok:
+            if ok and as_map:
+                del out[mark:]
+                mark = len(out)
+                out.append(f"map({', '.join(fields)})")
+                prev = ")"
+            elif ok:
                 mark = len(out)
                 out.append(f"named_struct({', '.join(fields)})")
                 prev = ")"
@@ -1439,6 +1530,56 @@ def rewrite_bracket_syntax(stmt: str) -> str:
         prev = ch
         i += 1
     return "".join(out)
+
+
+_EQ_ANY_RE = re.compile(r"=\s*(?:ANY|SOME)\s*\(", re.I)
+_NE_ALL_RE = re.compile(r"(?:!=|<>)\s*ALL\s*\(", re.I)
+_FACTORIAL_RE = re.compile(r"\b(\d+)\s*!(?![=~])")
+
+
+def rewrite_quantified_and_factorial(stmt: str) -> str:
+    """Quantified comparisons Spark lacks, rewritten to their IN
+    equivalents: ``x = ANY (sub)`` → ``x IN (sub)``, ``x <> ALL (sub)`` →
+    ``x NOT IN (sub)`` (other operators with ANY/ALL raise).  Also the
+    postfix factorial on integer literals (``5!`` → ``factorial(5)``;
+    ``!=`` and ``!~`` guarded).  Quote-parity-aware."""
+    def sub_guarded(rx, repl, s):
+        return rx.sub(
+            lambda m: m.group(0)
+            if _inside_string_literal(s, m.start())
+            else repl(m),
+            s,
+        )
+
+    stmt = sub_guarded(_EQ_ANY_RE, lambda m: "IN (", stmt)
+    stmt = sub_guarded(_NE_ALL_RE, lambda m: "NOT IN (", stmt)
+    leftover = re.search(
+        r"[<>=!]+\s*(?:ANY|SOME|ALL)\s*\(", stmt, re.I
+    )
+    if leftover and not _inside_string_literal(stmt, leftover.start()):
+        raise ValueError(
+            "only = ANY and <> ALL quantified comparisons are supported"
+        )
+    return sub_guarded(
+        _FACTORIAL_RE, lambda m: f"factorial({m.group(1)})", stmt
+    )
+
+
+_FROM_FIRST_RE = re.compile(r"^\s*FROM\b", re.I)
+
+
+def rewrite_from_first(stmt: str) -> str:
+    """DuckDB's FROM-first syntax: ``FROM rel SELECT cols …`` →
+    ``SELECT cols … FROM rel``.  Bare ``FROM rel`` (no SELECT) becomes
+    ``SELECT * FROM rel``.  Outermost statement only."""
+    if not _FROM_FIRST_RE.match(stmt):
+        return stmt
+    sel = find_top_level_keyword(stmt, "SELECT")
+    if sel < 0:
+        return "SELECT * " + stmt.strip()
+    head = stmt[: sel].strip()  # "FROM rel ..."
+    tail = stmt[sel:].strip()   # "SELECT cols ..."
+    return f"{tail} {head}"
 
 
 _IGNORE_NULLS_RE = re.compile(r"\s+((?:IGNORE|RESPECT)\s+NULLS)\s*\)", re.I)
@@ -4437,9 +4578,9 @@ class DuckLakeSpark:
         stmt = self._expand_macros(stmt)
         if _WITH_RECURSIVE_RE.match(stmt):
             return self._exec_recursive_cte(stmt)
-        if re.match(r"^\s*FROM\b", stmt, re.I):
-            # DuckDB's leading-FROM sugar: FROM t [WHERE …] == SELECT * …
-            stmt = "SELECT * " + stmt.strip()
+        # DuckDB's leading-FROM sugar: bare `FROM t [WHERE …]` == SELECT *,
+        # and `FROM t SELECT cols …` reorders to SELECT-first
+        stmt = rewrite_from_first(stmt)
         # read_* TVFs first: their ['p1','p2'] path-list syntax must be
         # consumed before the bracket rewrite turns it into array(…)
         stmt = self._read_file_views(stmt)
@@ -4452,6 +4593,7 @@ class DuckLakeSpark:
         stmt = rewrite_ignore_nulls(stmt)
         stmt = rewrite_similar_to(stmt)
         stmt = rewrite_floor_div(stmt)
+        stmt = rewrite_quantified_and_factorial(stmt)
         stmt = re.sub(
             r"\bversion\s*\(\s*\)", f"'spark-{self.spark.version}'", stmt,
             flags=re.I,

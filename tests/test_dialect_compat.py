@@ -89,3 +89,31 @@ def test_groups_frame_rewrites_and_offsets_raise(compat):
             "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING "
             "AND CURRENT ROW) FROM (VALUES (1)) t(x)"
         )
+
+
+def test_second_dialect_batch(compat):
+    """Round-4 batch-2 dialect coverage: postfix factorial, string
+    subscripts, struct_extract, FROM-first with SELECT, quantified = ANY
+    / <> ALL, ordered first/last aggregates, product/entropy/mad/
+    quantile_disc, MAP literals."""
+    lake, duck = compat
+    cases = [
+        "SELECT 5! AS f",
+        "SELECT 'abc'[2] AS c",
+        "SELECT 'abcdef'[2:4] AS s",
+        "SELECT struct_extract({'a': 1}, 'a') AS v",
+        "FROM (VALUES (1)) t(x) SELECT x",
+        "SELECT x FROM (VALUES (1),(2)) t(x) WHERE x = ANY (SELECT 1)",
+        "SELECT x FROM (VALUES (1),(2)) t(x) WHERE x <> ALL (SELECT 1)",
+        "SELECT list_any_value([NULL, 3]) AS v",
+        "SELECT last(x ORDER BY x) AS l FROM (VALUES (3),(1)) t(x)",
+        "SELECT first(x ORDER BY x DESC) AS f FROM (VALUES (3),(1)) t(x)",
+        "SELECT product(x) AS p FROM (VALUES (2),(3),(4)) t(x)",
+        "SELECT round(entropy(x), 6) AS e FROM (VALUES (1),(1),(2)) t(x)",
+        "SELECT quantile_disc(x, 0.5) AS q FROM (VALUES (1),(2),(3),(4)) t(x)",
+        "SELECT mad(x) AS m FROM (VALUES (1.0),(2.0),(9.0)) t(x)",
+    ]
+    for q in cases:
+        s = sorted(tuple(r) for r in lake.sql(q).collect())
+        d = sorted(tuple(r) for r in duck.sql(q).fetchall())
+        assert s == d, f"{q}: spark={s} duck={d}"
