@@ -167,7 +167,8 @@ _CREATE_RE = re.compile(
     re.I | re.S,
 )
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.\"]+)\s+AS\s+(SELECT\b.*|WITH\b.*)$",
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.\"]+)\s+AS\s+"
+    r"(SELECT\b.*|WITH\b.*|FROM\b.*|VALUES\b.*)$",
     re.I | re.S,
 )
 _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", re.I)
@@ -1884,6 +1885,15 @@ class DuckLakeSpark:
     )
 
     def _execute(self, stmt: str) -> DataFrame | None:
+        # TEMP tables: session-lifetime semantics approximated by regular
+        # lake tables (the catalog store is per-engine-instance anyway in
+        # tests; a production deployment would tag + GC them on close)
+        stmt = re.sub(
+            r"^(\s*CREATE\s+)(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+TABLE\b",
+            r"\1TABLE",
+            stmt,
+            flags=re.I,
+        )
         m = self._PREPARE_RE.match(stmt)
         if m:
             # DuckDB prepared statements: store the template; EXECUTE
@@ -2033,6 +2043,22 @@ class DuckLakeSpark:
             if pragma == "version":
                 return self.spark.createDataFrame(
                     [(self.spark.version,)], "library_version string"
+                )
+            if pragma == "database_size":
+                total = 0
+                n_files = 0
+                for root, _dirs, files in os.walk(self.data_path):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            n_files += 1
+                            try:
+                                total += os.path.getsize(os.path.join(root, f))
+                            except OSError:
+                                pass
+                return self.spark.createDataFrame(
+                    [(self.name, f"{total} bytes", n_files, total)],
+                    "database_name string, database_size string, "
+                    "data_files bigint, total_bytes bigint",
                 )
             raise ValueError(f"unsupported PRAGMA: {pragma}")
         if re.match(r"^\s*(FORCE\s+)?CHECKPOINT\s*$", stmt, re.I):
@@ -2709,6 +2735,10 @@ class DuckLakeSpark:
     def _create_table_as(
         self, name: str, select_sql: str, replace: bool = False
     ) -> None:
+        # DuckDB allows `AS FROM …` and `AS VALUES …` bodies
+        select_sql = rewrite_from_first(select_sql)
+        if re.match(r"^\s*VALUES\b", select_sql, re.I):
+            select_sql = f"SELECT * FROM ({select_sql})"
         df = self._select(select_sql)
         if replace and name in self.catalog.table_names():
             # materialize BEFORE the drop: the select may read the very
@@ -4046,6 +4076,49 @@ class DuckLakeSpark:
             )
         return self.spark.read.json(paths)
 
+    def _rewrite_misc_tvfs(self, stmt: str) -> str:
+        """DuckDB introspection/utility TVFs in FROM position:
+        ``glob('pattern')`` (file listing, one ``file`` column),
+        ``duckdb_tables()`` (catalog inventory), ``pragma_version()``."""
+        m = re.search(r"\bglob\s*\(\s*'([^']+)'\s*\)", stmt, re.I)
+        if m:
+            import glob as _glob
+
+            files = sorted(_glob.glob(m.group(1)))
+            df = self.spark.createDataFrame(
+                [(f,) for f in files] or [(None,)], "file string"
+            )
+            if not files:
+                df = df.filter("file IS NOT NULL")
+            df.createOrReplaceTempView("__glob_files")
+            stmt = stmt[: m.start()] + " __glob_files " + stmt[m.end() :]
+        if re.search(r"\bduckdb_tables\s*\(\s*\)", stmt, re.I):
+            rows = [
+                (self.current_db or "memory", "main", t)
+                for t in sorted(self.catalog.table_names())
+            ]
+            df = self.spark.createDataFrame(
+                rows or [(None, None, None)],
+                "database_name string, schema_name string, table_name string",
+            )
+            if not rows:
+                df = df.filter("table_name IS NOT NULL")
+            df.createOrReplaceTempView("__duckdb_tables")
+            stmt = re.sub(
+                r"\bduckdb_tables\s*\(\s*\)", " __duckdb_tables ", stmt,
+                flags=re.I,
+            )
+        if re.search(r"\bpragma_version\s*\(\s*\)", stmt, re.I):
+            self.spark.createDataFrame(
+                [(f"spark-{self.spark.version}", "")],
+                "library_version string, source_id string",
+            ).createOrReplaceTempView("__pragma_version")
+            stmt = re.sub(
+                r"\bpragma_version\s*\(\s*\)", " __pragma_version ", stmt,
+                flags=re.I,
+            )
+        return stmt
+
     def _read_file_views(self, stmt: str) -> str:
         """Rewrite ``read_parquet('p')`` / ``read_csv('p')`` /
         ``read_json('p')`` table functions (SURVEY §2.C "scans/sources")
@@ -4053,6 +4126,20 @@ class DuckLakeSpark:
         and column pruning then apply exactly as for lake tables.  The
         argument may be one quoted path (glob patterns allowed) or a
         DuckDB-style list ``['a.parquet', 'b.parquet']``."""
+
+        # DuckDB's bare-path convenience: FROM 'x.parquet' (or .csv /
+        # .json / .ndjson / .jsonl) is a table — normalize to the read_*
+        # TVF form the substitution below consumes
+        stmt = re.sub(
+            r"\b(FROM|JOIN)\s+'([^']+?\.(parquet|csv|json|ndjson|jsonl))'",
+            lambda m: f"{m.group(1)} read_"
+            + {"jsonl": "json", "ndjson": "json"}.get(
+                m.group(3).lower(), m.group(3).lower()
+            )
+            + f"('{m.group(2)}')",
+            stmt,
+            flags=re.I,
+        )
 
         def _sub(m: re.Match) -> str:
             import hashlib
@@ -4584,6 +4671,7 @@ class DuckLakeSpark:
         # read_* TVFs first: their ['p1','p2'] path-list syntax must be
         # consumed before the bracket rewrite turns it into array(…)
         stmt = self._read_file_views(stmt)
+        stmt = self._rewrite_misc_tvfs(stmt)
         stmt = rewrite_bracket_syntax(stmt)
         # FROM-position series TVFs must resolve before the dialect pass
         # renames scalar generate_series/range to sequence()

@@ -117,3 +117,28 @@ def test_second_dialect_batch(compat):
         s = sorted(tuple(r) for r in lake.sql(q).collect())
         d = sorted(tuple(r) for r in duck.sql(q).fetchall())
         assert s == d, f"{q}: spark={s} duck={d}"
+
+
+def test_statement_conveniences(compat, tmp_path):
+    """Bare-path FROM, AS FROM / AS VALUES CTAS, TEMP tables, PRAGMA
+    database_size, glob()/duckdb_tables()/pragma_version() TVFs."""
+    lake, _ = compat
+    sf = SF
+    assert lake.sql(f"SELECT count(*) AS n FROM '{sf}/region.parquet'")\
+        .collect()[0]["n"] == 5
+    lake.sql(f"CREATE TABLE conv_r AS FROM '{sf}/region.parquet'")
+    assert lake.sql("SELECT count(*) AS n FROM conv_r").collect()[0]["n"] == 5
+    lake.sql("CREATE TEMP TABLE conv_t AS SELECT 1 AS x")
+    assert lake.sql("SELECT * FROM conv_t").collect()[0]["x"] == 1
+    lake.sql("CREATE TABLE conv_v AS VALUES (1, 'a'), (2, 'b')")
+    assert lake.sql("SELECT count(*) AS n FROM conv_v").collect()[0]["n"] == 2
+    assert lake.sql("PRAGMA database_size").collect()[0]["total_bytes"] >= 0
+    names = {
+        r["table_name"]
+        for r in lake.sql("SELECT * FROM duckdb_tables()").collect()
+    }
+    assert {"conv_r", "conv_t", "conv_v"} <= names
+    n_glob = lake.sql(
+        f"SELECT count(*) AS n FROM glob('{sf}/*.parquet')"
+    ).collect()[0]["n"]
+    assert n_glob == 10
