@@ -85,6 +85,45 @@ def main() -> None:
         name: round(min(p[name] for p in passes), 4) for name in passes[0]
     }
 
+    # Write-path timings: the "commits scale with the change, not the
+    # table" claim, measured.  A 600k-row table is loaded once; then a
+    # 1-row MERGE, a narrow DELETE, and a 1-row INSERT each time the
+    # delete-file + append commit shape (never a table rewrite).
+    import shutil
+    import tempfile
+
+    from ducklakexl_spark.engine import DuckLakeSpark
+
+    wtmp = tempfile.mkdtemp(prefix="bench_writes_")
+    lake = DuckLakeSpark(
+        spark=spark, data_path=f"{wtmp}/d", local_catalog=f"{wtmp}/c"
+    )
+    writes: dict[str, float] = {}
+
+    def timed(name: str, sql: str) -> None:
+        t0 = time.perf_counter()
+        lake.sql(sql)
+        writes[name] = round(time.perf_counter() - t0, 4)
+
+    timed(
+        "ctas_600k",
+        f"CREATE TABLE li AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')",
+    )
+    timed(
+        "merge_1row",
+        "MERGE INTO li USING (SELECT 1 AS k) s ON li.l_orderkey = s.k "
+        "AND li.l_linenumber = 1 "
+        "WHEN MATCHED THEN UPDATE SET l_quantity = 99",
+    )
+    timed("delete_narrow", "DELETE FROM li WHERE l_orderkey = 7")
+    timed(
+        "insert_1row",
+        "INSERT INTO li SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet') LIMIT 1",
+    )
+    shutil.rmtree(wtmp, ignore_errors=True)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -95,6 +134,7 @@ def main() -> None:
                 "queries": warm,
                 "cold_total_sec": round(sum(cold.values()), 4),
                 "cold_queries": cold,
+                "write_ops": writes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
