@@ -125,12 +125,12 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: `first_seen` is a user-level min-aggregate (one shuffle
     on user_id, map-side partial); `active` is a distinct over
-    (user_id, week) — same shuffle key, so the join back is co-partitioned
-    and AQE reuses the exchange.  Nothing event-sized crosses a shuffle
-    twice, and the output is (weeks × offsets)-sized — metadata next to
-    the corpus.  Both engines truncate weeks to Monday and the diff is an
-    exact multiple of 7 days (both sides are week-truncated), so the
-    integer division is exact.
+    (user_id, week).  Both sides land hash-partitioned on user_id, so
+    the join back needs no third event-sized exchange — nothing
+    event-sized crosses a shuffle twice, and the output is
+    (weeks × offsets)-sized — metadata next to the corpus.  Both engines
+    truncate weeks to Monday and the diff is an exact multiple of 7 days
+    (both sides are week-truncated), so the integer division is exact.
     """
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
     first_seen = ev.groupBy("user_id").agg(

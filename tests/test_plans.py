@@ -275,3 +275,11 @@ def test_mad_joins_broadcast_median(spark):
     plan = executed_plan(spark, "robust_stats_mad")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_reuses_exchanges(spark):
+    """The banded self-join reads the signature frame twice; AQE must
+    REUSE the signature exchange rather than recompute the shingle scan
+    per side."""
+    plan = executed_plan(spark, "dedup_minhash_lsh")
+    assert "ReusedExchange" in plan
