@@ -3760,6 +3760,47 @@ class DuckLakeSpark:
         sdf.createOrReplaceTempView("__merge_s")
         s_cols = sdf.columns
 
+        # Dynamic file pruning for the MATCH branch: for every
+        # `target.col = source.col` equi-term in ON, compute the source
+        # keys' [min, max] (one tiny agg job) and pre-filter the target
+        # scan with BETWEEN — parquet min/max pushdown then skips every
+        # file outside the touched key range, so a 1-row MERGE on a
+        # key-clustered 100 TB table reads one file, not the table.  The
+        # NOT MATCHED BY SOURCE branch keeps the UNPRUNED frame (pruning
+        # there would misclassify skipped rows as source-unmatched).
+        eq_pairs = []
+        for tm_, sm_ in re.findall(
+            rf"\b{re.escape(t_alias)}\.(\w+)\s*=\s*{re.escape(s_alias)}\.(\w+)",
+            cond,
+        ) + [
+            (t2, s2)
+            for s2, t2 in re.findall(
+                rf"\b{re.escape(s_alias)}\.(\w+)\s*=\s*"
+                rf"{re.escape(t_alias)}\.(\w+)",
+                cond,
+            )
+        ]:
+            if tm_ in cols and sm_ in s_cols:
+                eq_pairs.append((tm_, sm_))
+        matched_view = "__merge_t"
+        if eq_pairs and matched_cl:
+            bounds = sdf.agg(
+                *[
+                    f(sm_).alias(f"{tag}_{i}")
+                    for i, (_t, sm_) in enumerate(eq_pairs)
+                    for tag, f in (("lo", F.min), ("hi", F.max))
+                ]
+            ).collect()[0]
+            pruned = tdf
+            for i, (tm_, _s) in enumerate(eq_pairs):
+                lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+                if lo is None or hi is None:
+                    pruned = pruned.filter(F.lit(False))  # empty source
+                    break
+                pruned = pruned.filter(F.col(tm_).between(F.lit(lo), F.lit(hi)))
+            pruned.createOrReplaceTempView("__merge_t_pruned")
+            matched_view = "__merge_t_pruned"
+
         new_parts: list[DataFrame] = []
         del_pos = None
         if matched_cl:
@@ -3779,7 +3820,7 @@ class DuckLakeSpark:
                         proj.append(f"({expr}) AS __u{i}_{c}")
             matched = self.spark.sql(
                 f"SELECT {', '.join(proj)}, CASE {' '.join(arms)} ELSE -1 END"
-                f" AS __clause FROM __merge_t {t_alias}"
+                f" AS __clause FROM {matched_view} {t_alias}"
                 f" JOIN __merge_s {s_alias} ON {cond}"
             )
             touched = matched.filter(F.col("__clause") >= 0)

