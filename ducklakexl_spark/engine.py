@@ -3561,7 +3561,15 @@ class DuckLakeSpark:
             if source.startswith("(")
             else self._select(f"SELECT * FROM {_unqualify(source)}")
         )
-        live.createOrReplaceTempView("__del_t")
+        # join-DELETE only touches matching rows, so the target scan
+        # prunes to the source key range (same move as MERGE's MATCH)
+        pruned = self._prune_by_source_bounds(
+            live, sdf, cond, t_alias, s_alias,
+            [f.name for f in self.table_schema(name).fields], sdf.columns,
+        )
+        (pruned if pruned is not None else live).createOrReplaceTempView(
+            "__del_t"
+        )
         sdf.createOrReplaceTempView("__del_s")
         hit_pos = self.spark.sql(
             f"SELECT {t_alias}.__file AS file_path, {t_alias}.__pos AS pos"
@@ -3703,6 +3711,49 @@ class DuckLakeSpark:
 
     # ----------------------------------------------------------------- MERGE
 
+    def _prune_by_source_bounds(
+        self, tdf, sdf, cond: str, t_alias: str, s_alias: str,
+        t_cols, s_cols,
+    ):
+        """Dynamic file pruning for join-mutations: for every
+        ``target.col = source.col`` equi-term in the join condition,
+        compute the source keys' [min, max] (one tiny agg job) and
+        pre-filter the target scan with BETWEEN — parquet min/max
+        pushdown then skips every file outside the touched key range, so
+        a 1-row MERGE/join-DELETE on a key-clustered 100 TB table reads
+        one file, not the table.  Returns the pruned frame, or None when
+        the condition carries no safely-extractable equi-term."""
+        eq_pairs = []
+        for tm_, sm_ in re.findall(
+            rf"\b{re.escape(t_alias)}\.(\w+)\s*=\s*{re.escape(s_alias)}\.(\w+)",
+            cond,
+        ) + [
+            (t2, s2)
+            for s2, t2 in re.findall(
+                rf"\b{re.escape(s_alias)}\.(\w+)\s*=\s*"
+                rf"{re.escape(t_alias)}\.(\w+)",
+                cond,
+            )
+        ]:
+            if tm_ in t_cols and sm_ in s_cols:
+                eq_pairs.append((tm_, sm_))
+        if not eq_pairs:
+            return None
+        bounds = sdf.agg(
+            *[
+                f(sm_).alias(f"{tag}_{i}")
+                for i, (_t, sm_) in enumerate(eq_pairs)
+                for tag, f in (("lo", F.min), ("hi", F.max))
+            ]
+        ).collect()[0]
+        pruned = tdf
+        for i, (tm_, _s) in enumerate(eq_pairs):
+            lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+            if lo is None or hi is None:
+                return pruned.filter(F.lit(False))  # empty source
+            pruned = pruned.filter(F.col(tm_).between(F.lit(lo), F.lit(hi)))
+        return pruned
+
     def _merge(
         self,
         target: str,
@@ -3760,46 +3811,18 @@ class DuckLakeSpark:
         sdf.createOrReplaceTempView("__merge_s")
         s_cols = sdf.columns
 
-        # Dynamic file pruning for the MATCH branch: for every
-        # `target.col = source.col` equi-term in ON, compute the source
-        # keys' [min, max] (one tiny agg job) and pre-filter the target
-        # scan with BETWEEN — parquet min/max pushdown then skips every
-        # file outside the touched key range, so a 1-row MERGE on a
-        # key-clustered 100 TB table reads one file, not the table.  The
-        # NOT MATCHED BY SOURCE branch keeps the UNPRUNED frame (pruning
-        # there would misclassify skipped rows as source-unmatched).
-        eq_pairs = []
-        for tm_, sm_ in re.findall(
-            rf"\b{re.escape(t_alias)}\.(\w+)\s*=\s*{re.escape(s_alias)}\.(\w+)",
-            cond,
-        ) + [
-            (t2, s2)
-            for s2, t2 in re.findall(
-                rf"\b{re.escape(s_alias)}\.(\w+)\s*=\s*"
-                rf"{re.escape(t_alias)}\.(\w+)",
-                cond,
-            )
-        ]:
-            if tm_ in cols and sm_ in s_cols:
-                eq_pairs.append((tm_, sm_))
+        # Dynamic file pruning for the MATCH branch (see
+        # _prune_by_source_bounds); the NOT MATCHED BY SOURCE branch
+        # keeps the UNPRUNED frame (pruning there would misclassify
+        # skipped rows as source-unmatched).
         matched_view = "__merge_t"
-        if eq_pairs and matched_cl:
-            bounds = sdf.agg(
-                *[
-                    f(sm_).alias(f"{tag}_{i}")
-                    for i, (_t, sm_) in enumerate(eq_pairs)
-                    for tag, f in (("lo", F.min), ("hi", F.max))
-                ]
-            ).collect()[0]
-            pruned = tdf
-            for i, (tm_, _s) in enumerate(eq_pairs):
-                lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
-                if lo is None or hi is None:
-                    pruned = pruned.filter(F.lit(False))  # empty source
-                    break
-                pruned = pruned.filter(F.col(tm_).between(F.lit(lo), F.lit(hi)))
-            pruned.createOrReplaceTempView("__merge_t_pruned")
-            matched_view = "__merge_t_pruned"
+        if matched_cl:
+            pruned = self._prune_by_source_bounds(
+                tdf, sdf, cond, t_alias, s_alias, cols, s_cols
+            )
+            if pruned is not None:
+                pruned.createOrReplaceTempView("__merge_t_pruned")
+                matched_view = "__merge_t_pruned"
 
         new_parts: list[DataFrame] = []
         del_pos = None
