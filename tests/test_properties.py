@@ -7,6 +7,7 @@ round-trip safety."""
 
 from __future__ import annotations
 
+import re
 import string
 
 from hypothesis import given, settings
@@ -222,3 +223,37 @@ def test_jaro_range_and_identity(a, b):
     # DuckDB convention: empty strings score 0 even against themselves
     assert _jaro(a, a) == (1.0 if a else 0.0)
     assert j == _jaro(b, a)
+
+
+from ducklakexl_spark.engine import (  # noqa: E402
+    rewrite_from_first,
+    rewrite_groups_frame,
+    rewrite_quantified_and_factorial,
+    rewrite_window_exclude,
+)
+
+
+@given(st.text(alphabet=string.ascii_letters + " ,.()'\"0123456789_<>=*", max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_new_rewrites_passthrough_without_keywords(s):
+    """Statements free of the trigger keywords come back byte-identical
+    from every round-4 rewrite pass."""
+    up = s.upper()
+    if "EXCLUDE" not in up and "OVER" not in up:
+        try:
+            assert rewrite_window_exclude(s) == s
+        except ValueError:
+            pass  # unbalanced parens may legitimately raise
+    if "GROUPS" not in up:
+        assert rewrite_groups_frame(s) == s
+    if not re.search(r"\bANY\b|\bSOME\b|\bALL\b|\d\s*!", up):
+        assert rewrite_quantified_and_factorial(s) == s
+    if not up.lstrip().startswith("FROM"):
+        assert rewrite_from_first(s) == s
+
+
+def test_new_rewrites_idempotent_on_oracle_corpus():
+    for name, osql in _ORACLE_TEXTS:
+        once = rewrite_groups_frame(rewrite_quantified_and_factorial(osql))
+        twice = rewrite_groups_frame(rewrite_quantified_and_factorial(once))
+        assert once == twice, name
