@@ -1268,6 +1268,7 @@ _DUCK_TYPE_ALIASES = {
     "logical": "BOOLEAN",
     "blob": "BINARY",
     "bytea": "BINARY",
+    "json": "STRING",  # Spark has no JSON type; json fns take strings
 }
 _DUCK_FNS = set(_DUCK_FN_RENAME) | _DUCK_FN_TEMPLATES
 
@@ -1564,6 +1565,76 @@ def rewrite_quantified_and_factorial(stmt: str) -> str:
     return sub_guarded(
         _FACTORIAL_RE, lambda m: f"factorial({m.group(1)})", stmt
     )
+
+
+_ANSI_FETCH_RE = re.compile(
+    r"OFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY",
+    re.I,
+)
+_ANSI_FETCH_ONLY_RE = re.compile(
+    r"FETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY", re.I
+)
+_JSON_ARROW_RE = re.compile(r"->>\s*('(?:[^']|'')*'|\d+)")
+
+
+def rewrite_ansi_fetch_and_json_arrow(stmt: str) -> str:
+    """ANSI ``OFFSET n ROWS FETCH NEXT m ROWS ONLY`` → ``LIMIT m OFFSET
+    n``, and the JSON text-extraction operator ``expr ->> 'k'`` /
+    ``expr ->> i`` → ``get_json_object(expr, '$.k' / '$[i]')``.  The
+    ``->`` (JSON-typed) arrow is deliberately NOT rewritten: it is
+    textually ambiguous with lambda syntax (``x -> 1``); use ->> or
+    json_extract.  Left operands: identifier chains, string literals, or
+    a parenthesized expression."""
+    stmt = _ANSI_FETCH_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", stmt)
+    stmt = _ANSI_FETCH_ONLY_RE.sub(lambda m: f"LIMIT {m.group(1)}", stmt)
+    while True:
+        m = _JSON_ARROW_RE.search(stmt)
+        if m is None or _inside_string_literal(stmt, m.start()):
+            if m is not None:
+                break  # inside a literal: leave the rest untouched
+            return stmt
+        # walk LEFT for the operand (one primary, plus any ::type casts)
+        def primary_start(end: int) -> int:
+            if stmt[end] == ")":
+                depth = 0
+                j = end
+                while j >= 0:
+                    if stmt[j] == ")":
+                        depth += 1
+                    elif stmt[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                k = j - 1  # include a function name before the parens
+                while k >= 0 and (stmt[k].isalnum() or stmt[k] in "_."):
+                    k -= 1
+                return k + 1
+            if stmt[end] == "'":
+                j = stmt.rfind("'", 0, end)
+                return j if j >= 0 else end
+            k = end
+            while k >= 0 and (stmt[k].isalnum() or stmt[k] in '_."'):
+                k -= 1
+            return k + 1
+
+        i = m.start() - 1
+        while i >= 0 and stmt[i].isspace():
+            i -= 1
+        if i < 0:
+            return stmt
+        start = primary_start(i)
+        while start >= 2 and stmt[start - 2 : start] == "::":
+            start = primary_start(start - 3)
+        operand = stmt[start : i + 1]
+        arg = m.group(1)
+        path = f"'$[{arg}]'" if arg.isdigit() else f"'$.{arg[1:-1]}'"
+        stmt = (
+            stmt[:start]
+            + f"get_json_object({operand}, {path})"
+            + stmt[m.end() :]
+        )
+    return stmt
 
 
 _FROM_FIRST_RE = re.compile(r"^\s*FROM\b", re.I)
@@ -4746,6 +4817,7 @@ class DuckLakeSpark:
         stmt = rewrite_similar_to(stmt)
         stmt = rewrite_floor_div(stmt)
         stmt = rewrite_quantified_and_factorial(stmt)
+        stmt = rewrite_ansi_fetch_and_json_arrow(stmt)
         stmt = re.sub(
             r"\bversion\s*\(\s*\)", f"'spark-{self.spark.version}'", stmt,
             flags=re.I,

@@ -142,3 +142,21 @@ def test_statement_conveniences(compat, tmp_path):
         f"SELECT count(*) AS n FROM glob('{sf}/*.parquet')"
     ).collect()[0]["n"]
     assert n_glob == 10
+
+
+def test_ansi_fetch_and_json_arrow(compat):
+    lake, duck = compat
+    cases = [
+        "SELECT x FROM (VALUES (1),(2),(3)) t(x) ORDER BY x "
+        "OFFSET 1 ROWS FETCH NEXT 1 ROWS ONLY",
+        "SELECT '[1,2,3]'::JSON ->> 0 AS v",
+        "SELECT '{\"a\": 5}' ->> 'a' AS v",
+        "SELECT json_extract('{\"a\": {\"b\": 2}}', '$.a') ->> 'b' AS v",
+    ]
+    for q in cases:
+        s = sorted(tuple(r) for r in lake.sql(q).collect())
+        d = sorted(tuple(r) for r in duck.sql(q).fetchall())
+        assert s == d, f"{q}: spark={s} duck={d}"
+    # lambda arrows must never be mistaken for JSON arrows
+    r = lake.sql("SELECT transform([1,2], x -> x + 1) AS l").collect()
+    assert list(r[0]["l"]) == [2, 3]
