@@ -4937,7 +4937,10 @@ class DuckLakeSpark:
         idents = sql_identifiers(stmt)
         for tname in self.catalog.table_names():
             if tname in idents:
-                self.table_df(tname).createOrReplaceTempView(tname)
+                preds = self._extract_scan_predicates(stmt, tname)
+                self.table_df(tname, predicates=preds).createOrReplaceTempView(
+                    tname
+                )
         for vname in self.catalog.view_names():
             if vname in idents:
                 # re-resolve the stored SQL at the current snapshot
@@ -4946,6 +4949,124 @@ class DuckLakeSpark:
                     vname
                 )
         return self.spark.sql(stmt)
+
+    _PRED_LIT_RE = re.compile(
+        r"^\s*([\w.]+)\s*(=|>=|<=|>|<)\s*"
+        r"((?:DATE|TIMESTAMP)?\s*'(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$",
+        re.I,
+    )
+
+    def _extract_scan_predicates(
+        self, stmt: str, tname: str
+    ) -> list[tuple[str, str, object]] | None:
+        """Conservative predicate extraction from sql() TEXT so
+        catalog-level file skipping (per-file min/max stats, partition
+        values) applies to SQL users, not just the Python
+        ``table(predicates=…)`` API.
+
+        Scope is deliberately narrow — a wrong predicate PRUNES DATA, so
+        every ambiguity bails to None (no skipping, still correct):
+        the table must be referenced exactly once, the WHERE must
+        directly follow ``FROM tname [AS alias]`` (no JOIN in between —
+        alias attribution across joins needs a resolver), and only
+        AND-level conjuncts of the shape ``[alias.]col op literal`` with
+        col in the table's schema are used.  Derived-column shadowing
+        can't occur in this scope: the WHERE binds directly to the scan,
+        before any SELECT renaming."""
+        occurrences = [
+            m
+            for m in re.finditer(
+                rf"\bFROM\s+{re.escape(tname)}\b", stmt, re.I
+            )
+            if not _inside_string_literal(stmt, m.start())
+        ]
+        refs = [
+            m
+            for m in re.finditer(rf"\b{re.escape(tname)}\b", stmt)
+            if not _inside_string_literal(stmt, m.start())
+        ]
+        if len(occurrences) != 1 or len(refs) != 1:
+            return None
+        rest = stmt[occurrences[0].end() :]
+        am = re.match(r"\s+(?:AS\s+)?(\w+)", rest)
+        alias = None
+        if am and am.group(1).upper() not in (
+            "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "JOIN", "LEFT",
+            "RIGHT", "FULL", "INNER", "CROSS", "ON", "USING", "UNION",
+            "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW", "OFFSET", "ASOF",
+            "SEMI", "ANTI", "NATURAL", "LATERAL", "SAMPLE", "TABLESAMPLE",
+        ):
+            alias = am.group(1)
+            rest = rest[am.end() :]
+        wm = re.match(r"\s*WHERE\b", rest, re.I)
+        if not wm:
+            return None
+        # WHERE span: up to the enclosing subquery's close or the next
+        # same-level tail keyword
+        body = rest[wm.end() :]
+        depth = 0
+        in_str: str | None = None
+        end = len(body)
+        i = 0
+        while i < len(body):
+            ch = body[i]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0 and ch.isalpha():
+                j = i
+                while j < len(body) and (body[j].isalnum() or body[j] == "_"):
+                    j += 1
+                if body[i:j].upper() in (
+                    "GROUP", "HAVING", "ORDER", "LIMIT", "QUALIFY",
+                    "WINDOW", "UNION", "EXCEPT", "INTERSECT", "OFFSET",
+                ):
+                    end = i
+                    break
+                i = j
+                continue
+            i += 1
+        cols = {
+            r.column_name
+            for r in self.catalog.columns(
+                self.catalog.table_id(tname)
+            ).itertuples()
+        }
+        where_txt = body[:end]
+        # a top-level OR makes every AND-level conjunct optional — no
+        # conjunct may prune then
+        if len(split_top_level_kw(where_txt, "OR")) > 1:
+            return None
+        preds: list[tuple[str, str, object]] = []
+        for conj in split_top_level_kw(where_txt, "AND"):
+            pm = self._PRED_LIT_RE.match(conj.strip())
+            if not pm:
+                continue
+            ref, op, lit = pm.group(1), pm.group(2), pm.group(3)
+            parts = ref.split(".")
+            if len(parts) == 2 and parts[0] not in (tname, alias):
+                continue
+            col = parts[-1]
+            if col not in cols:
+                continue
+            ls = _literal_str(re.sub(r"^(DATE|TIMESTAMP)\s*", "", lit, flags=re.I))
+            if ls is not None:
+                value: object = ls
+            elif re.match(r"^-?\d+$", lit):
+                value = int(lit)
+            else:
+                value = float(lit)
+            preds.append((col, op, value))
+        return preds or None
 
     # ------------------------------------------------------------------ misc
 

@@ -1675,3 +1675,23 @@ def test_merge_prunes_target_scan_by_source_bounds(lake):
         "WHEN NOT MATCHED BY SOURCE AND mt.k >= 208 THEN DELETE"
     )
     assert lake.sql("SELECT count(*) AS n FROM mt").collect()[0]["n"] == 28
+
+
+def test_sql_text_predicates_reach_catalog_skipping(lake):
+    """WHERE conjuncts in sql() TEXT must reach catalog-level file
+    skipping: three inserts → three data files; a point predicate scans
+    ONE.  OR-predicates and double references must bail (correctness
+    over pruning)."""
+    lake.sql("CREATE TABLE pt (k INT, v VARCHAR)")
+    for lo in (0, 100, 200):
+        vals = ", ".join(f"({lo + i}, 'v{lo + i}')" for i in range(10))
+        lake.sql(f"INSERT INTO pt VALUES {vals}")
+    df = lake.sql("SELECT * FROM pt WHERE k = 105")
+    assert [tuple(r) for r in df.collect()] == [(105, "v105")]
+    assert len(df.inputFiles()) == 1
+    both = lake.sql("SELECT count(*) AS n FROM pt WHERE k = 5 OR k = 205")
+    assert both.collect()[0]["n"] == 2  # OR bails out of pruning, stays right
+    dbl = lake.sql(
+        "SELECT count(*) AS n FROM pt a, pt b WHERE a.k = 5 AND b.k = 205"
+    )
+    assert dbl.collect()[0]["n"] == 1
