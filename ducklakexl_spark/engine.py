@@ -3652,7 +3652,17 @@ class DuckLakeSpark:
 
     def _delete(self, name: str, where: str | None) -> None:
         tid = self.catalog.table_id(name)
-        live = self.table_df(name, with_position=True)
+        preds = None
+        if where:
+            # DELETE's WHERE prunes the live scan at the catalog level
+            # too — a date-ranged DELETE on a 100 TB table opens only
+            # the files whose stats overlap the range
+            cols = {
+                r.column_name
+                for r in self.catalog.columns(tid).itertuples()
+            }
+            preds = self._conjunct_predicates(where, cols, (name, None))
+        live = self.table_df(name, with_position=True, predicates=preds)
         hits = live.filter(where) if where else live
         hit_pos = hits.select(
             F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
@@ -3747,7 +3757,17 @@ class DuckLakeSpark:
         """UPDATE = write updated copies + positional-delete originals
         (DuckLake never rewrites data files — SURVEY §2.C row "DML")."""
         schema = self.table_schema(name)
-        live = self.table_df(name, with_position=True)
+        preds = None
+        if where:
+            # same catalog-level pruning as DELETE: only files whose
+            # stats overlap the WHERE range are opened
+            tid = self.catalog.table_id(name)
+            cols = {
+                r.column_name
+                for r in self.catalog.columns(tid).itertuples()
+            }
+            preds = self._conjunct_predicates(where, cols, (name, None))
+        live = self.table_df(name, with_position=True, predicates=preds)
         hits = live.filter(where) if where else live
         assignments = {}
         for part in split_top_level(set_clause):
@@ -5041,9 +5061,14 @@ class DuckLakeSpark:
                 self.catalog.table_id(tname)
             ).itertuples()
         }
-        where_txt = body[:end]
-        # a top-level OR makes every AND-level conjunct optional — no
-        # conjunct may prune then
+        return self._conjunct_predicates(body[:end], cols, (tname, alias))
+
+    def _conjunct_predicates(
+        self, where_txt: str, cols: set, owners: tuple
+    ) -> list[tuple[str, str, object]] | None:
+        """AND-level ``[owner.]col op literal`` conjuncts of a WHERE body
+        as file-skipping predicates; None on any ambiguity (top-level OR
+        makes every conjunct optional, so nothing may prune)."""
         if len(split_top_level_kw(where_txt, "OR")) > 1:
             return None
         preds: list[tuple[str, str, object]] = []
@@ -5053,7 +5078,7 @@ class DuckLakeSpark:
                 continue
             ref, op, lit = pm.group(1), pm.group(2), pm.group(3)
             parts = ref.split(".")
-            if len(parts) == 2 and parts[0] not in (tname, alias):
+            if len(parts) == 2 and parts[0] not in owners:
                 continue
             col = parts[-1]
             if col not in cols:
