@@ -1885,6 +1885,12 @@ class DuckLakeSpark:
         # (Spark's default Hive-style literal parsing).  Runtime-settable;
         # DataFrame-API code paths are unaffected by the parser conf.
         self.spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+        # INT96 timestamps carry no footer stats → no pruning; write
+        # int64 micros (runtime-settable, drivers may hand us a vanilla
+        # session)
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         # SQL-callable UDF surface (fuzzy-string scalars etc.) — idempotent
         from ducklakexl_spark.functions import register_all
 

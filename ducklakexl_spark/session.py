@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # write int64 micros, not the deprecated INT96: INT96 columns
+        # carry no usable footer min/max, which silently disables both
+        # parquet row-group pruning and catalog-level file skipping on
+        # timestamp predicates
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # some fixtures carry TIMESTAMP(NANOS) parquet columns, which Spark
         # rejects natively; read them as long and convert at load time
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1695,3 +1695,20 @@ def test_sql_text_predicates_reach_catalog_skipping(lake):
         "SELECT count(*) AS n FROM pt a, pt b WHERE a.k = 5 AND b.k = 205"
     )
     assert dbl.collect()[0]["n"] == 1
+
+
+def test_timestamp_predicate_file_skipping(lake):
+    """INT96 would carry no footer stats; with TIMESTAMP_MICROS output a
+    ts-ranged query prunes files at the catalog level."""
+    lake.sql("CREATE TABLE ts_t (ts TIMESTAMP, v INT)")
+    lake.sql(
+        "INSERT INTO ts_t VALUES (TIMESTAMP '2024-01-05 10:00:00', 1)"
+    )
+    lake.sql(
+        "INSERT INTO ts_t VALUES (TIMESTAMP '2024-02-05 10:00:00', 2)"
+    )
+    df = lake.sql(
+        "SELECT v FROM ts_t WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'"
+    )
+    assert [r["v"] for r in df.collect()] == [2]
+    assert len(df.inputFiles()) == 1
