@@ -137,8 +137,33 @@ _DECIMAL_RE = re.compile(r"^(DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", r
 
 
 def ducklake_type_to_spark(sql_type: str) -> T.DataType:
-    """Map DuckDB/DuckLake SQL types to Spark types (SURVEY §1.1 table)."""
+    """Map DuckDB/DuckLake SQL types to Spark types (SURVEY §1.1 table),
+    including nested list (``T[]`` / ``LIST(T)``), ``MAP(K, V)`` and
+    ``STRUCT(name T, …)`` forms so array/struct-typed tables round-trip
+    through CTAS + catalog + scan."""
     t = sql_type.strip()
+    if t.endswith("[]"):
+        return T.ArrayType(ducklake_type_to_spark(t[:-2]))
+    lm = re.match(r"^LIST\s*\((.+)\)$", t, re.I | re.S)
+    if lm:
+        return T.ArrayType(ducklake_type_to_spark(lm.group(1)))
+    mm = re.match(r"^MAP\s*\((.+)\)$", t, re.I | re.S)
+    if mm:
+        parts = _split_type_args(mm.group(1))
+        if len(parts) == 2:
+            return T.MapType(
+                ducklake_type_to_spark(parts[0]),
+                ducklake_type_to_spark(parts[1]),
+            )
+    sm = re.match(r"^STRUCT\s*\((.+)\)$", t, re.I | re.S)
+    if sm:
+        fields = []
+        for part in _split_type_args(sm.group(1)):
+            name, _, ftype = part.strip().partition(" ")
+            fields.append(
+                T.StructField(name.strip('"'), ducklake_type_to_spark(ftype))
+            )
+        return T.StructType(fields)
     m = _DECIMAL_RE.match(t)
     if m:
         return T.DecimalType(int(m.group(2)), int(m.group(3)))
@@ -146,6 +171,27 @@ def ducklake_type_to_spark(sql_type: str) -> T.DataType:
         if pat.match(t):
             return typ
     raise ValueError(f"unsupported column type: {sql_type}")
+
+
+def _split_type_args(s: str) -> list[str]:
+    """Split a type argument list on top-level commas (nested parens/
+    brackets stay intact)."""
+    out: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf).strip())
+    return out
 
 
 _USE_RE = re.compile(r"^\s*USE\s+([\w.]+)\s*$", re.I)
@@ -2650,10 +2696,15 @@ class DuckLakeSpark:
         percentile_approx — documented as approximate, like DuckDB's
         approx quantiles at scale)."""
         target = target.strip()
-        if target.upper().startswith(
-            ("SELECT", "WITH", "FROM", "VALUES")
-        ) or target.startswith("("):
-            df = self._select(target.strip("()"))
+        # strip ONE matched outer paren pair only — .strip("()") would
+        # also eat the closing paren of a trailing function call like
+        # read_parquet('…')
+        if target.startswith("(") and _matching_bracket(target, 0) == len(
+            target
+        ) - 1:
+            target = target[1:-1].strip()
+        if target.upper().startswith(("SELECT", "WITH", "FROM", "VALUES")):
+            df = self._select(target)
         elif re.match(r"^read_\w+\s*\(", target, re.I):
             df = self._select(f"SELECT * FROM {target}")
         else:
@@ -2859,6 +2910,9 @@ class DuckLakeSpark:
                 else [f.name for f in schema.fields]
             )
             alias_cols = ", ".join(f"c{i}" for i in range(len(names)))
+            # DuckDB bracket literals ([…] lists, {…} structs, MAP {…})
+            # are valid in VALUES tuples too
+            source_sql = rewrite_bracket_syntax(source_sql)
             df = self.spark.sql(f"SELECT * FROM {source_sql} AS __v({alias_cols})")
             df = df.toDF(*names)
         else:
@@ -3145,8 +3199,27 @@ class DuckLakeSpark:
             for rg in range(meta.num_row_groups):
                 for ci in range(meta.num_columns):
                     col = meta.row_group(rg).column(ci)
-                    cname = col.path_in_schema.split(".")[0]
+                    col_path = col.path_in_schema.split(".")
+                    cname = col_path[0]
                     if cname not in col_ids:
+                        continue
+                    if len(col_path) > 1:
+                        # nested leaf (list element / map key+value /
+                        # struct field): byte counts still attribute to
+                        # the logical column, but leaf min/max of MIXED
+                        # leaves under one column neither compare nor
+                        # mean anything for file skipping
+                        entry = agg.setdefault(
+                            cname,
+                            {
+                                "nulls": 0,
+                                "values": 0,
+                                "bytes": 0,
+                                "min": None,
+                                "max": None,
+                            },
+                        )
+                        entry["bytes"] += col.total_compressed_size
                         continue
                     entry = agg.setdefault(
                         cname,
@@ -5125,6 +5198,20 @@ def _spark_type_to_ducklake(dt: T.DataType) -> str:
     }
     if isinstance(dt, T.DecimalType):
         return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.TimestampNTZType):
+        return "TIMESTAMP"
+    if isinstance(dt, T.ArrayType):
+        return f"{_spark_type_to_ducklake(dt.elementType)}[]"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP({_spark_type_to_ducklake(dt.keyType)}, "
+            f"{_spark_type_to_ducklake(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        fields = ", ".join(
+            f"{f.name} {_spark_type_to_ducklake(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT({fields})"
     if dt in mapping:
         return mapping[dt]
     raise ValueError(f"unsupported type for CTAS: {dt}")

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 from ducklakexl_spark.engine import DuckLakeSpark, split_statements
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture()
@@ -1712,3 +1713,48 @@ def test_timestamp_predicate_file_skipping(lake):
     )
     assert [r["v"] for r in df.collect()] == [2]
     assert len(df.inputFiles()) == 1
+
+
+def test_nested_typed_tables_roundtrip(lake):
+    """Array/map/struct columns: DDL, bracket-literal INSERT VALUES,
+    scan, and catalog reopen all preserve the nested types (the type
+    mapper round-trips T[] / LIST / MAP(K,V) / STRUCT(…))."""
+    lake.sql(
+        "CREATE TABLE nested (m MAP(VARCHAR, INT), "
+        "s STRUCT(a INT, b VARCHAR), l INT[])"
+    )
+    lake.sql(
+        "INSERT INTO nested VALUES (MAP {'k': 1}, {'a': 5, 'b': 'x'}, "
+        "[1, 2, 3])"
+    )
+    r = lake.sql(
+        "SELECT m['k'] AS mk, s.a AS sa, l[2] AS l2 FROM nested"
+    ).collect()
+    assert [tuple(x) for x in r] == [(1, 5, 2)]
+
+
+def test_array_ctas_and_dml(lake):
+    sf_dir = SF_DIR
+    lake.sql(
+        f"CREATE TABLE emb AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    n0 = lake.sql("SELECT count(*) AS n FROM emb").collect()[0]["n"]
+    lake.sql(
+        "INSERT INTO emb SELECT vec_id + 100000, embedding, label "
+        "FROM emb WHERE vec_id = 0"
+    )
+    lake.sql("DELETE FROM emb WHERE vec_id >= 100000")
+    assert lake.sql("SELECT count(*) AS n FROM emb").collect()[0]["n"] == n0
+    d = lake.sql(
+        "SELECT size(embedding) AS d FROM emb ORDER BY vec_id LIMIT 1"
+    ).collect()[0]["d"]
+    assert d == 64
+
+
+def test_summarize_handles_arrays_and_paths(lake):
+    sf_dir = SF_DIR
+    rows = lake.sql(
+        f"SUMMARIZE SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).collect()
+    assert {r["column_name"] for r in rows} == {"vec_id", "embedding", "label"}
