@@ -2910,9 +2910,12 @@ class DuckLakeSpark:
                 else [f.name for f in schema.fields]
             )
             alias_cols = ", ".join(f"c{i}" for i in range(len(names)))
-            # DuckDB bracket literals ([…] lists, {…} structs, MAP {…})
-            # are valid in VALUES tuples too
-            source_sql = rewrite_bracket_syntax(source_sql)
+            # DuckDB bracket literals ([…] lists, {…} structs, MAP {…}),
+            # dialect functions, and type aliases ('x'::BLOB) are valid
+            # in VALUES tuples too
+            source_sql = rewrite_duckdb_functions(
+                rewrite_bracket_syntax(source_sql)
+            )
             df = self.spark.sql(f"SELECT * FROM {source_sql} AS __v({alias_cols})")
             df = df.toDF(*names)
         else:
