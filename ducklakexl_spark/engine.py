@@ -1683,6 +1683,20 @@ def rewrite_ansi_fetch_and_json_arrow(stmt: str) -> str:
     return stmt
 
 
+def apply_expr_dialect(txt: str) -> str:
+    """The expression-level dialect chain (brackets, function renames/
+    templates, IGNORE NULLS, SIMILAR TO, hex casts, // and regex-match
+    operators) for SQL FRAGMENTS — UPDATE SET clauses, DELETE/MERGE
+    conditions, VALUES tuples — that never pass through the full
+    statement pipeline."""
+    txt = rewrite_bracket_syntax(txt)
+    txt = rewrite_hex_casts(txt)
+    txt = rewrite_duckdb_functions(txt)
+    txt = rewrite_ignore_nulls(txt)
+    txt = rewrite_similar_to(txt)
+    return rewrite_floor_div(txt)
+
+
 _FROM_FIRST_RE = re.compile(r"^\s*FROM\b", re.I)
 
 
@@ -3701,6 +3715,7 @@ class DuckLakeSpark:
         parquet per touched data file; untouched files unread)."""
         name = _unqualify(target)
         t_alias = t_alias or name
+        cond = apply_expr_dialect(cond)
         if s_alias is None:
             s_alias = (
                 _unqualify(source)
@@ -3733,6 +3748,7 @@ class DuckLakeSpark:
         return None
 
     def _delete(self, name: str, where: str | None) -> None:
+        where = apply_expr_dialect(where) if where else where
         tid = self.catalog.table_id(name)
         preds = None
         if where:
@@ -3838,6 +3854,8 @@ class DuckLakeSpark:
     def _update(self, name: str, set_clause: str, where: str | None) -> None:
         """UPDATE = write updated copies + positional-delete originals
         (DuckLake never rewrites data files — SURVEY §2.C row "DML")."""
+        set_clause = apply_expr_dialect(set_clause)
+        where = apply_expr_dialect(where) if where else where
         schema = self.table_schema(name)
         preds = None
         if where:
@@ -3956,6 +3974,8 @@ class DuckLakeSpark:
         cardinality rule; violations produce one new row per match)."""
         name = _unqualify(target)
         t_alias = t_alias or name
+        cond = apply_expr_dialect(cond)
+        actions = apply_expr_dialect(actions)
         if s_alias is None:
             # an unaliased bare-table source is referenceable by its own
             # name (MERGE INTO t USING src ON t.id = src.id), exactly as

@@ -1758,3 +1758,25 @@ def test_summarize_handles_arrays_and_paths(lake):
         f"SUMMARIZE SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
     ).collect()
     assert {r["column_name"] for r in rows} == {"vec_id", "embedding", "label"}
+
+
+def test_dml_clauses_accept_dialect_expressions(lake):
+    """UPDATE SET / DELETE WHERE / MERGE actions run through the same
+    expression-dialect chain as SELECTs (list_*, len, ucase, strlen,
+    SIMILAR TO, bracket literals)."""
+    lake.sql("CREATE TABLE dm (k INT, tags VARCHAR[], txt VARCHAR)")
+    lake.sql("INSERT INTO dm VALUES (1, ['a'], 'hello'), (2, ['b','c'], 'world')")
+    lake.sql("UPDATE dm SET tags = list_append(tags, 'n') WHERE k = 1")
+    lake.sql("DELETE FROM dm WHERE len(tags) > 2")
+    assert lake.sql("SELECT count(*) AS n FROM dm").collect()[0]["n"] == 2
+    lake.sql("UPDATE dm SET txt = ucase(txt) WHERE strlen(txt) = 5")
+    lake.sql("UPDATE dm SET txt = txt || '!' WHERE txt SIMILAR TO 'W.*'")
+    assert sorted(
+        r["txt"] for r in lake.sql("SELECT txt FROM dm").collect()
+    ) == ["HELLO", "WORLD!"]
+    lake.sql(
+        "MERGE INTO dm USING (SELECT 1 AS k) s ON dm.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET tags = list_append(tags, 'm')"
+    )
+    n = lake.sql("SELECT size(tags) AS n FROM dm WHERE k = 1").collect()[0]["n"]
+    assert n == 3
