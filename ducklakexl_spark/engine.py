@@ -2868,7 +2868,9 @@ class DuckLakeSpark:
         tid = self.catalog.create_table(name, cols)
         if checks:
             # persisted as an MVCC table tag so constraints survive
-            # engine restarts and version with the schema
+            # engine restarts and version with the schema; stored
+            # POST-dialect so enforcement F.expr sees Spark spellings
+            checks = [apply_expr_dialect(c) for c in checks]
             self.catalog.set_tag(tid, "checks", json.dumps(checks))
         if pks:
             self.catalog.set_tag(tid, "primary_key", json.dumps(pks))
@@ -2930,6 +2932,70 @@ class DuckLakeSpark:
             source_sql = rewrite_duckdb_functions(
                 rewrite_bracket_syntax(source_sql)
             )
+            if re.search(r"\bDEFAULT\b", source_sql, re.I):
+                # an explicit DEFAULT in a tuple slot takes the column's
+                # default expression (NULL when none is declared); a
+                # nextval-defaulted slot instead DROPS from the tuples so
+                # the absent-column block-allocation path below assigns it
+                defaults = {
+                    r.column_name: r.default_value
+                    for r in self.catalog.columns(
+                        self.catalog.table_id(name)
+                    ).itertuples()
+                }
+
+                def _is_seq(cname: str) -> bool:
+                    d = defaults.get(cname)
+                    return d is not None and not pd.isna(d) and bool(
+                        re.fullmatch(
+                            r"\s*nextval\(\s*'[^']+'\s*\)\s*", str(d), re.I
+                        )
+                    )
+
+                body = re.sub(r"^\s*VALUES\s*", "", source_sql, flags=re.I)
+                raw_tuples = [
+                    split_top_level(t.strip()[1:-1])
+                    for t in split_top_level(body)
+                    if t.strip().startswith("(")
+                ]
+                drop_idx = {
+                    i
+                    for i, cname in enumerate(names)
+                    if _is_seq(cname)
+                    and all(
+                        i < len(args) and args[i].strip().upper() == "DEFAULT"
+                        for args in raw_tuples
+                    )
+                }
+                out_tuples = []
+                for args in raw_tuples:
+                    kept = []
+                    for idx, a in enumerate(args):
+                        if idx in drop_idx:
+                            continue
+                        if a.strip().upper() == "DEFAULT" and idx < len(names):
+                            if _is_seq(names[idx]):
+                                raise ValueError(
+                                    "DEFAULT on a nextval column must be "
+                                    "used in every tuple or none"
+                                )
+                            d = defaults.get(names[idx])
+                            a = (
+                                "NULL"
+                                if d is None or pd.isna(d)
+                                else apply_expr_dialect(str(d))
+                            )
+                        kept.append(a.strip())
+                    out_tuples.append(f"({', '.join(kept)})")
+                if drop_idx:
+                    names = [
+                        c for i, c in enumerate(names) if i not in drop_idx
+                    ]
+                    alias_cols = ", ".join(f"c{i}" for i in range(len(names)))
+                    # behave as an explicit column list from here on —
+                    # the positional fallback must not re-consume slots
+                    col_list = "(" + ", ".join(names) + ")"
+                source_sql = "VALUES " + ", ".join(out_tuples)
             df = self.spark.sql(f"SELECT * FROM {source_sql} AS __v({alias_cols})")
             df = df.toDF(*names)
         else:

@@ -1780,3 +1780,37 @@ def test_dml_clauses_accept_dialect_expressions(lake):
     )
     n = lake.sql("SELECT size(tags) AS n FROM dm WHERE k = 1").collect()[0]["n"]
     assert n == 3
+
+
+def test_default_keyword_in_values(lake):
+    """Explicit DEFAULT slots in INSERT VALUES take the column default —
+    including nextval block allocation and dialect-spelled defaults —
+    and NULL when no default is declared."""
+    lake.sql("CREATE SEQUENCE sq2 START 10")
+    lake.sql(
+        "CREATE TABLE dflt (id BIGINT DEFAULT nextval('sq2'), "
+        "s VARCHAR DEFAULT ucase('ab'), v INT)"
+    )
+    lake.sql("INSERT INTO dflt (v) VALUES (1)")
+    lake.sql("INSERT INTO dflt VALUES (DEFAULT, DEFAULT, 2)")
+    lake.sql("INSERT INTO dflt VALUES (DEFAULT, 'zz', 3)")
+    rows = [
+        tuple(r)
+        for r in lake.sql("SELECT id, s, v FROM dflt ORDER BY v").collect()
+    ]
+    assert rows == [(10, "AB", 1), (11, "AB", 2), (12, "zz", 3)]
+
+
+def test_check_constraints_accept_dialect_spellings(lake):
+    lake.sql(
+        "CREATE TABLE ck2 (t VARCHAR CHECK (strlen(t) <= 4), "
+        "tags VARCHAR[] CHECK (len(tags) < 3))"
+    )
+    lake.sql("INSERT INTO ck2 VALUES ('ab', ['x'])")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="CHECK constraint"):
+        lake.sql("INSERT INTO ck2 VALUES ('toolong', ['x'])")
+    with _pt.raises(ValueError, match="CHECK constraint"):
+        lake.sql("INSERT INTO ck2 VALUES ('ok', ['a','b','c'])")
+    assert lake.sql("SELECT count(*) AS n FROM ck2").collect()[0]["n"] == 1
