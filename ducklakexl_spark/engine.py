@@ -920,6 +920,9 @@ _DUCK_FN_RENAME = {
     "strpos": "instr",
     "starts_with": "startswith",
     "ends_with": "endswith",
+    "prefix": "startswith",
+    "suffix": "endswith",
+    "editdist3": "levenshtein",
     "ucase": "upper",
     "lcase": "lower",
     "regexp_matches": "regexp_like",
@@ -1260,6 +1263,54 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"THEN (1.0D / CAST({a[0]} AS DOUBLE)) < 0 "
             f"ELSE CAST({a[0]} AS DOUBLE) < 0 END)"
         )
+    if key in ("format_bytes", "formatreadablesize"):
+        # DuckDB's binary-prefix humanizer: 999 bytes / 1.4 KiB / 1.0 MiB
+        x = f"CAST({a[0]} AS DOUBLE)"
+        tiers = [
+            (1024.0 ** 5, "PiB"), (1024.0 ** 4, "TiB"),
+            (1024.0 ** 3, "GiB"), (1024.0 ** 2, "MiB"), (1024.0, "KiB"),
+        ]
+        arms = " ".join(
+            # DuckDB TRUNCATES to one decimal (1500 B = 1.4 KiB); %.1f
+            # alone would round half up
+            f"WHEN {x} >= {int(f)}D THEN "
+            f"format_string('%.1f {u}', floor({x} / {int(f)}D * 10) / 10)"
+            for f, u in tiers
+        )
+        return (
+            f"(CASE {arms} ELSE format_string('%d bytes', "
+            f"CAST({a[0]} AS BIGINT)) END)"
+        )
+    if key in ("to_seconds", "to_minutes", "to_hours", "to_days"):
+        # numeric * day-time interval (make_interval yields the legacy
+        # CalendarIntervalType, which the Python client can't collect)
+        unit = key[3:].rstrip("s").upper()
+        return f"(CAST({a[0]} AS BIGINT) * INTERVAL '1' {unit})"
+    if key == "datesub":
+        part = _literal_str(a[0])
+        if part is None:
+            raise ValueError("datesub: part must be a string literal")
+        return f"timestampdiff({part.upper()}, {a[1]}, {a[2]})"
+    if key == "time_bucket":
+        im = re.match(
+            r"^\s*INTERVAL\s+'?(\d+)'?\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$",
+            a[0],
+            re.I,
+        )
+        if not im:
+            raise ValueError(
+                "time_bucket: only INTERVAL n SECOND/MINUTE/HOUR/DAY "
+                "buckets are supported"
+            )
+        secs = int(im.group(1)) * {
+            "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400
+        }[im.group(2).upper()]
+        return (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({a[1]}) "
+            f"/ {secs}D) AS BIGINT) * {secs})"
+        )
+    if key == "century":
+        return f"CAST(ceil(year({a[0]}) / 100.0) AS BIGINT)"
     if key == "isodow":
         return f"(weekday({a[0]}) + 1)"
     if key == "dayname":
@@ -1291,6 +1342,8 @@ _DUCK_FN_TEMPLATES = {
     "sha256", "to_base", "trunc", "age", "even", "signbit", "list_reduce",
     "struct_extract", "list_any_value", "product", "entropy",
     "quantile_disc", "mad", "first", "last",
+    "format_bytes", "formatreadablesize", "to_seconds", "to_minutes",
+    "to_hours", "to_days", "datesub", "time_bucket", "century",
 }
 
 # DuckDB type names (in CAST position etc.) Spark spells differently.

@@ -160,3 +160,24 @@ def test_ansi_fetch_and_json_arrow(compat):
     # lambda arrows must never be mistaken for JSON arrows
     r = lake.sql("SELECT transform([1,2], x -> x + 1) AS l").collect()
     assert list(r[0]["l"]) == [2, 3]
+
+
+def test_scalar_tail_translations(compat):
+    """prefix/suffix/editdist3 renames; format_bytes (truncating
+    humanizer), to_seconds family, datesub, time_bucket, century."""
+    lake, duck = compat
+    cases = [
+        "SELECT prefix('hello', 'he') AS p, suffix('hello', 'lo') AS s",
+        "SELECT editdist3('cat', 'hat') AS e",
+        "SELECT format_bytes(999) AS a, format_bytes(1500) AS b, "
+        "format_bytes(1048576) AS c",
+        "SELECT to_seconds(90) AS s, to_days(2) AS d",
+        "SELECT datesub('day', DATE '2024-01-01', DATE '2024-01-05') AS d",
+        "SELECT time_bucket(INTERVAL 15 MINUTE, "
+        "TIMESTAMP '2024-01-01 10:17:00') AS b",
+        "SELECT century(DATE '2024-01-01') AS c",
+    ]
+    for q in cases:
+        s = sorted(str(tuple(r)) for r in lake.sql(q).collect())
+        d = sorted(map(str, duck.sql(q).fetchall()))
+        assert s == d, f"{q}: spark={s} duck={d}"
