@@ -942,6 +942,7 @@ _DUCK_FN_RENAME = {
     # aggregate family
     "arg_max": "max_by",
     "arg_min": "min_by",
+    "arbitrary": "any_value",
     "quantile_cont": "percentile",
     "countif": "count_if",
     "ord": "ascii",
@@ -1311,6 +1312,22 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         )
     if key == "century":
         return f"CAST(ceil(year({a[0]}) / 100.0) AS BIGINT)"
+    if key == "histogram":
+        lst = f"collect_list({a[0]})"
+        return (
+            f"map_from_entries(transform(array_sort(array_distinct({lst})), "
+            f"v -> struct(v, CAST(size(filter({lst}, y -> y = v)) "
+            f"AS BIGINT))))"
+        )
+    if key in ("sum", "avg", "min", "max", "count"):
+        # DuckDB tolerates ORDER BY inside any aggregate; for these the
+        # order can't change the answer — strip it (top level only: an
+        # ORDER BY inside a nested subquery argument must survive)
+        joined = ", ".join(a)
+        pos = find_top_level_keyword(joined, "ORDER BY")
+        if pos >= 0:
+            joined = joined[:pos].strip().rstrip(",").strip()
+        return f"{key}({joined})"
     if key == "isodow":
         return f"(weekday({a[0]}) + 1)"
     if key == "dayname":
@@ -1344,6 +1361,7 @@ _DUCK_FN_TEMPLATES = {
     "quantile_disc", "mad", "first", "last",
     "format_bytes", "formatreadablesize", "to_seconds", "to_minutes",
     "to_hours", "to_days", "datesub", "time_bucket", "century",
+    "histogram", "sum", "avg", "min", "max", "count",
 }
 
 # DuckDB type names (in CAST position etc.) Spark spells differently.

@@ -181,3 +181,24 @@ def test_scalar_tail_translations(compat):
         s = sorted(str(tuple(r)) for r in lake.sql(q).collect())
         d = sorted(map(str, duck.sql(q).fetchall()))
         assert s == d, f"{q}: spark={s} duck={d}"
+
+
+def test_aggregate_variants(compat):
+    """arbitrary→any_value, histogram (map agg), ORDER BY tolerated
+    inside commutative aggregates (stripped top-level only — nested
+    subquery ORDER BYs survive)."""
+    lake, duck = compat
+    for q in [
+        "SELECT arbitrary(x) AS a FROM (VALUES (1)) t(x)",
+        "SELECT sum(x ORDER BY x) AS s, count(x ORDER BY x) AS c "
+        "FROM (VALUES (1),(2)) t(x)",
+        "SELECT sum((SELECT 5)) AS s",
+        "SELECT sum(DISTINCT x) AS s FROM (VALUES (1),(1),(2)) t(x)",
+    ]:
+        s = sorted(str(tuple(r)) for r in lake.sql(q).collect())
+        d = sorted(map(str, duck.sql(q).fetchall()))
+        assert s == d, f"{q}: {s} vs {d}"
+    h = lake.sql(
+        "SELECT histogram(x) AS h FROM (VALUES (1),(1),(2)) t(x)"
+    ).collect()[0]["h"]
+    assert dict(h) == {1: 2, 2: 1}
