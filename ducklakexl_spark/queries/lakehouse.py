@@ -1226,3 +1226,41 @@ def lakehouse_insert_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake.sql("INSERT OR REPLACE INTO kv VALUES (2, 'B', 21), (3, 'c', 30)")
     lake.sql("INSERT OR IGNORE INTO kv VALUES (3, 'X', 99), (4, 'd', 40)")
     return lake.sql("SELECT * FROM kv")
+
+
+@query(
+    "lakehouse_export_import",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'alpha', DATE '2024-01-01'), (2, 'beta', DATE '2024-02-02'),
+      (4, 'delta', NULL)
+    ) t(id, val, d)
+    """,
+)
+def lakehouse_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's EXPORT DATABASE / IMPORT DATABASE dump-restore pair
+    (inherited surface via the reference's pass-through,
+    ducklakexl.py:394): export writes per-table parquet plus a
+    schema.sql replay script, import replays it into a FRESH lake —
+    DDL (types + NOT NULL), data, and a post-delete state all survive
+    the round trip.  The export itself is executor-parallel parquet
+    writes; only the script text touches the driver."""
+    import tempfile as _tf
+
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE exp_t(id INTEGER NOT NULL, val VARCHAR, d DATE);
+        INSERT INTO exp_t VALUES (1, 'alpha', DATE '2024-01-01'),
+                                 (2, 'beta',  DATE '2024-02-02'),
+                                 (3, 'gamma', DATE '2024-03-03'),
+                                 (4, 'delta', NULL);
+        DELETE FROM exp_t WHERE id = 3;
+        """
+    )
+    dump = _tf.mkdtemp(prefix="ducklake_export_")
+    lake.sql(f"EXPORT DATABASE '{dump}'")
+    fresh = _fresh_lake(spark)
+    fresh.sql(f"IMPORT DATABASE '{dump}'")
+    return fresh.sql("SELECT * FROM exp_t")

@@ -155,3 +155,95 @@ def ml_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm_col[F.col("cell")].alias("centroid_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fasttext-style scoring, hashing trick)
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 64
+# Pseudo-weights on a 1/512 grid: ((b * 2654435761) % 1024) / 512 - 1 lies
+# in [-1, 1) and is exactly representable in binary FP, so per-doc weight
+# sums are EXACT regardless of accumulation order — no rounding epsilon
+# between engines, and the sign-of-mean decision boundary is bit-stable.
+_HASH_MULT = 2654435761  # Knuth multiplicative constant
+
+_DUCK_BUCKET = f"(('0x' || substr(md5(t), 1, 8))::BIGINT % {_N_BUCKETS})"
+_DUCK_W = (
+    f"CAST(({_DUCK_BUCKET} * {_HASH_MULT}) % 1024 AS DOUBLE) / 512.0 - 1.0"
+)
+
+
+@query(
+    "ml_linear_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             list_sum(list_transform(toks, t -> {_DUCK_W})) AS w_sum
+      FROM tok
+    )
+    SELECT lang,
+           count(*)                                             AS n_docs,
+           CAST(count(*) FILTER (WHERE w_sum > 0) AS BIGINT)    AS n_positive,
+           round(avg(w_sum / n_tokens), 6)                      AS mean_score
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def ml_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style linear text classifier via the hashing trick: each
+    token hashes (portable md5 prefix) into one of 64 weight buckets, the
+    document score is the mean bucket weight, and the decision is its
+    sign — the exact dataflow of a learned linear quality filter (e.g.
+    CCNet/fasttext binary quality models), with a deterministic
+    pseudo-weight table standing in for learned weights (this container
+    has no fasttext; the weight LOOKUP, not the training, is the scale
+    path).
+
+    Scale shape: tokenize → hash → weight-sum is ONE map-side fold per
+    document (a single whole-stage-codegen'd higher-order aggregate —
+    no explode, no shuffle at token granularity); the only exchange is
+    the final 5-row per-language rollup.  A learned model swaps the
+    arithmetic weight formula for a broadcast 64-float array lookup —
+    identical plan.  Weights live on a 1/512 grid so per-doc sums are
+    exact in FP on both engines (order-independent), making the
+    w_sum > 0 decision boundary bit-stable.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    scored = d.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda t: (
+                    (
+                        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+                            "long"
+                        )
+                        % _N_BUCKETS
+                    )
+                    * _HASH_MULT
+                    % 1024
+                ).cast("double")
+                / 512.0
+                - 1.0,
+            ),
+            F.lit(0.0),
+            lambda acc, w: acc + w,
+        ).alias("w_sum"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("w_sum") > 0).cast("long").alias("n_positive"),
+        F.round(F.avg(F.col("w_sum") / F.col("n_tokens")), 6).alias(
+            "mean_score"
+        ),
+    )

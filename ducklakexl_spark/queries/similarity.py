@@ -914,3 +914,161 @@ _ORACLES["sim_ivf_recall"] = f"""
     FROM bf b LEFT JOIN hits h ON h.qid = b.qid
     GROUP BY b.qid, h.n_matched
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance computation (PQ-ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 4  # codes per subspace codebook
+PQ_TOPK = 10
+
+
+def _pq_subdist_sql(col: str, cvec: list[float], m: int) -> str:
+    """Unrolled squared-L2 distance between the m-th subvector of an array
+    column and a constant codebook slice — left-to-right sum, one codegen
+    expression (the dot_lit_sql discipline)."""
+    terms = []
+    for i in range(PQ_SUBDIM):
+        idx = m * PQ_SUBDIM + i + 1
+        w = cvec[m * PQ_SUBDIM + i]
+        terms.append(
+            f"(CAST(element_at({col}, {idx}) AS DOUBLE) - {w!r}D) * "
+            f"(CAST(element_at({col}, {idx}) AS DOUBLE) - {w!r}D)"
+        )
+    return " + ".join(terms)
+
+
+def _pq_subdist_py(a: list[float], b: list[float], m: int) -> float:
+    """Driver-side twin of _pq_subdist_sql: same IEEE ops, same
+    left-to-right order from 0.0, so the embedded literal equals the
+    value either engine would compute."""
+    s = 0.0
+    for i in range(PQ_SUBDIM):
+        idx = m * PQ_SUBDIM + i
+        s = s + (a[idx] - b[idx]) * (a[idx] - b[idx])
+    return s
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    dists AS (
+      SELECT e.vec_id, t.m, cb.code,
+             list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+               i -> (CAST(e.embedding[t.m * {PQ_SUBDIM} + i] AS DOUBLE)
+                     - CAST(cb.embedding[t.m * {PQ_SUBDIM} + i] AS DOUBLE))
+                  * (CAST(e.embedding[t.m * {PQ_SUBDIM} + i] AS DOUBLE)
+                     - CAST(cb.embedding[t.m * {PQ_SUBDIM} + i] AS DOUBLE))))
+               AS d
+      FROM embeddings e, generate_series(0, {PQ_M - 1}) t(m), cb
+    ),
+    enc AS (
+      SELECT vec_id, m, code
+      FROM (SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, code) AS rn
+            FROM dists) x
+      WHERE rn = 1
+    ),
+    qd AS (SELECT m, code, d FROM dists WHERE vec_id = 0),
+    adc AS (
+      SELECT enc.vec_id, round(sum(qd.d), 6) AS adc_dist
+      FROM enc JOIN qd ON qd.m = enc.m AND qd.code = enc.code
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id AS neighbor_id, rnk, adc_dist
+    FROM (SELECT vec_id, adc_dist,
+                 row_number() OVER (ORDER BY adc_dist, vec_id) AS rnk
+          FROM adc) t
+    WHERE rnk <= {PQ_TOPK}
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): split each vector
+    into {PQ_M} subvectors, encode each against a {PQ_K}-entry per-subspace
+    codebook (here: deterministic sampled seeds, the same stand-in
+    ml_kmeans_iter uses for trained centroids), then score candidates in
+    the COMPRESSED domain — the asymmetric distance is a sum of {PQ_M}
+    table lookups, never touching the original floats.
+
+    Scale shape, and why PQ is the 100 TB ANN memory play: the corpus is
+    represented by {PQ_M} small int codes per vector (8 bytes vs 256), so
+    the scoring scan reads codes only; the query→codebook distance table
+    ({PQ_M}x{PQ_K} doubles) is computed ONCE driver-side and constant-folds
+    into the scan, making encode+score a single stateless projection —
+    zero joins, zero shuffles until the final top-k.  Encode argmins are
+    per-subspace array_min over aliased per-(m,code) distance columns
+    behind a CollapseProject barrier (the JIT-method-size discipline from
+    _ivf_scored), each an unrolled codegen expression.  The global top-k
+    here is one window; per-shard TakeOrdered + driver merge at fleet
+    scale.  In production the codebook comes from k-means (ml_kmeans_iter
+    is the training loop); the dataflow is identical.
+    """
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    cb = [rows[c] for c in range(PQ_K)]
+    qv = cb[0]  # query = vector 0 (also the oracle's choice)
+
+    lower = e.select(
+        "vec_id",
+        *[
+            F.expr(f"({_pq_subdist_sql('embedding', cb[c], m)})").alias(
+                f"_d{m}_{c}"
+            )
+            for m in range(PQ_M)
+            for c in range(PQ_K)
+        ],
+        F.monotonically_increasing_id().alias("_b"),
+    ).filter(F.col("_b") >= 0)
+    codes = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_d{m}_{c}").alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(PQ_K)
+                ]
+            )
+        )
+        .getField("c")
+        .alias(f"_code{m}")
+        for m in range(PQ_M)
+    ]
+    encoded = lower.select("vec_id", *codes)
+
+    tables = [
+        [_pq_subdist_py(qv, cb[c], m) for c in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    adc_sql = " + ".join(
+        "element_at(array({vals}), CAST(_code{m} AS INT) + 1)".format(
+            vals=", ".join(f"{v!r}D" for v in tables[m]), m=m
+        )
+        for m in range(PQ_M)
+    )
+    scored = encoded.select(
+        "vec_id", F.round(F.expr(f"({adc_sql})"), 6).alias("adc_dist")
+    )
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition heap
+    # + driver merge, scale-safe); the rank window then runs over k rows,
+    # not the corpus
+    top = scored.orderBy("adc_dist", "vec_id").limit(PQ_TOPK)
+    w = W.orderBy("adc_dist", "vec_id")
+    return top.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.row_number().over(w).alias("rnk"),
+        "adc_dist",
+    )

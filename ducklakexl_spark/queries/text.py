@@ -781,3 +781,54 @@ def text_bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(BPE_TOPK)
     )
+
+
+@query(
+    "text_c4_filters",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             regexp_matches(trim(text), '[.!?"]$')             AS ends_terminal,
+             contains(lower(text), 'lorem ipsum')              AS has_lorem,
+             contains(text, '{')                               AS has_brace,
+             contains(lower(text), 'javascript')               AS has_js,
+             len(string_split_regex(trim(text), '\s+'))        AS n_words
+      FROM documents
+    )
+    SELECT doc_id, ends_terminal, has_lorem, has_brace, has_js,
+           CAST(n_words AS BIGINT) AS n_words,
+           (ends_terminal AND NOT has_lorem AND NOT has_brace
+            AND NOT has_js AND n_words >= 5) AS passes_c4
+    FROM feat
+    """,
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style document heuristics (Raffel et al. 2020 §2.2): terminal
+    punctuation, lorem-ipsum / curly-brace / javascript markers, and a
+    minimum word count, combined into the keep/drop decision.
+
+    Pure per-row string predicates — zero shuffles, whole-stage codegen,
+    embarrassingly parallel at 100 TB (the real C4 pipeline adds a
+    line-level pass; the document-level decision shape is identical)."""
+    d = load(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    ends_terminal = F.trim(F.col("text")).rlike('[.!?"]$')
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    has_js = lower.contains("javascript")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return d.select(
+        "doc_id",
+        ends_terminal.alias("ends_terminal"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_js"),
+        n_words.alias("n_words"),
+        (
+            ends_terminal
+            & ~has_lorem
+            & ~has_brace
+            & ~has_js
+            & (n_words >= 5)
+        ).alias("passes_c4"),
+    )

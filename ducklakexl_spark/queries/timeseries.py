@@ -223,3 +223,79 @@ def supplier_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_suppkey", "n_frame", "rolling_corr")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH framed AS (
+      SELECT event_type, value,
+             count(*)            OVER w AS n,
+             sum(value)          OVER w AS s1,
+             sum(value * value)  OVER w AS s2
+      FROM events
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY ts, event_id
+        ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING
+      )
+    ),
+    scored AS (
+      SELECT event_type,
+             round((value - s1 / n)
+                   / nullif(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1),
+                                          0)), 0),
+                   4) AS z
+      FROM framed WHERE n >= 10
+    )
+    SELECT event_type,
+           count(*)                                           AS n_scored,
+           CAST(count(*) FILTER (WHERE abs(z) > 3) AS BIGINT) AS n_anomalies,
+           max(abs(z))                                        AS max_abs_z
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection per event_type: each
+    value is scored against the mean/std of the PRECEDING 19 events of
+    its series (current row excluded, so the point can't mask itself),
+    flagged when |z| > 3 — the streaming-metrics outlier shape.
+
+    One shuffle on event_type serves all three frame sums and the final
+    rollup (same exchange layout, reused).  Variance assembles from
+    co-moment window SUMs — the proven supplier_rolling_corr pattern:
+    identical frame contents on both engines make the 4-dp rounding
+    exact, and the explicit form null-guards 0-variance frames where
+    ANSI ``stddev`` semantics differ.  At 100 TB the partition key would
+    move to (event_type, day-bucket) to bound state; the frame logic is
+    unchanged.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, -1)
+    )
+    framed = ev.select(
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("value").over(w).alias("s1"),
+        F.sum(F.col("value") * F.col("value")).over(w).alias("s2"),
+    ).filter(F.col("n") >= 10)
+    # z computed AFTER the n >= 10 filter so the n=0 leading rows never
+    # reach the divisions (ANSI mode raises on x/0); greatest(.., 0)
+    # absorbs FP-negative variance before sqrt on both engines.
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
+    scored = framed.select(
+        "event_type",
+        F.round(
+            (F.col("value") - s1 / n) / F.nullif(F.sqrt(var), F.lit(0.0)), 4
+        ).alias("z"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.count_if(F.abs("z") > 3).cast("long").alias("n_anomalies"),
+        F.max(F.abs("z")).alias("max_abs_z"),
+    )
