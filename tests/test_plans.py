@@ -283,3 +283,35 @@ def test_minhash_reuses_exchanges(spark):
     per side."""
     plan = executed_plan(spark, "dedup_minhash_lsh")
     assert "ReusedExchange" in plan
+
+
+def test_pq_adc_zero_join_scan(spark):
+    """PQ-ADC: encode + table-lookup scoring is one stateless projection
+    chain over the corpus — no joins at all; the only exchange feeds the
+    TakeOrdered top-k."""
+    plan = executed_plan(spark, "sim_pq_adc_topk")
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anomaly_zscore_single_event_type_exchange(spark):
+    """Rolling z-score: the window sums and the final rollup share one
+    event_type exchange layout — exactly one shuffle of event rows."""
+    plan = executed_plan(spark, "events_anomaly_zscore")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(event_type") <= 2
+
+
+def test_linear_classifier_zero_token_shuffle(spark):
+    """Hashed linear scorer: the per-token hash+weight fold happens
+    map-side inside one projection; nothing token-granular crosses a
+    shuffle (the only exchange is the 5-row language rollup)."""
+    plan = executed_plan(spark, "ml_linear_quality_score")
+    assert "Join" not in plan
+    assert "explode" not in plan.lower()
+
+
+def test_c4_filters_exchange_free(spark):
+    plan = executed_plan(spark, "text_c4_filters")
+    assert "Exchange" not in plan
