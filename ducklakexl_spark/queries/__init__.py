@@ -132,6 +132,7 @@ def load_all() -> None:
         lakehouse,
         multimodal,
         nested,
+        pipeline,
         relational,
         retrieval,
         scalars,

@@ -315,3 +315,11 @@ def test_linear_classifier_zero_token_shuffle(spark):
 def test_c4_filters_exchange_free(spark):
     plan = executed_plan(spark, "text_c4_filters")
     assert "Exchange" not in plan
+
+
+def test_curation_funnel_no_cartesian_no_bnlj(spark):
+    """The chained funnel keeps every stage's scale shape: equi-joins
+    only, nothing corpus-sized nested-looped or broadcast."""
+    plan = executed_plan(spark, "pipeline_curation_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
