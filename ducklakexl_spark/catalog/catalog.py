@@ -445,7 +445,7 @@ class DuckLakeCatalog:
         snapshot = self.current_snapshot + 1
         self._queue_live_files_for_gc(table_id)
         for t in ("ducklake_table", "ducklake_column", "ducklake_data_file",
-                  "ducklake_delete_file"):
+                  "ducklake_delete_file", "ducklake_inlined_data"):
             df = self.tables[t]
             if df.empty:
                 continue
@@ -834,6 +834,14 @@ class DuckLakeCatalog:
                 if g["path"] not in seen and not seen.add(g["path"])
             ]
             self._append("ducklake_files_scheduled_for_deletion", gc_rows)
+        # dead inlined rows have no on-disk artifact — dropping their
+        # catalog rows IS the garbage collection
+        inl = self.tables["ducklake_inlined_data"]
+        if not inl.empty:
+            dead = inl["end_snapshot"].notna() & (inl["end_snapshot"] <= cutoff)
+            self.tables["ducklake_inlined_data"] = inl[~dead].reset_index(
+                drop=True
+            )
         self._save()
         return {"snapshots_expired": n_expired, "files_queued": len(gc_rows)}
 
@@ -954,11 +962,88 @@ class DuckLakeCatalog:
             f"deleted_from_table:{table_id}", next_cat, next_file
         )
 
+    # -- data inlining (DuckLake spec "Data Inlining") -------------------------
+
+    def inlined_rows(
+        self, table_id: int, snapshot: int | None = None
+    ) -> pd.DataFrame:
+        live = self.live("ducklake_inlined_data", snapshot)
+        if live.empty:
+            return live
+        return live[live["table_id"] == table_id].sort_values("row_id")
+
+    def append_inlined(
+        self, table_id: int, rows_json: list[str], commit: bool = True
+    ) -> int | None:
+        """Store a small insert's rows in the catalog itself — no parquet
+        file is written.  Row ids come from the table's next_row_id
+        counter (the same id space data files consume), so a later flush
+        preserves stable row identity."""
+        snapshot = self.current_snapshot + 1
+        stats = self.tables["ducklake_table_stats"]
+        srow = stats[stats["table_id"] == table_id]
+        next_row_id = int(srow.iloc[0]["next_row_id"]) if not srow.empty else 0
+        self._append(
+            "ducklake_inlined_data",
+            [
+                {
+                    "table_id": table_id,
+                    "row_id": next_row_id + i,
+                    "begin_snapshot": snapshot,
+                    "end_snapshot": None,
+                    "row_json": j,
+                }
+                for i, j in enumerate(rows_json)
+            ],
+        )
+        self._bump_table_stats(
+            table_id, len(rows_json), next_row_id + len(rows_json), 0
+        )
+        if not commit:
+            return None
+        next_cat, next_file = self._counters()
+        return self.commit_snapshot(
+            f"inserted_into_table:{table_id}", next_cat, next_file
+        )
+
+    def end_inlined_rows(
+        self, table_id: int, row_ids: list[int], commit: bool = True
+    ) -> int | None:
+        """MVCC-delete inlined rows: set end_snapshot (no delete files —
+        the rows ARE catalog rows, so visibility is native)."""
+        if not row_ids:
+            return None
+        df = self.tables["ducklake_inlined_data"]
+        snapshot = self.current_snapshot + 1
+        mask = (
+            self.live_mask(df)
+            & (df["table_id"] == table_id)
+            & (df["row_id"].isin(list(row_ids)))
+        )
+        n = int(mask.sum())
+        df.loc[mask, "end_snapshot"] = snapshot
+        stats = self.tables["ducklake_table_stats"]
+        smask = stats["table_id"] == table_id
+        if smask.any():
+            stats.loc[smask, "record_count"] = (
+                stats.loc[smask, "record_count"] - n
+            )
+        if not commit:
+            return None
+        next_cat, next_file = self._counters()
+        return self.commit_snapshot(
+            f"deleted_from_table:{table_id}", next_cat, next_file
+        )
+
     def truncate_table(self, name: str) -> int:
         table_id = self.table_id(name)
         snapshot = self.current_snapshot + 1
         self._queue_live_files_for_gc(table_id)
-        for t in ("ducklake_data_file", "ducklake_delete_file"):
+        for t in (
+            "ducklake_data_file",
+            "ducklake_delete_file",
+            "ducklake_inlined_data",
+        ):
             df = self.tables[t]
             if df.empty:
                 continue

@@ -192,6 +192,25 @@ CATALOG_SCHEMAS: dict[str, pa.Schema] = {
             ("value", _S),
         ]
     ),
+    # Data inlining (DuckLake spec "Data Inlining"): rows from small
+    # inserts live in the catalog itself instead of spawning a tiny
+    # parquet file each.  The spec shards these into per-table
+    # ducklake_inlined_data_<n> tables; one shared table keyed by
+    # table_id is the same data model without dynamic DDL against the
+    # catalog store.  row_id comes from the table's next_row_id counter
+    # (same id space as file rows), begin/end snapshots give the rows
+    # full MVCC visibility/time travel, and row_json is the row payload
+    # keyed by column name (schema-evolution tolerant: missing keys read
+    # as NULL, like a data file written before an ADD COLUMN).
+    "ducklake_inlined_data": pa.schema(
+        [
+            ("table_id", _I),
+            ("row_id", _I),
+            ("begin_snapshot", _I),
+            ("end_snapshot", _I),
+            ("row_json", _S),
+        ]
+    ),
     "ducklake_files_scheduled_for_deletion": pa.schema(
         [
             ("data_file_id", _I),

@@ -22,6 +22,9 @@ files, stats collection from parquet footers).
 
 from __future__ import annotations
 
+import base64
+import datetime as _dt
+import decimal as _decimal
 import json
 import os
 import re
@@ -1985,6 +1988,67 @@ _TABLE_CHANGES_RE = re.compile(
 )
 
 
+def _inline_encode_value(v, dt: T.DataType):
+    """JSON-encode one value of Spark type ``dt`` for catalog-inlined
+    storage (DuckLake spec "Data Inlining").  Lossless for every type the
+    DDL surface supports: temporal → ISO-8601, DECIMAL → exact string,
+    BINARY → base64, MAP → [[k, v], …] (JSON objects can't carry
+    non-string keys), STRUCT → name-keyed object."""
+    if v is None:
+        return None
+    if isinstance(dt, T.ArrayType):
+        return [_inline_encode_value(x, dt.elementType) for x in v]
+    if isinstance(dt, T.MapType):
+        return [
+            [
+                _inline_encode_value(k, dt.keyType),
+                _inline_encode_value(x, dt.valueType),
+            ]
+            for k, x in v.items()
+        ]
+    if isinstance(dt, T.StructType):
+        d = v.asDict() if hasattr(v, "asDict") else dict(v)
+        return {
+            f.name: _inline_encode_value(d.get(f.name), f.dataType)
+            for f in dt.fields
+        }
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return v.isoformat()
+    if isinstance(dt, T.DecimalType):
+        return str(v)
+    if isinstance(dt, T.BinaryType):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    return v
+
+
+def _inline_decode_value(v, dt: T.DataType):
+    if v is None:
+        return None
+    if isinstance(dt, T.ArrayType):
+        return [_inline_decode_value(x, dt.elementType) for x in v]
+    if isinstance(dt, T.MapType):
+        return {
+            _inline_decode_value(k, dt.keyType): _inline_decode_value(
+                x, dt.valueType
+            )
+            for k, x in v
+        }
+    if isinstance(dt, T.StructType):
+        return {
+            f.name: _inline_decode_value(v.get(f.name), f.dataType)
+            for f in dt.fields
+        }
+    if isinstance(dt, T.DateType):
+        return _dt.date.fromisoformat(v)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return _dt.datetime.fromisoformat(v)
+    if isinstance(dt, T.DecimalType):
+        return _decimal.Decimal(v)
+    if isinstance(dt, T.BinaryType):
+        return bytearray(base64.b64decode(v))
+    return v
+
+
 def _unqualify(name: str) -> str:
     return name.replace('"', "").split(".")[-1]
 
@@ -2007,6 +2071,7 @@ class DuckLakeSpark:
         ducklake_name: str = "my_excel_ducklake",
         local_catalog: str | None = None,
         workbook=None,
+        data_inlining_row_limit: int = 0,
     ):
         from ducklakexl_spark.session import get_spark
 
@@ -2033,6 +2098,11 @@ class DuckLakeSpark:
         self.catalog = DuckLakeCatalog(CatalogStore(local_catalog), self.data_path)
         self.current_db = ducklake_name
         self.session_settings: dict[str, str] = {}
+        # DuckLake data inlining: INSERTs of <= N rows become catalog
+        # rows instead of parquet files (0 = off, the spec default);
+        # ``SET ducklake.data_inlining_row_limit = N`` overrides at
+        # runtime — see the ``inline_row_limit`` property
+        self.data_inlining_row_limit = int(data_inlining_row_limit)
         # name -> (param names, body SQL text, is_table)
         self._macros: dict[str, tuple[list[str], str, bool]] = {}
         # name -> statement template ($1/$2 or ? placeholders)
@@ -2314,6 +2384,11 @@ class DuckLakeSpark:
             if fn in ("cleanup_old_files", "delete_orphaned_files"):
                 return self.spark.createDataFrame(
                     [(self.vacuum(),)], "files_deleted int"
+                )
+            if fn == "flush_inlined_data":
+                n = self.flush_inlined(args[0] if args else None)
+                return self.spark.createDataFrame(
+                    [(n,)], "rows_flushed bigint"
                 )
             raise ValueError(f"unsupported CALL function: {fn}")
         m = re.match(r"^\s*EXPORT\s+DATABASE\s+'([^']+)'", stmt, re.I)
@@ -3100,7 +3175,11 @@ class DuckLakeSpark:
             if f.name in df.columns:
                 col = F.col(f.name).cast(f.dataType)
             elif col_list is None and not by_name and i < len(src_fields):
-                col = F.col(src_fields[i].name).cast(f.dataType)
+                # backtick-quoted — a literal-derived source column can
+                # be named "0.0", which unquoted resolution would parse
+                # as a struct-field access
+                src_name = src_fields[i].name.replace("`", "``")
+                col = F.col(f"`{src_name}`").cast(f.dataType)
             elif seq_m:
                 # DEFAULT nextval('seq'): block-allocate against the
                 # actual row count (one count job, one catalog commit),
@@ -3151,6 +3230,19 @@ class DuckLakeSpark:
         are removed and the statement fails, which is the DuckDB abort
         semantic.  NULL check results pass, per the SQL standard."""
         tid = self.catalog.table_id(name)
+        limit = self.inline_row_limit
+        if limit > 0:
+            # Data inlining (DuckLake spec): a trickle insert of <= limit
+            # rows is stored as catalog rows, not a parquet file —
+            # take(limit+1) bounds the probe, and a source bigger than
+            # the limit falls through to the normal file write.  At the
+            # 100 TB design point this is what keeps a streaming-ish
+            # ingest from minting millions of KB-sized files between
+            # compactions.
+            head = df.take(limit + 1)
+            if len(head) <= limit:
+                self._write_inlined(name, tid, head, df.schema)
+                return
         df, raise_on_violation = self._check_observer(tid, name, df)
         files, col_stats = self._write_files(name, tid, df)
         try:
@@ -3167,6 +3259,137 @@ class DuckLakeSpark:
             raise
         if files:
             self.catalog.register_data_files(tid, files, col_stats)
+
+    @property
+    def inline_row_limit(self) -> int:
+        """Effective data-inlining row limit: the DuckDB-style session
+        setting (``SET ducklake.data_inlining_row_limit = N``) wins over
+        the constructor default; 0 disables inlining."""
+        for k, v in self.session_settings.items():
+            key = k.lower()
+            if key.endswith("data_inlining_row_limit"):
+                try:
+                    return int(str(v).strip())
+                except ValueError:
+                    return 0
+        return self.data_inlining_row_limit
+
+    def _write_inlined(
+        self, name: str, tid: int, rows, schema: T.StructType
+    ) -> None:
+        """Commit an insert as catalog-inlined rows (no parquet file).
+
+        NOT NULL was already enforced inside the projection the rows
+        came through (raise_error fires during take()); CHECKs are
+        validated here on the driver-local row set — it is <= the
+        inlining limit by construction, so no Spark job is needed."""
+        if not rows:
+            return
+        viol, checks = self._check_violation_col(tid)
+        if viol is not None:
+            tiny = self.spark.createDataFrame(rows, schema)
+            n_viol = (
+                tiny.select(F.sum(viol.cast("long")).alias("v")).collect()[0][
+                    "v"
+                ]
+                or 0
+            )
+            if n_viol:
+                raise ValueError(
+                    f"CHECK constraint violated on table {name!r}: "
+                    f"{n_viol} row(s) failed {checks}"
+                )
+        rows_json = [
+            json.dumps(
+                {
+                    f.name: _inline_encode_value(r[f.name], f.dataType)
+                    for f in schema.fields
+                }
+            )
+            for r in rows
+        ]
+        self.catalog.append_inlined(tid, rows_json)
+
+    def _union_inlined(
+        self,
+        df: DataFrame,
+        tid: int,
+        snapshot: int | None,
+        schema: T.StructType,
+        with_position: bool,
+    ) -> DataFrame:
+        """Append the snapshot's live catalog-inlined rows to a table
+        scan.  Inlined rows bypass file skipping (they have no file
+        stats) and positional delete files (their deletes are MVCC
+        end_snapshot transitions); position columns carry a
+        ``__inlined__/<tid>`` marker + the spec row_id so DML can tell
+        them from file rows."""
+        inl = self.catalog.inlined_rows(tid, snapshot)
+        if inl.empty:
+            return df
+        data = []
+        for r in inl.itertuples():
+            obj = json.loads(r.row_json)
+            row = {
+                f.name: _inline_decode_value(obj.get(f.name), f.dataType)
+                for f in schema.fields
+            }
+            if with_position:
+                row["__file"] = f"__inlined__/{tid}"
+                row["__pos"] = int(r.row_id)
+            data.append(row)
+        s = T.StructType(
+            list(schema.fields)
+            + (
+                [
+                    T.StructField("__file", T.StringType()),
+                    T.StructField("__pos", T.LongType()),
+                ]
+                if with_position
+                else []
+            )
+        )
+        return df.unionByName(self.spark.createDataFrame(data, s))
+
+    def flush_inlined(self, name: str | None = None) -> int:
+        """Materialize catalog-inlined rows into parquet data files
+        (``CALL ducklake_flush_inlined_data()``): one snapshot retires
+        the inlined rows and registers the new files, so every snapshot
+        sees exactly one copy.  Flushed rows draw fresh row ids from the
+        table counter; nothing references the old ids (positional
+        deletes key on file path + position).  Returns rows flushed."""
+        names = [name] if name else self.catalog.table_names()
+        total = 0
+        for t in names:
+            tid = self.catalog.table_id(t)
+            inl = self.catalog.inlined_rows(tid)
+            if inl.empty:
+                continue
+            schema = self.table_schema(t)
+            data = []
+            for r in inl.itertuples():
+                obj = json.loads(r.row_json)
+                data.append(
+                    {
+                        f.name: _inline_decode_value(
+                            obj.get(f.name), f.dataType
+                        )
+                        for f in schema.fields
+                    }
+                )
+            # bounded by the inlining limit per insert — one compact
+            # file is the whole point of flushing
+            df = self.spark.createDataFrame(data, schema).coalesce(1)
+            files, col_stats = self._write_files(t, tid, df)
+            # one atomic snapshot: end_inlined_rows stages at
+            # current+1 and register_data_files commits that same id
+            self.catalog.end_inlined_rows(
+                tid, [int(x) for x in inl["row_id"]], commit=False
+            )
+            if files:
+                self.catalog.register_data_files(tid, files, col_stats)
+            total += len(data)
+        return total
 
     def _check_observer(self, tid: int, name: str, df: DataFrame):
         """Attach the table's CHECK-constraint violation counter to df.
@@ -3450,6 +3673,9 @@ class DuckLakeSpark:
         dimensions; the extra cost over ``sort_by`` is one agg scan."""
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
+        # compaction swaps the table's FILE set atomically; inlined rows
+        # must be in that file set first or the swap would duplicate them
+        self.flush_inlined(name)
         tid = self.catalog.table_id(name)
         old = self.catalog.data_files(tid)
         dels = self.catalog.delete_files(tid)
@@ -3637,12 +3863,19 @@ class DuckLakeSpark:
                 df = df.withColumn("__file", F.lit(None).cast("string")).withColumn(
                     "__pos", F.lit(None).cast("long")
                 )
-            return df
+            return self._union_inlined(df, tid, snapshot, schema, with_position)
         paths = list(files["path"])
         if predicates:
             paths = self._skip_files(tid, snapshot, paths, predicates)
             if not paths:
-                return self.spark.createDataFrame([], schema)
+                df = self.spark.createDataFrame([], schema)
+                if with_position:
+                    df = df.withColumn(
+                        "__file", F.lit(None).cast("string")
+                    ).withColumn("__pos", F.lit(None).cast("long"))
+                return self._union_inlined(
+                    df, tid, snapshot, schema, with_position
+                )
         dels = self.catalog.delete_files(tid, snapshot)
 
         # -- schema evolution (ALTER ADD/DROP/RENAME COLUMN / ALTER TYPE
@@ -3742,7 +3975,7 @@ class DuckLakeSpark:
             )
         if not with_position and "__file" in df.columns:
             df = df.drop("__file", "__pos")
-        return df
+        return self._union_inlined(df, tid, snapshot, schema, with_position)
 
     def _skip_files(self, tid, snapshot, paths, predicates) -> list[str]:
         """Catalog-side file skipping from per-file min/max stats and
@@ -3859,6 +4092,8 @@ class DuckLakeSpark:
                 if re.match(r'^[\w."]+$', source.strip())
                 else "__del_src"
             )
+        # positional deletes need file-backed rows (same as MERGE)
+        self.flush_inlined(name)
         tid = self.catalog.table_id(name)
         live = self.table_df(name, with_position=True)
         sdf = (
@@ -3902,6 +4137,26 @@ class DuckLakeSpark:
         hit_pos = hits.select(
             F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
         )
+        if not self.catalog.inlined_rows(tid).empty:
+            # catalog-inlined rows delete as MVCC end_snapshot
+            # transitions, file rows as positional delete files — both
+            # land in ONE snapshot (the staged register + the committing
+            # end_inlined_rows target the same current+1 id).  The hit
+            # set is checkpointed so splitting it doesn't re-run the scan.
+            hit_pos = hit_pos.localCheckpoint(eager=True)
+            marker = f"__inlined__/{tid}"
+            inl_ids = [
+                int(r["pos"])
+                for r in hit_pos.filter(
+                    F.col("file_path") == marker
+                ).collect()
+            ]
+            file_hits = hit_pos.filter(F.col("file_path") != marker)
+            if inl_ids:
+                self._register_deletes(name, tid, file_hits, commit=False)
+                self.catalog.end_inlined_rows(tid, inl_ids, commit=True)
+                return None
+            hit_pos = file_hits
         self._register_deletes(name, tid, hit_pos)
         return None
 
@@ -4122,6 +4377,10 @@ class DuckLakeSpark:
                 if re.match(r'^[\w."]+$', source.strip())
                 else "__merge_src"
             )
+        # MERGE's matched arms turn scan positions into per-file delete
+        # entries, which inlined rows don't have — flush them to parquet
+        # first (no-op when the table has none)
+        self.flush_inlined(name)
         tid = self.catalog.table_id(name)
         schema = self.table_schema(name)
         cols = [f.name for f in schema.fields]

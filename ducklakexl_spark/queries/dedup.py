@@ -904,3 +904,48 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("new_doc_id"))
         .agg(F.min("e_doc_id").alias("dup_of"))
     )
+
+
+@query(
+    "dedup_lsh_recall",
+    # composition of two registered operators; oracle assembled below
+    oracle=None,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index quality evaluation: recall of the banded MinHash-LSH
+    pair set against the exact n-gram Jaccard ground truth — the number
+    that decides (bands, rows-per-band) tuning before a dedup pipeline
+    ships.  Pure composition of two registered operators; the evaluation
+    join is pair-keyed on the (small) near-dup pair sets, so at corpus
+    scale the cost is the two index runs, not the comparison.  (The
+    exact baseline is quadratic by design and stays out of production
+    paths and the bench — this is an offline audit.)"""
+    from ducklakexl_spark.queries import QUERIES
+
+    lsh = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    ex = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    return ex.join(lsh, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+from ducklakexl_spark.queries import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["dedup_lsh_recall"] = f"""
+    WITH lsh AS (SELECT doc_a, doc_b FROM ({_ORACLES["dedup_minhash_lsh"]}) t),
+         ex  AS (SELECT doc_a, doc_b FROM ({_ORACLES["dedup_ngram_jaccard"]}) t)
+    SELECT count(*) AS n_exact,
+           CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS recall
+    FROM ex LEFT JOIN lsh l ON l.doc_a = ex.doc_a AND l.doc_b = ex.doc_b
+"""

@@ -1264,3 +1264,68 @@ def lakehouse_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = _fresh_lake(spark)
     fresh.sql(f"IMPORT DATABASE '{dump}'")
     return fresh.sql("SELECT * FROM exp_t")
+
+
+@query(
+    "lakehouse_data_inlining",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'files_before_flush',  CAST(0 AS BIGINT)),
+      (2, 'inlined_before',      CAST(3 AS BIGINT)),
+      (3, 'rows_visible',        CAST(3 AS BIGINT)),
+      (4, 'rows_after_delete',   CAST(2 AS BIGINT)),
+      (5, 'tt_pre_delete',       CAST(3 AS BIGINT)),
+      (6, 'files_after_flush',   CAST(1 AS BIGINT)),
+      (7, 'inlined_after_flush', CAST(0 AS BIGINT)),
+      (8, 'sum_after_flush',     CAST(4 AS BIGINT))
+    ) t(probe, label, n)
+    """,
+)
+def lakehouse_data_inlining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckLake data inlining: trickle INSERTs below
+    ``data_inlining_row_limit`` become catalog rows (zero parquet files
+    minted — the 100 TB defense against millions of KB-files between
+    compactions), stay fully visible/deletable/time-travelable, and
+    ``CALL ducklake_flush_inlined_data()`` materializes the survivors
+    into one data file with every prior snapshot intact.  Spec surface:
+    "Data Inlining" (ducklake.select/docs); the reference inherits it
+    via its DuckDB dispatch (ducklakexl.py:394)."""
+    lake = _fresh_lake(spark)
+    lake.sql("SET ducklake.data_inlining_row_limit = 100")
+    lake.sql(
+        """
+        CREATE TABLE inl(id INTEGER, val VARCHAR);
+        INSERT INTO inl VALUES (1, 'a');
+        INSERT INTO inl VALUES (2, 'b'), (3, 'c');
+        """
+    )
+    tid = lake.catalog.table_id("inl")
+    files_before = len(lake.catalog.data_files(tid))
+    inl_before = len(lake.catalog.inlined_rows(tid))
+    rows_visible = lake.sql("SELECT count(*) AS n FROM inl").collect()[0]["n"]
+    snap_pre_delete = lake.catalog.current_snapshot
+    lake.sql("DELETE FROM inl WHERE id = 2")
+    rows_after_delete = (
+        lake.sql("SELECT count(*) AS n FROM inl").collect()[0]["n"]
+    )
+    tt = lake.sql(
+        f"SELECT count(*) AS n FROM inl AT (VERSION => {snap_pre_delete})"
+    ).collect()[0]["n"]
+    lake.sql("CALL ducklake_flush_inlined_data()")
+    files_after = len(lake.catalog.data_files(tid))
+    inl_after = len(lake.catalog.inlined_rows(tid))
+    total_after = lake.sql("SELECT sum(id) AS s FROM inl").collect()[0]["s"]
+    return spark.createDataFrame(
+        [
+            (1, "files_before_flush", files_before),
+            (2, "inlined_before", inl_before),
+            (3, "rows_visible", rows_visible),
+            (4, "rows_after_delete", rows_after_delete),
+            (5, "tt_pre_delete", tt),
+            (6, "files_after_flush", files_after),
+            (7, "inlined_after_flush", inl_after),
+            (8, "sum_after_flush", int(total_after)),
+        ],
+        "probe int, label string, n bigint",
+    )

@@ -1072,3 +1072,120 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rnk"),
         "adc_dist",
     )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled 5-step MMR selection as chained CTEs (argmax-per-step
+    needs ORDER BY/LIMIT, which a recursive CTE term can't carry)."""
+    steps = []
+    for i in range(2, 6):
+        steps.append(f"""
+m{i} AS (
+  SELECT c.vec_id, 0.7 * c.rel - 0.3 * max(p.sim) AS mmr
+  FROM cand c JOIN pair p ON p.a_id = c.vec_id
+  WHERE p.b_id IN (SELECT vec_id FROM c{i - 1})
+    AND c.vec_id NOT IN (SELECT vec_id FROM c{i - 1})
+  GROUP BY c.vec_id, c.rel
+),
+s{i} AS (SELECT vec_id, mmr FROM m{i} ORDER BY mmr DESC, vec_id LIMIT 1),
+c{i} AS (SELECT vec_id FROM c{i - 1} UNION ALL SELECT vec_id FROM s{i})""")
+    tail = "\nUNION ALL ".join(
+        f"SELECT {i} AS rnk, vec_id, round(mmr, 6) AS mmr FROM s{i}"
+        for i in range(1, 6)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding,
+             {_sql_cosine("e.embedding", "q.qv")} AS rel
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT 16
+    ),
+    pair AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             {_sql_cosine("a.embedding", "b.embedding")} AS sim
+      FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel AS mmr FROM cand
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    c1 AS (SELECT vec_id FROM s1),{",".join(steps)}
+    SELECT * FROM ({tail}) ORDER BY rnk
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (the classic RAG /
+    retrieval re-ranker): fetch top-16 candidates by query cosine, then
+    greedily pick 5 items maximizing ``0.7*rel(q,d) - 0.3*max_{s in S}
+    sim(d,s)`` — relevance traded against redundancy with the already
+    selected set.
+
+    Scale shape: candidate generation is the distributed part (a corpus
+    scan + TakeOrderedAndProject — at 100 TB the candidates come from
+    the IVF/LSH index instead, same contract); the greedy selection
+    touches ONLY the 16-candidate set, expressed as chained DataFrame
+    steps over two localCheckpointed 16-row/240-row frames — no
+    ``collect``, no Python loop over data, each step one argmax over a
+    broadcast-sized frame.  The oracle unrolls the identical 5 argmax
+    steps as chained CTEs."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            cosine_cols(F.col("embedding"), F.col("qv")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(16)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    pair = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            cosine_cols(F.col("a_emb"), F.col("b_emb")).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rel = cand.select("vec_id", "rel")
+    pick = (
+        rel.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select("vec_id", F.col("rel").alias("mmr"))
+    )
+    out = pick.select(F.lit(1).alias("rnk"), "vec_id", "mmr")
+    chosen = pick.select("vec_id")
+    for i in range(2, 6):
+        pen = (
+            pair.join(
+                chosen.withColumnRenamed("vec_id", "b_id"), "b_id"
+            )
+            .groupBy("a_id")
+            .agg(F.max("sim").alias("pen"))
+        )
+        pick = (
+            rel.join(chosen, "vec_id", "left_anti")
+            .join(pen, rel["vec_id"] == pen["a_id"])
+            .select(
+                "vec_id",
+                (0.7 * F.col("rel") - 0.3 * F.col("pen")).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)  # pin step i against re-derivation
+        )
+        out = out.unionByName(pick.select(F.lit(i).alias("rnk"), "vec_id", "mmr"))
+        chosen = chosen.unionByName(pick.select("vec_id"))
+    return out.select("rnk", "vec_id", F.round("mmr", 6).alias("mmr"))

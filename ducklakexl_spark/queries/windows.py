@@ -730,3 +730,62 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    pure=False,
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-scoped streaming dedup (dropDuplicatesWithinWatermark)
+    driven across real micro-batches: batch 1 = every event PLUS
+    same-batch duplicate copies of the first day, batch 2 = re-sent
+    copies of the final three days (arriving one batch later, well
+    inside the 7-day watermark horizon, so their dedup state is
+    provably still alive).  Every duplicate is dropped and the streamed
+    per-type rollup hash-matches the batch oracle over the ORIGINAL
+    events — exactly-once ingest semantics with BOUNDED state: unlike a
+    global dropDuplicates, state older than the watermark is evicted,
+    which is what lets the same pipeline run forever at 100 TB (the
+    eviction side is pinned by stream_late_data_drop).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ducklakexl_spark.streaming import pipeline as P
+
+    ev = load(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="events_dedup_")
+
+    def _write_single(df, name: str, mtime: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="dedup_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{stage}/{name}"
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    dup_day1 = ev.filter(F.dayofmonth("ts") == 1)
+    dup_tail = ev.filter(
+        F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 3 DAYS")
+    )
+    _write_single(ev.unionAll(dup_day1), "batch1.parquet", 1_000_000_000)
+    _write_single(dup_tail, "batch2.parquet", 1_000_000_100)
+
+    stream = P.read_event_stream(spark, stage)
+    deduped = stream.withWatermark(
+        "ts", "7 days"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    sunk = P.run_append_to_completion(deduped, "q_stream_dedup_wm")
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -1814,3 +1814,130 @@ def test_check_constraints_accept_dialect_spellings(lake):
     with _pt.raises(ValueError, match="CHECK constraint"):
         lake.sql("INSERT INTO ck2 VALUES ('ok', ['a','b','c'])")
     assert lake.sql("SELECT count(*) AS n FROM ck2").collect()[0]["n"] == 1
+
+
+# ---------------------------------------------------------------- inlining
+
+
+def test_data_inlining_trickle_inserts_make_no_files(lake):
+    lake.sql("SET ducklake.data_inlining_row_limit = 10")
+    lake.sql("CREATE TABLE ti(id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO ti VALUES (1, 'a')")
+    lake.sql("INSERT INTO ti VALUES (2, 'b'), (3, 'c')")
+    tid = lake.catalog.table_id("ti")
+    assert len(lake.catalog.data_files(tid)) == 0
+    assert len(lake.catalog.inlined_rows(tid)) == 3
+    assert rows(lake.sql("SELECT * FROM ti")) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+
+def test_data_inlining_limit_fall_through(lake):
+    lake.sql("SET ducklake.data_inlining_row_limit = 2")
+    lake.sql("CREATE TABLE tf(id INTEGER)")
+    lake.sql("INSERT INTO tf VALUES (1), (2), (3)")  # 3 > 2 -> parquet
+    tid = lake.catalog.table_id("tf")
+    files_after_big = len(lake.catalog.data_files(tid))
+    assert files_after_big >= 1
+    assert len(lake.catalog.inlined_rows(tid)) == 0
+    lake.sql("INSERT INTO tf VALUES (4)")  # 1 <= 2 -> inlined
+    assert len(lake.catalog.data_files(tid)) == files_after_big
+    assert len(lake.catalog.inlined_rows(tid)) == 1
+    assert rows(lake.sql("SELECT * FROM tf")) == [(1,), (2,), (3,), (4,)]
+
+
+def test_data_inlining_delete_update_time_travel(lake):
+    lake.sql("SET ducklake.data_inlining_row_limit = 10")
+    lake.sql("CREATE TABLE tdu(id INTEGER, v DOUBLE)")
+    lake.sql("INSERT INTO tdu VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    snap = lake.catalog.current_snapshot
+    lake.sql("DELETE FROM tdu WHERE id = 2")
+    lake.sql("UPDATE tdu SET v = 9.0 WHERE id = 3")
+    assert rows(lake.sql("SELECT * FROM tdu")) == [(1, 1.0), (3, 9.0)]
+    assert rows(lake.sql(f"SELECT * FROM tdu AT (VERSION => {snap})")) == [
+        (1, 1.0), (2, 2.0), (3, 3.0)
+    ]
+
+
+def test_data_inlining_flush_and_compact(lake):
+    lake.sql("SET ducklake.data_inlining_row_limit = 10")
+    lake.sql("CREATE TABLE tfl(id INTEGER)")
+    lake.sql("INSERT INTO tfl VALUES (1)")
+    lake.sql("INSERT INTO tfl VALUES (2)")
+    tid = lake.catalog.table_id("tfl")
+    snap = lake.catalog.current_snapshot
+    n = lake.flush_inlined("tfl")
+    assert n == 2
+    assert len(lake.catalog.inlined_rows(tid)) == 0
+    assert len(lake.catalog.data_files(tid)) >= 1
+    assert rows(lake.sql("SELECT * FROM tfl")) == [(1,), (2,)]
+    # pre-flush snapshot still resolves to the inlined rows
+    assert rows(lake.sql(f"SELECT * FROM tfl AT (VERSION => {snap})")) == [
+        (1,), (2,)
+    ]
+    # compaction auto-flushes whatever is inlined at the time
+    lake.sql("INSERT INTO tfl VALUES (3)")
+    lake.compact("tfl")
+    assert len(lake.catalog.inlined_rows(tid)) == 0
+    assert rows(lake.sql("SELECT * FROM tfl")) == [(1,), (2,), (3,)]
+
+
+def test_data_inlining_nested_types_round_trip(lake):
+    lake.sql("SET ducklake.data_inlining_row_limit = 10")
+    lake.sql(
+        "CREATE TABLE tn(id BIGINT, xs BIGINT[], m MAP(VARCHAR, BIGINT), "
+        "st STRUCT(a BIGINT, b VARCHAR), d DATE, dec DECIMAL(10,2), "
+        "bin BLOB, ts TIMESTAMP)"
+    )
+    lake.sql(
+        "INSERT INTO tn VALUES (1, [1,2], MAP {'k': 5}, {'a': 9, 'b': 'z'}, "
+        "DATE '2024-03-04', 12.34, 'ab'::BLOB, "
+        "TIMESTAMP '2024-01-01 10:30:00.123456')"
+    )
+    r = lake.sql("SELECT * FROM tn").collect()[0]
+    assert r["xs"] == [1, 2]
+    assert r["m"] == {"k": 5}
+    assert r["st"]["a"] == 9 and r["st"]["b"] == "z"
+    assert str(r["d"]) == "2024-03-04"
+    assert str(r["dec"]) == "12.34"
+    assert bytes(r["bin"]) == b"ab"
+    assert r["ts"].microsecond == 123456
+    # flush writes the same values to parquet
+    lake.flush_inlined("tn")
+    r2 = lake.sql("SELECT * FROM tn").collect()[0]
+    assert tuple(r) == tuple(r2)
+
+
+def test_data_inlining_check_constraint_enforced(lake):
+    lake.sql("SET ducklake.data_inlining_row_limit = 10")
+    lake.sql("CREATE TABLE tc(id INTEGER CHECK (id > 0))")
+    lake.sql("INSERT INTO tc VALUES (5)")
+    with pytest.raises(ValueError, match="CHECK"):
+        lake.sql("INSERT INTO tc VALUES (-1)")
+    assert rows(lake.sql("SELECT * FROM tc")) == [(5,)]
+
+
+def test_data_inlining_rollback(lake):
+    lake.sql("SET ducklake.data_inlining_row_limit = 10")
+    lake.sql("CREATE TABLE tr(id INTEGER)")
+    lake.sql("INSERT INTO tr VALUES (1)")
+    lake.sql("BEGIN")
+    lake.sql("INSERT INTO tr VALUES (2)")
+    assert rows(lake.sql("SELECT * FROM tr")) == [(1,), (2,)]
+    lake.sql("ROLLBACK")
+    assert rows(lake.sql("SELECT * FROM tr")) == [(1,)]
+    tid = lake.catalog.table_id("tr")
+    assert len(lake.catalog.inlined_rows(tid)) == 1
+
+
+def test_data_inlining_expire_prunes_dead_rows(lake):
+    lake.sql("SET ducklake.data_inlining_row_limit = 10")
+    lake.sql("CREATE TABLE te(id INTEGER)")
+    lake.sql("INSERT INTO te VALUES (1), (2)")
+    lake.sql("DELETE FROM te WHERE id = 1")
+    tid = lake.catalog.table_id("te")
+    assert len(lake.catalog.tables["ducklake_inlined_data"]) == 2
+    lake.expire_snapshots(before_version=lake.catalog.current_snapshot)
+    inl = lake.catalog.tables["ducklake_inlined_data"]
+    assert len(inl[inl["table_id"] == tid]) == 1  # dead row gone
+    assert rows(lake.sql("SELECT * FROM te")) == [(2,)]
