@@ -959,6 +959,11 @@ _DUCK_FN_RENAME = {
     "from_base64": "unbase64",
     "to_base64": "base64",
     "base64": "base64",
+    "printf": "format_string",  # both are C-printf-style
+    "json_keys": "json_object_keys",
+    "cardinality": "size",
+    "list_intersect": "array_intersect",
+    "datetrunc": "date_trunc",  # same (part, ts) order in both
 }
 
 # C-style strftime codes (DuckDB) → Java SimpleDateFormat (Spark)
@@ -1129,6 +1134,53 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
                 f"{', '.join(fields)}, {val} AS __v))), s -> s.__v), {sep})"
             )
         return f"listagg({', '.join(a)})"
+    if key == "try_strptime":
+        fl = _literal_str(a[1])
+        if fl is None:
+            raise ValueError("try_strptime: format must be a string literal")
+        return f"try_to_timestamp({a[0]}, {_sql_str(_strftime_to_java(fl))})"
+    if key == "list_has_all":
+        # list_has_all(l, sub): every element of sub present in l
+        return f"(size(array_except({a[1]}, {a[0]})) = 0)"
+    if key in ("list_aggregate", "list_aggr"):
+        fn = (_literal_str(a[1]) or "").lower()
+        if fn in ("sum", "avg", "min", "max"):
+            return _duck_fn_emit(f"list_{fn}", [a[0]]) if fn in (
+                "sum", "avg"
+            ) else f"array_{fn}({a[0]})"
+        if fn == "count":
+            return f"size(filter({a[0]}, x -> x IS NOT NULL))"
+        raise ValueError(f"list_aggregate: unsupported function {fn!r}")
+    # vector math (DuckDB array/list similarity family).  All folds in
+    # DOUBLE; DuckDB computes FLOAT[] inputs in float32, so dialect
+    # parity needs DOUBLE[] (or literal) inputs on the DuckDB side.
+    _VDOT = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> CAST(p AS DOUBLE) * "
+        "CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    _VSQ = (
+        "aggregate({x}, CAST(0 AS DOUBLE), (s, v) -> s + CAST(v AS DOUBLE)"
+        " * CAST(v AS DOUBLE))"
+    )
+    if key in ("list_dot_product", "list_inner_product", "array_inner_product"):
+        return _VDOT.format(x=a[0], y=a[1])
+    if key in ("list_cosine_similarity", "array_cosine_similarity"):
+        return (
+            f"({_VDOT.format(x=a[0], y=a[1])} / "
+            f"(sqrt({_VSQ.format(x=a[0])}) * sqrt({_VSQ.format(x=a[1])})))"
+        )
+    if key in ("list_cosine_distance", "array_cosine_distance"):
+        return (
+            f"(1.0 - ({_VDOT.format(x=a[0], y=a[1])} / "
+            f"(sqrt({_VSQ.format(x=a[0])}) * sqrt({_VSQ.format(x=a[1])}))))"
+        )
+    if key in ("list_distance", "array_distance"):
+        return (
+            f"sqrt(aggregate(zip_with({a[0]}, {a[1]}, (p, q) -> "
+            f"(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) * "
+            f"(CAST(p AS DOUBLE) - CAST(q AS DOUBLE))), "
+            f"CAST(0 AS DOUBLE), (s, v) -> s + v))"
+        )
     if key == "list_reduce":
         # DuckDB list_reduce seeds the fold with the FIRST element
         return (
@@ -1365,6 +1417,11 @@ _DUCK_FN_TEMPLATES = {
     "format_bytes", "formatreadablesize", "to_seconds", "to_minutes",
     "to_hours", "to_days", "datesub", "time_bucket", "century",
     "histogram", "sum", "avg", "min", "max", "count",
+    "try_strptime", "list_has_all", "list_aggregate", "list_aggr",
+    "list_dot_product", "list_inner_product", "array_inner_product",
+    "list_cosine_similarity", "array_cosine_similarity",
+    "list_cosine_distance", "array_cosine_distance",
+    "list_distance", "array_distance",
 }
 
 # DuckDB type names (in CAST position etc.) Spark spells differently.

@@ -1329,3 +1329,50 @@ def lakehouse_data_inlining(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "probe int, label string, n bigint",
     )
+
+
+_VECTOR_FN_BODY = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {src} WHERE vec_id < 6
+    ),
+    p AS (
+      SELECT a.vec_id AS ai, b.vec_id AS bi, a.v AS av, b.v AS bv
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT ai, bi,
+           round(list_dot_product(av, bv), 6)       AS dot,
+           round(list_cosine_similarity(av, bv), 6) AS cos_sim,
+           round(list_distance(av, bv), 6)          AS l2,
+           list_has_all(av, list_value(av[1]))      AS has_first,
+           round(list_aggregate(av, 'sum'), 6)      AS vsum,
+           round(list_aggregate(av, 'max'), 6)      AS vmax,
+           CAST(list_aggregate(av, 'count') AS BIGINT) AS vcount,
+           printf('%s-%04d', 'v', ai)               AS tag,
+           CAST(cardinality(MAP {{'a': 1, 'b': 2}}) AS BIGINT) AS dim,
+           strftime(try_strptime('2024-01-02 03:04:05',
+                                 '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S')            AS parsed
+    FROM p
+"""
+
+
+@query(
+    "lakehouse_vector_fn_dialect",
+    pure=False,
+    oracle=_VECTOR_FN_BODY.format(src="embeddings"),
+)
+def lakehouse_vector_fn_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's vector-similarity function family through sql() text —
+    the engine runs the ORACLE'S OWN SQL verbatim: list_dot_product /
+    array_inner_product / list_cosine_similarity / list_cosine_distance /
+    list_distance become DOUBLE zip_with/aggregate folds (whole-stage
+    codegen, no UDF), plus list_has_all, list_aggregate('sum'|'max'|
+    'count'), printf, cardinality, try_strptime.  Inputs are cast to
+    DOUBLE[] because DuckDB evaluates FLOAT[] vector math in float32."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        _VECTOR_FN_BODY.format(
+            src=f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+    )

@@ -351,3 +351,49 @@ def test_onedrive_graph_ops_batch_concurrently():
     wb.write_sheets([("a", ["h"], [["1"]]), ("b", ["h"], [["2"]])])
     # each write = clear + PATCH
     assert len(log) == 3 + 4
+
+
+def test_push_is_changed_tables_only(tmp_path):
+    """Second statement's push rewrites only the catalog tables it
+    touched — the delta-push the reference README plans (README.md:
+    160-163) instead of its clear+rewrite of all ~19 sheets."""
+    from ducklakexl_spark.catalog import CatalogStore, DuckLakeCatalog
+    from ducklakexl_spark.sync.sync import WorkbookSync
+
+    writes: list[str] = []
+
+    class CountingWorkbook:
+        def __init__(self):
+            self.sheets: dict[str, tuple] = {}
+
+        def sheet_names(self):
+            return list(self.sheets)
+
+        def create_sheet(self, name):
+            self.sheets[name] = ([], [])
+
+        def read_sheet(self, name):
+            return self.sheets[name]
+
+        def write_sheet(self, name, header, rows):
+            writes.append(name)
+            self.sheets[name] = (header, rows)
+
+    cat = DuckLakeCatalog(
+        CatalogStore(str(tmp_path / "cat")), str(tmp_path / "data")
+    )
+    sync = WorkbookSync(CountingWorkbook())
+    sync.initialize(cat)  # fresh workbook -> full push
+    first = set(writes)
+    assert "snapshot" in first and "table" in first
+
+    writes.clear()
+    n = sync.push(cat)  # nothing changed -> zero writes
+    assert n == 0 and writes == []
+
+    cat.create_table("t2", [("id", "INTEGER", None, None, True, None)])
+    writes.clear()
+    n = sync.push(cat)
+    assert 0 < n < len(first)
+    assert "inlined_data" not in writes  # untouched table not rewritten
+    assert "table" in writes and "column" in writes and "snapshot" in writes
