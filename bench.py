@@ -122,6 +122,15 @@ def main() -> None:
         "INSERT INTO li SELECT * FROM "
         f"read_parquet('{sf_dir}/lineitem.parquet') LIMIT 1",
     )
+    # trickle ingest with data inlining on: 5 single-row INSERTs become
+    # catalog commits with NO parquet files minted (the 100 TB defense
+    # against tiny-file accretion between compactions)
+    lake.sql("SET ducklake.data_inlining_row_limit = 16")
+    lake.sql("CREATE TABLE trickle (id BIGINT, v DOUBLE)")
+    t0 = time.perf_counter()
+    for i in range(5):
+        lake.sql(f"INSERT INTO trickle VALUES ({i}, {i}.5)")
+    writes["trickle_5x1row_inlined"] = round(time.perf_counter() - t0, 4)
     shutil.rmtree(wtmp, ignore_errors=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

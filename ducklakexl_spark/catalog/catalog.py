@@ -614,13 +614,17 @@ class DuckLakeCatalog:
             self.commit_snapshot(f"set_tag:{object_id}:{key}", next_cat, next_file)
 
     def get_tag(
-        self, object_id: int, key: str, column_id: int | None = None
+        self,
+        object_id: int,
+        key: str,
+        column_id: int | None = None,
+        snapshot: int | None = None,
     ) -> str | None:
         if column_id is None:
-            live = self.live("ducklake_tag")
+            live = self.live("ducklake_tag", snapshot)
             hit = live[(live["object_id"] == object_id) & (live["key"] == key)]
         else:
-            live = self.live("ducklake_column_tag")
+            live = self.live("ducklake_column_tag", snapshot)
             hit = live[
                 (live["table_id"] == object_id)
                 & (live["column_id"] == column_id)

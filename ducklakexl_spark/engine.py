@@ -2984,20 +2984,28 @@ class DuckLakeSpark:
     def _parse_columns(
         self, body: str
     ) -> tuple[
-        list[tuple[str, str, bool, str | None]], list[str], list[str]
+        list[tuple[str, str, bool, str | None]],
+        list[str],
+        list[str],
+        list[tuple[str, str]],
     ]:
         """Column definitions → ((name, type, nulls_allowed, default_sql)
-        list, CHECK-expression list, primary-key column list).  NOT NULL
-        and DEFAULT land in the catalog's ducklake_column row (the spec's
-        nulls_allowed / default_value fields); CHECK constraints —
-        column-level and table-level, optionally CONSTRAINT-named — are
-        collected for write-time enforcement; PRIMARY KEY columns are
-        RECORDED (they key the INSERT OR REPLACE/IGNORE upsert sugar) but
-        not uniqueness-enforced (DuckLake doesn't enforce them);
-        UNIQUE/FOREIGN KEY parse and are ignored."""
+        list, CHECK-expression list, primary-key column list,
+        (generated-column, expr) list).  NOT NULL and DEFAULT land in the
+        catalog's ducklake_column row (the spec's nulls_allowed /
+        default_value fields); CHECK constraints — column-level and
+        table-level, optionally CONSTRAINT-named — are collected for
+        write-time enforcement; PRIMARY KEY columns are RECORDED (they
+        key the INSERT OR REPLACE/IGNORE upsert sugar) but not
+        uniqueness-enforced (DuckLake doesn't enforce them);
+        UNIQUE/FOREIGN KEY parse and are ignored.  Generated columns
+        (``c [type] [GENERATED ALWAYS] AS (expr) [VIRTUAL]``) are
+        DuckDB's VIRTUAL kind: computed at scan time, never stored; a
+        declared type may be omitted (inferred from the expression)."""
         cols = []
         checks: list[str] = []
         pks: list[str] = []
+        gens: list[tuple[str, str]] = []
 
         def take_check(text: str) -> tuple[str, str | None]:
             """Remove the first CHECK (...) from text, returning
@@ -3043,6 +3051,30 @@ class DuckLakeSpark:
             rest = rest.strip()
             if col_check:
                 checks.append(col_check)
+            # generated column: top-level "AS (" after the optional type
+            # and optional GENERATED ALWAYS (never inside a type's or
+            # DEFAULT's parens — find_top_level_keyword is depth-0)
+            as_pos = find_top_level_keyword(rest, "AS")
+            if as_pos >= 0 and rest[as_pos + 2 :].lstrip().startswith("("):
+                open_idx = rest.index("(", as_pos)
+                close = matching_paren(rest, open_idx)
+                tail = rest[close + 1 :].strip()
+                if tail and not re.fullmatch(
+                    r"(VIRTUAL|STORED)", tail, re.I
+                ):
+                    raise ValueError(
+                        f"unsupported generated-column suffix: {tail!r}"
+                    )
+                gens.append((cname, rest[open_idx + 1 : close].strip()))
+                head = re.sub(
+                    r"\bGENERATED\s+ALWAYS\s*$",
+                    "",
+                    rest[:as_pos].strip(),
+                    flags=re.I,
+                ).strip()
+                # empty type = infer from the expression at CREATE time
+                cols.append((cname, head, True, None))
+                continue
             nulls_allowed = not re.search(r"\bNOT\s+NULL\b", rest, re.I)
             if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
                 pks.append(cname)
@@ -3060,15 +3092,47 @@ class DuckLakeSpark:
                 flags=re.I,
             )
             cols.append((cname, ctype.strip(), nulls_allowed, default))
-        return cols, checks, pks
+        return cols, checks, pks, gens
 
     def _create_table(
         self, name: str, body: str, if_not_exists: bool = False
     ) -> None:
         if if_not_exists and name in self.catalog.table_names():
             return None
-        cols, checks, pks = self._parse_columns(body)
+        cols, checks, pks, gens = self._parse_columns(body)
+        if gens:
+            # expressions store post-dialect; missing declared types are
+            # inferred by analyzing the expression against the base
+            # columns (an empty local frame — no Spark job runs)
+            gen_exprs = {c: apply_expr_dialect(x) for c, x in gens}
+            gen_names = set(gen_exprs)
+            base_fields = [
+                T.StructField(c[0], ducklake_type_to_spark(c[1]))
+                for c in cols
+                if c[0] not in gen_names
+            ]
+            probe = self.spark.createDataFrame(
+                [], T.StructType(base_fields)
+            ).select(
+                "*",
+                *[
+                    F.expr(x).alias(c)
+                    for c, x in gen_exprs.items()
+                ],
+            )
+            inferred = {f.name: f.dataType for f in probe.schema.fields}
+            cols = [
+                (
+                    c[0],
+                    c[1] or _spark_type_to_ducklake(inferred[c[0]]),
+                    c[2],
+                    c[3],
+                )
+                for c in cols
+            ]
         tid = self.catalog.create_table(name, cols)
+        for c, x in gens:
+            self.catalog.set_tag(tid, f"generated:{c}", apply_expr_dialect(x))
         if checks:
             # persisted as an MVCC table tag so constraints survive
             # engine restarts and version with the schema; stored
@@ -3122,11 +3186,27 @@ class DuckLakeSpark:
         columns strictly by name — unmatched table columns take their
         DEFAULT/NULL, and the positional fallback is disabled."""
         schema = self.table_schema(name)
+        gen_names = {
+            c
+            for c, _x, _t in self._generated_cols(
+                self.catalog.table_id(name), schema
+            )
+        }
+        if col_list and gen_names & {
+            c.strip().strip('"') for c in col_list.strip("()").split(",")
+        }:
+            raise ValueError(
+                "cannot INSERT into a generated column"
+            )
         if re.match(r"^\s*VALUES", source_sql, re.I):
             names = (
                 [c.strip().strip('"') for c in col_list.strip("()").split(",")]
                 if col_list
-                else [f.name for f in schema.fields]
+                else [
+                    f.name
+                    for f in schema.fields
+                    if f.name not in gen_names
+                ]
             )
             alias_cols = ", ".join(f"c{i}" for i in range(len(names)))
             # DuckDB bracket literals ([…] lists, {…} structs, MAP {…}),
@@ -3222,7 +3302,14 @@ class DuckLakeSpark:
         aligned = []
         src_fields = df.schema.fields
         n_rows: int | None = None
+        n_gen_before = 0  # generated cols never consume a positional slot
         for i, f in enumerate(schema.fields):
+            if f.name in gen_names:
+                # VIRTUAL: stored as NULL placeholder, computed at scan
+                n_gen_before += 1
+                aligned.append(F.lit(None).cast(f.dataType).alias(f.name))
+                continue
+            i = i - n_gen_before
             nulls_ok, default = meta.get(f.name, (True, None))
             seq_m = (
                 re.fullmatch(r"\s*nextval\(\s*'([^']+)'\s*\)\s*", default, re.I)
@@ -3407,6 +3494,34 @@ class DuckLakeSpark:
             )
         )
         return df.unionByName(self.spark.createDataFrame(data, s))
+
+    def _generated_cols(
+        self, tid: int, schema: T.StructType, snapshot: int | None = None
+    ) -> list[tuple[str, str, T.DataType]]:
+        """(name, expr, declared type) for the table's generated columns,
+        in schema order — from the MVCC ``generated:<col>`` table tags."""
+        out = []
+        for f in schema.fields:
+            expr = self.catalog.get_tag(
+                tid, f"generated:{f.name}", snapshot=snapshot
+            )
+            if expr is not None:
+                out.append((f.name, expr, f.dataType))
+        return out
+
+    def _apply_generated(
+        self,
+        df: DataFrame,
+        tid: int,
+        schema: T.StructType,
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Compute VIRTUAL generated columns over a scan.  The stored
+        placeholder (NULL) is replaced by the expression — computed
+        inside the scan projection, whole-stage codegen, zero storage."""
+        for name, expr, dtype in self._generated_cols(tid, schema, snapshot):
+            df = df.withColumn(name, F.expr(expr).cast(dtype))
+        return df
 
     def flush_inlined(self, name: str | None = None) -> int:
         """Materialize catalog-inlined rows into parquet data files
@@ -3920,7 +4035,8 @@ class DuckLakeSpark:
                 df = df.withColumn("__file", F.lit(None).cast("string")).withColumn(
                     "__pos", F.lit(None).cast("long")
                 )
-            return self._union_inlined(df, tid, snapshot, schema, with_position)
+            df = self._union_inlined(df, tid, snapshot, schema, with_position)
+            return self._apply_generated(df, tid, schema, snapshot)
         paths = list(files["path"])
         if predicates:
             paths = self._skip_files(tid, snapshot, paths, predicates)
@@ -3930,9 +4046,10 @@ class DuckLakeSpark:
                     df = df.withColumn(
                         "__file", F.lit(None).cast("string")
                     ).withColumn("__pos", F.lit(None).cast("long"))
-                return self._union_inlined(
+                df = self._union_inlined(
                     df, tid, snapshot, schema, with_position
                 )
+                return self._apply_generated(df, tid, schema, snapshot)
         dels = self.catalog.delete_files(tid, snapshot)
 
         # -- schema evolution (ALTER ADD/DROP/RENAME COLUMN / ALTER TYPE
@@ -4032,7 +4149,8 @@ class DuckLakeSpark:
             )
         if not with_position and "__file" in df.columns:
             df = df.drop("__file", "__pos")
-        return self._union_inlined(df, tid, snapshot, schema, with_position)
+        df = self._union_inlined(df, tid, snapshot, schema, with_position)
+        return self._apply_generated(df, tid, schema, snapshot)
 
     def _skip_files(self, tid, snapshot, paths, predicates) -> list[str]:
         """Catalog-side file skipping from per-file min/max stats and
@@ -4322,6 +4440,14 @@ class DuckLakeSpark:
         for part in split_top_level(set_clause):
             col, expr = part.split("=", 1)
             assignments[col.strip().strip('"')] = expr.strip()
+        gen_names = {
+            c
+            for c, _x, _t in self._generated_cols(
+                self.catalog.table_id(name), schema
+            )
+        }
+        if gen_names & set(assignments):
+            raise ValueError("cannot UPDATE a generated column")
         new_rows = hits.select(
             *[
                 F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)

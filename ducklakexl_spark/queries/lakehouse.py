@@ -1376,3 +1376,40 @@ def lakehouse_vector_fn_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
             src=f"read_parquet('{sf_dir}/embeddings.parquet')"
         )
     )
+
+
+@query(
+    "lakehouse_generated_columns",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, CAST(100 AS BIGINT), CAST(101 AS BIGINT), 0.5),
+      (2, CAST(20 AS BIGINT),  CAST(22 AS BIGINT),  1.0),
+      (5, CAST(50 AS BIGINT),  CAST(55 AS BIGINT),  2.5)
+    ) t(a, b, total, half)
+    """,
+)
+def lakehouse_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIRTUAL generated columns (DuckDB ``GENERATED ALWAYS AS (expr)``
+    and the bare ``c AS (expr)`` shorthand, type inferred when omitted):
+    computed inside the scan projection from an MVCC ``generated:<col>``
+    table tag — never stored, so an UPDATE to a base column is reflected
+    with no rewrite, and INSERT/UPDATE targeting the column raise.
+    Enforced across insert, join-free update, delete, and INSERT
+    SELECT."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE g(
+          a INTEGER,
+          b BIGINT,
+          total BIGINT GENERATED ALWAYS AS (a + b),
+          half AS (CAST(a AS DOUBLE) / 2)
+        );
+        INSERT INTO g VALUES (1, 10), (2, 20), (3, 30);
+        UPDATE g SET b = 100 WHERE a = 1;
+        DELETE FROM g WHERE a = 3;
+        INSERT INTO g SELECT 5, 50;
+        """
+    )
+    return lake.sql("SELECT a, b, total, half FROM g")

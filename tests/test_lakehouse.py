@@ -1941,3 +1941,43 @@ def test_data_inlining_expire_prunes_dead_rows(lake):
     inl = lake.catalog.tables["ducklake_inlined_data"]
     assert len(inl[inl["table_id"] == tid]) == 1  # dead row gone
     assert rows(lake.sql("SELECT * FROM te")) == [(2,)]
+
+
+# ------------------------------------------------------------- generated
+
+
+def test_generated_columns_virtual(lake):
+    lake.sql(
+        "CREATE TABLE g(a BIGINT, b BIGINT, "
+        "total BIGINT GENERATED ALWAYS AS (a + b), half AS (a / 2.0))"
+    )
+    lake.sql("INSERT INTO g VALUES (1, 10), (2, 20)")
+    got = rows(lake.sql("SELECT a, b, total FROM g"))
+    assert got == [(1, 10, 11), (2, 20, 22)]
+    # update to a base column is reflected without any rewrite
+    lake.sql("UPDATE g SET b = 100 WHERE a = 1")
+    assert rows(lake.sql("SELECT a, total FROM g")) == [(1, 101), (2, 22)]
+    with pytest.raises(ValueError, match="generated"):
+        lake.sql("INSERT INTO g (a, b, total) VALUES (3, 30, 999)")
+    with pytest.raises(ValueError, match="generated"):
+        lake.sql("UPDATE g SET total = 5")
+    # survives a reopen (the expr is a persisted MVCC tag)
+    lake2 = DuckLakeSpark(
+        spark=lake.spark,
+        data_path=lake.data_path,
+        local_catalog=lake.catalog.store.path,
+    )
+    assert rows(lake2.sql("SELECT a, total FROM g")) == [(1, 101), (2, 22)]
+
+
+def test_generated_columns_inlined_and_time_travel(lake):
+    lake.sql("SET ducklake.data_inlining_row_limit = 10")
+    lake.sql("CREATE TABLE gi(a BIGINT, d AS (a * 3))")
+    lake.sql("INSERT INTO gi VALUES (1), (2)")
+    assert rows(lake.sql("SELECT a, d FROM gi")) == [(1, 3), (2, 6)]
+    snap = lake.catalog.current_snapshot
+    lake.sql("DELETE FROM gi WHERE a = 1")
+    assert rows(lake.sql("SELECT d FROM gi")) == [(6,)]
+    assert rows(
+        lake.sql(f"SELECT d FROM gi AT (VERSION => {snap})")
+    ) == [(3,), (6,)]

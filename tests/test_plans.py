@@ -323,3 +323,34 @@ def test_curation_funnel_no_cartesian_no_bnlj(spark):
     plan = executed_plan(spark, "pipeline_curation_funnel")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_candidates_take_ordered_no_corpus_pairs(spark):
+    """MMR re-rank: the corpus-touching stage is a single scan ending in
+    TakeOrderedAndProject (top-16); the all-pairs cosine matrix exists
+    ONLY over the 16-candidate local frame (scans of the embeddings
+    parquet appear exactly twice: candidate scoring + nothing else)."""
+    plan = executed_plan(spark, "sim_mmr_rerank")
+    assert "CartesianProduct" not in plan
+    # selection steps operate on checkpointed local frames, never
+    # re-scanning the corpus: at most the candidate stage reads parquet
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_plain_scan_unchanged_without_inlined_rows(spark, tmp_path):
+    """Data inlining must be pay-as-you-go: a table with NO inlined rows
+    scans as a bare parquet read — no union, no extra local relation."""
+    from ducklakexl_spark.engine import DuckLakeSpark
+
+    lake = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "d"),
+        local_catalog=str(tmp_path / "c"),
+    )
+    lake.sql("CREATE TABLE p(id BIGINT)")
+    lake.sql("INSERT INTO p SELECT id FROM range(0, 1000) AS r(id)")
+    df = lake.table_df("p")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert "LocalTableScan" not in plan and "LocalRelation" not in plan
