@@ -2447,6 +2447,15 @@ class DuckLakeSpark:
                 return self.spark.createDataFrame(
                     [(n,)], "rows_flushed bigint"
                 )
+            if fn == "add_data_files":
+                if len(args) != 2:
+                    raise ValueError(
+                        "add_data_files(table, path) takes two arguments"
+                    )
+                n = self.add_data_files(args[0], args[1])
+                return self.spark.createDataFrame(
+                    [(n,)], "files_added int"
+                )
             raise ValueError(f"unsupported CALL function: {fn}")
         m = re.match(r"^\s*EXPORT\s+DATABASE\s+'([^']+)'", stmt, re.I)
         if m:
@@ -3731,6 +3740,19 @@ class DuckLakeSpark:
                 if fn.endswith(".parquet")
             ]
 
+        return self._collect_file_stats(tid, paths, partition_id)
+
+    def _collect_file_stats(
+        self,
+        tid: int,
+        paths: list[tuple[str, list[str] | None]],
+        partition_id: int | None = None,
+    ) -> tuple[list[dict], list[dict]]:
+        """(file rows, per-file column stats) from parquet footers —
+        metadata-only, no Spark job (SURVEY §4 item 4).  Shared by the
+        write path and by add_data_files' zero-copy adoption."""
+        cols = self.catalog.columns(tid)
+        col_ids = {r.column_name: int(r.column_id) for r in cols.itertuples()}
         files, col_stats = [], []
         for path, part_vals in sorted(paths):
             meta = pq.ParquetFile(path).metadata
@@ -3807,6 +3829,45 @@ class DuckLakeSpark:
                     }
                 )
         return files, col_stats
+
+    def add_data_files(self, name: str, pattern: str) -> int:
+        """``CALL ducklake_add_data_files('t', 'path-or-glob')``: adopt
+        existing parquet files into a table WITHOUT copying — one footer
+        read per file collects record counts and min/max stats, then one
+        catalog snapshot registers them (the spec's migration path: a
+        100 TB directory of parquet joins the lake as a metadata-only
+        operation).  Every table column (except generated ones, which
+        compute at scan) must exist in each file; extra file columns are
+        simply not projected.  The lake takes ownership: dropped
+        snapshots queue adopted paths for vacuum like any other file."""
+        import glob as _glob
+
+        tid = self.catalog.table_id(name)
+        cand = (
+            sorted(_glob.glob(pattern))
+            if any(ch in pattern for ch in "*?[")
+            else [pattern]
+        )
+        if not cand:
+            raise ValueError(f"add_data_files: no files match {pattern!r}")
+        gen = {c for c, _x, _t in self._generated_cols(tid, self.table_schema(name))}
+        required = {
+            r.column_name
+            for r in self.catalog.columns(tid).itertuples()
+            if r.column_name not in gen
+        }
+        for p in cand:
+            have = {f.split(".")[0] for f in pq.read_schema(p).names}
+            missing = required - have
+            if missing:
+                raise ValueError(
+                    f"add_data_files: {p} lacks table columns {sorted(missing)}"
+                )
+        files, col_stats = self._collect_file_stats(
+            tid, [(os.path.abspath(p), None) for p in cand]
+        )
+        self.catalog.register_data_files(tid, files, col_stats)
+        return len(files)
 
     # ---------------------------------------------------------- maintenance
 

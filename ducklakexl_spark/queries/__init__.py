@@ -137,6 +137,7 @@ def load_all() -> None:
         retrieval,
         scalars,
         similarity,
+        sketch,
         skew,
         text,
         timeseries,

@@ -1413,3 +1413,37 @@ def lakehouse_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return lake.sql("SELECT a, b, total, half FROM g")
+
+
+@query(
+    "lakehouse_add_data_files",
+    pure=False,
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey < 50
+    """,
+)
+def lakehouse_add_data_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL ducklake_add_data_files: zero-copy adoption of existing
+    parquet into a lake table — footer reads collect counts + min/max
+    stats (file skipping works immediately), one snapshot registers the
+    files, bytes never move.  The migration path for a pre-existing
+    100 TB parquet directory."""
+    import tempfile as _tf
+
+    from ducklakexl_spark.queries import load
+
+    ext = _tf.mkdtemp(prefix="adopt_")
+    load(spark, sf_dir, "orders").filter("o_orderkey < 50").coalesce(
+        1
+    ).write.mode("overwrite").parquet(ext)
+    lake = _fresh_lake(spark)
+    lake.sql(
+        f"CREATE TABLE o AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet') LIMIT 0"
+    )
+    lake.sql(f"CALL ducklake_add_data_files('o', '{ext}/*.parquet')")
+    return lake.sql(
+        "SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum "
+        "FROM o"
+    )

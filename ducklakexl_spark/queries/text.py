@@ -832,3 +832,84 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (n_words >= 5)
         ).alias("passes_c4"),
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    big0 AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> {'w1': w[i], 'w2': w[i + 1]})) AS p
+      FROM d
+    ),
+    big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM big0),
+    bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    uc AS (SELECT w1, count(*) AS cu FROM big GROUP BY w1),
+    v AS (SELECT count(DISTINCT w1) AS nv FROM
+          (SELECT w1 FROM big UNION ALL SELECT w2 FROM big) u(w1)),
+    scored AS (
+      SELECT b.doc_id,
+             ln((bc.c + 1) / CAST(uc.cu + v.nv AS DOUBLE)) AS lp
+      FROM big b
+      JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      JOIN uc ON uc.w1 = b.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with Laplace smoothing — the
+    next-order statistical quality signal after text_unigram_logprob
+    (KenLM-filter family): ln((c(w1,w2)+1)/(c(w1)+|V|)) averaged per
+    document.
+
+    Scale shape: bigram generation is a zero-shuffle array transform
+    inside the scan (sequence + struct, no window sort); the trained
+    bigram/context tables are vocabulary-sized — broadcast back for
+    scoring — so the only corpus-wide shuffles are the model groupBys
+    and the final per-doc aggregation."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+    )
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = (
+        big.select("w1")
+        .unionAll(big.select(F.col("w2").alias("w1")))
+        .agg(F.countDistinct("w1").alias("nv"))
+    )
+    scored = (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c") + 1) / (F.col("cu") + F.col("nv")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

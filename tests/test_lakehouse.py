@@ -1981,3 +1981,23 @@ def test_generated_columns_inlined_and_time_travel(lake):
     assert rows(
         lake.sql(f"SELECT d FROM gi AT (VERSION => {snap})")
     ) == [(3,), (6,)]
+
+
+def test_add_data_files_zero_copy(lake, spark, tmp_path):
+    ext = str(tmp_path / "ext")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(ext)
+    lake.sql("CREATE TABLE adopt(id BIGINT, v BIGINT)")
+    n = lake.add_data_files("adopt", f"{ext}/*.parquet")
+    assert n == 1
+    assert rows(lake.sql("SELECT count(*) AS n, sum(v) AS s FROM adopt")) == [
+        (10, 90)
+    ]
+    tid = lake.catalog.table_id("adopt")
+    f = lake.catalog.data_files(tid)
+    assert len(f) == 1 and f.iloc[0]["path"].startswith(ext)
+    # adopted footer stats drive catalog file skipping
+    assert lake.table_df("adopt", predicates=[("id", ">", 100)]).count() == 0
+    with pytest.raises(ValueError, match="lacks table columns"):
+        bad = str(tmp_path / "bad")
+        spark.range(3).coalesce(1).write.parquet(bad)
+        lake.add_data_files("adopt", f"{bad}/*.parquet")

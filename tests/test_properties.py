@@ -257,3 +257,84 @@ def test_new_rewrites_idempotent_on_oracle_corpus():
         once = rewrite_groups_frame(rewrite_quantified_and_factorial(osql))
         twice = rewrite_groups_frame(rewrite_quantified_and_factorial(once))
         assert once == twice, name
+
+
+# ------------------------------------------------- inline encode/decode
+
+from pyspark.sql import types as _T  # noqa: E402
+
+from ducklakexl_spark.engine import (  # noqa: E402
+    _inline_decode_value,
+    _inline_encode_value,
+)
+
+_SCALAR_CASES = [
+    (_T.LongType(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    (_T.IntegerType(), st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    (_T.StringType(), st.text(max_size=40)),
+    (_T.BooleanType(), st.booleans()),
+    (
+        _T.DoubleType(),
+        st.floats(allow_nan=False, width=64),
+    ),
+    (_T.DateType(), st.dates()),
+    (
+        _T.TimestampType(),
+        st.datetimes(),
+    ),
+    (_T.BinaryType(), st.binary(max_size=40)),
+]
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_inline_scalar_roundtrip(data):
+    """encode→json→decode is the identity for every scalar type the DDL
+    surface supports (binary compares by bytes)."""
+    import json as _json
+
+    dt, strat = data.draw(st.sampled_from(_SCALAR_CASES))
+    v = data.draw(st.one_of(st.none(), strat))
+    back = _inline_decode_value(
+        _json.loads(_json.dumps(_inline_encode_value(v, dt))), dt
+    )
+    if isinstance(dt, _T.BinaryType) and v is not None:
+        assert bytes(back) == bytes(v)
+    else:
+        assert back == v
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-(2**40), max_value=2**40)),
+        max_size=8,
+    ),
+    st.dictionaries(st.text(max_size=8), st.integers(-100, 100), max_size=5),
+)
+@settings(max_examples=100, deadline=None)
+def test_inline_nested_roundtrip(xs, m):
+    import json as _json
+
+    arr_t = _T.ArrayType(_T.LongType())
+    map_t = _T.MapType(_T.StringType(), _T.LongType())
+    struct_t = _T.StructType(
+        [_T.StructField("xs", arr_t), _T.StructField("m", map_t)]
+    )
+    v = {"xs": xs, "m": m}
+    back = _inline_decode_value(
+        _json.loads(_json.dumps(_inline_encode_value(v, struct_t))), struct_t
+    )
+    assert back == v
+
+
+@given(st.decimals(allow_nan=False, allow_infinity=False, places=4,
+                   min_value=-10**12, max_value=10**12))
+@settings(max_examples=100, deadline=None)
+def test_inline_decimal_exact(d):
+    import json as _json
+
+    dt = _T.DecimalType(18, 4)
+    back = _inline_decode_value(
+        _json.loads(_json.dumps(_inline_encode_value(d, dt))), dt
+    )
+    assert back == d
