@@ -152,3 +152,91 @@ def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "median_value", "mad")
     )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(value) AS s,
+             sum(value * value) AS ss
+      FROM events GROUP BY event_type
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.s / a.n AS m1, b.s / b.n AS m2,
+             (a.ss - a.s * a.s / a.n) / (a.n - 1) AS v1,
+             (b.ss - b.s * b.s / b.n) / (b.n - 1) AS v2,
+             a.n AS n1, b.n AS n2
+      FROM g a JOIN g b ON a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 2) AS welch_df,
+           (abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) > 1.96)
+             AS significant_95
+    FROM p
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test over every event-type pair — the
+    A/B-experiment readout (does metric `value` differ between
+    variants?): per-group sufficient statistics (n, sum, sum-of-squares)
+    from ONE corpus pass, then the t statistic and Welch-Satterthwaite
+    degrees of freedom assembled on the 10-row pair frame.  At 100 TB
+    the corpus is touched once with map-side partial aggregation; the
+    test itself is metadata-sized.  significant_95 uses the asymptotic
+    normal threshold (df > 1000 here)."""
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+        )
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    p = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .withColumn("m1", F.col("s1") / F.col("n1"))
+        .withColumn("m2", F.col("s2") / F.col("n2"))
+        .withColumn(
+            "v1",
+            (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1),
+        )
+        .withColumn(
+            "v2",
+            (F.col("ss2") - F.col("s2") * F.col("s2") / F.col("n2"))
+            / (F.col("n2") - 1),
+        )
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return p.select(
+        "type_a",
+        "type_b",
+        F.round(t, 4).alias("t_stat"),
+        F.round(df_w, 2).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )

@@ -789,3 +789,70 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "stream_upsert_to_lake",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1.0, CAST(30 AS BIGINT), CAST(1035 AS BIGINT)),
+      (2.0, CAST(25 AS BIGINT), CAST(675 AS BIGINT)),
+      (3.0, CAST(5 AS BIGINT),  CAST(60 AS BIGINT))
+    ) t(v, n, key_sum)
+    """,
+)
+def stream_upsert_to_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply under the gate: three micro-batches of keyed
+    changes (initial load -> updates + inserts -> more updates) MERGE
+    into a lake table via foreachBatch — matched keys update, new keys
+    insert, each epoch one atomic delete-file + append snapshot.  Final
+    table state proves last-writer-wins per key across batches: keys
+    20-49 keep v=1, 0-9/15-19 and inserts 50-59 hold v=2, 10-14 end at
+    v=3."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ducklakexl_spark.queries.lakehouse import _fresh_lake
+    from ducklakexl_spark.streaming import pipeline as P
+
+    stage = tempfile.mkdtemp(prefix="cdc_upsert_")
+
+    def _write_single(df, name: str, mtime: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="cdc_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{stage}/{name}"
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    b1 = spark.range(0, 50).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v")
+    b2 = (
+        spark.range(0, 20)
+        .union(spark.range(50, 60))
+        .selectExpr("id AS k", "CAST(2.0 AS DOUBLE) AS v")
+    )
+    b3 = spark.range(10, 15).selectExpr("id AS k", "CAST(3.0 AS DOUBLE) AS v")
+    _write_single(b1, "batch1.parquet", 1_000_000_000)
+    _write_single(b2, "batch2.parquet", 1_000_000_100)
+    _write_single(b3, "batch3.parquet", 1_000_000_200)
+
+    lake = _fresh_lake(spark)
+    lake.sql("CREATE TABLE kv(k BIGINT, v DOUBLE)")
+    stream = (
+        spark.readStream.schema("k BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = P.upsert_stream_to_lake(stream, lake, "kv", keys=["k"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return lake.sql(
+        "SELECT v, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum "
+        "FROM kv GROUP BY v"
+    )

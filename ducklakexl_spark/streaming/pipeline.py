@@ -245,3 +245,45 @@ def sink_stream_to_lake(stream_df: DataFrame, lake, table: str):
         .foreachBatch(_sink)
         .start()
     )
+
+
+def upsert_stream_to_lake(stream_df: DataFrame, lake, table: str,
+                          keys: list[str]):
+    """foreachBatch CDC-apply: each micro-batch MERGEs into the lake
+    table keyed on ``keys`` — matched rows update, new keys insert —
+    with the delete-file + append commit shape (a 1-row change never
+    rewrites the table) and the same staged epoch-tag exactly-once guard
+    as the append sink: the tag folds into MERGE's single catalog
+    snapshot, so a replayed epoch is skipped and a crash before commit
+    leaves no partial state.  This is the streaming ingest pattern for
+    mutable sources (CDC feeds, upsert topics) at 100 TB."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        tid = lake.catalog.table_id(table)
+        last = lake.catalog.get_tag(tid, _EPOCH_TAG)
+        if last is not None and int(last) >= epoch_id:
+            return  # replayed micro-batch, already committed
+        lake.catalog.set_tag(tid, _EPOCH_TAG, str(epoch_id), commit=False)
+        # foreachBatch runs in an isolated micro-batch session clone; a
+        # GLOBAL temp view crosses into the lake's parent session
+        view = f"__cdc_batch_{table}"
+        batch_df.createOrReplaceGlobalTempView(view)
+        src = "__cdc_src"
+        cond = " AND ".join(f"{table}.{k} = {src}.{k}" for k in keys)
+        sets = ", ".join(
+            f"{c} = {src}.{c}" for c in batch_df.columns if c not in keys
+        )
+        cols = ", ".join(batch_df.columns)
+        vals = ", ".join(f"{src}.{c}" for c in batch_df.columns)
+        lake.sql(
+            f"MERGE INTO {table} "
+            f"USING (SELECT * FROM global_temp.{view}) AS {src} ON {cond} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .start()
+    )
