@@ -543,6 +543,30 @@ class DuckLakeCatalog:
             f"altered_table:{table_id}:rename_column:{old}:{new}",
         )
 
+    def set_column_default(
+        self, table_id: int, name: str, default: str | None
+    ) -> int:
+        """ALTER COLUMN SET/DROP DEFAULT as an MVCC column transition
+        (affects future INSERTs only — the SQL semantics)."""
+        return self._transition_column(
+            table_id,
+            name,
+            {"default_value": default},
+            f"altered_column_default:{table_id}.{name}",
+        )
+
+    def set_column_nullability(
+        self, table_id: int, name: str, nulls_allowed: bool
+    ) -> int:
+        """ALTER COLUMN SET/DROP NOT NULL (caller validates stored data
+        before tightening)."""
+        return self._transition_column(
+            table_id,
+            name,
+            {"nulls_allowed": bool(nulls_allowed)},
+            f"altered_column_nullability:{table_id}.{name}",
+        )
+
     def alter_column_type(self, table_id: int, name: str, new_type: str) -> int:
         return self._transition_column(
             table_id,

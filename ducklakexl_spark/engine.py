@@ -391,6 +391,12 @@ _ALTER_TYPE_RE = re.compile(
     r"(?:SET\s+DATA\s+)?TYPE\s+([\w()\[\], ]+?)\s*$",
     re.I,
 )
+_ALTER_COL_PROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w\"]+)\s+"
+    r"(SET\s+DEFAULT\s+(.+?)|DROP\s+DEFAULT|SET\s+NOT\s+NULL|"
+    r"DROP\s+NOT\s+NULL)\s*$",
+    re.I | re.S,
+)
 
 # lossless widenings the scan's cast can always honor (DuckLake's type
 # promotion rules); anything else needs a rewrite and is rejected
@@ -2520,6 +2526,68 @@ class DuckLakeSpark:
             self.catalog.rename_column(
                 tid, m.group(2).strip('"'), m.group(3).strip('"')
             )
+            return None
+        m = _ALTER_COL_PROP_RE.match(stmt)
+        if m:
+            name = _unqualify(m.group(1))
+            tid = self.catalog.table_id(name)
+            cname = m.group(2).strip('"')
+            action = re.sub(r"\s+", " ", m.group(3).upper()).strip()
+            if action.startswith("SET DEFAULT"):
+                self.catalog.set_column_default(
+                    tid, cname, apply_expr_dialect(m.group(4).strip())
+                )
+            elif action == "DROP DEFAULT":
+                self.catalog.set_column_default(tid, cname, None)
+            elif action == "DROP NOT NULL":
+                self.catalog.set_column_nullability(tid, cname, True)
+            else:  # SET NOT NULL — must prove no stored NULLs first
+                # metadata-first: if per-file null_count stats cover
+                # every live data file and sum to zero (and no inlined
+                # rows exist), skip the scan entirely — at 100 TB this
+                # makes SET NOT NULL a catalog-only operation on
+                # well-statted tables; otherwise one filtered scan
+                # (limit-1 short-circuit) validates
+                needs_scan = True
+                if self.catalog.inlined_rows(tid).empty:
+                    cols = self.catalog.columns(tid)
+                    hit = cols[cols["column_name"] == cname]
+                    if hit.empty:
+                        raise KeyError(f"column not found: {cname}")
+                    cid = int(hit.iloc[0]["column_id"])
+                    fstats = self.catalog.tables[
+                        "ducklake_file_column_statistics"
+                    ]
+                    fstats = fstats[
+                        (fstats["table_id"] == tid)
+                        & (fstats["column_id"] == cid)
+                    ]
+                    live_files = self.catalog.data_files(tid)
+                    covered = set(fstats["data_file_id"]) >= set(
+                        live_files["data_file_id"]
+                    )
+                    if covered and not live_files.empty:
+                        nulls = fstats[
+                            fstats["data_file_id"].isin(
+                                live_files["data_file_id"]
+                            )
+                        ]["null_count"]
+                        if nulls.notna().all() and int(nulls.sum()) == 0:
+                            needs_scan = False
+                    elif live_files.empty:
+                        needs_scan = False
+                if needs_scan:
+                    has_null = (
+                        self.table_df(name)
+                        .filter(F.col(cname).isNull())
+                        .limit(1)
+                        .count()
+                    )
+                    if has_null:
+                        raise ValueError(
+                            f"SET NOT NULL: column {cname!r} contains NULLs"
+                        )
+                self.catalog.set_column_nullability(tid, cname, False)
             return None
         m = _ALTER_TYPE_RE.match(stmt)
         if m:

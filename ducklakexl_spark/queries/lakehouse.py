@@ -1447,3 +1447,35 @@ def lakehouse_add_data_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum "
         "FROM o"
     )
+
+
+@query(
+    "lakehouse_alter_column_props",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, CAST(NULL AS VARCHAR)),
+      (2, 'filled'),
+      (3, 'explicit')
+    ) t(id, v)
+    """,
+)
+def lakehouse_alter_column_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN SET/DROP DEFAULT and SET/DROP NOT NULL as MVCC
+    column transitions: defaults affect only future INSERTs; SET NOT
+    NULL validates stored data metadata-first (zero recorded nulls in
+    the per-file footer stats -> catalog-only, no scan job — the shape
+    that keeps this DDL O(metadata) on a 100 TB table)."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE acp(id INTEGER, v VARCHAR);
+        INSERT INTO acp (id) VALUES (1);
+        ALTER TABLE acp ALTER COLUMN v SET DEFAULT 'filled';
+        INSERT INTO acp (id) VALUES (2);
+        ALTER TABLE acp ALTER COLUMN v DROP DEFAULT;
+        INSERT INTO acp VALUES (3, 'explicit');
+        ALTER TABLE acp ALTER COLUMN id SET NOT NULL;
+        """
+    )
+    return lake.sql("SELECT id, v FROM acp")

@@ -2001,3 +2001,49 @@ def test_add_data_files_zero_copy(lake, spark, tmp_path):
         bad = str(tmp_path / "bad")
         spark.range(3).coalesce(1).write.parquet(bad)
         lake.add_data_files("adopt", f"{bad}/*.parquet")
+
+
+# ------------------------------------------------------ alter column props
+
+
+def test_alter_column_set_drop_default(lake):
+    lake.sql("CREATE TABLE ad(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO ad (id) VALUES (1)")
+    lake.sql("ALTER TABLE ad ALTER COLUMN v SET DEFAULT 'filled'")
+    lake.sql("INSERT INTO ad (id) VALUES (2)")
+    lake.sql("ALTER TABLE ad ALTER v DROP DEFAULT")
+    lake.sql("INSERT INTO ad (id) VALUES (3)")
+    assert rows(lake.sql("SELECT * FROM ad")) == [
+        (1, None), (2, "filled"), (3, None)
+    ]
+
+
+def test_alter_column_not_null(lake):
+    lake.sql("CREATE TABLE an(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO an VALUES (1, 'a'), (2, 'b')")
+    lake.sql("ALTER TABLE an ALTER COLUMN v SET NOT NULL")
+    with pytest.raises(Exception):
+        lake.sql("INSERT INTO an VALUES (3, NULL)")
+    lake.sql("ALTER TABLE an ALTER COLUMN v DROP NOT NULL")
+    lake.sql("INSERT INTO an VALUES (3, NULL)")
+    assert rows(lake.sql("SELECT id FROM an")) == [(1,), (2,), (3,)]
+
+
+def test_alter_set_not_null_rejects_stored_nulls(lake):
+    lake.sql("CREATE TABLE nn(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO nn VALUES (1, NULL)")
+    with pytest.raises(ValueError, match="contains NULL"):
+        lake.sql("ALTER TABLE nn ALTER COLUMN v SET NOT NULL")
+
+
+def test_alter_set_not_null_metadata_only_on_statted_table(lake):
+    """A fully-statted table with zero recorded nulls validates SET NOT
+    NULL from footer stats alone — no scan job."""
+    lake.sql("CREATE TABLE mz(id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO mz VALUES (1, 'a'), (2, 'b')")
+    calls = []
+    orig = lake.table_df
+    lake.table_df = lambda *a, **k: (calls.append(a), orig(*a, **k))[1]
+    lake.sql("ALTER TABLE mz ALTER COLUMN v SET NOT NULL")
+    lake.table_df = orig
+    assert calls == []  # proved from catalog stats, zero scans
