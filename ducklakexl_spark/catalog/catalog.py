@@ -18,6 +18,7 @@ from datetime import datetime, timezone
 
 import pandas as pd
 
+from ducklakexl_spark import iofs
 from ducklakexl_spark.catalog.schemas import CATALOG_SCHEMAS
 from ducklakexl_spark.catalog.store import CatalogStore, conform, empty_frame
 
@@ -82,15 +83,13 @@ class DuckLakeCatalog:
         """Restore the pre-BEGIN catalog and delete data/delete files
         written during the transaction (they were never visible outside
         it, so removal is safe — no snapshot references them)."""
-        import os
-
         if self._txn_backup is None:
             return
         self.tables = self._txn_backup
         self._txn_backup = None
         for p in self._txn_files:
             try:
-                os.remove(p)
+                iofs.remove(p)
             except FileNotFoundError:
                 pass
         self._txn_files = []
@@ -881,7 +880,6 @@ class DuckLakeCatalog:
         catalog state, breaking the invariant that store readers never
         see a partial transaction."""
         import os
-        import shutil
 
         if self.in_txn():
             raise ValueError(
@@ -892,12 +890,13 @@ class DuckLakeCatalog:
         removed = 0
         for r in q.itertuples():
             try:
-                if os.path.isdir(r.path):
-                    shutil.rmtree(r.path)
+                if iofs.has_scheme(r.path) or os.path.isdir(r.path):
+                    # remote GC targets are insert-/delete- directories
+                    iofs.rmtree(r.path, ignore_errors=False)
                 else:
-                    os.remove(r.path)
+                    iofs.remove(r.path)
                 removed += 1
-            except FileNotFoundError:
+            except (FileNotFoundError, OSError):
                 pass
         self.tables["ducklake_files_scheduled_for_deletion"] = q.iloc[0:0]
         self._checked_save()

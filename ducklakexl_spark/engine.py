@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ducklakexl_spark import iofs
 from ducklakexl_spark.catalog import CatalogStore, DuckLakeCatalog
 from ducklakexl_spark.operators import joins as joins_ops
 
@@ -2155,8 +2156,16 @@ class DuckLakeSpark:
 
         register_all(self.spark)
         self.name = ducklake_name
-        self.data_path = os.path.abspath(data_path)
-        os.makedirs(self.data_path, exist_ok=True)
+        # data_path may be an object-store URI (s3a://, gs://, hdfs://):
+        # Spark moves the data through its Hadoop connectors; the
+        # engine's own metadata I/O routes through iofs' URI dispatch
+        self.data_path = iofs.absolutize(data_path)
+        iofs.makedirs(self.data_path)
+        if local_catalog is None and iofs.has_scheme(self.data_path):
+            raise ValueError(
+                "data_path is a remote URI: pass local_catalog explicitly "
+                "(the catalog store is driver-local by design)"
+            )
         local_catalog = local_catalog or os.path.join(self.data_path, "_catalog")
         self.catalog = DuckLakeCatalog(CatalogStore(local_catalog), self.data_path)
         self.current_db = ducklake_name
@@ -2388,14 +2397,10 @@ class DuckLakeSpark:
             if pragma == "database_size":
                 total = 0
                 n_files = 0
-                for root, _dirs, files in os.walk(self.data_path):
-                    for f in files:
-                        if f.endswith(".parquet"):
-                            n_files += 1
-                            try:
-                                total += os.path.getsize(os.path.join(root, f))
-                            except OSError:
-                                pass
+                for p, size in iofs.list_files(self.data_path, recursive=True):
+                    if p.endswith(".parquet"):
+                        n_files += 1
+                        total += size
                 return self.spark.createDataFrame(
                     [(self.name, f"{total} bytes", n_files, total)],
                     "database_name string, database_size string, "
@@ -2482,14 +2487,15 @@ class DuckLakeSpark:
                 )
                 lines.append(f"CREATE TABLE {t}({coldefs});")
                 lines.append(f"COPY {t} FROM '{path}' (FORMAT PARQUET);")
-            with open(os.path.join(outdir, "schema.sql"), "w") as f:
-                f.write("\n".join(lines) + "\n")
+            iofs.write_text(
+                os.path.join(outdir, "schema.sql"), "\n".join(lines) + "\n"
+            )
             return None
         m = re.match(r"^\s*IMPORT\s+DATABASE\s+'([^']+)'", stmt, re.I)
         if m:
-            with open(os.path.join(m.group(1), "schema.sql")) as f:
-                for s in split_statements(f.read()):
-                    self._execute(s)
+            script = iofs.read_text(os.path.join(m.group(1), "schema.sql"))
+            for s in split_statements(script):
+                self._execute(s)
             return None
         m = _CREATE_VIEW_RE.match(stmt)
         if m:
@@ -3476,7 +3482,7 @@ class DuckLakeSpark:
                 while d and not os.path.basename(d).startswith("insert-"):
                     d = os.path.dirname(d)
                 if os.path.basename(d).startswith("insert-"):
-                    shutil.rmtree(d, ignore_errors=True)
+                    iofs.rmtree(d, ignore_errors=True)
             raise
         if files:
             self.catalog.register_data_files(tid, files, col_stats)
@@ -3787,25 +3793,24 @@ class DuckLakeSpark:
         if scheme:
             from urllib.parse import unquote
 
-            for root, _dirs, fns in os.walk(out_dir):
-                for fn in sorted(fns):
-                    if not fn.endswith(".parquet"):
+            for p, _size in iofs.list_files(out_dir, recursive=True):
+                if not p.endswith(".parquet"):
+                    continue
+                rel = p[len(out_dir):].strip("/")
+                vals = []
+                for seg in rel.split("/")[:-1]:
+                    if "=" not in seg:
                         continue
-                    rel = os.path.relpath(root, out_dir)
-                    vals = []
-                    for seg in rel.split(os.sep):
-                        if "=" not in seg:
-                            continue
-                        raw = unquote(seg.split("=", 1)[1])
-                        vals.append(
-                            None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
-                        )
-                    paths.append((os.path.join(root, fn), vals))
+                    raw = unquote(seg.split("=", 1)[1])
+                    vals.append(
+                        None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                    )
+                paths.append((p, vals))
         else:
             paths = [
-                (os.path.join(out_dir, fn), None)
-                for fn in sorted(os.listdir(out_dir))
-                if fn.endswith(".parquet")
+                (p, None)
+                for p, _size in iofs.list_files(out_dir)
+                if p.endswith(".parquet")
             ]
 
         return self._collect_file_stats(tid, paths, partition_id)
@@ -3823,12 +3828,12 @@ class DuckLakeSpark:
         col_ids = {r.column_name: int(r.column_id) for r in cols.itertuples()}
         files, col_stats = [], []
         for path, part_vals in sorted(paths):
-            meta = pq.ParquetFile(path).metadata
+            meta = iofs.parquet_metadata(path)
             files.append(
                 {
                     "path": path,
                     "record_count": meta.num_rows,
-                    "file_size_bytes": os.path.getsize(path),
+                    "file_size_bytes": iofs.getsize(path),
                     "footer_size": meta.serialized_size,
                     "partition_id": partition_id,
                     "partition_values": part_vals,
@@ -3925,14 +3930,14 @@ class DuckLakeSpark:
             if r.column_name not in gen
         }
         for p in cand:
-            have = {f.split(".")[0] for f in pq.read_schema(p).names}
+            have = {f.split(".")[0] for f in iofs.read_schema(p).names}
             missing = required - have
             if missing:
                 raise ValueError(
                     f"add_data_files: {p} lacks table columns {sorted(missing)}"
                 )
         files, col_stats = self._collect_file_stats(
-            tid, [(os.path.abspath(p), None) for p in cand]
+            tid, [(iofs.absolutize(p), None) for p in cand]
         )
         self.catalog.register_data_files(tid, files, col_stats)
         return len(files)
@@ -4132,8 +4137,17 @@ class DuckLakeSpark:
 
     @staticmethod
     def _norm_path(col):
-        # _metadata.file_path is a file: URI; catalog paths are plain absolute
+        # _metadata.file_path renders local files as file: URIs; remote
+        # schemes (s3a://, gs://) pass through unchanged and already
+        # match their catalog form
         return F.regexp_replace(col, r"^file:/*", "/")
+
+    @staticmethod
+    def _norm_path_str(p: str) -> str:
+        """Python twin of _norm_path for catalog-side path keys — a
+        catalog written with a file:// data_path must still compare
+        equal to the scan's normalized _metadata.file_path."""
+        return re.sub(r"^file:/*", "/", p)
 
     def table_df(
         self,
@@ -4250,7 +4264,7 @@ class DuckLakeSpark:
             dtype_by_name = {f.name: f.dataType for f in schema.fields}
             fmeta = self.spark.createDataFrame(
                 [
-                    (p, int(b))
+                    (self._norm_path_str(p), int(b))
                     for p, b in zip(files["path"], files["begin_snapshot"])
                 ],
                 "__dfile string, __fbegin long",
@@ -4521,7 +4535,8 @@ class DuckLakeSpark:
         )
         dfiles = self.catalog.data_files(tid)
         fid_by_path = {
-            p: int(i) for i, p in zip(dfiles["data_file_id"], dfiles["path"])
+            self._norm_path_str(p): int(i)
+            for i, p in zip(dfiles["data_file_id"], dfiles["path"])
         }
         entries = []
         for r in stats:
@@ -4532,9 +4547,9 @@ class DuckLakeSpark:
                 out_dir, f"__part={hashlib.md5(p.encode()).hexdigest()}"
             )
             size = sum(
-                os.path.getsize(os.path.join(leaf, f))
-                for f in os.listdir(leaf)
-                if f.endswith(".parquet")
+                sz
+                for fp, sz in iofs.list_files(leaf)
+                if fp.endswith(".parquet")
             )
             entries.append(
                 {
@@ -5010,7 +5025,7 @@ class DuckLakeSpark:
                         re.sub(r"^file:/{0,2}(?=/)", "", p)
                     )
                 try:
-                    sch = pq.read_schema(p)
+                    sch = iofs.read_schema(p)
                 except Exception:
                     continue
                 for f in sch:
