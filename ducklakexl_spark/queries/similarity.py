@@ -1189,3 +1189,119 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(pick.select(F.lit(i).alias("rnk"), "vec_id", "mmr"))
         chosen = chosen.unionByName(pick.select("vec_id"))
     return out.select("rnk", "vec_id", F.round("mmr", 6).alias("mmr"))
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             {_sql_cosine("e.embedding", "q.qv")} AS cos_raw
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+    )
+    SELECT qid, qlabel,
+           vec_id AS negative_id,
+           label AS negative_label,
+           round(cos_raw, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_raw DESC, vec_id) AS rnk
+          FROM scored) t
+    WHERE rnk <= 3
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-3 most-similar vectors carrying a DIFFERENT label — the
+    highest-loss negatives a triplet/InfoNCE batch wants.  Same
+    broadcast-anchor corpus-scan shape as sim_bruteforce_topk (at
+    100 TB the candidates come from the IVF index, filter unchanged);
+    the label inequality pushes into the scan predicate, so mismatched
+    pairs never reach the ranking window."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            cosine_cols(F.col("embedding"), F.col("qv")).alias("cos_raw"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "sim_embedding_contamination",
+    oracle=f"""
+    WITH holdout AS (
+      SELECT vec_id AS hid, embedding AS hv FROM embeddings
+      WHERE vec_id < 50
+    ),
+    train AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50
+    ),
+    hits AS (
+      SELECT t.vec_id AS train_id, h.hid AS holdout_id,
+             {_sql_cosine("t.embedding", "h.hv")} AS cos_raw
+      FROM train t, holdout h
+      WHERE {_sql_cosine("t.embedding", "h.hv")} >= 0.35
+    )
+    SELECT train_id, holdout_id, round(cos_raw, 6) AS cosine
+    FROM hits
+    """,
+)
+def sim_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark-contamination screen (the semantic twin
+    of text_contamination_3gram): flag training vectors whose cosine to
+    any holdout vector crosses the near-duplicate threshold.  The
+    holdout set is evaluation-sized, so it BROADCASTS and the corpus is
+    scanned once with the threshold applied in the scan projection — at
+    100 TB this is one pass, no shuffle, no corpus pairing (the full
+    quadratic screen stays oracle-side)."""
+    e = load(spark, sf_dir, "embeddings")
+    holdout = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("holdout_id"), F.col("embedding").alias("hv")
+    )
+    train = e.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("train_id"), "embedding"
+    )
+    return (
+        train.crossJoin(F.broadcast(holdout))
+        .select(
+            "train_id",
+            "holdout_id",
+            cosine_cols(F.col("embedding"), F.col("hv")).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.35)
+        .select(
+            "train_id", "holdout_id", F.round("cos_raw", 6).alias("cosine")
+        )
+    )
