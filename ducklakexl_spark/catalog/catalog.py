@@ -542,6 +542,17 @@ class DuckLakeCatalog:
             f"altered_table:{table_id}:rename_column:{old}:{new}",
         )
 
+    def set_metadata(self, key: str, value: str | None) -> None:
+        """Upsert (or delete, when value is None) a ducklake_metadata
+        k/v row — engine-level registry entries like enum types."""
+        meta = self.tables["ducklake_metadata"]
+        self.tables["ducklake_metadata"] = meta[meta["key"] != key].reset_index(
+            drop=True
+        )
+        if value is not None:
+            self._append("ducklake_metadata", [{"key": key, "value": value}])
+        self._save()
+
     def set_column_default(
         self, table_id: int, name: str, default: str | None
     ) -> int:

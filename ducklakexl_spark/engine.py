@@ -223,7 +223,8 @@ _CTAS_RE = re.compile(
 )
 _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", re.I)
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\([^)]*\))?\s*(?:(BY\s+NAME)\s+)?"
+    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\([^)]*\))?\s*"
+    r"(?:(BY\s+NAME)\s+|BY\s+POSITION\s+)?"
     r"(VALUES\b.*|SELECT\b.*|WITH\b.*|FROM\b.*)$",
     re.I | re.S,
 )
@@ -488,6 +489,12 @@ _DROP_MACRO_RE = re.compile(
 )
 
 _CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\(([^)]*)\)\s*$", re.I)
+_CREATE_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+([\w\"]+)\s+AS\s+ENUM\s*\(([^)]*)\)\s*$", re.I
+)
+_DROP_TYPE_RE = re.compile(
+    r"^\s*DROP\s+TYPE\s+(?:IF\s+EXISTS\s+)?([\w\"]+)\s*$", re.I
+)
 
 _ON_CONFLICT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\([^)]*\))?\s*"
@@ -1821,12 +1828,107 @@ def rewrite_ansi_fetch_and_json_arrow(stmt: str) -> str:
     return stmt
 
 
+_TRAILING_KW = frozenset(
+    "from where group order having limit offset window qualify union "
+    "except intersect".split()
+)
+
+
+def rewrite_trailing_commas(stmt: str) -> str:
+    """DuckDB tolerates trailing commas (``SELECT a, b, FROM t``, list
+    literals ``[1, 2,]``); Spark raises.  Drop a comma whose next token
+    is a closing bracket, a clause keyword, or end-of-statement —
+    positions where a comma is never valid SQL anyway."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    in_str: str | None = None
+    while i < n:
+        ch = stmt[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                if in_str == "'" and i + 1 < n and stmt[i + 1] == "'":
+                    out.append("'")
+                    i += 1
+                else:
+                    in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+        elif ch == ",":
+            j = i + 1
+            while j < n and stmt[j].isspace():
+                j += 1
+            if j >= n or stmt[j] in ")]}":
+                i += 1
+                continue
+            wm = re.match(r"[A-Za-z_][A-Za-z_0-9]*", stmt[j:])
+            if wm and wm.group(0).lower() in _TRAILING_KW:
+                i += 1
+                continue
+            out.append(ch)
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def rewrite_list_comprehension(stmt: str) -> str:
+    """DuckDB list comprehensions ``[expr FOR x IN lst [IF cond]]`` →
+    ``transform([filter(]lst, x -> cond[)], x -> expr)`` — pure
+    higher-order rewrites, fully codegen'd.  Innermost-first so nested
+    comprehensions resolve."""
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(stmt):
+            if stmt[i] == "[" and not _inside_string_literal(stmt, i):
+                try:
+                    close = _matching_bracket(stmt, i)
+                except ValueError:
+                    return stmt
+                inner = stmt[i + 1 : close]
+                fpos = find_top_level_keyword(inner, "FOR")
+                if fpos < 0 or "[" in inner[:fpos]:
+                    i += 1
+                    continue
+                # nested comprehension inside the source? recurse later
+                # iterations handle it (innermost [ has no FOR before it)
+                expr = inner[:fpos].strip()
+                rest = inner[fpos + 3 :]
+                inpos = find_top_level_keyword(rest, "IN")
+                if inpos < 0:
+                    i += 1
+                    continue
+                var = rest[:inpos].strip()
+                tail = rest[inpos + 2 :]
+                ifpos = find_top_level_keyword(tail, "IF")
+                if ifpos >= 0:
+                    lst = tail[:ifpos].strip()
+                    cond = tail[ifpos + 2 :].strip()
+                    repl = (
+                        f"transform(filter({lst}, {var} -> {cond}), "
+                        f"{var} -> {expr})"
+                    )
+                else:
+                    lst = tail.strip()
+                    repl = f"transform({lst}, {var} -> {expr})"
+                stmt = stmt[:i] + repl + stmt[close + 1 :]
+                changed = True
+                break
+            i += 1
+    return stmt
+
+
 def apply_expr_dialect(txt: str) -> str:
     """The expression-level dialect chain (brackets, function renames/
     templates, IGNORE NULLS, SIMILAR TO, hex casts, // and regex-match
     operators) for SQL FRAGMENTS — UPDATE SET clauses, DELETE/MERGE
     conditions, VALUES tuples — that never pass through the full
     statement pipeline."""
+    txt = rewrite_trailing_commas(txt)
+    txt = rewrite_list_comprehension(txt)
     txt = rewrite_bracket_syntax(txt)
     txt = rewrite_hex_casts(txt)
     txt = rewrite_duckdb_functions(txt)
@@ -2170,6 +2272,15 @@ class DuckLakeSpark:
         self.catalog = DuckLakeCatalog(CatalogStore(local_catalog), self.data_path)
         self.current_db = ducklake_name
         self.session_settings: dict[str, str] = {}
+        # CREATE TYPE … AS ENUM registry: enum columns store as VARCHAR
+        # plus an auto-CHECK over the declared values (DuckDB's enum is
+        # a constrained string at the SQL surface; declaration-order
+        # comparisons are not reproduced).  Persisted in
+        # ducklake_metadata so a reopened lake still resolves the type.
+        self._enums: dict[str, list[str]] = {}
+        for r in self.catalog.tables["ducklake_metadata"].itertuples():
+            if str(r.key).startswith("enum:"):
+                self._enums[str(r.key)[5:]] = json.loads(r.value)
         # DuckLake data inlining: INSERTs of <= N rows become catalog
         # rows instead of parquet files (0 = off, the spec default);
         # ``SET ducklake.data_inlining_row_limit = N`` overrides at
@@ -2644,6 +2755,25 @@ class DuckLakeSpark:
                     return None
                 raise ValueError(f"column already exists: {cname}")
             self.catalog.add_column(tid, cname, col_type.upper(), default)
+            return None
+        m = _CREATE_TYPE_RE.match(stmt)
+        if m:
+            tname = m.group(1).strip('"').lower()
+            vals = [
+                v.strip().strip("'")
+                for v in split_top_level(m.group(2))
+                if v.strip()
+            ]
+            if not vals:
+                raise ValueError("CREATE TYPE … AS ENUM needs values")
+            self._enums[tname] = vals
+            self.catalog.set_metadata(f"enum:{tname}", json.dumps(vals))
+            return None
+        m = _DROP_TYPE_RE.match(stmt)
+        if m:
+            tname = m.group(1).strip('"').lower()
+            self._enums.pop(tname, None)
+            self.catalog.set_metadata(f"enum:{tname}", None)
             return None
         m = _CREATE_SCHEMA_RE.match(stmt)
         if m:
@@ -3183,6 +3313,18 @@ class DuckLakeSpark:
         if if_not_exists and name in self.catalog.table_names():
             return None
         cols, checks, pks, gens = self._parse_columns(body)
+        if self._enums:
+            resolved = []
+            for c in cols:
+                base = c[1].strip().strip('"').lower()
+                if base in self._enums:
+                    vals = ", ".join(_sql_str(v) for v in self._enums[base])
+                    # backticks: double quotes are string literals to
+                    # Spark's parser, which the CHECK F.expr goes through
+                    checks.append(f"`{c[0]}` IN ({vals})")
+                    c = (c[0], "VARCHAR", c[2], c[3])
+                resolved.append(c)
+            cols = resolved
         if gens:
             # expressions store post-dialect; missing declared types are
             # inferred by analyzing the expression against the base
@@ -5652,6 +5794,8 @@ class DuckLakeSpark:
         # consumed before the bracket rewrite turns it into array(…)
         stmt = self._read_file_views(stmt)
         stmt = self._rewrite_misc_tvfs(stmt)
+        stmt = rewrite_trailing_commas(stmt)
+        stmt = rewrite_list_comprehension(stmt)
         stmt = rewrite_bracket_syntax(stmt)
         # FROM-position series TVFs must resolve before the dialect pass
         # renames scalar generate_series/range to sequence()

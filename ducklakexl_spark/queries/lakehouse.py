@@ -1479,3 +1479,25 @@ def lakehouse_alter_column_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return lake.sql("SELECT id, v FROM acp")
+
+
+_COMPREHENSION_BODY = """
+    SELECT x,
+           [y * 2 FOR y IN [1, 2, x,]] AS doubled,
+           [y FOR y IN [1, 2, 3, 4] IF y % 2 = 0] AS evens,
+           len([s FOR s IN ['a', 'bb', 'ccc'] IF length(s) > 1]) AS n_long,
+    FROM (VALUES (3), (5)) t(x)
+"""
+
+
+@query(
+    "lakehouse_comprehension_dialect",
+    pure=False,
+    oracle=_COMPREHENSION_BODY,
+)
+def lakehouse_comprehension_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB list comprehensions (``[expr FOR x IN lst IF cond]`` →
+    transform/filter higher-order rewrites) and trailing-comma
+    tolerance, run as the ORACLE'S OWN SQL verbatim through sql()."""
+    lake = _fresh_lake(spark)
+    return lake.sql(_COMPREHENSION_BODY)

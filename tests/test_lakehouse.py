@@ -2096,3 +2096,27 @@ def test_lake_over_file_uri_data_path(spark, tmp_path):
     assert rows(lake.sql("SELECT * FROM u")) == [(1, "a"), (3, "z")]
     sz = lake.sql("PRAGMA database_size").collect()[0]
     assert sz["data_files"] >= 1
+
+
+def test_enum_types(lake):
+    lake.sql("CREATE TYPE mood AS ENUM ('ok', 'sad')")
+    lake.sql("CREATE TABLE em(id INTEGER, mo mood)")
+    lake.sql("INSERT INTO em VALUES (1, 'ok'), (2, NULL)")  # NULL passes
+    with pytest.raises(ValueError, match="CHECK"):
+        lake.sql("INSERT INTO em VALUES (3, 'angry')")
+    assert rows(lake.sql("SELECT id FROM em")) == [(1,), (2,)]
+    # persisted: a reopened lake still enforces the type
+    lake2 = DuckLakeSpark(
+        spark=lake.spark,
+        data_path=lake.data_path,
+        local_catalog=lake.catalog.store.path,
+    )
+    assert lake2._enums["mood"] == ["ok", "sad"]
+    lake.sql("DROP TYPE mood")
+    assert "mood" not in lake._enums
+
+
+def test_insert_by_position_keyword(lake):
+    lake.sql("CREATE TABLE bp(a INTEGER, b VARCHAR)")
+    lake.sql("INSERT INTO bp BY POSITION VALUES (1, 'x')")
+    assert rows(lake.sql("SELECT * FROM bp")) == [(1, "x")]

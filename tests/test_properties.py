@@ -338,3 +338,26 @@ def test_inline_decimal_exact(d):
         _json.loads(_json.dumps(_inline_encode_value(d, dt))), dt
     )
     assert back == d
+
+
+from ducklakexl_spark.engine import (  # noqa: E402
+    rewrite_list_comprehension,
+    rewrite_trailing_commas,
+)
+
+
+@given(st.text(alphabet=string.ascii_letters + " ,.()'\"0123456789_<>=*[]", max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_comprehension_and_comma_passthrough(s):
+    """No FOR keyword -> comprehension rewrite is the identity; no
+    trailing comma -> comma rewrite is the identity."""
+    if not re.search(r"\bFOR\b", s, re.I):
+        try:
+            assert rewrite_list_comprehension(s) == s
+        except ValueError:
+            pass  # unbalanced brackets may legitimately raise
+    if not re.search(r",\s*($|[)\]}])", s) and not re.search(
+        r",\s*(from|where|group|order|having|limit|offset|window|qualify"
+        r"|union|except|intersect)\b", s, re.I
+    ):
+        assert rewrite_trailing_commas(s) == s
