@@ -37,7 +37,8 @@ def _cost_tier(name: str) -> int:
     if name.startswith(("lakehouse_", "mm_")):
         return 2
     if name.startswith(
-        ("dedup_clusters", "dedup_survivors", "sim_ivf", "sim_semantic")
+        ("dedup_clusters", "dedup_survivors", "dedup_lsh_recall",
+         "sim_ivf", "sim_semantic", "sim_mmr")
     ):
         return 1  # iterative / multi-stage but still batch
     return 0

@@ -930,7 +930,6 @@ _DUCK_FN_RENAME = {
     "list_min": "array_min",
     "list_max": "array_max",
     "list_zip": "arrays_zip",  # Spark names struct fields 0/1, not list_N
-    "len": "size",  # DuckDB len() is list length; strings use length()
     "array_length": "size",
     "generate_series": "sequence",  # scalar position (FROM handled earlier)
     # string family
@@ -1148,6 +1147,56 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
                 f"{', '.join(fields)}, {val} AS __v))), s -> s.__v), {sep})"
             )
         return f"listagg({', '.join(a)})"
+    if key == "format":
+        # DuckDB fmt-style templates -> printf: {} -> %s, {N} -> %N+1$s,
+        # {:.2f}/{:d} -> %.2f/%d, {{ }} escapes, % escapes to %%
+        fmt = _literal_str(a[0])
+        if fmt is None:
+            raise ValueError("format: template must be a string literal")
+        out, i, n = [], 0, len(fmt)
+        while i < n:
+            ch = fmt[i]
+            if ch == "{" and i + 1 < n and fmt[i + 1] == "{":
+                out.append("{")
+                i += 2
+            elif ch == "}" and i + 1 < n and fmt[i + 1] == "}":
+                out.append("}")
+                i += 2
+            elif ch == "{":
+                close = fmt.find("}", i)
+                if close < 0:
+                    raise ValueError(f"format: unbalanced brace in {fmt!r}")
+                spec = fmt[i + 1 : close]
+                pos, _, conv = spec.partition(":")
+                prefix = f"%{int(pos) + 1}$" if pos.strip().isdigit() else "%"
+                if not conv:
+                    out.append(prefix + "s")
+                elif re.fullmatch(r"\.\d+f", conv):
+                    out.append(prefix + conv)
+                elif conv in ("d", "s", "x", "o"):
+                    out.append(prefix + conv)
+                else:
+                    raise ValueError(f"format: unsupported spec {spec!r}")
+                i = close + 1
+            elif ch == "%":
+                out.append("%%")
+                i += 1
+            else:
+                out.append(ch)
+                i += 1
+        return (
+            f"format_string({_sql_str(''.join(out))}"
+            + (", " + ", ".join(a[1:]) if len(a) > 1 else "")
+            + ")"
+        )
+    if key == "len":
+        # DuckDB len() is polymorphic (lists AND strings); Spark splits
+        # it into size()/length().  A string literal argument is the one
+        # case detectable from text — everything else assumes list, the
+        # dominant DuckDB idiom (strings normally use length/strlen).
+        if _literal_str(a[0]) is not None:
+            return f"length({a[0]})"
+        return f"size({a[0]})"
     if key == "try_strptime":
         fl = _literal_str(a[1])
         if fl is None:
@@ -1431,7 +1480,8 @@ _DUCK_FN_TEMPLATES = {
     "format_bytes", "formatreadablesize", "to_seconds", "to_minutes",
     "to_hours", "to_days", "datesub", "time_bucket", "century",
     "histogram", "sum", "avg", "min", "max", "count",
-    "try_strptime", "list_has_all", "list_aggregate", "list_aggr",
+    "format", "len", "try_strptime", "list_has_all", "list_aggregate",
+    "list_aggr",
     "list_dot_product", "list_inner_product", "array_inner_product",
     "list_cosine_similarity", "array_cosine_similarity",
     "list_cosine_distance", "array_cosine_distance",

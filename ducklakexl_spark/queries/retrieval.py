@@ -432,3 +432,92 @@ def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.expr(_SHARD_SQL).alias("shard"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+@query(
+    "retrieval_rrf_fusion",
+    # composition: oracle assembled below from the two parent oracles
+    oracle=None,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.):
+    fuse the registered BM25 lexical ranking with a dense cosine ranking
+    as ``sum(1 / (60 + rank))`` over the union of both top-20 lists —
+    the standard hybrid-search combiner, computed from INTEGER ranks so
+    both engines agree exactly.  Each leg is an already-registered
+    operator; fusion is a full-outer join of two 20-row frames, so at
+    100 TB the cost is the two index runs, not the combination."""
+    from ducklakexl_spark.queries import QUERIES
+    from ducklakexl_spark.queries.similarity import cosine_cols
+
+    bm = QUERIES["text_bm25_search"](spark, sf_dir)
+    w_bm = W.orderBy(F.col("bm25").desc(), "doc_id")
+    bm_r = bm.select(
+        "doc_id", F.row_number().over(w_bm).alias("r_lex")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    w_d = W.orderBy(F.col("cos").desc(), "vec_id")
+    dense_r = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            cosine_cols(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(20)
+        .select("vec_id", F.row_number().over(w_d).alias("r_dense"))
+    )
+    fused = (
+        bm_r.join(
+            dense_r, bm_r["doc_id"] == dense_r["vec_id"], "full_outer"
+        )
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            (
+                F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_dense")), F.lit(0.0))
+            ).alias("rrf_raw"),
+        )
+    )
+    w_f = W.orderBy(F.col("rrf_raw").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", F.round("rrf_raw", 6).alias("rrf_score"))
+    )
+
+
+from ducklakexl_spark.queries import ORACLES as _ORACLES2  # noqa: E402
+from ducklakexl_spark.queries.similarity import _sql_cosine as _cos  # noqa: E402
+
+_ORACLES2["retrieval_rrf_fusion"] = f"""
+    WITH bm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM ({_ORACLES2["text_bm25_search"]}) t
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dense0 AS (
+      SELECT e.vec_id, {_cos("e.embedding", "q.qv")} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY cos DESC, e.vec_id LIMIT 20
+    ),
+    dense AS (
+      SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r_dense
+      FROM dense0
+    ),
+    fused AS (
+      SELECT coalesce(bm.doc_id, dense.vec_id) AS doc_id,
+             coalesce(1.0 / (60 + bm.r_lex), 0.0)
+               + coalesce(1.0 / (60 + dense.r_dense), 0.0) AS rrf_raw
+      FROM bm FULL OUTER JOIN dense ON bm.doc_id = dense.vec_id
+    )
+    SELECT rank, doc_id, round(rrf_raw, 6) AS rrf_score
+    FROM (SELECT doc_id, rrf_raw,
+                 row_number() OVER (ORDER BY rrf_raw DESC, doc_id) AS rank
+          FROM fused) f
+    WHERE rank <= 10
+"""

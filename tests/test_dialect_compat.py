@@ -202,3 +202,32 @@ def test_aggregate_variants(compat):
         "SELECT histogram(x) AS h FROM (VALUES (1),(1),(2)) t(x)"
     ).collect()[0]["h"]
     assert dict(h) == {1: 2, 2: 1}
+
+
+def test_round7_dialect_batch(compat):
+    """Vector math, format templates, comprehensions, polymorphic len,
+    list_aggregate, try_strptime — identical answers in both engines."""
+    lake, duck = compat
+    for q in [
+        "SELECT round(list_dot_product([1.0, 2.0], [3.0, 4.0]), 6) AS d",
+        "SELECT round(list_cosine_similarity([1.0, 0.0], [1.0, 0.0]), 6) AS c",
+        "SELECT round(list_distance([0.0, 0.0], [3.0, 4.0]), 6) AS l2",
+        "SELECT list_has_all([1, 2, 3], [2, 3]) AS h, "
+        "list_has_all([1, 2], [9]) AS h2",
+        "SELECT CAST(list_aggregate([1, 2, 3], 'sum') AS BIGINT) AS s, "
+        "list_aggregate([4, NULL, 6], 'count') AS c",
+        "SELECT format('{} is {:.2f} and {{x}} {}%', 'pi', "
+        "CAST(3.14159 AS DOUBLE), 42) AS f",
+        "SELECT format('{1} before {0}', 'a', 'b') AS g",
+        "SELECT printf('%s-%04d', 'v', 7) AS p",
+        "SELECT len([1, 2, 3]) AS la, len('hello') AS ls",
+        "SELECT [x * 2 FOR x IN [1, 2, 3]] AS xs, "
+        "[x FOR x IN [1, 2, 3, 4] IF x % 2 = 0] AS evens",
+        "SELECT strftime(try_strptime('2024-01-02', '%Y-%m-%d'), "
+        "'%Y-%m-%d') AS d",
+        "SELECT cardinality(MAP {'a': 1}) AS n",
+        "SELECT a, b, FROM (VALUES (1, 2)) t(a, b)",
+    ]:
+        s = sorted(str(tuple(r)) for r in lake.sql(q).collect())
+        d = sorted(str(tuple(r)) for r in duck.execute(q).fetchall())
+        assert s == d, f"{q}\n spark={s}\n duck ={d}"
