@@ -125,6 +125,7 @@ def load_all() -> None:
         dedup,
         drift,
         entity,
+        evalmetrics,
         funnel,
         graph,
         ml,
