@@ -1035,6 +1035,33 @@ def _literal_str(arg: str) -> str | None:
     return m.group(1).replace("''", "'") if m else None
 
 
+def _re2_rewrite_to_java(s: str) -> str:
+    """Translate an RE2 rewrite string (DuckDB regexp_replace
+    replacement: ``\\1`` groups, literal ``$``) into Java's
+    (``$1`` groups, ``\\$`` literal dollar, ``\\\\`` literal
+    backslash)."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt.isdigit():
+                out.append("$" + nxt)
+            elif nxt == "\\":
+                out.append("\\\\")
+            else:
+                out.append("\\" + nxt)
+            i += 2
+            continue
+        if c == "$":
+            out.append("\\$")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _duck_fn_emit(key: str, args: list[str]) -> str:
     """Emit the Spark SQL call for one DuckDB-dialect call site."""
     a = args
@@ -1341,17 +1368,33 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         return f"regexp_extract({a[0]}, {a[1]}, 0)"
     if key == "regexp_extract_all" and len(a) == 2:
         return f"regexp_extract_all({a[0]}, {a[1]}, 0)"
-    if key == "regexp_replace" and len(a) == 4:
+    if key == "regexp_replace" and len(a) in (3, 4):
         # DuckDB's 4th arg is an options string; Spark is global by
-        # default, so 'g' drops and 'i' folds into the pattern
-        flags = _literal_str(a[3])
-        if flags is not None:
-            pat = a[1]
+        # default, so 'g' drops and 'i' folds into the pattern.  The
+        # replacement string also changes dialect: DuckDB (RE2 rewrite)
+        # spells group backreferences \1 and treats $ literally; Java
+        # spells them $1 and needs $ escaped as \$.
+        rep = a[2]
+        rl = _literal_str(rep)
+        if rl is not None:
+            if re.search(r"\\\d", rl):
+                # \N backreference present -> RE2-style rewrite string
+                rep = _sql_str(_re2_rewrite_to_java(rl))
+            elif "$" in rl:
+                # no backrefs: only escape bare $ (Java group syntax);
+                # $<digit> / \$ are left alone so the pass is idempotent
+                esc = re.sub(r"(?<!\\)\$(?!\d)", r"\\$", rl)
+                if esc != rl:
+                    rep = _sql_str(esc)
+        pat = a[1]
+        if len(a) == 4:
+            flags = _literal_str(a[3])
+            if flags is None:
+                return f"regexp_replace({a[0]}, {pat}, {rep}, {a[3]})"
             if "i" in flags:
                 pl = _literal_str(pat)
                 pat = _sql_str("(?i)" + pl) if pl is not None else pat
-            return f"regexp_replace({a[0]}, {pat}, {a[2]})"
-        return f"regexp_replace({', '.join(a)})"
+        return f"regexp_replace({a[0]}, {pat}, {rep})"
     if key == "sha256":
         return f"sha2({a[0]}, 256)"
     if key == "to_base":

@@ -382,9 +382,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dedup_clusters_oracle() -> str:
-    return f"""
-    WITH RECURSIVE edges AS ({_minhash_lsh_oracle()}),
+def _dedup_clusters_ctes() -> str:
+    """The recursive-closure CTE prologue shared by dedup_clusters and
+    the operators composed on top of it (a WITH RECURSIVE can't nest
+    inside a derived table, so extensions append CTEs instead)."""
+    return f"""edges AS ({_minhash_lsh_oracle()}),
     nodes AS (SELECT doc_a AS n FROM edges UNION SELECT doc_b FROM edges),
     sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
             UNION SELECT doc_b, doc_a FROM edges),
@@ -392,7 +394,12 @@ def _dedup_clusters_oracle() -> str:
       SELECT n, n FROM nodes
       UNION
       SELECT r.s, y.b FROM reach r JOIN sym y ON r.t = y.a
-    )
+    )"""
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_dedup_clusters_ctes()}
     SELECT s AS doc_id, min(t) AS cluster_id
     FROM reach GROUP BY s
     """
@@ -413,6 +420,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@query(
+    "dedup_canonical_pick",
+    oracle=f"""
+    WITH RECURSIVE {_dedup_clusters_ctes()},
+    cc AS (SELECT s AS doc_id, min(t) AS cluster_id
+           FROM reach GROUP BY s),
+    r AS (
+      SELECT cc.cluster_id, cc.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY d.n_chars DESC, cc.doc_id) AS rn,
+             count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+      FROM cc JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS canonical_doc,
+           CAST(n_chars AS BIGINT) AS canonical_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per near-dup cluster: instead
+    of blindly keeping the lowest doc_id, keep the LONGEST member
+    (n_chars, doc_id tiebreak) — the curation policy that retains the
+    most complete copy of duplicated content.  Composition: cluster
+    labels from the registered connected-components operator, joined to
+    the documents metadata (broadcast: the cluster frame is pair-graph-
+    sized, not corpus-sized), ranked inside each cluster.  At 100 TB
+    the window partitions by cluster_id — cluster-bounded state, never
+    a corpus sort."""
+    from pyspark.sql import Window as W
+
+    from ducklakexl_spark.queries import QUERIES
+
+    cc = QUERIES["dedup_clusters"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = cc.join(docs, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(W.partitionBy("cluster_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
     )
 
 

@@ -247,3 +247,95 @@ def ml_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension feature scaling (z-score normalization) of the embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_feature_scaling",
+    oracle="""
+    WITH ex AS (
+      SELECT i AS dim_idx,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xm,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, 8)) t(i)
+    ),
+    stats AS (
+      SELECT dim_idx, count(*) AS n,
+             CAST(sum(xm) AS BIGINT) AS sm,
+             CAST(sum(xm * xm) AS BIGINT) AS ssq
+      FROM ex GROUP BY dim_idx
+    ),
+    pivots AS (
+      SELECT dim_idx, n,
+             CAST(sm // n AS DOUBLE) / 1000000 AS mu,
+             round(sqrt(CAST(ssq AS DOUBLE) / n / 1e12
+                        - pow(CAST(sm AS DOUBLE) / n / 1e6, 2)), 6)
+               AS sigma
+      FROM stats
+    )
+    SELECT p.dim_idx, CAST(p.n AS BIGINT) AS n, p.mu, p.sigma,
+           round(min((e.x - p.mu) / p.sigma), 4) AS min_z,
+           round(max((e.x - p.mu) / p.sigma), 4) AS max_z
+    FROM ex e JOIN pivots p USING (dim_idx)
+    GROUP BY p.dim_idx, p.n, p.mu, p.sigma
+    """,
+)
+def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score feature scaling of the embedding corpus
+    (first 8 dims), the preprocessing step in front of any distance-
+    based model: per-dim mean/std plus the post-scale min/max z as the
+    range audit.  Mean/variance accumulate in exact integer micro-units
+    (one corpus-scan aggregation onto the 8-valued dim key — bounded,
+    partial-aggregated map-side); the z pass re-joins the tiny rounded
+    pivot table back (broadcast) so both engines measure deviations
+    from an IDENTICAL mu/sigma — the robust_stats_mad pivot discipline.
+    At 100 TB: two scans (stats, scale), zero corpus-sized shuffles."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "xf")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim_idx"),
+        F.round(F.col("xf").cast("double") * 1000000)
+        .cast("long")
+        .alias("xm"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = ex.groupBy("dim_idx").agg(
+        F.count("*").alias("n"),
+        F.sum("xm").alias("sm"),
+        F.sum(F.col("xm") * F.col("xm")).alias("ssq"),
+    )
+    pivots = stats.select(
+        "dim_idx",
+        "n",
+        (F.expr("sm DIV n").cast("double") / 1000000).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.col("ssq").cast("double") / F.col("n") / 1e12
+                - F.pow(F.col("sm").cast("double") / F.col("n") / 1e6, 2)
+            ),
+            6,
+        ).alias("sigma"),
+    )
+    return (
+        ex.join(F.broadcast(pivots), "dim_idx")
+        .groupBy("dim_idx", "n", "mu", "sigma")
+        .agg(
+            F.round(F.min((F.col("x") - F.col("mu")) / F.col("sigma")), 4)
+            .alias("min_z"),
+            F.round(F.max((F.col("x") - F.col("mu")) / F.col("sigma")), 4)
+            .alias("max_z"),
+        )
+        .select(
+            "dim_idx",
+            F.col("n").cast("long").alias("n"),
+            "mu",
+            "sigma",
+            "min_z",
+            "max_z",
+        )
+    )

@@ -783,6 +783,116 @@ def text_bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_ROUNDS = 3
+
+# one BPE round in DuckDB: pair counts over the current symbol
+# sequences, argmax pair, apply the merge.  {w} = previous vocab CTE.
+_BPE_ROUND_SQL = """
+    p{r} AS (
+      SELECT toks[i] || ' ' || toks[i + 1] AS pair,
+             CAST(sum(cnt) AS BIGINT) AS freq
+      FROM (
+        SELECT toks, cnt, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (SELECT string_split(seq, ' ') AS toks, cnt FROM {w}) t0
+        WHERE len(toks) >= 2) t1
+      GROUP BY pair
+    ),
+    b{r} AS (SELECT pair, freq FROM p{r}
+             ORDER BY freq DESC, pair LIMIT 1),
+    w{r} AS (
+      SELECT trim(replace(' ' || seq || ' ',
+                          ' ' || (SELECT pair FROM b{r}) || ' ',
+                          ' ' || replace((SELECT pair FROM b{r}), ' ', '')
+                              || ' ')) AS seq,
+             cnt
+      FROM {w}
+    )"""
+
+
+def _bpe_merges_oracle() -> str:
+    rounds = ",".join(
+        _BPE_ROUND_SQL.format(r=r, w=f"w{r - 1}" if r > 1 else "w0")
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, pair, freq FROM b{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return f"""
+    WITH w0 AS (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq,
+             count(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents) t
+      GROUP BY seq
+    ),{rounds}
+    {finals}
+    """
+
+
+@query("text_bpe_merges", oracle=_bpe_merges_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the actual iterative loop: 3
+    count-pairs → argmax → merge rounds over word-frequency-weighted
+    symbol sequences (Sennrich et al. 2016).  One corpus scan builds
+    the vocab (word, count) table; every subsequent round runs on that
+    VOCAB-sized frame — the classical reason BPE training is tractable
+    at corpus scale (the corpus weights, the vocabulary carries the
+    sequences).  Each round's argmax is a single collected row (the
+    kmeans/IVF constant-folding discipline); the merge itself is a
+    per-row replace().  Merge application uses space-padded first-match
+    semantics — replace() scans left-to-right non-overlapping
+    identically in Spark and DuckDB, so consecutive-overlap corner
+    cases ('l l l') resolve the same way on both engines."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "cnt"
+        )
+    )
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        pairs = (
+            vocab.select(F.split("seq", " ").alias("toks"), "cnt")
+            .filter(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1), i -> "
+                        "concat(element_at(toks, i), ' ', "
+                        "element_at(toks, i + 1)))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        best = pairs.orderBy(F.col("freq").desc(), "pair").first()
+        merges.append((r, best["pair"], int(best["freq"])))
+        merged = best["pair"].replace(" ", "")
+        vocab = vocab.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {best['pair']} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("seq"),
+            "cnt",
+        )
+    return spark.createDataFrame(
+        merges, "merge_round long, pair string, freq long"
+    )
+
+
 @query(
     "text_c4_filters",
     oracle=r"""
