@@ -2243,7 +2243,23 @@ def rewrite_duckdb_functions(stmt: str) -> str:
 
 _SNAPSHOTS_RE = re.compile(r"\b[\w.]*snapshots\s*\(\s*\)", re.I)
 _TABLE_CHANGES_RE = re.compile(
-    r"\btable_changes\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)", re.I
+    r"\b(?:ducklake_)?table_changes\s*\(\s*(?:'\w+'\s*,\s*)?"
+    r"'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.I,
+)
+# DuckLake spec split change feeds (ducklake_table_insertions /
+# _deletions): same signature family as table_changes — an optional
+# leading schema-name argument is accepted and ignored (single 'main'
+# schema here, like the reference's attached lake)
+_TABLE_INSERTIONS_RE = re.compile(
+    r"\b(?:ducklake_)?table_insertions\s*\(\s*(?:'\w+'\s*,\s*)?"
+    r"'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.I,
+)
+_TABLE_DELETIONS_RE = re.compile(
+    r"\b(?:ducklake_)?table_deletions\s*\(\s*(?:'\w+'\s*,\s*)?"
+    r"'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.I,
 )
 
 
@@ -4337,6 +4353,27 @@ class DuckLakeSpark:
             old.exceptAll(new).withColumn("change_type", F.lit("delete"))
         )
 
+    def table_insertions(
+        self, name: str, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Insert-only half of the change feed (DuckLake spec
+        ``ducklake_table_insertions``): rows present at ``to`` but not at
+        ``from`` — an UPDATE contributes its new version.  One exceptAll
+        (co-partitioned hash aggregation); no delete-side work at all."""
+        return self.table_df(name, snapshot=to_snapshot).exceptAll(
+            self.table_df(name, snapshot=from_snapshot)
+        )
+
+    def table_deletions(
+        self, name: str, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Delete-only half of the change feed (DuckLake spec
+        ``ducklake_table_deletions``): row versions present at ``from``
+        but gone at ``to`` — an UPDATE contributes its old version."""
+        return self.table_df(name, snapshot=from_snapshot).exceptAll(
+            self.table_df(name, snapshot=to_snapshot)
+        )
+
     def expire_snapshots(
         self,
         older_than=None,
@@ -5980,6 +6017,23 @@ class DuckLakeSpark:
             return f" {view} "
 
         stmt = _TABLE_CHANGES_RE.sub(_rewrite_tc, stmt)
+
+        def _rewrite_split_feed(kind: str):
+            def rw(m: re.Match) -> str:
+                tname, a, b = m.group(1), int(m.group(2)), int(m.group(3))
+                view = f"__t{kind[0]}_{tname}_{a}_{b}"
+                fn = (
+                    self.table_insertions
+                    if kind == "ins"
+                    else self.table_deletions
+                )
+                fn(tname, a, b).createOrReplaceTempView(view)
+                return f" {view} "
+
+            return rw
+
+        stmt = _TABLE_INSERTIONS_RE.sub(_rewrite_split_feed("ins"), stmt)
+        stmt = _TABLE_DELETIONS_RE.sub(_rewrite_split_feed("del"), stmt)
         stmt = _SNAPSHOTS_RE.sub(" __ducklake_snapshots ", stmt)
         if "__ducklake_snapshots" in stmt:
             self.spark.createDataFrame(

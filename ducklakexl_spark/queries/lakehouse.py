@@ -573,6 +573,48 @@ def lakehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_split_change_feeds",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (2, 'B',  'ins'),
+      (4, 'd',  'ins'),
+      (2, 'b',  'del'),
+      (3, 'c',  'del')
+    ) t(id, v, feed)
+    """,
+)
+def lakehouse_split_change_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DuckLake spec's split CDC surface —
+    ``ducklake_table_insertions`` / ``ducklake_table_deletions`` TVFs
+    through sql() text (optional schema argument accepted, spec
+    signature).  Each feed is ONE exceptAll between the two snapshot
+    scans, so a consumer that only needs inserts (the common CDC-ingest
+    case) never pays the delete-side diff."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE cdc2(id INTEGER, v VARCHAR);
+        INSERT INTO cdc2 VALUES (1, 'a'), (2, 'b'), (3, 'c');
+        UPDATE cdc2 SET v = 'B' WHERE id = 2;
+        DELETE FROM cdc2 WHERE id = 3;
+        INSERT INTO cdc2 VALUES (4, 'd');
+        """
+    )
+    base = 2
+    cur = lake.catalog.current_snapshot
+    return lake.sql(
+        f"""
+        SELECT *, 'ins' AS feed
+        FROM ducklake_table_insertions('main', 'cdc2', {base}, {cur})
+        UNION ALL
+        SELECT *, 'del' AS feed
+        FROM table_deletions('cdc2', {base}, {cur})
+        """
+    )
+
+
+@query(
     "lakehouse_partitioned_scan",
     pure=False,
     oracle="""
