@@ -2261,6 +2261,7 @@ _TABLE_DELETIONS_RE = re.compile(
     r"'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
     re.I,
 )
+_TABLE_INFO_RE = re.compile(r"\bducklake_table_info\s*\(\s*\)", re.I)
 
 
 def _inline_encode_value(v, dt: T.DataType):
@@ -4374,6 +4375,39 @@ class DuckLakeSpark:
             self.table_df(name, snapshot=to_snapshot)
         )
 
+    def table_info(self) -> DataFrame:
+        """Per-table storage summary (DuckLake spec
+        ``ducklake_table_info``): live file/delete-file counts and byte
+        sizes straight from the catalog frames — pure metadata, no file
+        listing, no Spark job beyond the local-relation build."""
+        rows = []
+        for name in self.catalog.table_names():
+            tid = self.catalog.table_id(name)
+            trow = self.catalog.tables["ducklake_table"]
+            live = trow[
+                (trow["table_id"] == tid) & trow["end_snapshot"].isna()
+            ].iloc[0]
+            df_ = self.catalog.data_files(tid)
+            dl = self.catalog.delete_files(tid)
+            rows.append(
+                (
+                    name,
+                    int(live["schema_id"]),
+                    int(tid),
+                    str(live["table_uuid"]),
+                    int(len(df_)),
+                    int(df_["file_size_bytes"].fillna(0).sum()),
+                    int(len(dl)),
+                    int(dl["file_size_bytes"].fillna(0).sum()),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, schema_id long, table_id long, "
+            "table_uuid string, file_count long, file_size_bytes long, "
+            "delete_file_count long, delete_file_size_bytes long",
+        )
+
     def expire_snapshots(
         self,
         older_than=None,
@@ -6034,6 +6068,11 @@ class DuckLakeSpark:
 
         stmt = _TABLE_INSERTIONS_RE.sub(_rewrite_split_feed("ins"), stmt)
         stmt = _TABLE_DELETIONS_RE.sub(_rewrite_split_feed("del"), stmt)
+        if _TABLE_INFO_RE.search(stmt):
+            self.table_info().createOrReplaceTempView(
+                "__ducklake_table_info"
+            )
+            stmt = _TABLE_INFO_RE.sub(" __ducklake_table_info ", stmt)
         stmt = _SNAPSHOTS_RE.sub(" __ducklake_snapshots ", stmt)
         if "__ducklake_snapshots" in stmt:
             self.spark.createDataFrame(

@@ -615,6 +615,43 @@ def lakehouse_split_change_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_table_info",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ti_a', 0, 2, 1, TRUE),
+      ('ti_b', 0, 1, 0, TRUE)
+    ) t(table_name, schema_id, file_count, delete_file_count, has_bytes)
+    """,
+)
+def lakehouse_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DuckLake spec's ``ducklake_table_info()`` TVF through sql()
+    text: per-table live data-file / delete-file counts and sizes read
+    straight from the catalog frames (no file listing, no data scan).
+    Two single-row INSERTs mint exactly two files for ti_a (a multi-row
+    VALUES may split across write partitions); the DELETE adds one
+    positional delete file; ti_b keeps its single file and no deletes."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE ti_a(id INTEGER, v VARCHAR);
+        INSERT INTO ti_a VALUES (1, 'a');
+        INSERT INTO ti_a VALUES (2, 'b');
+        DELETE FROM ti_a WHERE id = 2;
+        CREATE TABLE ti_b(id INTEGER);
+        INSERT INTO ti_b VALUES (7);
+        """
+    )
+    return lake.sql(
+        """
+        SELECT table_name, schema_id, file_count, delete_file_count,
+               file_size_bytes > 0 AS has_bytes
+        FROM ducklake_table_info()
+        """
+    )
+
+
+@query(
     "lakehouse_partitioned_scan",
     pure=False,
     oracle="""
