@@ -229,3 +229,150 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(corrected - F.col("exact_n")) / F.col("exact_n") < 0.35
         ).alias("within_error_bound"),
     )
+
+
+@query(
+    "sketch_hll_merge_daily",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    h AS (
+      SELECT d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM ev
+    ),
+    reg AS (
+      SELECT d, hv % 64 AS b,
+             max(CASE WHEN hv // 64 = 0 THEN 55
+                      ELSE 55 - length(bin(hv // 64)) END) AS m
+      FROM h GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT d FROM reg),
+    merged AS (
+      SELECT t.d, r.b, max(r.m) AS m
+      FROM days t JOIN reg r ON r.d <= t.d
+      GROUP BY t.d, r.b
+    ),
+    s AS (
+      SELECT d,
+             sum(1::BIGINT << (55 - m)) AS s_present,
+             count(*) AS n_present,
+             sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS zeros_present
+      FROM merged GROUP BY d
+    ),
+    e AS (
+      SELECT d,
+             (0.7213 / (1 + 1.079 / 64.0)) * 64 * 64
+               * CAST(1::BIGINT << 55 AS DOUBLE)
+               / CAST(s_present + (64 - n_present) * (1::BIGINT << 55)
+                      AS DOUBLE) AS raw,
+             zeros_present + (64 - n_present) AS zeros
+      FROM s
+    ),
+    fs AS (SELECT user_id, min(d) AS fsd FROM ev GROUP BY user_id),
+    fc AS (SELECT fsd, count(*) AS c FROM fs GROUP BY fsd),
+    x AS (
+      SELECT t.d, CAST(sum(fc.c) AS BIGINT) AS exact_cum
+      FROM days t JOIN fc ON fc.fsd <= t.d
+      GROUP BY t.d
+    )
+    SELECT x.d,
+           x.exact_cum,
+           round(CASE WHEN e.raw <= 2.5 * 64 AND e.zeros > 0
+                      THEN 64 * ln(64.0 / e.zeros) ELSE e.raw END, 4)
+             AS hll_cum,
+           (abs(CASE WHEN e.raw <= 2.5 * 64 AND e.zeros > 0
+                     THEN 64 * ln(64.0 / e.zeros) ELSE e.raw END
+                - x.exact_cum) / x.exact_cum < 0.35) AS within_error_bound
+    FROM e JOIN x USING (d)
+    """,
+)
+def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY — the property that makes sketches the right
+    answer at 100 TB: per-day register sets built in ONE corpus pass,
+    then every day's cumulative-distinct-users estimate comes from
+    max-merging the daily registers, never rescanning history.  (In
+    production the daily 64-register rows persist in the lake; a new
+    day's merge costs O(days x 64) metadata work.)  The exact
+    cumulative count (first-seen-day aggregation) rides along to assert
+    the error envelope per day.  Same bit-exact discipline as
+    sketch_hll_distinct: md5 hashes, integer register sums.  The only
+    non-equi join (day x day-registers) is over sketch metadata — both
+    sides bounded by the day count, never the corpus."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    h = ev.select(
+        "d",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    reg = (
+        h.select(
+            "d",
+            (F.col("hv") % 64).alias("b"),
+            F.when(F.expr("hv DIV 64") == 0, F.lit(55))
+            .otherwise(55 - F.length(F.bin(F.expr("hv DIV 64"))))
+            .alias("rho"),
+        )
+        .groupBy("d", "b")
+        .agg(F.max("rho").alias("m"))
+    )
+    days = reg.select("d").distinct()
+    merged = (
+        days.alias("t")
+        .join(reg.alias("r"), F.col("r.d") <= F.col("t.d"))
+        .groupBy(F.col("t.d").alias("d"), "b")
+        .agg(F.max("m").alias("m"))
+    )
+    s = merged.groupBy("d").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias(
+            "zeros_present"
+        ),
+    )
+    e = s.select(
+        "d",
+        (
+            F.lit(0.7213 / (1 + 1.079 / 64.0))
+            * 64
+            * 64
+            * F.shiftleft(F.lit(1).cast("long"), 55).cast("double")
+            / (
+                F.col("s_present")
+                + (64 - F.col("n_present"))
+                * F.shiftleft(F.lit(1).cast("long"), 55)
+            ).cast("double")
+        ).alias("raw"),
+        (F.col("zeros_present") + (64 - F.col("n_present"))).alias("zeros"),
+    )
+    fs = ev.groupBy("user_id").agg(F.min("d").alias("fsd"))
+    fc = fs.groupBy("fsd").agg(F.count(F.lit(1)).alias("c"))
+    x = (
+        days.alias("t")
+        .join(fc, F.col("fsd") <= F.col("t.d"))
+        .groupBy(F.col("t.d").alias("d"))
+        .agg(F.sum("c").cast("long").alias("exact_cum"))
+    )
+    corrected = F.when(
+        (F.col("raw") <= 2.5 * 64) & (F.col("zeros") > 0),
+        64 * F.log(64.0 / F.col("zeros")),
+    ).otherwise(F.col("raw"))
+    return e.join(x, "d").select(
+        "d",
+        "exact_cum",
+        F.round(corrected, 4).alias("hll_cum"),
+        (
+            F.abs(corrected - F.col("exact_cum")) / F.col("exact_cum") < 0.35
+        ).alias("within_error_bound"),
+    )
