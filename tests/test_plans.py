@@ -354,3 +354,43 @@ def test_plain_scan_unchanged_without_inlined_rows(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
     assert "LocalTableScan" not in plan and "LocalRelation" not in plan
+
+
+def test_auc_no_corpus_sort(spark):
+    # the tie-aware AUC must rank per-distinct-score AGGREGATES, not rows:
+    # the only Sort beneath the window sits above a HashAggregate
+    plan = executed_plan(spark, "ml_auc_quality")
+    assert "CartesianProduct" not in plan
+    # exactly the stats aggregation + the score-ordered window + final agg:
+    # corpus rows cross one Exchange (hashpartitioning on the score key).
+    # AQE prints final + initial plan sections, so each unique exchange
+    # appears twice in the string.
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_markov_single_user_window_then_pair_agg(spark):
+    plan = executed_plan(spark, "events_markov_transitions")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one shuffle for the lead() window (user_id), one for the (src,dst)
+    # aggregation, one for the bounded src-normalization window (x2: AQE
+    # prints final + initial plan sections)
+    assert plan.count("Exchange hashpartitioning") <= 6
+
+
+def test_hll_merge_joins_only_sketch_metadata(spark):
+    # the day <= day theta join is allowed to be a BNLJ -- but ONLY over
+    # aggregated register/day frames, never the raw corpus: every BNLJ
+    # input must sit above an aggregate
+    plan = executed_plan(spark, "sketch_hll_merge_daily")
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    for m in _re.finditer(r"BroadcastNestedLoopJoin", plan):
+        below = plan[m.start():]
+        assert "HashAggregate" in below, "BNLJ over non-aggregated input"
+
+
+def test_canonical_pick_no_bnlj(spark):
+    plan = executed_plan(spark, "dedup_canonical_pick")
+    assert "CartesianProduct" not in plan
