@@ -54,6 +54,9 @@ HEADLINE = [
     "sim_lsh_buckets",
     "sim_ivf_topk",
     "skew_salted_event_totals",
+    "events_markov_transitions",
+    "ml_auc_quality",
+    "sketch_hll_merge_daily",
 ]
 
 
