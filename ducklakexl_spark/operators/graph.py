@@ -132,3 +132,59 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): each round
+    every node adopts the most frequent label among its neighbours
+    (count DESC, label ASC tiebreak — fully deterministic, so both
+    engines converge identically).  Fixed iteration count, so like
+    ``pagerank`` the loop is a pure driver-side plan builder — one
+    edge join + one (node, label) aggregation + one node-partitioned
+    argmax window per round, lineage truncated per round.
+
+    Synchronous LPA can oscillate on bipartite structure; with a fixed
+    round budget and deterministic ties that is a defined (and
+    cross-engine identical) output — production runs would use the
+    asynchronous variant or add self-votes.
+
+    Scale: the edge list is scanned once per round; votes aggregate on
+    (node, label) with map-side partials; the argmax window partitions
+    by node — state bounded by the distinct labels per node, never the
+    graph.
+    """
+    from pyspark.sql import Window as W
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, sym.a == labels.node)
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

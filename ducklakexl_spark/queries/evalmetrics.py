@@ -409,3 +409,232 @@ def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS linear regression from one-pass sufficient statistics
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_linear_regression",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(hour(ts)) AS sx,
+             sum(hour(ts) * hour(ts)) AS sxx,
+             sum(CAST(round(value * 100) AS BIGINT)) AS sy,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS syy,
+             sum(hour(ts) * CAST(round(value * 100) AS BIGINT)) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx) / 100, 6) AS slope,
+           round((CAST(sy AS DOUBLE) / 100
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (n * sxx - sx * sx) / 100 * sx) / n, 6) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS regression of value on hour-of-day, computed
+    entirely from ONE-PASS sufficient statistics (n, Σx, Σx², Σy, Σy²,
+    Σxy) — the only shape that regresses 100 TB: a single partial-
+    aggregated scan, slope/intercept/R² assembled from six numbers per
+    group.  y accumulates as exact centi-unit integers and x is an
+    integer hour, so every sufficient statistic is an exact BIGINT —
+    float summation order cannot move the coefficients."""
+    ev = load(spark, sf_dir, "events")
+    x = F.hour("ts").cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / dxx / 100
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") / 100 - slope * F.col("sx"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            num.cast("double") * num.cast("double")
+            / (dxx.cast("double") * dyy.cast("double")),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter-agreement confusion matrix + precision/recall/F1
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_confusion_f1",
+    # composition: oracle assembled below from the two filter oracles
+    oracle=None,
+)
+def ml_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 of the C4 keep/drop
+    decision treated as a predictor of the quality-score gate — the
+    filter-agreement audit run before swapping one corpus filter for a
+    cheaper one.  Pure composition of two registered single-scan
+    operators joined on doc_id; every metric is a ratio of exact
+    integer counts.  At 100 TB: two scans and one doc-keyed join (or
+    one scan if the filters are fused)."""
+    from ducklakexl_spark.queries import QUERIES
+
+    c4 = QUERIES["text_c4_filters"](spark, sf_dir).select(
+        "doc_id", F.col("passes_c4").alias("pred")
+    )
+    q = QUERIES["text_quality_score"](spark, sf_dir).select(
+        "doc_id", F.col("passes_quality").alias("actual")
+    )
+    j = c4.join(q, "doc_id")
+    agg = j.agg(
+        F.count_if(F.col("pred") & F.col("actual")).alias("tp"),
+        F.count_if(F.col("pred") & ~F.col("actual")).alias("fp"),
+        F.count_if(~F.col("pred") & F.col("actual")).alias("fn"),
+        F.count_if(~F.col("pred") & ~F.col("actual")).alias("tn"),
+    )
+    prec = F.col("tp").cast("double") / F.nullif(
+        F.col("tp") + F.col("fp"), F.lit(0)
+    )
+    rec = F.col("tp").cast("double") / F.nullif(
+        F.col("tp") + F.col("fn"), F.lit(0)
+    )
+    return agg.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round(F.coalesce(prec, F.lit(0.0)), 6).alias("precision_"),
+        F.round(F.coalesce(rec, F.lit(0.0)), 6).alias("recall_"),
+        F.round(
+            F.coalesce(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0)),
+                       F.lit(0.0)),
+            6,
+        ).alias("f1"),
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+ORACLES["ml_confusion_f1"] = """
+    WITH c4 AS (SELECT doc_id, passes_c4 AS pred FROM ({c4}) t),
+         q  AS (SELECT doc_id, passes_quality AS actual FROM ({q}) t),
+         m AS (
+           SELECT sum(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS tp,
+                  sum(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS fp,
+                  sum(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS fn,
+                  sum(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END)
+                    AS tn
+           FROM c4 JOIN q USING (doc_id)
+         ),
+         r AS (
+           SELECT tp, fp, fn, tn,
+                  CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS prec,
+                  CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS rec
+           FROM m
+         )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(coalesce(prec, 0.0), 6) AS precision_,
+           round(coalesce(rec, 0.0), 6) AS recall_,
+           round(coalesce(2 * prec * rec / nullif(prec + rec, 0.0), 0.0), 6)
+             AS f1,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+             AS accuracy
+    FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# calibration curve (reliability bins) of a length-based quality score
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_calibration_bins",
+    # composition: label comes from the registered C4 filter
+    oracle=None,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram data for a [0,1] length-based quality score
+    against the C4 keep decision: 10 fixed-width bins, per bin the
+    count, exact integer mean score (floor-division), and observed
+    positive rate — the calibration audit run before a score becomes a
+    sampling weight.  One doc-keyed join of two single-scan operators,
+    then a 10-key aggregation; all ratios from exact integers."""
+    from ducklakexl_spark.queries import QUERIES
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.col("n_chars"), F.lit(999)).alias("nc"),
+    )
+    c4 = QUERIES["text_c4_filters"](spark, sf_dir).select(
+        "doc_id", F.col("passes_c4").alias("label")
+    )
+    j = d.join(c4, "doc_id")
+    return (
+        j.groupBy(F.expr("nc DIV 100").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("nc").alias("snc"),
+            F.count_if(F.col("label")).alias("npos"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+            (F.expr("snc DIV n").cast("double") / 1000).alias("mean_score"),
+            F.round(F.col("npos").cast("double") / F.col("n"), 6).alias(
+                "frac_positive"
+            ),
+        )
+    )
+
+
+ORACLES["ml_calibration_bins"] = """
+    WITH d AS (
+      SELECT doc_id, least(n_chars, 999) AS nc FROM documents
+    ),
+    c4 AS (SELECT doc_id, passes_c4 AS label FROM ({c4}) t),
+    g AS (
+      SELECT nc // 100 AS bin, count(*) AS n, sum(nc) AS snc,
+             sum(CASE WHEN label THEN 1 ELSE 0 END) AS npos
+      FROM d JOIN c4 USING (doc_id)
+      GROUP BY 1
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(snc // n AS DOUBLE) / 1000 AS mean_score,
+           round(CAST(npos AS DOUBLE) / n, 6) AS frac_positive
+    FROM g
+"""
+
+from ducklakexl_spark.queries import text as _text  # noqa: E402,F401
+
+ORACLES["ml_confusion_f1"] = ORACLES["ml_confusion_f1"].format(
+    c4=ORACLES["text_c4_filters"], q=ORACLES["text_quality_score"]
+)
+ORACLES["ml_calibration_bins"] = ORACLES["ml_calibration_bins"].format(
+    c4=ORACLES["text_c4_filters"]
+)

@@ -171,3 +171,69 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("n_edges").alias("metric"), "value"
     )
     return n_nodes.unionAll(n_edges).unionAll(tri)
+
+
+LPA_ITER = 2
+LPA_TOPN = 20
+
+
+def _lpa_oracle() -> str:
+    iters = "".join(
+        f""",
+    v{k + 1} AS (
+      SELECT s.b AS node, p.label, count(*) AS c
+      FROM sym s JOIN l{k} p ON s.a = p.node
+      GROUP BY 1, 2
+    ),
+    l{k + 1} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM v{k + 1}) t
+      WHERE rn = 1
+    )"""
+        for k in range(LPA_ITER)
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                      's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    l0 AS (SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM sym) t)
+    {iters}
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS size
+    FROM l{LPA_ITER}
+    GROUP BY label ORDER BY size DESC, community LIMIT {LPA_TOPN}
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    customer–supplier graph, top-{20} community sizes after 2 rounds.
+    Third member of the iterative-graph family (CC = data-dependent
+    fixpoint, PageRank = fixed-round numeric recurrence, LPA =
+    fixed-round categorical argmax); the oracle unrolls the identical
+    rounds as CTE chains with the same (count DESC, label) tiebreak, so
+    the driver-loop operator is verified against a pure-SQL twin."""
+    from ducklakexl_spark.operators.graph import label_propagation
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, iterations=LPA_ITER)
+    comm = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return comm.orderBy(F.col("size").desc(), "community").limit(LPA_TOPN)
