@@ -4005,6 +4005,31 @@ class DuckLakeSpark:
             viol = bad if viol is None else (viol | bad)
         return viol, checks
 
+    def _writer_options(self) -> dict:
+        """Active writer knobs from ``SET ducklake.*`` session settings
+        (the spec's options surface): ``ducklake.parquet_compression``
+        maps straight onto the parquet writer codec."""
+        opts: dict[str, str] = {}
+        comp = self.session_settings.get("ducklake.parquet_compression")
+        if comp:
+            opts["compression"] = comp.lower()
+        return opts
+
+    def _target_file_bytes(self, default: int = 128 << 20) -> int:
+        """``SET ducklake.target_file_size`` (e.g. '64MB', '1048576')
+        feeding compaction sizing; spec option, bytes or KB/MB/GB
+        suffix."""
+        raw = self.session_settings.get("ducklake.target_file_size")
+        if not raw:
+            return default
+        m = re.match(r"^\s*(\d+)\s*(kb|mb|gb|b)?\s*$", raw, re.I)
+        if not m:
+            raise ValueError(f"bad ducklake.target_file_size: {raw!r}")
+        mult = {"b": 1, "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30}[
+            (m.group(2) or "b").lower()
+        ]
+        return int(m.group(1)) * mult
+
     def _write_files(
         self, name: str, tid: int, df: DataFrame
     ) -> tuple[list[dict], list[dict]]:
@@ -4035,11 +4060,15 @@ class DuckLakeSpark:
             # write task emits a file per value it sees (tasks x values
             # small files — the partitioned-write explosion)
             df = df.repartition(*[F.col(f"__part_{c}") for c in part_names])
-            df.write.mode("overwrite").partitionBy(
-                *[f"__part_{c}" for c in part_names]
-            ).parquet(out_dir)
+            df.write.mode("overwrite").options(
+                **self._writer_options()
+            ).partitionBy(*[f"__part_{c}" for c in part_names]).parquet(
+                out_dir
+            )
         else:
-            df.write.mode("overwrite").parquet(out_dir)
+            df.write.mode("overwrite").options(
+                **self._writer_options()
+            ).parquet(out_dir)
 
         paths: list[tuple[str, list[str] | None]] = []
         if scheme:
@@ -4199,7 +4228,7 @@ class DuckLakeSpark:
     def compact(
         self,
         name: str,
-        target_file_bytes: int = 128 << 20,
+        target_file_bytes: int | None = None,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
     ) -> dict:
@@ -4231,6 +4260,9 @@ class DuckLakeSpark:
         dimensions; the extra cost over ``sort_by`` is one agg scan."""
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
+        if target_file_bytes is None:
+            # SET ducklake.target_file_size wins over the 128 MB default
+            target_file_bytes = self._target_file_bytes()
         # compaction swaps the table's FILE set atomically; inlined rows
         # must be in that file set first or the swap would duplicate them
         self.flush_inlined(name)

@@ -1580,3 +1580,44 @@ def lakehouse_comprehension_dialect(spark: SparkSession, sf_dir: str) -> DataFra
     tolerance, run as the ORACLE'S OWN SQL verbatim through sql()."""
     lake = _fresh_lake(spark)
     return lake.sql(_COMPREHENSION_BODY)
+
+
+@query(
+    "lakehouse_writer_options",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ZSTD', TRUE, 2)
+    ) t(codec, target_parsed, n_rows)
+    """,
+)
+def lakehouse_writer_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec options made ACTIVE: ``SET ducklake.parquet_compression``
+    switches the codec of every engine-minted parquet file (verified by
+    reading the written footer back), and ``SET
+    ducklake.target_file_size`` feeds compaction's output sizing (the
+    64MB parse asserted).  A script tuned for DuckDB's ducklake keeps
+    its storage knobs when replayed here."""
+    import pyarrow.parquet as _pq
+
+    lake = _fresh_lake(spark)
+    lake.sql("SET ducklake.parquet_compression = 'zstd'")
+    lake.sql("SET ducklake.target_file_size = '64MB'")
+    lake.sql(
+        """
+        CREATE TABLE wo(id INTEGER, v VARCHAR);
+        INSERT INTO wo VALUES (1, 'a');
+        INSERT INTO wo VALUES (2, 'b');
+        """
+    )
+    tid = lake.catalog.table_id("wo")
+    path = lake.catalog.data_files(tid)["path"].iloc[0]
+    codec = (
+        _pq.ParquetFile(path).metadata.row_group(0).column(0).compression
+    )
+    target_ok = lake._target_file_bytes() == (64 << 20)
+    n = lake.sql("SELECT count(*) AS n FROM wo").collect()[0]["n"]
+    return spark.createDataFrame(
+        [(str(codec), bool(target_ok), int(n))],
+        "codec string, target_parsed boolean, n_rows int",
+    )
