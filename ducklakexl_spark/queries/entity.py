@@ -67,3 +67,52 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+@query(
+    "er_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= {MAX_EDIT}
+    ),
+    nodes AS (SELECT key_a AS n FROM edges UNION SELECT key_b FROM edges),
+    sym AS (SELECT key_a AS a, key_b AS b FROM edges
+            UNION SELECT key_b, key_a FROM edges),
+    reach(s, t) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.s, y.b FROM reach r JOIN sym y ON r.t = y.a
+    ),
+    cc AS (SELECT s AS custkey, min(t) AS cluster_id
+           FROM reach GROUP BY s)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(custkey) AS representative
+    FROM cc GROUP BY cluster_id
+    """,
+)
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive entity merge: the pairwise matches from
+    er_blocked_match chained into entities via connected components
+    (A~B, B~C must land A and C in one entity even when their names
+    differ by more than the pair threshold) — the step that turns a
+    match list into a golden-record grouping.  Composition of two
+    registered operators; the CC driver loop runs over the MATCH graph
+    (pairs-sized, not table-sized), verified against DuckDB's actual
+    recursive CTE."""
+    from ducklakexl_spark.operators.graph import connected_components
+    from ducklakexl_spark.queries import QUERIES
+
+    pairs = QUERIES["er_blocked_match"](spark, sf_dir).select(
+        "key_a", "key_b"
+    )
+    cc = connected_components(pairs, src="key_a", dst="key_b")
+    return cc.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").alias("representative"),
+    )

@@ -339,3 +339,108 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_z",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# full-batch gradient descent (linear probe), driver-coordinated
+# ---------------------------------------------------------------------------
+
+GD_ITERS = 2
+
+
+def _gd_oracle() -> str:
+    """Unrolled 2-iteration GD: weights flow through 1-row CTEs, each
+    round's gradient sums are exact integers (per-row terms quantized to
+    micro-units), and the learning rate is 1/8 (binary-exact) so the
+    weight update is a single IEEE division of exact integers — no
+    round() on the weights at all, hence bit-identical recurrences."""
+    rounds = []
+    prev = "w0"
+    for k in range(1, GD_ITERS + 1):
+        rounds.append(f"""
+    g{k} AS (
+      SELECT count(*) AS n,
+             sum(CAST(round(1000000 * ((w.a + w.b * x.x) - x.y))
+                      AS BIGINT)) AS s0,
+             sum(CAST(round(1000000 * (((w.a + w.b * x.x) - x.y) * x.x))
+                      AS BIGINT)) AS s1,
+             sum(CAST(round(1000000 * (((w.a + w.b * x.x) - x.y)
+                                       * ((w.a + w.b * x.x) - x.y)))
+                      AS BIGINT)) AS sl,
+             max(w.a) AS a, max(w.b) AS b
+      FROM x CROSS JOIN {prev} w
+    ),
+    w{k} AS (
+      SELECT a - CAST(s0 AS DOUBLE) / (4.0 * n * 1000000) AS a,
+             b - CAST(s1 AS DOUBLE) / (4.0 * n * 1000000) AS b
+      FROM g{k}
+    )""")
+        prev = f"w{k}"
+    finals = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS iter,
+               floor(w{k}.a * 1000000) / 1000000 AS w0,
+               floor(w{k}.b * 1000000) / 1000000 AS w1,
+               CAST(g{k}.sl // g{k}.n AS DOUBLE) / 1000000 AS mse_before
+        FROM w{k} CROSS JOIN g{k}"""
+        for k in range(1, GD_ITERS + 1)
+    )
+    return f"""
+    WITH x AS (
+      SELECT CAST(n_chars AS DOUBLE) / 1000 AS x,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+      FROM documents
+    ),
+    w0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b),
+    {",".join(rounds)}
+    {finals}
+    """
+
+
+@query("ml_gd_linear_probe", oracle=_gd_oracle())
+def ml_gd_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch gradient descent, the driver-coordinated /
+    executor-swept optimization loop (the shape of every Spark ML
+    trainer): a linear probe y(=lang-en) ~ w0 + w1 * n_chars/1000 under
+    squared loss, 2 iterations.  Each round is ONE partial-aggregated
+    corpus scan producing exact-integer gradient sums (per-row terms
+    quantized to micro-units, so summation order is irrelevant); the
+    weight update runs on the driver with a binary-exact learning rate
+    (1/8) as a single division of those integers — the recurrence is
+    bit-identical across engines WITHOUT per-round quantization of the
+    weights themselves.  At 100 TB: iterations x one scan, six numbers
+    of driver state."""
+    d = load(spark, sf_dir, "documents")
+    x = (F.col("n_chars").cast("double") / 1000).alias("x")
+    y = (
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("double")
+    ).alias("y")
+    xy = d.select(x, y)
+    a, b = 0.0, 0.0
+    rows = []
+    for k in range(1, GD_ITERS + 1):
+        r = (F.lit(a) + F.lit(b) * F.col("x")) - F.col("y")
+        g = xy.agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(1000000 * r).cast("long")).alias("s0"),
+            F.sum(F.round(1000000 * (r * F.col("x"))).cast("long")).alias(
+                "s1"
+            ),
+            F.sum(F.round(1000000 * (r * r)).cast("long")).alias("sl"),
+        ).collect()[0]
+        n = g["n"]
+        # floor-quantized emission: round() on a rational that lands
+        # exactly on a half-decimal boundary diverges between Spark
+        # (shortest-string HALF_UP) and DuckDB (binary value) -- floor
+        # of the identical double cannot
+        mse = (g["sl"] // n) / 1000000
+        a = a - g["s0"] / (4.0 * n * 1000000)
+        b = b - g["s1"] / (4.0 * n * 1000000)
+        import math as _math
+
+        rows.append(
+            (k, _math.floor(a * 1000000) / 1000000,
+             _math.floor(b * 1000000) / 1000000, mse)
+        )
+    return spark.createDataFrame(
+        rows, "iter long, w0 double, w1 double, mse_before double"
+    )
