@@ -1343,14 +1343,25 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         pick_last = (key == "last") != desc
         return f"element_at({arr}, {-1 if pick_last else 1})"
     if key == "range":
-        # DuckDB range() is END-EXCLUSIVE; Spark sequence() inclusive
+        # DuckDB range() is END-EXCLUSIVE and EMPTY when stop <= start;
+        # Spark sequence() is inclusive and would run DESCENDING for
+        # stop-1 < start, so the empty case needs an explicit guard
         if len(a) == 1:
-            return f"sequence(0, ({a[0]}) - 1)"
-        if len(a) == 2:
-            return f"sequence({a[0]}, ({a[1]}) - 1)"
+            lo, hi = "0", a[0]
+        elif len(a) == 2:
+            lo, hi = a[0], a[1]
+        else:
+            return (
+                f"sequence({a[0]}, ({a[1]}) - CAST(sign({a[2]}) AS BIGINT), "
+                f"{a[2]})"
+            )
         return (
-            f"sequence({a[0]}, ({a[1]}) - CAST(sign({a[2]}) AS BIGINT), "
-            f"{a[2]})"
+            f"(CASE WHEN ({hi}) > ({lo}) "
+            f"THEN sequence({lo}, ({hi}) - 1) "
+            # type-matched empty array: forcing ARRAY<BIGINT> here would
+            # widen the CASE result and break INT-typed consumers
+            # (element_at's index argument)
+            f"ELSE slice(sequence({lo}, {lo}), 1, 0) END)"
         )
     if key == "list_sum":
         return f"aggregate({a[0]}, 0D, (acc, v) -> acc + v)"

@@ -13,6 +13,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ducklakexl_spark.queries import load, query
@@ -339,4 +340,92 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.filter(ham <= PHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
+
+
+AUDIO_FRAME = 64
+AUDIO_SCHEMA = "doc_id bigint, frame_idx bigint, energy_milli bigint"
+
+
+def audio_energy_stage(df, frame_bytes: int = AUDIO_FRAME):
+    """mapInPandas audio feature stage (waveform → per-frame energy).
+    STUB decode: the payload bytes stand in for 8-bit PCM samples
+    centered at 128 (no audio codec in this container); the Spark-side
+    shape is the real one — Arrow batches in, one row per full frame
+    out, integer milli-energy so the relational audit is exact."""
+    from collections.abc import Iterator
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                if payload is None:
+                    raise NotImplementedError(
+                        "real decode requires an audio codec"
+                    )
+                for f in range(len(payload) // frame_bytes):
+                    frame = payload[f * frame_bytes : (f + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    energies.append(
+                        sum(abs(b - 128) for b in frame) * 1000 // frame_bytes
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "energy_milli": energies}
+            )
+
+    return df.select("doc_id", "content").mapInPandas(
+        _batches, schema=AUDIO_SCHEMA
+    )
+
+
+@query(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, f AS frame_idx,
+             (CAST(list_sum(list_transform(range(1, {AUDIO_FRAME} + 1),
+                i -> abs(ord(substr(text, f * {AUDIO_FRAME} + i, 1)) - 128)))
+                   AS BIGINT)
+              * 1000) // {AUDIO_FRAME} AS e
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, length(text) // {AUDIO_FRAME})) AS f
+            FROM documents) t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(max(e) AS BIGINT) AS peak_energy_milli,
+           CAST(min(CASE WHEN e = me THEN frame_idx END) AS BIGINT)
+             AS peak_frame
+    FROM (SELECT *, max(e) OVER (PARTITION BY doc_id) AS me FROM fr) x
+    GROUP BY doc_id
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction audit: the per-frame energy
+    stage (Arrow-batched mapInPandas, one row per {64}-byte frame)
+    rolled up to per-doc frame count, peak energy, and peak-frame index.
+    The oracle recomputes the stub's exact integer arithmetic
+    relationally from the same bytes (fixtures are ASCII, so DuckDB's
+    per-character ord() equals the payload byte — the same equivalence
+    the resize audit relies on).  At 100 TB the stage is
+    embarrassingly parallel: no shuffle until the per-doc rollup, and a
+    real PCM decoder drops into the same batch signature."""
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    frames = audio_energy_stage(d)
+    w = W.partitionBy("doc_id")
+    return (
+        frames.withColumn("me", F.max("energy_milli").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.max("energy_milli").cast("long").alias("peak_energy_milli"),
+            F.min(
+                F.when(
+                    F.col("energy_milli") == F.col("me"), F.col("frame_idx")
+                )
+            )
+            .cast("long")
+            .alias("peak_frame"),
+        )
     )

@@ -13,6 +13,7 @@ full keyspace.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ducklakexl_spark.queries import load, query
@@ -375,4 +376,105 @@ def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(corrected - F.col("exact_cum")) / F.col("exact_cum") < 0.35
         ).alias("within_error_bound"),
+    )
+
+
+QH_BIN_W = 5  # histogram bin width over the value column
+
+
+@query(
+    "sketch_quantile_merge_daily",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(floor(value / {QH_BIN_W}) AS BIGINT) AS bin
+      FROM events
+    ),
+    hist AS (SELECT d, bin, count(*) AS c FROM ev GROUP BY 1, 2),
+    days AS (SELECT DISTINCT d FROM hist),
+    merged AS (
+      SELECT t.d, h.bin, CAST(sum(h.c) AS BIGINT) AS c
+      FROM days t JOIN hist h ON h.d <= t.d
+      GROUP BY t.d, h.bin
+    ),
+    cum AS (
+      SELECT d, bin, c,
+             sum(c) OVER (PARTITION BY d ORDER BY bin) AS cs,
+             sum(c) OVER (PARTITION BY d) AS n
+      FROM merged
+    ),
+    est AS (
+      SELECT d, n,
+             min(CASE WHEN cs >= (n + 1) // 2
+                       AND cs - c < (n + 1) // 2 THEN
+               bin * {QH_BIN_W} + CAST({QH_BIN_W} AS DOUBLE)
+                 * ((n + 1) // 2 - (cs - c)) / c END) AS p50r,
+             min(CASE WHEN cs >= (n * 95 + 99) // 100
+                       AND cs - c < (n * 95 + 99) // 100 THEN
+               bin * {QH_BIN_W} + CAST({QH_BIN_W} AS DOUBLE)
+                 * ((n * 95 + 99) // 100 - (cs - c)) / c END) AS p95r
+      FROM cum GROUP BY d, n
+    )
+    SELECT d, CAST(n AS BIGINT) AS n,
+           floor(p50r * 1000) / 1000 AS p50_est,
+           floor(p95r * 1000) / 1000 AS p95_est
+    FROM est
+    """,
+)
+def sketch_quantile_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILES — the percentile twin of
+    sketch_hll_merge_daily: per-day fixed-width histograms built in one
+    corpus pass, every day's cumulative p50/p95 estimated from the
+    SUM-merged histogram (bin-interpolated) without rescanning history.
+    This is the t-digest/KLL deployment shape at 100 TB: daily sketch
+    rows persist, a new day's quantiles cost O(days x bins) metadata
+    work.  Counts are exact integers end to end; the interpolation is
+    one deterministic division and the emission is floor-quantized, so
+    both engines agree bit-for-bit.  The only non-equi join (day x
+    day-histogram) is over sketch metadata, never the corpus."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"),
+        F.floor(F.col("value") / QH_BIN_W).cast("long").alias("bin"),
+    )
+    hist = ev.groupBy("d", "bin").agg(F.count(F.lit(1)).alias("c"))
+    days = hist.select("d").distinct()
+    merged = (
+        days.alias("t")
+        .join(hist.alias("h"), F.col("h.d") <= F.col("t.d"))
+        .groupBy(F.col("t.d").alias("d"), "bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    wd = W.partitionBy("d").orderBy("bin")
+    cum = merged.select(
+        "d",
+        "bin",
+        "c",
+        F.sum("c").over(wd).alias("cs"),
+        F.sum("c").over(W.partitionBy("d")).alias("n"),
+    )
+    t50 = F.expr("(n + 1) DIV 2")
+    t95 = F.expr("(n * 95 + 99) DIV 100")
+
+    def interp(target):
+        # the UNIQUE crossing bin: cum_before < target <= cum — without
+        # the lower bound every later bin extrapolates a negative offset
+        # and min() walks off the histogram
+        return F.when(
+            (F.col("cs") >= target)
+            & (F.col("cs") - F.col("c") < target),
+            F.col("bin") * QH_BIN_W
+            + F.lit(float(QH_BIN_W))
+            * (target - (F.col("cs") - F.col("c")))
+            / F.col("c"),
+        )
+
+    est = cum.groupBy("d", "n").agg(
+        F.min(interp(t50)).alias("p50r"),
+        F.min(interp(t95)).alias("p95r"),
+    )
+    return est.select(
+        "d",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(F.col("p50r") * 1000) / 1000).alias("p50_est"),
+        (F.floor(F.col("p95r") * 1000) / 1000).alias("p95_est"),
     )
