@@ -200,6 +200,14 @@ def _split_type_args(s: str) -> list[str]:
 
 _USE_RE = re.compile(r"^\s*USE\s+([\w.]+)\s*$", re.I)
 _ATTACH_RE = re.compile(r"^\s*(?:ATTACH|DETACH)\b", re.I)
+_ATTACH_DUCKLAKE_RE = re.compile(
+    r"^\s*ATTACH\s+(?:IF\s+NOT\s+EXISTS\s+)?'ducklake:([^']+)'\s+"
+    r"AS\s+(\w+)\s*(?:\(\s*DATA_PATH\s+'([^']+)'\s*\))?\s*$",
+    re.I,
+)
+_DETACH_RE = re.compile(
+    r"^\s*DETACH\s+(?:DATABASE\s+)?(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I
+)
 _TXN_RE = re.compile(r"^\s*(BEGIN(\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*$", re.I)
 _CREATE_SEQ_RE = re.compile(
     r"^\s*CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)"
@@ -2379,6 +2387,9 @@ class DuckLakeSpark:
 
         register_all(self.spark)
         self.name = ducklake_name
+        # multi-catalog: ATTACH 'ducklake:...' AS name mounts a second
+        # lake as its own engine sharing this SparkSession
+        self._attached: dict[str, DuckLakeSpark] = {}
         # data_path may be an object-store URI (s3a://, gs://, hdfs://):
         # Spark moves the data through its Hadoop connectors; the
         # engine's own metadata I/O routes through iofs' URI dispatch
@@ -2467,6 +2478,14 @@ class DuckLakeSpark:
     )
 
     def _execute(self, stmt: str) -> DataFrame | None:
+        # multi-catalog dispatch: while USE'd into an attached lake every
+        # statement runs against that engine; USE/ATTACH/DETACH stay here
+        # so the session can mount lakes and switch back
+        if self._attached and self.current_db in self._attached:
+            if not (
+                _USE_RE.match(stmt) or _ATTACH_RE.match(stmt)
+            ):
+                return self._attached[self.current_db]._execute(stmt)
         # TEMP tables: session-lifetime semantics approximated by regular
         # lake tables (the catalog store is per-engine-instance anyway in
         # tests; a production deployment would tag + GC them on close)
@@ -2511,10 +2530,30 @@ class DuckLakeSpark:
             # accepted as no-ops so reference scripts replay verbatim
             return None
         if _ATTACH_RE.match(stmt):
-            # ATTACH 'ducklake:...' (DATA_PATH ...) / DETACH are the
-            # reference's bootstrap statements (ducklakexl.py:236);
-            # lifetime is owned by the constructor here, so both are
-            # accepted no-ops — a reference script replays verbatim
+            # ATTACH 'ducklake:<catalog>' AS name (DATA_PATH '<dir>')
+            # mounts a SECOND lake (bootstrapping it if absent, like
+            # DuckDB's ducklake extension); USE <name> routes statements
+            # to it and <name>.<table> reads cross-lake.  The reference's
+            # own bootstrap ATTACH (ducklakexl.py:236) re-attaches the
+            # home lake's name, which stays the accepted no-op so its
+            # scripts replay verbatim.
+            m = _ATTACH_DUCKLAKE_RE.match(stmt)
+            if m:
+                cat, name, dp = m.group(1), m.group(2), m.group(3)
+                if name != self.name and name not in self._attached:
+                    self._attached[name] = DuckLakeSpark(
+                        spark=self.spark,
+                        data_path=dp or cat + ".files",
+                        local_catalog=cat,
+                        ducklake_name=name,
+                    )
+                return None
+            m = _DETACH_RE.match(stmt)
+            if m:
+                self._attached.pop(m.group(1), None)
+                if self.current_db == m.group(1):
+                    self.current_db = self.name
+                return None
             return None
         m = _CREATE_MACRO_RE.match(stmt)
         if m:
@@ -6152,6 +6191,25 @@ class DuckLakeSpark:
             return f" {view} "
 
         stmt = _AT_TIMESTAMP_RE.sub(_rewrite_at_ts, stmt)
+
+        # cross-lake reads: <attached>.<table> resolves against the
+        # mounted engine's snapshot scan (only for names that ARE tables
+        # there, so column refs under a same-named alias pass through)
+        for att, eng in self._attached.items():
+            if att not in stmt:
+                continue
+            att_tables = set(eng.catalog.table_names())
+
+            def _rw_att(m: re.Match, eng=eng, att=att, tabs=att_tables) -> str:
+                t = m.group(1)
+                if t not in tabs:
+                    return m.group(0)
+                view = f"__att_{att}_{t}"
+                eng.table_df(t).createOrReplaceTempView(view)
+                return f" {view} "
+
+            stmt = re.sub(rf"\b{re.escape(att)}\.(\w+)", _rw_att, stmt)
+
         idents = sql_identifiers(stmt)
         for tname in self.catalog.table_names():
             if tname in idents:

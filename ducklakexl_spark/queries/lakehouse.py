@@ -1621,3 +1621,46 @@ def lakehouse_writer_options(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(str(codec), bool(target_ok), int(n))],
         "codec string, target_parsed boolean, n_rows int",
     )
+
+
+@query(
+    "lakehouse_multi_catalog",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      ('one', 5.0), ('two', 2.5)
+    ) t(label, total)
+    """,
+)
+def lakehouse_multi_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-catalog federation: ATTACH mounts a second DuckLake
+    (bootstrapped on first attach, exactly like DuckDB's ducklake
+    extension), USE routes DDL/DML to it, and ``<name>.<table>``
+    references read cross-lake — here a fact table in the home lake
+    joins a dimension living in the attached one.  Both sides are
+    snapshot-resolved scans; the dimension is metadata-mounted, so the
+    join plans exactly like any two-table query (broadcast the small
+    side)."""
+    import tempfile
+
+    lake = _fresh_lake(spark)
+    tmp = tempfile.mkdtemp(prefix="attach_gate_")
+    home = lake.name
+    lake.sql(
+        f"""
+        ATTACH 'ducklake:{tmp}/cat' AS dimlake (DATA_PATH '{tmp}/d');
+        USE dimlake;
+        CREATE TABLE dim(k INTEGER, label VARCHAR);
+        INSERT INTO dim VALUES (1, 'one'), (2, 'two');
+        USE {home};
+        CREATE TABLE fact(k INTEGER, v DOUBLE);
+        INSERT INTO fact VALUES (1, 1.5), (2, 2.5), (1, 3.5);
+        """
+    )
+    return lake.sql(
+        """
+        SELECT d.label, round(sum(f.v), 2) AS total
+        FROM fact f JOIN dimlake.dim d ON f.k = d.k
+        GROUP BY d.label
+        """
+    )

@@ -1005,21 +1005,40 @@ def test_compact_zorder_clusters_both_dims(lake, tmp_path):
         lake.compact("zt", sort_by=["a"], zorder_by=["b"])
 
 
-def test_attach_detach_pass_through(lake):
-    """The reference's bootstrap statements (ducklakexl.py:236) replay
-    verbatim through sql(): ATTACH/DETACH are accepted no-ops (catalog
-    lifetime is the constructor's here)."""
+def test_attach_detach_multi_catalog(lake, tmp_path):
+    """ATTACH 'ducklake:...' AS name mounts a real second lake: USE
+    routes statements to it, <name>.<table> reads cross-lake, DETACH
+    unmounts and returns the session home.  Re-attaching the home
+    lake's own name (the reference's bootstrap statement,
+    ducklakexl.py:236) stays a no-op so its scripts replay verbatim."""
+    home = lake.name
     out = lake.sql(
-        """
-        ATTACH 'ducklake:meta' AS lakedb (DATA_PATH 'files');
-        USE lakedb;
+        f"""
+        ATTACH 'ducklake:{lake.catalog.store.path}' AS {home};
+        ATTACH 'ducklake:{tmp_path}/cat' AS other (DATA_PATH '{tmp_path}/d');
+        USE other;
         CREATE TABLE ad(id INTEGER);
         INSERT INTO ad VALUES (1), (2);
-        DETACH lakedb;
         SELECT count(*) AS n FROM ad;
         """
     )
     assert rows(out) == [(2,)]
+    # back home: ad is NOT here, but other.ad is readable cross-lake
+    lake.sql(f"USE {home}")
+    assert rows(
+        lake.sql("SELECT sum(id) AS s FROM other.ad")
+    ) == [(3,)]
+    # the attached lake persisted on disk: a fresh engine reopens it
+    lake.sql("DETACH other")
+    assert "other" not in lake._attached
+    from ducklakexl_spark.engine import DuckLakeSpark
+
+    reopened = DuckLakeSpark(
+        spark=lake.spark,
+        data_path=f"{tmp_path}/d",
+        local_catalog=f"{tmp_path}/cat",
+    )
+    assert rows(reopened.sql("SELECT count(*) AS n FROM ad")) == [(2,)]
 
 
 def test_compact_zorder_edge_types(lake):
