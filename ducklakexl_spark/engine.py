@@ -2281,6 +2281,9 @@ _TABLE_DELETIONS_RE = re.compile(
     re.I,
 )
 _TABLE_INFO_RE = re.compile(r"\bducklake_table_info\s*\(\s*\)", re.I)
+_LIST_FILES_RE = re.compile(
+    r"\bducklake_list_files\s*\(\s*'(\w+)'\s*\)", re.I
+)
 
 
 def _inline_encode_value(v, dt: T.DataType):
@@ -4457,6 +4460,29 @@ class DuckLakeSpark:
             self.table_df(name, snapshot=to_snapshot)
         )
 
+    def list_files(self, name: str) -> DataFrame:
+        """Live data files of a table (DuckLake spec
+        ``ducklake_list_files``): id, path, record count, bytes, and the
+        snapshot each file began at — catalog frames only, no listing."""
+        df_ = self.catalog.data_files(self.catalog.table_id(name))
+        rows = [
+            (
+                int(r.data_file_id),
+                str(r.path),
+                int(r.record_count) if r.record_count is not None else None,
+                int(r.file_size_bytes)
+                if r.file_size_bytes is not None
+                else None,
+                int(r.begin_snapshot),
+            )
+            for r in df_.itertuples()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "data_file_id long, path string, record_count long, "
+            "file_size_bytes long, begin_snapshot long",
+        )
+
     def table_info(self) -> DataFrame:
         """Per-table storage summary (DuckLake spec
         ``ducklake_table_info``): live file/delete-file counts and byte
@@ -6155,6 +6181,14 @@ class DuckLakeSpark:
                 "__ducklake_table_info"
             )
             stmt = _TABLE_INFO_RE.sub(" __ducklake_table_info ", stmt)
+
+        def _rewrite_list_files(m: re.Match) -> str:
+            tname = m.group(1)
+            view = f"__lf_{tname}"
+            self.list_files(tname).createOrReplaceTempView(view)
+            return f" {view} "
+
+        stmt = _LIST_FILES_RE.sub(_rewrite_list_files, stmt)
         stmt = _SNAPSHOTS_RE.sub(" __ducklake_snapshots ", stmt)
         if "__ducklake_snapshots" in stmt:
             self.spark.createDataFrame(

@@ -1664,3 +1664,36 @@ def lakehouse_multi_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.label
         """
     )
+
+
+@query(
+    "lakehouse_list_files",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (2, 2, 2)
+    ) t(n_files, total_records, n_snapshots)
+    """,
+)
+def lakehouse_list_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ducklake_list_files('t')`` through sql() text: the per-file
+    registry view (id, path, record count, bytes, begin snapshot) an
+    operator uses to reason about layout before compacting — pure
+    catalog metadata, no file listing, no data scan."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE lf(id INTEGER);
+        INSERT INTO lf VALUES (1);
+        INSERT INTO lf VALUES (2);
+        """
+    )
+    return lake.sql(
+        """
+        SELECT CAST(count(*) AS INTEGER) AS n_files,
+               CAST(sum(record_count) AS INTEGER) AS total_records,
+               CAST(count(DISTINCT begin_snapshot) AS INTEGER)
+                 AS n_snapshots
+        FROM ducklake_list_files('lf')
+        """
+    )

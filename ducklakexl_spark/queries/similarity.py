@@ -1305,3 +1305,98 @@ def sim_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_id", "holdout_id", F.round("cos_raw", 6).alias("cosine")
         )
     )
+
+
+@query(
+    "sim_diversity_coverage",
+    # composition: oracle assembled below from the MMR oracle
+    oracle=None,
+)
+def sim_diversity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facility-location coverage audit of the MMR selection: mean over
+    the corpus of max-cosine-to-any-selected, for the DIVERSIFIED 5-set
+    vs the plain relevance top-5 — the number that shows what the
+    diversity trade actually bought (a spread-out set covers the corpus
+    better than five near-duplicates of the best hit).  The selected
+    sets are request-sized (broadcast); the corpus is scanned once per
+    set with a per-row max over 5 cosines; the mean accumulates in
+    integer micro-units so summation order cannot move it."""
+    from pyspark.sql import Window as Wn
+
+    from ducklakexl_spark.queries import QUERIES
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") != 0)
+    mmr_sel = QUERIES["sim_mmr_rerank"](spark, sf_dir).select("vec_id")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    wrel = Wn.orderBy(F.col("rel").desc(), "vec_id")
+    top_sel = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", cosine_cols(F.col("embedding"), F.col("qv")).alias("rel")
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+
+    def coverage(sel, label):
+        s = e.join(sel, "vec_id").select(
+            F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")
+        )
+        per_row = (
+            corpus.join(F.broadcast(s), F.col("vec_id") != F.col("sid"))
+            .select(
+                "vec_id",
+                cosine_cols(F.col("embedding"), F.col("sv")).alias("cos"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.round(F.max("cos") * 1000000).cast("long").alias("mc")
+            )
+        )
+        return per_row.agg(
+            F.lit(label).alias("selection"),
+            F.count("*").alias("n_covered"),
+            (
+                F.expr("sum(mc) DIV count(*)").cast("double") / 1000000
+            ).alias("mean_max_cos"),
+        )
+
+    return coverage(mmr_sel, "mmr").unionAll(coverage(top_sel, "top5"))
+
+
+_ORACLES["sim_diversity_coverage"] = f"""
+    WITH msel AS (SELECT vec_id FROM ({_ORACLES["sim_mmr_rerank"]}) t),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    tsel AS (
+      SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY {_sql_cosine("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 5
+    ),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    mrows AS (
+      SELECT c.vec_id,
+             CAST(round(max({_sql_cosine("c.embedding", "s.embedding")})
+                        * 1000000) AS BIGINT) AS mc
+      FROM corpus c
+      JOIN (SELECT e.vec_id, e.embedding FROM embeddings e
+            JOIN msel USING (vec_id)) s ON c.vec_id <> s.vec_id
+      GROUP BY c.vec_id
+    ),
+    trows AS (
+      SELECT c.vec_id,
+             CAST(round(max({_sql_cosine("c.embedding", "s.embedding")})
+                        * 1000000) AS BIGINT) AS mc
+      FROM corpus c
+      JOIN (SELECT e.vec_id, e.embedding FROM embeddings e
+            JOIN tsel USING (vec_id)) s ON c.vec_id <> s.vec_id
+      GROUP BY c.vec_id
+    )
+    SELECT 'mmr' AS selection, count(*) AS n_covered,
+           CAST(sum(mc) // count(*) AS DOUBLE) / 1000000 AS mean_max_cos
+    FROM mrows
+    UNION ALL
+    SELECT 'top5', count(*),
+           CAST(sum(mc) // count(*) AS DOUBLE) / 1000000
+    FROM trows
+"""
