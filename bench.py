@@ -68,14 +68,25 @@ def main() -> None:
     qmod.load_all()
     spark = get_spark(app_name="ducklakexl_spark_bench")
 
+    # One failing query must never cost the round's whole perf record
+    # (round 3's bench died on a single AnalysisException and the driver
+    # recorded rc=1 / parsed=null — every other timing was lost).  Each
+    # query is isolated; failures are reported in an "errors" field and
+    # the JSON line is ALWAYS printed.
+    errors: dict[str, str] = {}
+
     def run_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in HEADLINE:
             fn = qmod.QUERIES.get(name)
-            if fn is None:
+            if fn is None or name in errors:
                 continue
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            try:
+                fn(spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001 — keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             timings[name] = round(time.perf_counter() - t0, 4)
         return timings
 
@@ -85,7 +96,8 @@ def main() -> None:
     # plans, measured); min-of-N is the standard steady-state estimator.
     passes = [run_pass() for _ in range(3)]
     warm = {
-        name: round(min(p[name] for p in passes), 4) for name in passes[0]
+        name: round(min(p[name] for p in passes if name in p), 4)
+        for name in passes[0]
     }
 
     # Write-path timings: the "commits scale with the change, not the
@@ -98,14 +110,24 @@ def main() -> None:
     from ducklakexl_spark.engine import DuckLakeSpark
 
     wtmp = tempfile.mkdtemp(prefix="bench_writes_")
-    lake = DuckLakeSpark(
-        spark=spark, data_path=f"{wtmp}/d", local_catalog=f"{wtmp}/c"
-    )
     writes: dict[str, float] = {}
+    try:
+        lake = DuckLakeSpark(
+            spark=spark, data_path=f"{wtmp}/d", local_catalog=f"{wtmp}/c"
+        )
+    except Exception as exc:  # noqa: BLE001 — keep benching
+        errors["write:lake_init"] = f"{type(exc).__name__}: {exc}"[:500]
+        lake = None
 
     def timed(name: str, sql: str) -> None:
+        if lake is None:
+            return
         t0 = time.perf_counter()
-        lake.sql(sql)
+        try:
+            lake.sql(sql)
+        except Exception as exc:  # noqa: BLE001 — keep benching
+            errors[f"write:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
+            return
         writes[name] = round(time.perf_counter() - t0, 4)
 
     timed(
@@ -128,12 +150,19 @@ def main() -> None:
     # trickle ingest with data inlining on: 5 single-row INSERTs become
     # catalog commits with NO parquet files minted (the 100 TB defense
     # against tiny-file accretion between compactions)
-    lake.sql("SET ducklake.data_inlining_row_limit = 16")
-    lake.sql("CREATE TABLE trickle (id BIGINT, v DOUBLE)")
-    t0 = time.perf_counter()
-    for i in range(5):
-        lake.sql(f"INSERT INTO trickle VALUES ({i}, {i}.5)")
-    writes["trickle_5x1row_inlined"] = round(time.perf_counter() - t0, 4)
+    try:
+        lake.sql("SET ducklake.data_inlining_row_limit = 16")
+        lake.sql("CREATE TABLE trickle (id BIGINT, v DOUBLE)")
+        t0 = time.perf_counter()
+        for i in range(5):
+            lake.sql(f"INSERT INTO trickle VALUES ({i}, {i}.5)")
+        writes["trickle_5x1row_inlined"] = round(
+            time.perf_counter() - t0, 4
+        )
+    except Exception as exc:  # noqa: BLE001 — keep benching
+        errors["write:trickle_5x1row_inlined"] = (
+            f"{type(exc).__name__}: {exc}"[:500]
+        )
     shutil.rmtree(wtmp, ignore_errors=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -148,6 +177,7 @@ def main() -> None:
                 "cold_queries": cold,
                 "write_ops": writes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
