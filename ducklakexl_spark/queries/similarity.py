@@ -319,19 +319,21 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared IVF building block: (vec_id, evec, scores) where scores[j]
-    is (cosine-to-centroid-j, -cell) — one corpus scan, centroids folded
-    into constant codegen expressions.
+_IVF_CENT_CACHE: dict[tuple[int, str], list[tuple[int, list[float]]]] = {}
 
-    Training collects per-label centroids to the driver (k x DIM doubles
-    is metadata-sized at any corpus scale; k ~ thousands even at 100 TB),
-    and folding them into constants means every consumer (assign, probe,
-    cluster-dedup) is a SINGLE scan with zero joins and zero
-    recomputation.  Centroid values round to 6 dp so Spark's and the
-    oracle's float-sum orders can't diverge."""
-    import math
 
+def _ivf_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """Train (or fetch memoized) per-label centroids: k x DIM doubles is
+    metadata-sized at any corpus scale (k ~ thousands even at 100 TB), so
+    they collect to the driver once per (session, sf_dir) and every IVF
+    consumer (topk, recall, semantic-dedup) shares the same codebook
+    instead of re-running the training scan."""
+    key = (id(spark), sf_dir)
+    cached = _IVF_CENT_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = load(spark, sf_dir, "embeddings")
     cent = (
         e.select("label", F.posexplode("embedding").alias("pos", "val"))
@@ -345,6 +347,32 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cents = sorted((r["cell"], list(r["cvec"])) for r in cent.collect())
+    _IVF_CENT_CACHE[key] = cents
+    return cents
+
+
+def _ivf_scored(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
+    """Shared IVF building block: (vec_id, evec, scores) where scores[j]
+    is (cosine-to-centroid-j, -cell) — one corpus scan, centroids folded
+    into constant codegen expressions.
+
+    Training collects per-label centroids to the driver (see
+    _ivf_centroids), and folding them into constants means every
+    consumer (assign, probe, cluster-dedup) is a SINGLE scan with zero
+    joins and zero recomputation.  Centroid values round to 6 dp so
+    Spark's and the oracle's float-sum orders can't diverge.
+
+    ``base`` lets request-sized consumers score a PRE-FILTERED frame
+    (e.g. the 10 query vectors): the projection below carries a
+    nondeterministic CollapseProject barrier, so a filter applied on
+    top of the returned frame can NOT be pushed beneath it — filter
+    first, then score."""
+    import math
+
+    e = base if base is not None else load(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
     # Python doubles sum left-to-right exactly like the oracle's list_sum
     cnorm = {c: math.sqrt(sum(v * v for v in cv)) for c, cv in cents}
     enorm_sql = (
@@ -475,23 +503,51 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     scored = _ivf_scored(spark, sf_dir)
-    # request-sized: 10 query rows x k centroid scores
-    q_rows = scored.filter(F.col("vec_id") < 10).collect()
-    probe_pairs = []  # (qid, cell) — each query's 2 best cells
-    q_dots = []  # (qid, per-query dot column, python qnorm)
-    # unrolled (codegen'd, JIT-able) — the HOF fold is interpreted and
-    # adds identically (0 + x is exact), see _ivf_scored
+    # Request-sized query prep (10 vectors x k centroid scores) runs
+    # entirely DRIVER-SIDE: Python floats are IEEE doubles and the
+    # left-to-right fold below performs the identical operation sequence
+    # as the engines' unrolled SQL (see dot_lit_sql), so the scores —
+    # and hence the probe-cell picks — are bit-equal.  Collecting 10
+    # embedding rows beats executing a k*DIM-term codegen'd plan for
+    # them (~3 s of Janino compile at any SF, measured); filtering
+    # _ivf_scored's output is worse still — its nondeterministic
+    # barrier blocks pushdown, so the whole corpus would be scored
+    # (~25 s of the old cold pass at sf0.1).
+    cents = _ivf_centroids(spark, sf_dir)
+    cnorm = {c: math.sqrt(sum(v * v for v in cv)) for c, cv in cents}
+    # unrolled (codegen'd, JIT-able) corpus-row norm — the HOF fold is
+    # interpreted and adds identically (0 + x is exact), see _ivf_scored
     enorm_sql = "sqrt(" + " + ".join(
         f"(CAST(element_at(evec, {i}) AS DOUBLE) * "
         f"CAST(element_at(evec, {i}) AS DOUBLE))"
         for i in range(1, DIM + 1)
     ) + ")"
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        # left-to-right, matching dot_lit_sql / list_sum fold order
+        s = 0.0
+        for x, w in zip(a, b):
+            s = s + x * w
+        return s
+
+    q_rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_pairs = []  # (qid, cell) — each query's 2 best cells
+    q_dots = []  # (qid, per-query dot column, python qnorm)
     for r in sorted(q_rows, key=lambda r: r["vec_id"]):
+        qvec = [float(x) for x in r["embedding"]]
+        qn = math.sqrt(sum(v * v for v in qvec))
         # (cs DESC, cell ASC) == (cs, negcell) DESC — the oracle's order
-        top2 = sorted(((s["cs"], s["negcell"]) for s in r["scores"]), reverse=True)[:2]
+        top2 = sorted(
+            ((_dot(qvec, cv) / (qn * cnorm[c]), -c) for c, cv in cents),
+            reverse=True,
+        )[:2]
         probe_pairs += [(r["vec_id"], int(-neg)) for _, neg in top2]
-        qvec = [float(x) for x in r["evec"]]
-        q_dots.append((r["vec_id"], dot_lit_sql("evec", qvec), math.sqrt(sum(v * v for v in qvec))))
+        q_dots.append((r["vec_id"], dot_lit_sql("evec", qvec), qn))
 
     assign = scored.select(
         "vec_id",

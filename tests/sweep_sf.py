@@ -10,6 +10,9 @@ harness can finish the sweep across invocations.
 from __future__ import annotations
 
 import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
