@@ -518,8 +518,8 @@ _INSERT_OR_RE = re.compile(
 )
 
 _SERIES_TVF_RE = re.compile(
-    r"(\bFROM\s+|\bJOIN\s+|,\s*)(generate_series|range)\s*\(\s*(-?\d+)\s*,"
-    r"\s*(-?\d+)\s*(?:,\s*(-?\d+))?\s*\)"
+    r"(\bFROM\s+|\bJOIN\s+|,\s*)(generate_series|range)\s*\(\s*(-?\d+)\s*"
+    r"(?:,\s*(-?\d+)\s*)?(?:,\s*(-?\d+)\s*)?\)"
     r"(?:\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\))?",
     re.I,
 )
@@ -985,6 +985,8 @@ _DUCK_FN_RENAME = {
     "cardinality": "size",
     "list_intersect": "array_intersect",
     "datetrunc": "date_trunc",  # same (part, ts) order in both
+    "list_reverse": "reverse",
+    "row": "struct",  # DuckDB's anonymous-struct constructor
 }
 
 # C-style strftime codes (DuckDB) → Java SimpleDateFormat (Spark)
@@ -1114,15 +1116,19 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
                 raise ValueError(f"struct_pack: expected k := v, got {arg!r}")
             parts.append(f"'{k.strip()}', {v.strip()}")
         return f"named_struct({', '.join(parts)})"
-    if key == "date_diff":
+    if key == "date_diff" or (key == "datediff" and len(a) == 3):
         # date_diff('day', a, b) → timestampdiff(DAY, a, b)
         part = _literal_str(a[0])
         if part is None:
             raise ValueError("date_diff: part must be a string literal")
         return f"timestampdiff({part.upper()}, {a[1]}, {a[2]})"
     if key == "epoch":
-        # DuckDB epoch() returns DOUBLE seconds (fraction preserved)
-        return f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 1000000.0)"
+        # DuckDB epoch() returns DOUBLE seconds (fraction preserved);
+        # divide by a DOUBLE so Spark doesn't type the result DECIMAL
+        return (
+            f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) "
+            f"/ CAST(1000000 AS DOUBLE))"
+        )
     if key == "xor":
         return f"(({a[0]}) ^ ({a[1]}))"
     if key in ("list", "array_agg"):
@@ -1137,6 +1143,20 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             return f"collect_list({joined})"
         val = joined[: m.start()].strip().rstrip(",").strip()
         keys = split_top_level(joined[m.end() :])
+        dm = re.match(r"^DISTINCT\s+(.*)$", val, re.I | re.S)
+        if dm:
+            # DISTINCT + ORDER BY: Spark's collect_set has no internal
+            # order; when the sort key IS the value (the only form whose
+            # order is well-defined after dedup) sort the set
+            bare = dm.group(1).strip()
+            k0 = re.sub(r"\s+(ASC|DESC)\s*$", "", keys[0].strip(), flags=re.I)
+            if len(keys) != 1 or k0 != bare:
+                raise ValueError(
+                    "list(DISTINCT …) supports ORDER BY the value only"
+                )
+            inner = f"array_sort(collect_set({bare}))"
+            desc0 = re.search(r"\bDESC\b", keys[0], re.I)
+            return f"reverse({inner})" if desc0 else inner
         desc = len(keys) == 1 and re.search(r"\bDESC\b", keys[0], re.I)
         fields = []
         for idx, kexpr in enumerate(keys):
@@ -1508,8 +1528,135 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         if pos >= 0:
             joined = joined[:pos].strip().rstrip(",").strip()
         return f"{key}({joined})"
+    if key in ("trim", "ltrim", "rtrim") and len(a) == 2:
+        # DuckDB: trim(str, chars); Spark's two-arg form is the legacy
+        # reversed (trimStr, str) — use the unambiguous ANSI form
+        side = {"trim": "BOTH", "ltrim": "LEADING", "rtrim": "TRAILING"}[key]
+        return f"trim({side} {a[1]} FROM {a[0]})"
+    if key == "hash":
+        # DuckDB hash() is an unsigned 64-bit value; Spark's 64-bit hash
+        # is xxhash64 (signed) — mask to non-negative so magnitude
+        # comparisons behave (values differ across engines by design)
+        return f"(xxhash64({', '.join(a)}) & 9223372036854775807)"
+    if key == "strip_accents":
+        low = "àáâãäåèéêëìíîïòóôõöùúûüýÿçñ"
+        upp = "ÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝŸÇÑ"
+        plain_l = "aaaaaaeeeeiiiiooooouuuuyycn"
+        plain_u = "AAAAAAEEEEIIIIOOOOOUUUUYYCN"
+        return (
+            f"translate({a[0]}, '{low}{upp}', '{plain_l}{plain_u}')"
+        )
+    if key == "sign":
+        # DuckDB sign() returns INTEGER; Spark signum() returns DOUBLE
+        return f"CAST(sign({a[0]}) AS INT)"
+    if key == "cbrt":
+        # passthrough, documented divergence: DuckDB computes cbrt as
+        # exp(ln(x)/3) and its libm differs from the JVM's by 1 ulp
+        # (cbrt(27): 3.0000000000000004 vs Spark's correctly-rounded
+        # 3.0) — reproducing the wrong value is not worth the fakery
+        return f"cbrt({a[0]})"
+    if key == "isinf":
+        return (
+            f"({a[0]} = CAST('Infinity' AS DOUBLE) "
+            f"OR {a[0]} = CAST('-Infinity' AS DOUBLE))"
+        )
+    if key in ("gcd", "lcm", "greatest_common_divisor",
+               "least_common_multiple"):
+        # no Spark builtin: bounded Euclid via aggregate() — 90 steps
+        # covers the worst case (consecutive Fibonacci) for 64-bit ints,
+        # stays JVM-side (interpreted HOF, but gcd args are scalar)
+        x, y = a[0], a[1]
+        g = (
+            f"aggregate(sequence(1, 90), "
+            f"named_struct('x', abs(CAST({x} AS BIGINT)), "
+            f"'y', abs(CAST({y} AS BIGINT))), "
+            f"(acc, i) -> CASE WHEN acc.y = 0 THEN acc "
+            f"ELSE named_struct('x', acc.y, 'y', acc.x % acc.y) END, "
+            f"acc -> acc.x)"
+        )
+        if key in ("gcd", "greatest_common_divisor"):
+            return g
+        return (
+            f"CASE WHEN {x} = 0 OR {y} = 0 THEN 0 "
+            f"ELSE abs(CAST({x} AS BIGINT) DIV {g} * CAST({y} AS BIGINT)) "
+            f"END"
+        )
+    if key == "list_select":
+        return f"transform({a[1]}, i -> element_at({a[0]}, CAST(i AS INT)))"
+    if key == "list_where":
+        return (
+            f"transform(filter(sequence(1, size({a[0]})), "
+            f"i -> element_at({a[1]}, i)), i -> element_at({a[0]}, i))"
+        )
+    if key == "list_resize":
+        val = a[2] if len(a) > 2 else "NULL"
+        return (
+            f"CASE WHEN size({a[0]}) >= {a[1]} THEN slice({a[0]}, 1, {a[1]}) "
+            f"ELSE concat({a[0]}, array_repeat({val}, "
+            f"CAST({a[1]} AS INT) - size({a[0]}))) END"
+        )
+    if key == "regexp_full_match":
+        return f"regexp_like({a[0]}, concat('^(?:', {a[1]}, ')$'))"
     if key == "isodow":
         return f"(weekday({a[0]}) + 1)"
+    if key in ("date_trunc", "datetrunc") and len(a) == 2:
+        part = _literal_str(a[0])
+        p = part.lower() if part else None
+        # DuckDB keeps DATE inputs DATE for day-or-coarser units; Spark's
+        # date_trunc always returns TIMESTAMP.  Only a literal DATE
+        # operand is provably a date here — wider inference would need
+        # the schema.
+        if (
+            p in ("day", "week", "month", "quarter", "year", "decade",
+                  "century", "millennium")
+            and re.match(r"^DATE\s*'", a[1].strip(), re.I)
+        ):
+            return f"CAST(date_trunc({a[0]}, {a[1]}) AS DATE)"
+        return f"date_trunc({a[0]}, {a[1]})"
+    if key in ("date_part", "datepart") and len(a) == 2:
+        part = _literal_str(a[0])
+        p = part.lower() if part else None
+        # day-of-week numbering differs: DuckDB dow is Sunday=0,
+        # isodow is Monday=1; Spark date_part('dow') is Sunday=1
+        if p == "dow":
+            return f"(dayofweek({a[1]}) - 1)"
+        if p == "isodow":
+            return f"(weekday({a[1]}) + 1)"
+        if p == "epoch":
+            return f"unix_timestamp({a[1]})"
+        return f"date_part({a[0]}, {a[1]})"
+    if key == "typeof":
+        # DuckDB spells SQL type names upper-case (VARCHAR, BIGINT);
+        # Spark's typeof returns lower-case catalyst names
+        inner = f"typeof({a[0]})"
+        return (
+            f"CASE {inner} WHEN 'string' THEN 'VARCHAR' "
+            f"WHEN 'int' THEN 'INTEGER' "
+            f"WHEN 'timestamp_ntz' THEN 'TIMESTAMP' "
+            f"ELSE upper({inner}) END"
+        )
+    if key == "setseed":
+        # DuckDB's setseed() seeds its PRNG and returns NULL; Spark
+        # seeds per-expression — accept and discard
+        return "CAST(NULL AS STRING)"
+    if key == "printf":
+        # Spark's format_string is strict about conversion/arg types
+        # (%f rejects DECIMAL literals, %d rejects INT): cast each arg
+        # to the width its conversion wants
+        fmt = _literal_str(a[0])
+        if fmt is not None and len(a) > 1:
+            convs = re.findall(r"%[-+ #0]*\d*(?:\.\d+)?([diufFeEgGxXos])", fmt)
+            casted = []
+            for arg, conv in zip(a[1:], convs):
+                if conv in "fFeEgG":
+                    casted.append(f"CAST({arg} AS DOUBLE)")
+                elif conv in "diuxX":
+                    casted.append(f"CAST({arg} AS BIGINT)")
+                else:
+                    casted.append(arg)
+            casted += a[1 + len(convs):]
+            return f"format_string({a[0]}, {', '.join(casted)})"
+        return f"format_string({', '.join(a)})"
     if key == "dayname":
         return f"date_format({a[0]}, 'EEEE')"
     if key == "monthname":
@@ -1542,6 +1689,11 @@ _DUCK_FN_TEMPLATES = {
     "format_bytes", "formatreadablesize", "to_seconds", "to_minutes",
     "to_hours", "to_days", "datesub", "time_bucket", "century",
     "histogram", "sum", "avg", "min", "max", "count",
+    "date_part", "datepart", "typeof", "setseed", "printf",
+    "trim", "ltrim", "rtrim", "hash", "strip_accents", "sign", "cbrt",
+    "isinf", "gcd", "lcm", "greatest_common_divisor",
+    "least_common_multiple", "list_select", "list_where", "list_resize",
+    "regexp_full_match", "datediff", "date_trunc",
     "format", "len", "try_strptime", "list_has_all", "list_aggregate",
     "list_aggr",
     "list_dot_product", "list_inner_product", "array_inner_product",
@@ -1760,7 +1912,10 @@ def rewrite_bracket_syntax(stmt: str) -> str:
                 # a string-literal primary subscripts CHARACTERS (DuckDB
                 # 'abc'[2] / 'abcdef'[2:4]) — element_at/slice are
                 # array-only in Spark, so literals go through substr
-                is_str = expr.startswith("'") and expr.endswith("'")
+                is_str = (
+                    re.fullmatch(r"\(*\s*'(?:[^']|'')*'\s*\)*", expr)
+                    is not None
+                )
                 if cpos >= 0:
                     lo = inner[:cpos].strip() or "1"
                     hi = inner[cpos + 1 :].strip() or (
@@ -1870,6 +2025,113 @@ def rewrite_quantified_and_factorial(stmt: str) -> str:
     )
 
 
+_ARRAY_TYPE_SUFFIX_RE = re.compile(
+    r"(::\s*|\bAS\s+)(\w+(?:\([^()]*\))?(?:\s*<[^<>]*>)?)\s*\[\s*\]", re.I
+)
+_GLOB_OP_RE = re.compile(
+    r"\b(NOT\s+)?GLOB\s+('(?:[^']|'')*')", re.I
+)
+
+
+def rewrite_array_type_suffix(stmt: str) -> str:
+    """DuckDB's ``TYPE[]`` array-type suffix (in ``::`` casts and ``CAST
+    (… AS TYPE[])``) → Spark's ``ARRAY<TYPE>``.  Runs BEFORE the bracket
+    rewrite, which would otherwise read ``[]`` as an array literal.
+    Loops for nested suffixes (``INT[][]``)."""
+    while True:
+        new = _ARRAY_TYPE_SUFFIX_RE.sub(r"\1ARRAY<\2>", stmt)
+        if new == stmt:
+            return stmt
+        stmt = new
+
+
+def rewrite_glob_operator(stmt: str) -> str:
+    """``x GLOB 'pat'`` → ``x LIKE``: ``*`` → ``%``, ``?`` → ``_``.
+    Literal patterns only; patterns carrying LIKE metacharacters or
+    character classes raise rather than mistranslate."""
+
+    def _sub(m: re.Match) -> str:
+        if _inside_string_literal(stmt, m.start()):
+            return m.group(0)
+        pat = m.group(2)[1:-1]
+        if any(c in pat for c in "%_["):
+            raise ValueError(
+                f"GLOB pattern {pat!r}: %, _ and [class] are not supported"
+            )
+        like = pat.replace("*", "%").replace("?", "_")
+        return f"{m.group(1) or ''}LIKE '{like}'"
+
+    return _GLOB_OP_RE.sub(_sub, stmt)
+
+
+_POW_OP_RE = re.compile(
+    r"((?:[\w.]+\s*)?\((?:[^()]|\([^()]*\))*\)|[\w.]+)\s*\*\*\s*"
+    r"((?:[\w.]+\s*)?\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
+)
+_STARTS_OP_RE = re.compile(
+    r"('(?:[^']|'')*'|[\w.\"]+)\s*\^@\s*('(?:[^']|'')*'|[\w.\"]+)"
+)
+_CTE_MATERIALIZED_RE = re.compile(r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", re.I)
+_LIKE_ESCAPE_RE = re.compile(
+    r"LIKE\s+('(?:[^']|'')*')\s+ESCAPE\s+'(.)'", re.I
+)
+_DATE_LIT_INTERVAL_RE = re.compile(
+    r"\bDATE\s*('(?:[^']|'')*')\s*([+-])\s*(?=INTERVAL\b)", re.I
+)
+
+
+def rewrite_duck_operators(stmt: str) -> str:
+    """Operator spellings Spark lacks: ``a ** b`` → ``power(a, b)``,
+    ``s ^@ p`` (starts-with) → ``startswith(s, p)``, the CTE
+    ``AS [NOT] MATERIALIZED (`` hint (Spark has no equivalent — drop
+    it), and ``DATE 'lit' ± INTERVAL`` (DuckDB types the sum TIMESTAMP,
+    Spark keeps DATE for month intervals — pre-cast the literal)."""
+    while True:
+        m = _POW_OP_RE.search(stmt)
+        if not m or _inside_string_literal(stmt, m.start()):
+            break
+        stmt = (
+            stmt[: m.start()]
+            + f"power({m.group(1)}, {m.group(2)})"
+            + stmt[m.end() :]
+        )
+    stmt = _STARTS_OP_RE.sub(
+        lambda m: m.group(0)
+        if _inside_string_literal(stmt, m.start())
+        else f"startswith({m.group(1)}, {m.group(2)})",
+        stmt,
+    )
+    stmt = _CTE_MATERIALIZED_RE.sub("AS (", stmt)
+    # LIKE … ESCAPE '\': backslash is Spark's DEFAULT escape char and
+    # the parser rejects the '\' literal under escapedStringLiterals —
+    # drop the clause.  Other single-char escapes convert the pattern to
+    # backslash escaping (literal patterns only).
+    def _esc(m: re.Match) -> str:
+        pat, esc = m.group(1)[1:-1], m.group(2)
+        if esc == "\\":
+            return f"LIKE '{pat}'"
+        converted = []
+        i = 0
+        while i < len(pat):
+            c = pat[i]
+            if c == esc and i + 1 < len(pat):
+                converted.append("\\" + pat[i + 1])
+                i += 2
+                continue
+            if c == "\\":
+                converted.append("\\\\")
+            else:
+                converted.append(c)
+            i += 1
+        return f"LIKE '{''.join(converted)}'"
+
+    stmt = _LIKE_ESCAPE_RE.sub(_esc, stmt)
+    return _DATE_LIT_INTERVAL_RE.sub(
+        lambda m: f"CAST(DATE {m.group(1)} AS TIMESTAMP) {m.group(2)} ",
+        stmt,
+    )
+
+
 _ANSI_FETCH_RE = re.compile(
     r"OFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY",
     re.I,
@@ -1878,6 +2140,35 @@ _ANSI_FETCH_ONLY_RE = re.compile(
     r"FETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY", re.I
 )
 _JSON_ARROW_RE = re.compile(r"->>\s*('(?:[^']|'')*'|\d+)")
+_JSON_SINGLE_ARROW_RE = re.compile(r"->(?!>)\s*('(?:[^']|'')*'|\d+)")
+
+
+def _json_primary_start(stmt: str, end: int) -> int:
+    """Start index of the primary expression ENDING at ``end`` — a
+    parenthesized call (with its function name), a string literal, or an
+    identifier chain.  Used to walk left from a JSON arrow operator."""
+    if stmt[end] == ")":
+        depth = 0
+        j = end
+        while j >= 0:
+            if stmt[j] == ")":
+                depth += 1
+            elif stmt[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        k = j - 1  # include a function name before the parens
+        while k >= 0 and (stmt[k].isalnum() or stmt[k] in "_."):
+            k -= 1
+        return k + 1
+    if stmt[end] == "'":
+        j = stmt.rfind("'", 0, end)
+        return j if j >= 0 else end
+    k = end
+    while k >= 0 and (stmt[k].isalnum() or stmt[k] in '_."'):
+        k -= 1
+    return k + 1
 
 
 def rewrite_ansi_fetch_and_json_arrow(stmt: str) -> str:
@@ -1890,45 +2181,67 @@ def rewrite_ansi_fetch_and_json_arrow(stmt: str) -> str:
     a parenthesized expression."""
     stmt = _ANSI_FETCH_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", stmt)
     stmt = _ANSI_FETCH_ONLY_RE.sub(lambda m: f"LIMIT {m.group(1)}", stmt)
+    # single-arrow ``expr -> 'k'`` (JSON-typed extraction).  Lambda
+    # syntax shares the token, so only rewrite when the LEFT operand is
+    # provably JSON: an explicit ::JSON cast (stripped — Spark's
+    # get_json_object takes the string), a json function call, or a
+    # string literal that looks like a JSON document.
+    search_from = 0
+    while True:
+        m = _JSON_SINGLE_ARROW_RE.search(stmt, search_from)
+        if m is None:
+            break
+        if _inside_string_literal(stmt, m.start()):
+            search_from = m.end()
+            continue
+        i = m.start() - 1
+        while i >= 0 and stmt[i].isspace():
+            i -= 1
+        if i < 0:
+            break
+        seg_end = i + 1
+        start = _json_primary_start(stmt, i)
+        had_json_cast = False
+        while start >= 2 and stmt[start - 2 : start] == "::":
+            if stmt[start:seg_end].upper().startswith("JSON"):
+                had_json_cast = True
+                seg_end = start - 2  # strip the ::JSON suffix
+            start = _json_primary_start(stmt, start - 3)
+        operand = stmt[start:seg_end]
+        olow = operand.lstrip().lower()
+        looks_json = (
+            had_json_cast
+            or olow.startswith(("get_json_object(", "json_extract(",
+                                "to_json(", "json("))
+            or re.match(r"^'\s*[\[{]", olow) is not None
+        )
+        if not looks_json:
+            search_from = m.end()
+            continue
+        arg = m.group(1)
+        path = f"'$[{arg}]'" if arg.isdigit() else f"'$.{arg[1:-1]}'"
+        stmt = (
+            stmt[:start]
+            + f"get_json_object({operand}, {path})"
+            + stmt[m.end() :]
+        )
+        search_from = 0
+    # text-arrow ``expr ->> 'k'`` / ``expr ->> i`` — unambiguous, any
+    # operand (one primary, plus any ::type casts, walked left)
     while True:
         m = _JSON_ARROW_RE.search(stmt)
         if m is None or _inside_string_literal(stmt, m.start()):
             if m is not None:
                 break  # inside a literal: leave the rest untouched
             return stmt
-        # walk LEFT for the operand (one primary, plus any ::type casts)
-        def primary_start(end: int) -> int:
-            if stmt[end] == ")":
-                depth = 0
-                j = end
-                while j >= 0:
-                    if stmt[j] == ")":
-                        depth += 1
-                    elif stmt[j] == "(":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                    j -= 1
-                k = j - 1  # include a function name before the parens
-                while k >= 0 and (stmt[k].isalnum() or stmt[k] in "_."):
-                    k -= 1
-                return k + 1
-            if stmt[end] == "'":
-                j = stmt.rfind("'", 0, end)
-                return j if j >= 0 else end
-            k = end
-            while k >= 0 and (stmt[k].isalnum() or stmt[k] in '_."'):
-                k -= 1
-            return k + 1
-
         i = m.start() - 1
         while i >= 0 and stmt[i].isspace():
             i -= 1
         if i < 0:
             return stmt
-        start = primary_start(i)
+        start = _json_primary_start(stmt, i)
         while start >= 2 and stmt[start - 2 : start] == "::":
-            start = primary_start(start - 3)
+            start = _json_primary_start(stmt, start - 3)
         operand = stmt[start : i + 1]
         arg = m.group(1)
         path = f"'$[{arg}]'" if arg.isdigit() else f"'$.{arg[1:-1]}'"
@@ -2054,16 +2367,25 @@ _FROM_FIRST_RE = re.compile(r"^\s*FROM\b", re.I)
 
 def rewrite_from_first(stmt: str) -> str:
     """DuckDB's FROM-first syntax: ``FROM rel SELECT cols …`` →
-    ``SELECT cols … FROM rel``.  Bare ``FROM rel`` (no SELECT) becomes
-    ``SELECT * FROM rel``.  Outermost statement only."""
+    ``SELECT cols FROM rel …``.  Bare ``FROM rel`` (no SELECT) becomes
+    ``SELECT * FROM rel``.  Outermost statement only.  The FROM clause
+    must land BEFORE any trailing clause of the select (``FROM t SELECT
+    c ORDER BY c`` → ``SELECT c FROM t ORDER BY c``)."""
     if not _FROM_FIRST_RE.match(stmt):
         return stmt
     sel = find_top_level_keyword(stmt, "SELECT")
     if sel < 0:
         return "SELECT * " + stmt.strip()
-    head = stmt[: sel].strip()  # "FROM rel ..."
-    tail = stmt[sel:].strip()   # "SELECT cols ..."
-    return f"{tail} {head}"
+    head = stmt[: sel].strip()  # "FROM rel [WHERE …]"
+    tail = stmt[sel:].strip()   # "SELECT cols [ORDER BY … LIMIT …]"
+    cut = len(tail)
+    for kw in ("WHERE", "GROUP BY", "HAVING", "QUALIFY", "WINDOW",
+               "ORDER BY", "LIMIT", "OFFSET", "UNION", "INTERSECT",
+               "EXCEPT"):
+        pos = find_top_level_keyword(tail, kw)
+        if 0 <= pos < cut:
+            cut = pos
+    return f"{tail[:cut].rstrip()} {head} {tail[cut:]}".rstrip()
 
 
 _IGNORE_NULLS_RE = re.compile(r"\s+((?:IGNORE|RESPECT)\s+NULLS)\s*\)", re.I)
@@ -2880,7 +3202,18 @@ class DuckLakeSpark:
             if hit.empty:
                 raise KeyError(f"column not found: {cname}")
             old_type = str(hit.iloc[0]["column_type"]).upper()
-            if old_type != new_type and (old_type, new_type) not in _TYPE_PROMOTIONS:
+            # normalize spelling aliases before the promotion check
+            # (INT/INT4 == INTEGER, INT8/LONG == BIGINT, …)
+            _ALIAS = {
+                "INT": "INTEGER", "INT4": "INTEGER", "SIGNED": "INTEGER",
+                "INT8": "BIGINT", "LONG": "BIGINT",
+                "INT2": "SMALLINT", "SHORT": "SMALLINT",
+                "INT1": "TINYINT", "FLOAT4": "FLOAT", "REAL": "FLOAT",
+                "FLOAT8": "DOUBLE", "STRING": "VARCHAR", "TEXT": "VARCHAR",
+            }
+            old_norm = _ALIAS.get(old_type, old_type)
+            new_norm = _ALIAS.get(new_type, new_type)
+            if old_norm != new_norm and (old_norm, new_norm) not in _TYPE_PROMOTIONS:
                 raise ValueError(
                     f"ALTER TYPE: {old_type} -> {new_type} is not a lossless "
                     f"widening; rewrite the table instead"
@@ -5589,7 +5922,13 @@ class DuckLakeSpark:
         try:
             cols = [f.name for f in self.table_schema(_unqualify(tname)).fields]
         except KeyError:
-            return stmt
+            # not a lake table — fall back to the Spark session catalog
+            # (temp views, read_* TVF views) so * REPLACE works on any
+            # resolvable relation
+            try:
+                cols = self.spark.table(tname).columns
+            except Exception:
+                return stmt
         excluded = {
             c.strip().strip('"').lower()
             for c in (exc_list.split(",") if exc_list else [exc_one] if exc_one else [])
@@ -5768,7 +6107,11 @@ class DuckLakeSpark:
 
         def _sub(m: re.Match) -> str:
             kw, name = m.group(1), m.group(2).lower()
-            a, b = int(m.group(3)), int(m.group(4))
+            if m.group(4) is None:
+                # one-arg form: range(n) / generate_series(n) start at 0
+                a, b = 0, int(m.group(3))
+            else:
+                a, b = int(m.group(3)), int(m.group(4))
             step = int(m.group(5)) if m.group(5) else 1
             talias, calias = m.group(6), m.group(7)
             col = calias or name
@@ -6068,6 +6411,7 @@ class DuckLakeSpark:
         stmt = self._rewrite_misc_tvfs(stmt)
         stmt = rewrite_trailing_commas(stmt)
         stmt = rewrite_list_comprehension(stmt)
+        stmt = rewrite_array_type_suffix(stmt)
         stmt = rewrite_bracket_syntax(stmt)
         # FROM-position series TVFs must resolve before the dialect pass
         # renames scalar generate_series/range to sequence()
@@ -6077,6 +6421,8 @@ class DuckLakeSpark:
         stmt = rewrite_ignore_nulls(stmt)
         stmt = rewrite_similar_to(stmt)
         stmt = rewrite_floor_div(stmt)
+        stmt = rewrite_duck_operators(stmt)
+        stmt = rewrite_glob_operator(stmt)
         stmt = rewrite_quantified_and_factorial(stmt)
         stmt = rewrite_ansi_fetch_and_json_arrow(stmt)
         stmt = re.sub(
@@ -6258,6 +6604,17 @@ class DuckLakeSpark:
                 self._select(self.catalog.view_sql(vname)).createOrReplaceTempView(
                     vname
                 )
+        # DuckDB percentage LIMIT (``LIMIT 40%``): strip the clause,
+        # size it from the result's row count (ceil, DuckDB semantics),
+        # re-apply as .limit() — order-preserving on a sorted result.
+        # Metadata-sized driver work; the count() is one extra job.
+        pm = re.search(r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*%", stmt, re.I)
+        if pm and not _inside_string_literal(stmt, pm.start()):
+            import math as _math
+
+            pct = float(pm.group(1)) / 100.0
+            base = self.spark.sql(stmt[: pm.start()] + stmt[pm.end():])
+            return base.limit(int(_math.ceil(base.count() * pct)))
         return self.spark.sql(stmt)
 
     _PRED_LIT_RE = re.compile(

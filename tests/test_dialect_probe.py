@@ -1,0 +1,121 @@
+"""Dialect-surface probes BEYOND the oracle corpus: DuckDB idioms a
+reference user writes daily, each run live through ``DuckLakeSpark.sql()``
+and value-compared against DuckDB on the same statement.
+
+These pin the round-4 dialect additions (FROM-first with trailing
+clauses, ``* REPLACE``, percentage LIMIT, ``**`` / ``^@`` operators,
+``AS MATERIALIZED``, JSON ``->`` chains, printf float conversions,
+``date_part('dow')`` numbering, one-arg range TVFs, DISTINCT ordered
+``array_agg``, string-literal slicing, DATE+INTERVAL typing, typeof
+spelling, setseed) so later rewrite work can't regress them.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import duckdb
+import pytest
+
+from ducklakexl_spark import queries as qmod
+from ducklakexl_spark.engine import DuckLakeSpark
+
+qmod.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+PROBES = [
+    ("from_first_order", "FROM region SELECT r_name ORDER BY r_name"),
+    ("from_first_where",
+     "FROM nation SELECT n_name WHERE n_regionkey = 1 ORDER BY n_name"),
+    ("star_replace",
+     "SELECT * REPLACE (upper(r_name) AS r_name) FROM region "
+     "ORDER BY r_regionkey"),
+    ("limit_pct",
+     "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 40%"),
+    ("date_plus_interval",
+     "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS d"),
+    ("date_part_dow",
+     "SELECT date_part('dow', DATE '2024-01-07') AS sun0, "
+     "date_part('isodow', DATE '2024-01-07') AS sun7"),
+    ("starts_with_op",
+     "SELECT r_name FROM region WHERE r_name ^@ 'A' ORDER BY r_name"),
+    ("string_slice_paren", "SELECT ('abcdef')[2:4] AS s"),
+    ("printf_float", "SELECT printf('%05.2f|%d', 3.14159, 42) AS s"),
+    ("power_op", "SELECT 2 ** 10 AS p, 3 ** 2 AS q"),
+    ("range_one_arg", "SELECT * FROM range(3) t(i) ORDER BY i"),
+    ("series_one_arg",
+     "SELECT generate_series AS g FROM generate_series(3) ORDER BY 1"),
+    ("array_agg_distinct_order",
+     "SELECT array_agg(DISTINCT n_regionkey ORDER BY n_regionkey) AS l "
+     "FROM nation"),
+    ("json_arrow_chain",
+     """SELECT '{"a": {"b": 7}}'::JSON -> 'a' ->> 'b' AS v"""),
+    ("json_arrow_index",
+     """SELECT '[10, 20, 30]'::JSON ->> 1 AS v"""),
+    ("cte_materialized",
+     "WITH t AS MATERIALIZED (SELECT r_regionkey FROM region) "
+     "SELECT count(*) AS c FROM t"),
+    ("typeof_upper", "SELECT typeof(1::BIGINT) AS t, typeof('x') AS s"),
+    ("setseed_null", "SELECT setseed(0.5) IS NULL AS ok"),
+    ("named_window",
+     "SELECT n_name, sum(n_nationkey) OVER w AS s FROM nation "
+     "WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name) "
+     "ORDER BY n_name LIMIT 5"),
+    ("lambda_untouched",
+     "SELECT list_transform([1,2,3], x -> x + 1) AS l"),
+    ("trim_two_arg",
+     "SELECT trim('xxaxx','x') AS t, ltrim('xxa','x') AS l, "
+     "rtrim('axx','x') AS r"),
+    ("strip_accents_f", "SELECT strip_accents('âéî ÑÇ') AS s"),
+    ("datediff_three",
+     "SELECT datediff('month', DATE '2024-01-15', DATE '2024-03-20') AS m"),
+    ("epoch_double",
+     "SELECT epoch(TIMESTAMP '2024-01-01 00:00:01') AS e"),
+    ("sign_int", "SELECT sign(-2.5) AS s, sign(3) AS p"),
+    ("gcd_lcm_f", "SELECT gcd(12,18) AS g, lcm(4,6) AS l, gcd(0,7) AS z"),
+    ("list_select_f", "SELECT list_select([10,20,30], [1,3]) AS l"),
+    ("list_where_f",
+     "SELECT list_where([10,20,30], [true,false,true]) AS l"),
+    ("list_resize_f", "SELECT list_resize([1,2], 4, 0) AS l"),
+    ("list_reverse_f", "SELECT list_reverse([1,2,3]) AS l"),
+    ("regexp_full_f", "SELECT regexp_full_match('abc','a.*') AS m, "
+     "regexp_full_match('abc','b') AS n"),
+    ("like_escape_bs", "SELECT 'a_b' LIKE 'a\\_b' ESCAPE '\\' AS m, "
+     "'axb' LIKE 'a\\_b' ESCAPE '\\' AS n"),
+    ("like_escape_other", "SELECT 'a_b' LIKE 'a!_b' ESCAPE '!' AS m"),
+    ("glob_operator", "SELECT 'abc' GLOB 'a*' AS g, 'abc' GLOB 'a?d' AS n"),
+    ("row_constructor", "SELECT row(1, 'x') IS NOT NULL AS ok"),
+    ("array_type_suffix", "SELECT [1,2]::DOUBLE[] AS l"),
+    ("date_trunc_date_lit",
+     "SELECT date_trunc('week', DATE '2024-03-07') AS d"),
+    ("hash_nonneg", "SELECT hash('x') >= 0 AS ok"),
+]
+
+
+@pytest.fixture(scope="module")
+def probe_env(spark):
+    qmod.register_views(spark, SF)
+    tmp = tempfile.mkdtemp(prefix="lake_probe_")
+    lake = DuckLakeSpark(
+        spark=spark, data_path=f"{tmp}/d", local_catalog=f"{tmp}/c"
+    )
+    con = duckdb.connect()
+    for t in qmod.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return lake, con
+
+
+@pytest.mark.parametrize("name,sql", PROBES, ids=[n for n, _ in PROBES])
+def test_probe_matches_duckdb(probe_env, name, sql):
+    lake, con = probe_env
+    sdf = lake.sql(sql)
+    scols = sdf.columns
+    sidx = sorted(range(len(scols)), key=lambda i: scols[i])
+    s2 = sorted(tuple(str(r[i]) for i in sidx) for r in sdf.collect())
+    d = con.execute(sql).fetchall()
+    dcols = [c[0] for c in con.description]
+    didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    d2 = sorted(tuple(str(r[i]) for i in didx) for r in d)
+    assert len(s2) == len(d2), f"{name}: {len(s2)} vs {len(d2)} rows"
+    assert s2 == d2, f"{name}: {s2[:3]} vs {d2[:3]}"
