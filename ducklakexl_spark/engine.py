@@ -1623,7 +1623,12 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         if p == "isodow":
             return f"(weekday({a[1]}) + 1)"
         if p == "epoch":
-            return f"unix_timestamp({a[1]})"
+            # same emission as epoch(): DuckDB returns DOUBLE seconds
+            # with the fraction; unix_timestamp would truncate to BIGINT
+            return (
+                f"(unix_micros(CAST({a[1]} AS TIMESTAMP)) "
+                f"/ CAST(1000000 AS DOUBLE))"
+            )
         return f"date_part({a[0]}, {a[1]})"
     if key == "typeof":
         # DuckDB spells SQL type names upper-case (VARCHAR, BIGINT);
@@ -2037,9 +2042,17 @@ def rewrite_array_type_suffix(stmt: str) -> str:
     """DuckDB's ``TYPE[]`` array-type suffix (in ``::`` casts and ``CAST
     (… AS TYPE[])``) → Spark's ``ARRAY<TYPE>``.  Runs BEFORE the bracket
     rewrite, which would otherwise read ``[]`` as an array literal.
-    Loops for nested suffixes (``INT[][]``)."""
+    Loops for nested suffixes (``INT[][]``).  String literals pass
+    through verbatim (an ``x::INT[]`` spelled inside a quoted string is
+    data, not a cast)."""
     while True:
-        new = _ARRAY_TYPE_SUFFIX_RE.sub(r"\1ARRAY<\2>", stmt)
+        cur = stmt
+        new = _ARRAY_TYPE_SUFFIX_RE.sub(
+            lambda m: m.group(0)
+            if _inside_string_literal(cur, m.start())
+            else f"{m.group(1)}ARRAY<{m.group(2)}>",
+            cur,
+        )
         if new == stmt:
             return stmt
         stmt = new
@@ -2086,22 +2099,35 @@ def rewrite_duck_operators(stmt: str) -> str:
     ``AS [NOT] MATERIALIZED (`` hint (Spark has no equivalent — drop
     it), and ``DATE 'lit' ± INTERVAL`` (DuckDB types the sum TIMESTAMP,
     Spark keeps DATE for month intervals — pre-cast the literal)."""
+    search_from = 0
     while True:
-        m = _POW_OP_RE.search(stmt)
-        if not m or _inside_string_literal(stmt, m.start()):
+        m = _POW_OP_RE.search(stmt, search_from)
+        if not m:
             break
+        if _inside_string_literal(stmt, m.start()):
+            # skip this occurrence, keep scanning — an in-literal '**'
+            # must not abort rewriting of later real operators
+            search_from = m.end()
+            continue
         stmt = (
             stmt[: m.start()]
             + f"power({m.group(1)}, {m.group(2)})"
             + stmt[m.end() :]
         )
+        search_from = m.start()
     stmt = _STARTS_OP_RE.sub(
         lambda m: m.group(0)
         if _inside_string_literal(stmt, m.start())
         else f"startswith({m.group(1)}, {m.group(2)})",
         stmt,
     )
-    stmt = _CTE_MATERIALIZED_RE.sub("AS (", stmt)
+    _pre_mat = stmt
+    stmt = _CTE_MATERIALIZED_RE.sub(
+        lambda m: m.group(0)
+        if _inside_string_literal(_pre_mat, m.start())
+        else "AS (",
+        stmt,
+    )
     # LIKE … ESCAPE '\': backslash is Spark's DEFAULT escape char and
     # the parser rejects the '\' literal under escapedStringLiterals —
     # drop the clause.  Other single-char escapes convert the pattern to
@@ -2563,6 +2589,19 @@ def rewrite_duckdb_functions(stmt: str) -> str:
                 close = matching_paren(stmt, k)
                 inner = rewrite_duckdb_functions(stmt[k + 1 : close])
                 args = [s.strip() for s in split_top_level(inner) if s.strip()]
+                # Idempotence guard: sign() emits CAST(sign(x) AS INT),
+                # which would re-match on a second rewrite pass (views
+                # over views / macro expansion re-run the chain).  If the
+                # occurrence is already inside its own wrapper, pass it
+                # through unwrapped.
+                if (
+                    key == "sign"
+                    and "".join(out).rstrip().upper().endswith("CAST(")
+                    and stmt[close + 1 :].lstrip().upper().startswith("AS INT)")
+                ):
+                    out.append(f"sign({', '.join(args)})")
+                    i = close + 1
+                    continue
                 out.append(_duck_fn_emit(key, args))
                 i = close + 1
                 continue
@@ -2879,7 +2918,14 @@ class DuckLakeSpark:
                 if self.current_db == m.group(1):
                     self.current_db = self.name
                 return None
-            return None
+            # anything else (e.g. ATTACH 'other.db' — a non-ducklake
+            # DuckDB database) is NOT silently swallowed: the reference
+            # passes these through to DuckDB, which this engine cannot
+            # do, and a silent no-op is worse than an error
+            raise NotImplementedError(
+                "only ATTACH 'ducklake:…' AS name [(DATA_PATH '…')] and "
+                f"DETACH <name> are supported; got: {stmt.strip()[:120]}"
+            )
         m = _CREATE_MACRO_RE.match(stmt)
         if m:
             # DuckDB CREATE MACRO (scalar and TABLE): stored as text,
@@ -6576,11 +6622,20 @@ class DuckLakeSpark:
         # mounted engine's snapshot scan (only for names that ARE tables
         # there, so column refs under a same-named alias pass through)
         for att, eng in self._attached.items():
-            if att not in stmt:
+            # literal-safe: only rewrite when the lake name is a real
+            # identifier in the statement (sql_identifiers skips string
+            # literals and comments), and guard each individual match —
+            # a lake name inside a '…' literal must survive verbatim
+            if att not in sql_identifiers(stmt):
                 continue
             att_tables = set(eng.catalog.table_names())
+            _src = stmt
 
-            def _rw_att(m: re.Match, eng=eng, att=att, tabs=att_tables) -> str:
+            def _rw_att(
+                m: re.Match, eng=eng, att=att, tabs=att_tables, src=_src
+            ) -> str:
+                if _inside_string_literal(src, m.start()):
+                    return m.group(0)
                 t = m.group(1)
                 if t not in tabs:
                     return m.group(0)
@@ -6605,16 +6660,44 @@ class DuckLakeSpark:
                     vname
                 )
         # DuckDB percentage LIMIT (``LIMIT 40%``): strip the clause,
-        # size it from the result's row count (ceil, DuckDB semantics),
-        # re-apply as .limit() — order-preserving on a sorted result.
-        # Metadata-sized driver work; the count() is one extra job.
+        # size it from the result's row count (truncating, DuckDB
+        # semantics: LIMIT 30% of 5 rows → 1), re-apply as .limit() —
+        # order-preserving on a sorted result.  Only a TOP-LEVEL clause
+        # is rewritten; one inside a subquery would be silently hoisted
+        # to the outermost level, so raise instead.  The base result is
+        # persisted so the input is scanned ONCE (count + limit both
+        # read the materialized blocks, not a re-execution); the
+        # previous call's cache is released to bound residency.
         pm = re.search(r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*%", stmt, re.I)
         if pm and not _inside_string_literal(stmt, pm.start()):
-            import math as _math
-
+            depth = 0
+            in_str: str | None = None
+            for idx in range(pm.start()):
+                c = stmt[idx]
+                if in_str:
+                    if c == in_str:
+                        in_str = None
+                elif c in ("'", '"'):
+                    in_str = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+            if depth != 0:
+                raise NotImplementedError(
+                    "percentage LIMIT inside a subquery is not supported"
+                )
             pct = float(pm.group(1)) / 100.0
             base = self.spark.sql(stmt[: pm.start()] + stmt[pm.end():])
-            return base.limit(int(_math.ceil(base.count() * pct)))
+            prev = getattr(self, "_limit_pct_cache", None)
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+            base = base.persist()
+            self._limit_pct_cache = base
+            return base.limit(int(base.count() * pct))
         return self.spark.sql(stmt)
 
     _PRED_LIT_RE = re.compile(

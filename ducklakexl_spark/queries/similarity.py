@@ -15,6 +15,8 @@ the DuckDB oracle accumulate bit-identical doubles.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -319,7 +321,12 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CENT_CACHE: dict[tuple[int, str], list[tuple[int, list[float]]]] = {}
+# keyed by a WEAK reference to the session (not id(spark): CPython can
+# reuse a collected session's id, which would serve a dead session's
+# centroids to a new one) — entries die with their SparkSession
+_IVF_CENT_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, list[tuple[int, list[float]]]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _ivf_centroids(
@@ -330,8 +337,8 @@ def _ivf_centroids(
     they collect to the driver once per (session, sf_dir) and every IVF
     consumer (topk, recall, semantic-dedup) shares the same codebook
     instead of re-running the training scan."""
-    key = (id(spark), sf_dir)
-    cached = _IVF_CENT_CACHE.get(key)
+    per_session = _IVF_CENT_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
     if cached is not None:
         return cached
     e = load(spark, sf_dir, "embeddings")
@@ -347,7 +354,7 @@ def _ivf_centroids(
         )
     )
     cents = sorted((r["cell"], list(r["cvec"])) for r in cent.collect())
-    _IVF_CENT_CACHE[key] = cents
+    per_session[sf_dir] = cents
     return cents
 
 

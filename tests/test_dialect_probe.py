@@ -90,6 +90,21 @@ PROBES = [
     ("date_trunc_date_lit",
      "SELECT date_trunc('week', DATE '2024-03-07') AS d"),
     ("hash_nonneg", "SELECT hash('x') >= 0 AS ok"),
+    # round-5 advisor fixes: operator/type rewrites must skip string
+    # literals without aborting, percentage LIMIT truncates like DuckDB,
+    # date_part('epoch') keeps the fractional seconds
+    ("power_op_after_literal", "SELECT 'a**b' AS s, 2 ** 3 AS p"),
+    ("limit_pct_truncates",
+     "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 30%"),
+    ("limit_pct_zero",
+     "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 10%"),
+    ("date_part_epoch_frac",
+     "SELECT date_part('epoch', TIMESTAMP '2024-01-01 00:00:01.5') AS e"),
+    ("array_suffix_in_literal",
+     "SELECT 'cast is x::INT[] here' AS s, [1]::INT[] AS l"),
+    ("materialized_in_literal",
+     "SELECT 'x AS MATERIALIZED (y' AS s"),
+    ("sign_nested_cast", "SELECT CAST(sign(-2.5) AS INT) AS s"),
 ]
 
 

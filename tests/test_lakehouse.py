@@ -1041,6 +1041,45 @@ def test_attach_detach_multi_catalog(lake, tmp_path):
     assert rows(reopened.sql("SELECT count(*) AS n FROM ad")) == [(2,)]
 
 
+def test_attach_non_ducklake_raises(lake, tmp_path):
+    """A plain DuckDB ATTACH (not 'ducklake:...') cannot be honored by
+    this engine — it must RAISE, not silently no-op (the reference
+    passes these through to DuckDB, ducklakexl.py:394)."""
+    with pytest.raises(NotImplementedError, match="ducklake"):
+        lake.sql(f"ATTACH '{tmp_path}/other.db' AS other")
+
+
+def test_attached_name_in_string_literal_survives(lake, tmp_path):
+    """An attached lake's name inside a '...' literal is DATA: the
+    cross-lake rewrite must not touch it (same bug class
+    sql_identifiers kills for table-name matching)."""
+    lake.sql(
+        f"ATTACH 'ducklake:{tmp_path}/cat2' AS olake "
+        f"(DATA_PATH '{tmp_path}/d2');"
+    )
+    lake.sql("USE olake; CREATE TABLE tt(id INTEGER); "
+             "INSERT INTO tt VALUES (1);")
+    lake.sql(f"USE {lake.name}")
+    out = lake.sql("SELECT 'olake.tt is great' AS s, olake.tt.id AS i "
+                   "FROM olake.tt")
+    assert rows(out) == [("olake.tt is great", 1)]
+
+
+def test_limit_pct_subquery_raises(lake):
+    """LIMIT n% inside a subquery would be silently hoisted to the
+    outermost level by the text rewrite — raise instead."""
+    lake.sql("CREATE TABLE lp(id INTEGER);")
+    lake.sql("INSERT INTO lp VALUES (1), (2), (3), (4), (5);")
+    with pytest.raises(NotImplementedError, match="percentage LIMIT"):
+        lake.sql(
+            "SELECT * FROM (SELECT id FROM lp ORDER BY id LIMIT 40%) t"
+        )
+    # top-level still works, with DuckDB's truncation semantics
+    assert rows(
+        lake.sql("SELECT id FROM lp ORDER BY id LIMIT 30%")
+    ) == [(1,)]
+
+
 def test_compact_zorder_edge_types(lake):
     """zorder_by handles NULL keys (bucket 0), a constant key (span 0),
     and DATE keys; string keys raise."""
