@@ -44,9 +44,51 @@ def _cost_tier(name: str) -> int:
     return 0
 
 
+# The driver's CORRECTNESS artifact samples exactly the FIRST 50 names
+# of queries().  Plain tier-then-alphabetical ordering spent that whole
+# budget on a few families (11 events_*, 9 dedup_*, …) and never
+# produced a driver-verified row for TPC-H, sim, text, mm, lakehouse,
+# stream, sketch, retrieval, … — so the first 50 slots are CURATED: one
+# cheap representative of every operator-family prefix in the registry
+# (47 families) plus three flagship extras (q03 = the entry() query,
+# sim_ivf_topk, dedup_minhash_lsh), ordered cheap-first.  Everything
+# after slot 50 keeps the old tier-then-name order.
+_CURATED_FIRST = [
+    # tier-0 scalar/relational singles
+    "scalar_misc_funcs", "math_funcs", "string_funcs", "date_funcs",
+    "case_coalesce_nullif", "cast_try_cast", "struct_ops", "array_funcs",
+    "json_extract_events", "distinct_projection", "orderby_limit_offset",
+    "set_union_all", "subquery_scalar", "cte_top_nations",
+    "join_inner_agg", "asof_purchase_attribution",
+    "positional_region_nation", "range_join_value_bands", "agg_rollup",
+    "window_topk_per_group", "pivot_status", "unpivot_metrics",
+    "percentile_quantiles", "approx_distinct_parts",
+    "sample_deterministic", "split_train_test",
+    "skew_salted_event_totals", "sessionize_events",
+    "events_tumbling_hour", "supplier_rolling_corr",
+    # TPC-H representatives
+    "q01_pricing_summary", "q03_shipping_priority",
+    # pipeline-operator representatives
+    "dedup_exact", "dedup_minhash_lsh", "sim_lsh_buckets",
+    "text_quality_score", "retrieval_rrf_fusion", "sketch_hll_distinct",
+    "ml_auc_quality", "stats_welch_ttest", "robust_stats_mad",
+    "drift_psi", "graph_pagerank", "er_blocked_match", "udf_text_scores",
+    "pipeline_curation_funnel",
+    # tier-1/2/3 representatives (iterative, lakehouse, multimodal,
+    # streaming — one each so every family gets a driver-verified row)
+    "sim_ivf_topk", "mm_binary_metadata", "lakehouse_roundtrip",
+    "stream_tumbling_hour",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    names = sorted(_q.QUERIES, key=lambda n: (_cost_tier(n), n))
-    return {n: _q.QUERIES[n] for n in names}
+    head = [n for n in _CURATED_FIRST if n in _q.QUERIES]
+    seen = set(head)
+    tail = sorted(
+        (n for n in _q.QUERIES if n not in seen),
+        key=lambda n: (_cost_tier(n), n),
+    )
+    return {n: _q.QUERIES[n] for n in [*head, *tail]}
 
 
 def oracle_sql() -> dict[str, str]:

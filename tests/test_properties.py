@@ -361,3 +361,26 @@ def test_comprehension_and_comma_passthrough(s):
         r"|union|except|intersect)\b", s, re.I
     ):
         assert rewrite_trailing_commas(s) == s
+
+
+def test_driver_window_samples_every_family():
+    """The driver's CORRECTNESS artifact runs exactly the FIRST 50 names
+    of __spark_entry__.queries(); the curated head must keep one
+    representative of EVERY operator-family prefix in the registry (plus
+    exact oracles for each) so no family can go driver-unverified."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    names = list(qs)
+    first50 = names[:50]
+    assert len(set(first50)) == 50
+    assert set(names) == set(e.oracle_sql()) | set(qs), "registry drift"
+
+    def fam(n: str) -> str:
+        return "tpch" if re.match(r"q\d\d_", n) else n.split("_")[0]
+
+    missing = {fam(n) for n in names} - {fam(n) for n in first50}
+    assert not missing, f"families outside the driver window: {missing}"
+    osql = e.oracle_sql()
+    no_oracle = [n for n in first50 if n not in osql]
+    assert not no_oracle, f"driver-window queries without oracle: {no_oracle}"
