@@ -668,11 +668,26 @@ class DuckLakeCatalog:
 
     # -- partitioning ------------------------------------------------------------
 
-    def set_partitioned_by(self, table_id: int, column_ids: list[int]) -> int:
+    def set_partitioned_by(
+        self,
+        table_id: int,
+        column_ids: list[int],
+        transforms: list[str] | None = None,
+    ) -> int:
         """ALTER TABLE … SET PARTITIONED BY: new partition scheme starts
         at the next snapshot (spec tables ducklake_partition_info /
         ducklake_partition_column); existing data files stay valid —
-        only new writes follow the scheme, exactly DuckLake's behavior."""
+        only new writes follow the scheme, exactly DuckLake's behavior.
+
+        ``transforms`` (parallel to ``column_ids``; default identity)
+        records the spec's ``ducklake_partition_column.transform`` —
+        'identity' | 'year' | 'month' | 'day' | 'hour'.  Temporal
+        transforms partition on the truncated value (``month(ts)`` →
+        one directory per calendar month) instead of the raw column."""
+        if transforms is None:
+            transforms = ["identity"] * len(column_ids)
+        if len(transforms) != len(column_ids):
+            raise ValueError("transforms must parallel column_ids")
         snapshot = self.current_snapshot + 1
         info = self.tables["ducklake_partition_info"]
         if not info.empty:
@@ -699,7 +714,7 @@ class DuckLakeCatalog:
                     "table_id": table_id,
                     "partition_key_index": i,
                     "column_id": cid,
-                    "transform": "identity",
+                    "transform": transforms[i],
                 }
                 for i, cid in enumerate(column_ids)
             ],
@@ -709,8 +724,9 @@ class DuckLakeCatalog:
 
     def partition_scheme(
         self, table_id: int, snapshot: int | None = None
-    ) -> tuple[int, list[int]] | None:
-        """Live (partition_id, [column_id by key index]) or None."""
+    ) -> tuple[int, list[tuple[int, str]]] | None:
+        """Live (partition_id, [(column_id, transform) by key index])
+        or None."""
         info = self.live("ducklake_partition_info", snapshot)
         hit = info[info["table_id"] == table_id]
         if hit.empty:
@@ -718,7 +734,9 @@ class DuckLakeCatalog:
         pid = int(hit.iloc[0]["partition_id"])
         cols = self.tables["ducklake_partition_column"]
         keys = cols[cols["partition_id"] == pid].sort_values("partition_key_index")
-        return pid, [int(r.column_id) for r in keys.itertuples()]
+        return pid, [
+            (int(r.column_id), str(r.transform)) for r in keys.itertuples()
+        ]
 
     # -- file registration (DML support) -------------------------------------------
 

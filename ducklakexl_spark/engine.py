@@ -417,9 +417,38 @@ _TYPE_PROMOTIONS = {
     ("FLOAT", "DOUBLE"), ("BIGINT", "DOUBLE"),
 }
 _SET_PARTITIONED_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*$",
+    r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*$",
+    re.I | re.S,
+)
+# one partition key: bare column (identity) or transform(column) with
+# transform in the DuckLake spec set year/month/day/hour
+_PART_KEY_RE = re.compile(
+    r"^\s*(?:(year|month|day|hour)\s*\(\s*\"?(\w+)\"?\s*\)"
+    r"|\"?(\w+)\"?)\s*$",
     re.I,
 )
+# lexicographically order-preserving per-granularity truncations: the
+# recorded partition VALUE and the driver-side predicate BOUND use the
+# same strings, so plain string comparison prunes correctly
+_PART_TRANSFORM_FMT = {
+    "year": "yyyy",
+    "month": "yyyy-MM",
+    "day": "yyyy-MM-dd",
+    "hour": "yyyy-MM-dd HH",
+}
+_PART_TRANSFORM_SLICE = {"year": 4, "month": 7, "day": 10, "hour": 13}
+
+
+def _transform_partition_bound(value: object, transform: str) -> str | None:
+    """Truncate a predicate literal to the partition transform's
+    granularity string, or None when the literal isn't temporal (no
+    pruning — conservative).  Accepts ISO date / timestamp strings."""
+    s = str(value)
+    if re.match(r"^\d{4}-\d{2}-\d{2}$", s):
+        s += " 00:00:00"
+    if not re.match(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}", s):
+        return None
+    return s.replace("T", " ")[: _PART_TRANSFORM_SLICE[transform]]
 _CREATE_SCHEMA_RE = re.compile(
     r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s*$", re.I
 )
@@ -3158,11 +3187,33 @@ class DuckLakeSpark:
             tid = self.catalog.table_id(name)
             cols = self.catalog.columns(tid)
             id_by_name = {r.column_name: int(r.column_id) for r in cols.itertuples()}
-            keys = [c.strip().strip('"') for c in m.group(2).split(",")]
-            missing = [k for k in keys if k not in id_by_name]
-            if missing:
-                raise ValueError(f"SET PARTITIONED BY: unknown columns {missing}")
-            self.catalog.set_partitioned_by(tid, [id_by_name[k] for k in keys])
+            type_by_name = {
+                r.column_name: str(r.column_type).upper()
+                for r in cols.itertuples()
+            }
+            col_ids: list[int] = []
+            transforms: list[str] = []
+            for raw in split_top_level(m.group(2)):
+                km = _PART_KEY_RE.match(raw)
+                if not km:
+                    raise ValueError(
+                        f"SET PARTITIONED BY: cannot parse key {raw!r} "
+                        "(expected col or year/month/day/hour(col))"
+                    )
+                transform = (km.group(1) or "identity").lower()
+                k = km.group(2) or km.group(3)
+                if k not in id_by_name:
+                    raise ValueError(f"SET PARTITIONED BY: unknown columns [{k!r}]")
+                if transform != "identity" and not type_by_name[k].startswith(
+                    ("DATE", "TIMESTAMP")
+                ):
+                    raise ValueError(
+                        f"SET PARTITIONED BY: {transform}({k}) needs a "
+                        f"DATE/TIMESTAMP column, got {type_by_name[k]}"
+                    )
+                col_ids.append(id_by_name[k])
+                transforms.append(transform)
+            self.catalog.set_partitioned_by(tid, col_ids, transforms)
             return None
         m = _RENAME_RE.match(stmt)
         if m:
@@ -4483,11 +4534,22 @@ class DuckLakeSpark:
         part_names: list[str] = []
         partition_id = None
         if scheme:
-            partition_id, key_col_ids = scheme
+            partition_id, keys = scheme
             name_by_id = {v: k for k, v in col_ids.items()}
-            part_names = [name_by_id[cid] for cid in key_col_ids]
-            for c in part_names:
-                df = df.withColumn(f"__part_{c}", F.col(c))
+            part_names = [name_by_id[cid] for cid, _t in keys]
+            for (cid, transform), c in zip(keys, part_names):
+                if transform == "identity":
+                    pcol = F.col(c)
+                else:
+                    # temporal transform: partition on the truncated
+                    # value (bounded cardinality — one dir per period),
+                    # rendered as a lexicographically ordered string so
+                    # catalog pruning can compare truncated predicate
+                    # bounds with plain string comparison
+                    pcol = F.date_format(
+                        F.col(c), _PART_TRANSFORM_FMT[transform]
+                    )
+                df = df.withColumn(f"__part_{c}", pcol)
             # cluster rows by partition key first: without this every
             # write task emits a file per value it sees (tasks x values
             # small files — the partitioned-write explosion)
@@ -5149,19 +5211,44 @@ class DuckLakeSpark:
         # recorded partition value fails the predicate can't match at all
         scheme = self.catalog.partition_scheme(tid, snapshot)
         if scheme:
-            _pid, key_col_ids = scheme
+            _pid, keys = scheme
             name_by_id = {v: k for k, v in id_by_name.items()}
-            key_idx_by_name = {
-                name_by_id[cid]: i for i, cid in enumerate(key_col_ids)
+            key_by_name = {
+                name_by_id[cid]: (i, transform)
+                for i, (cid, transform) in enumerate(keys)
             }
             pvt = self.catalog.tables["ducklake_file_partition_value"]
             prel = pvt[pvt["table_id"] == tid]
             for cname, op, value in predicates:
-                ki = key_idx_by_name.get(cname)
-                if ki is None:
+                hit = key_by_name.get(cname)
+                if hit is None:
                     continue
+                ki, transform = hit
                 rel = prel[prel["partition_key_index"] == ki]
                 if rel.empty:
+                    continue
+                if transform != "identity":
+                    # truncated-value pruning: trunc() is monotone, so
+                    # col >[=] X can only match files whose partition
+                    # period >= trunc(X) (and dually for <[=]); equality
+                    # needs the exact period.  Bounds and stored values
+                    # share a lexicographically ordered string format.
+                    tv = _transform_partition_bound(value, transform)
+                    if tv is None:
+                        continue
+                    v = rel["partition_value"].astype("string")
+                    if op == "=":
+                        bad = v != tv
+                    elif op in (">", ">="):
+                        bad = v < tv
+                    elif op in ("<", "<="):
+                        bad = v > tv
+                    else:
+                        continue
+                    bad = bad.fillna(False) & v.notna()
+                    drop_fids.update(
+                        int(f) for f in rel.loc[bad, "data_file_id"]
+                    )
                     continue
                 v = _coerce(rel["partition_value"], value)
                 cmp_val = str(value) if isinstance(value, str) else value

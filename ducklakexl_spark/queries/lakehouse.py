@@ -676,6 +676,61 @@ def lakehouse_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_partition_transform",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (3, 3, 2, 9.0)
+    ) t(files_total, months, files_after_prune, march_sum)
+    """,
+)
+def lakehouse_partition_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal partition transforms (spec field
+    ducklake_partition_column.transform): SET PARTITIONED BY (month(ts))
+    writes one directory per calendar month — bounded cardinality where
+    identity on a raw timestamp would mint a file per distinct value —
+    and a timestamp predicate prunes non-matching months at the catalog
+    (here via partition values alone: trunc is monotone, so ts >= Feb 10
+    keeps Feb + Mar and drops Jan) before Spark lists any files."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE evp(id INTEGER, ts TIMESTAMP, v DOUBLE);
+        ALTER TABLE evp SET PARTITIONED BY (month(ts));
+        INSERT INTO evp VALUES
+          (1, TIMESTAMP '2024-01-05 10:00:00', 1.0),
+          (2, TIMESTAMP '2024-01-20 11:00:00', 2.0),
+          (3, TIMESTAMP '2024-02-03 12:00:00', 3.0),
+          (4, TIMESTAMP '2024-03-15 13:00:00', 4.0),
+          (5, TIMESTAMP '2024-03-16 14:00:00', 5.0);
+        """
+    )
+    tid = lake.catalog.table_id("evp")
+    files = lake.catalog.data_files(tid)
+    pv = lake.catalog.tables["ducklake_file_partition_value"]
+    months = len(set(pv[pv["table_id"] == tid]["partition_value"]))
+    # isolate the transform-prune path (no column stats): Feb survives
+    # because its month may still contain matches
+    st = lake.catalog.tables["ducklake_file_column_statistics"]
+    lake.catalog.tables["ducklake_file_column_statistics"] = st[
+        st["table_id"] != tid
+    ]
+    kept = lake._skip_files(
+        tid, None, list(files["path"]),
+        [("ts", ">=", "2024-02-10 00:00:00")],
+    )
+    lake.catalog.tables["ducklake_file_column_statistics"] = st
+    march = lake.sql(
+        "SELECT sum(v) AS s FROM evp "
+        "WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'"
+    ).collect()[0]["s"]
+    return spark.createDataFrame(
+        [(len(files), months, len(kept), float(march))],
+        "files_total int, months int, files_after_prune int, march_sum double",
+    )
+
+
+@query(
     "lakehouse_pivot_statement",
     pure=False,
     oracle="""

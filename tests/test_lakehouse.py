@@ -9,6 +9,7 @@ asserts the same visible results the notebook records.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from ducklakexl_spark.engine import DuckLakeSpark, split_statements
@@ -391,6 +392,89 @@ def test_partitioned_table_write_and_prune(lake):
     assert rows(lake.sql("SELECT * FROM pt;")) == [
         (1, "eu", 10.0), (2, "us", 20.0), (4, "ap", 40.0), (5, "us", 50.0),
     ]
+
+
+def test_partition_transform_month_write_and_prune(lake):
+    """SET PARTITIONED BY (month(ts)) — the DuckLake spec's
+    ducklake_partition_column.transform: writes land one directory per
+    calendar month (bounded cardinality, unlike raw-timestamp identity
+    partitioning) and timestamp predicates prune whole months via the
+    catalog, never opening non-matching files."""
+    lake.sql("CREATE TABLE ev(id INTEGER, ts TIMESTAMP, v DOUBLE);")
+    lake.sql("ALTER TABLE ev SET PARTITIONED BY (month(ts));")
+    lake.sql(
+        "INSERT INTO ev VALUES "
+        "(1, TIMESTAMP '2024-01-05 10:00:00', 1.0),"
+        "(2, TIMESTAMP '2024-01-20 11:00:00', 2.0),"
+        "(3, TIMESTAMP '2024-02-03 12:00:00', 3.0),"
+        "(4, TIMESTAMP '2024-03-15 13:00:00', 4.0),"
+        "(5, TIMESTAMP '2024-03-16 14:00:00', 5.0);"
+    )
+    tid = lake.catalog.table_id("ev")
+    files = lake.catalog.data_files(tid)
+    assert len(files) == 3  # one per calendar month
+    pv = lake.catalog.tables["ducklake_file_partition_value"]
+    assert set(pv[pv["table_id"] == tid]["partition_value"]) == {
+        "2024-01", "2024-02", "2024-03",
+    }
+    pc = lake.catalog.tables["ducklake_partition_column"]
+    assert list(pc[pc["table_id"] == tid]["transform"]) == ["month"]
+
+    # per-file min/max stats already prune tighter than month
+    # granularity: >= Feb 10 leaves only the Mar file (Feb's max is
+    # Feb 3).  The TRANSFORM prune path is exercised below with the
+    # stats rows removed (the add_data_files/no-stats adoption case).
+    tdf = lake.table(
+        "ev", predicates=[("ts", ">=", "2024-02-10 00:00:00")]
+    )
+    kept = lake._skip_files(
+        tid, None,
+        list(files["path"]),
+        [("ts", ">=", "2024-02-10 00:00:00")],
+    )
+    assert len(kept) == 1
+    # strip column stats → only partition-value pruning remains: trunc
+    # is monotone, so the Feb file SURVIVES (its month may contain
+    # matches) and Jan is pruned
+    st = lake.catalog.tables["ducklake_file_column_statistics"]
+    saved = st[st["table_id"] == tid].copy()
+    lake.catalog.tables["ducklake_file_column_statistics"] = st[
+        st["table_id"] != tid
+    ]
+    kept_part = lake._skip_files(
+        tid, None,
+        list(files["path"]),
+        [("ts", ">=", "2024-02-10 00:00:00")],
+    )
+    assert len(kept_part) == 2
+    # equality prunes to the single month
+    kept_eq = lake._skip_files(
+        tid, None,
+        list(files["path"]),
+        [("ts", "=", "2024-02-03 12:00:00")],
+    )
+    assert len(kept_eq) == 1
+    lake.catalog.tables["ducklake_file_column_statistics"] = pd.concat(
+        [lake.catalog.tables["ducklake_file_column_statistics"], saved],
+        ignore_index=True,
+    )
+    # values still correct after pruning
+    assert sorted(tuple(r) for r in tdf.collect())[0][0] == 4
+
+    # SQL text path drives the same pruning (single-table FROM+WHERE)
+    out = lake.sql(
+        "SELECT sum(v) AS s FROM ev "
+        "WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'"
+    )
+    assert rows(out) == [(9.0,)]
+
+    # non-temporal column with a transform is rejected
+    with pytest.raises(ValueError, match="DATE/TIMESTAMP"):
+        lake.sql("ALTER TABLE ev SET PARTITIONED BY (month(id));")
+    # mixed identity + transform scheme parses
+    lake.sql("ALTER TABLE ev SET PARTITIONED BY (id, year(ts));")
+    pid_cols = lake.catalog.partition_scheme(tid)[1]
+    assert [t for _c, t in pid_cols] == ["identity", "year"]
 
 
 def test_comment_on_table_and_column(lake):
