@@ -42,10 +42,34 @@ class DuckLakeCatalog:
         self._txn_files: list[str] = []
         if store.exists():
             self.tables = store.load()
+            self._check_not_encrypted()
         else:
             self.tables = {t: empty_frame(t) for t in CATALOG_SCHEMAS}
             self._bootstrap()
         self._base_snapshot = self.current_snapshot
+
+    def _check_not_encrypted(self) -> None:
+        """Parquet modular encryption (spec: ducklake_metadata
+        'encrypted' + per-file encryption_key) is not implemented —
+        attaching an encrypted lake must fail LOUDLY here, not
+        confusingly at first scan.  The reference round-trips the
+        encrypted flag through its sync plane the same way it does any
+        metadata row (ducklakexl.py:501-505) but delegates actual
+        decryption to DuckDB; this engine has no decrypt path."""
+        meta = self.tables.get("ducklake_metadata")
+        if meta is not None and not meta.empty:
+            enc = meta[meta["key"] == "encrypted"]
+            if not enc.empty and str(enc.iloc[0]["value"]).lower() == "true":
+                raise NotImplementedError(
+                    "this catalog is marked encrypted=true; parquet "
+                    "modular encryption is not supported by this engine"
+                )
+        df = self.tables.get("ducklake_data_file")
+        if df is not None and not df.empty and df["encryption_key"].notna().any():
+            raise NotImplementedError(
+                "this catalog carries per-file encryption keys; parquet "
+                "modular encryption is not supported by this engine"
+            )
 
     def refresh(self) -> None:
         """Re-synchronize with the store (drop any unsaved in-memory
@@ -53,6 +77,7 @@ class DuckLakeCatalog:
         if self._txn_backup is not None:
             raise ValueError("refresh() inside a transaction")
         self.tables = self.store.load()
+        self._check_not_encrypted()
         self._base_snapshot = self.current_snapshot
 
     # -- transactions --------------------------------------------------------
@@ -248,7 +273,12 @@ class DuckLakeCatalog:
 
     def data_files(self, table_id: int, snapshot: int | None = None) -> pd.DataFrame:
         live = self.live("ducklake_data_file", snapshot)
-        return live[live["table_id"] == table_id].sort_values("data_file_id")
+        out = live[live["table_id"] == table_id]
+        # files append in id order; skipping the no-op sort avoids an
+        # O(n) argsort + full-frame copy per query at million-file scale
+        if out["data_file_id"].is_monotonic_increasing:
+            return out
+        return out.sort_values("data_file_id")
 
     def delete_files(self, table_id: int, snapshot: int | None = None) -> pd.DataFrame:
         live = self.live("ducklake_delete_file", snapshot)

@@ -477,6 +477,105 @@ def test_partition_transform_month_write_and_prune(lake):
     assert [t for _c, t in pid_cols] == ["identity", "year"]
 
 
+def test_encrypted_catalog_rejected(lake, spark, tmp_path):
+    """A catalog marked encrypted=true (or carrying per-file encryption
+    keys) must fail at ATTACH with a clear error — parquet modular
+    encryption is unsupported, and a silent read would fail confusingly
+    at first scan (reference handles the flag at ducklakexl.py:501-505)."""
+    lake.sql("CREATE TABLE et(id INTEGER);")
+    lake.sql("INSERT INTO et VALUES (1);")
+    cat = lake.catalog
+    meta = cat.tables["ducklake_metadata"]
+    cat.tables["ducklake_metadata"] = meta[meta["key"] != "encrypted"]
+    cat._append("ducklake_metadata", [{"key": "encrypted", "value": "true"}])
+    cat._save()
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        DuckLakeSpark(
+            spark=spark,
+            data_path=cat.data_path,
+            local_catalog=cat.store.path,
+        )
+    # per-file key variant
+    cat.tables["ducklake_metadata"].loc[
+        cat.tables["ducklake_metadata"]["key"] == "encrypted", "value"
+    ] = "false"
+    cat.tables["ducklake_data_file"].loc[:, "encryption_key"] = "deadbeef"
+    cat._save()
+    with pytest.raises(NotImplementedError, match="encryption keys"):
+        DuckLakeSpark(
+            spark=spark,
+            data_path=cat.data_path,
+            local_catalog=cat.store.path,
+        )
+
+
+def test_catalog_prune_scales_to_a_million_files(lake):
+    """Evidence for the million-file claim: data_files() + _skip_files
+    over a synthetic 1M-file catalog with per-file min/max stats stays
+    driver-local pandas at C speed — resolution under a hard time
+    bound, and the predicate prunes to exactly the matching slice.
+    (Pure metadata path: no Spark job, files never opened.)"""
+    import time
+
+    import numpy as np
+
+    lake.sql("CREATE TABLE big(id INTEGER, v DOUBLE);")
+    lake.sql("INSERT INTO big VALUES (1, 1.0);")
+    tid = lake.catalog.table_id("big")
+    n = 1_000_000
+    fids = np.arange(10_000, 10_000 + n, dtype="int64")
+    cat = lake.catalog
+    cat.tables["ducklake_data_file"] = pd.DataFrame(
+        {
+            "data_file_id": fids,
+            "table_id": np.full(n, tid, dtype="int64"),
+            "begin_snapshot": np.ones(n, dtype="int64"),
+            "end_snapshot": pd.array([pd.NA] * n, dtype="Int64"),
+            "file_order": fids,
+            "path": [f"/x/f{i}.parquet" for i in range(n)],
+            "path_is_relative": np.zeros(n, dtype="bool"),
+            "file_format": ["parquet"] * n,
+            "record_count": np.full(n, 1000, dtype="int64"),
+            "file_size_bytes": np.full(n, 1 << 20, dtype="int64"),
+            "footer_size": np.full(n, 500, dtype="int64"),
+            "row_id_start": fids * 1000,
+            "partition_id": pd.array([pd.NA] * n, dtype="Int64"),
+            "encryption_key": pd.array([pd.NA] * n, dtype="string"),
+            "partial_file_info": pd.array([pd.NA] * n, dtype="string"),
+        }
+    )
+    # per-file id ranges: file i covers ids [i*10, i*10+9]
+    cols = cat.columns(tid)
+    id_cid = int(cols[cols["column_name"] == "id"].iloc[0]["column_id"])
+    lo = np.arange(n, dtype="int64") * 10
+    cat.tables["ducklake_file_column_statistics"] = pd.DataFrame(
+        {
+            "data_file_id": fids,
+            "table_id": np.full(n, tid, dtype="int64"),
+            "column_id": np.full(n, id_cid, dtype="int64"),
+            "column_size_bytes": np.full(n, 4000, dtype="int64"),
+            "value_count": np.full(n, 1000, dtype="int64"),
+            "null_count": np.zeros(n, dtype="int64"),
+            "min_value": lo.astype(str),
+            "max_value": (lo + 9).astype(str),
+            "contains_nan": np.zeros(n, dtype="bool"),
+        }
+    )
+    t0 = time.monotonic()
+    files = cat.data_files(tid)
+    paths = list(files["path"])
+    kept = lake._skip_files(
+        tid, None, paths, [("id", ">=", 9_999_900), ("id", "<", 9_999_950)]
+    )
+    elapsed = time.monotonic() - t0
+    assert len(files) == n
+    # ids [9_999_900, 9_999_950) live in files 999_990..999_994
+    assert len(kept) == 5
+    # C-speed metadata path: whole resolution well under 10 s for 1M
+    # files (measured ~1-3 s on 32-core CI; bound leaves 3x headroom)
+    assert elapsed < 10.0, f"million-file prune took {elapsed:.1f}s"
+
+
 def test_comment_on_table_and_column(lake):
     lake.sql("CREATE TABLE doc_t(id INTEGER, txt VARCHAR);")
     lake.sql("COMMENT ON TABLE doc_t IS 'raw docs';")
