@@ -233,27 +233,51 @@ def mm_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PHASH_BITS = 32
-PHASH_BLOCKS = 4        # 8-bit blocks; pigeonhole: hamming<=3 => a block matches
-PHASH_MAX_HAMMING = 3
+# 5 disjoint bit blocks (7+7+6+6+6 = 32); pigeonhole: hamming <= 4 =>
+# at least one block is identical, so banded equi-join candidates are
+# EXACT for the threshold (same guarantee family as dedup_simhash)
+PHASH_BANDS = [(0, 7), (7, 7), (14, 6), (20, 6), (26, 6)]  # (offset, width)
+PHASH_MAX_HAMMING = 4
 PHASH_SCHEMA = "doc_id bigint, phash bigint"
 
 
+PHASH_GRID = 32         # payload's first 1024 bytes as a 32x32 grid
+
+
 def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB perceptual hash: a real pHash DCTs the decoded image — no
-    codecs in this container, so the fingerprint is stripe-parity over
-    the raw payload bytes (deterministic, reproducible relationally by
-    the oracle).  The *plumbing* is the production shape: Arrow batches
-    in, one fingerprint row out per payload, no shuffle."""
+    """Blockhash-style perceptual hash over the payload's ACTUAL bytes
+    (Yang et al.'s block mean-vs-median method — the DCT-free pHash
+    family): the WHOLE payload is resized into a 32x32 grid by stride
+    sampling (grid cell p reads byte floor(p*len/1024) — the nearest-
+    neighbor resize of the real algorithm; the byte→luma decode is the
+    only stand-in, no codecs in this container), the grid splits into
+    32 spatial blocks of 8x4, and bit i is set iff block i's sum
+    exceeds the median block sum.  Integer-exact, so the DuckDB oracle
+    reproduces it relationally bit-for-bit.  The plumbing is the
+    production shape: Arrow batches in, one fingerprint row out per
+    payload, no shuffle."""
     import numpy as np
 
+    n_cells = PHASH_GRID * PHASH_GRID
+    cell_idx = np.arange(n_cells, dtype=np.int64)
     for pdf in batches:
         hashes = []
         for b in pdf["content"]:
-            arr = np.frombuffer(b, dtype=np.uint8)
+            raw = np.frombuffer(bytes(b), dtype=np.uint8)
+            if raw.size == 0:
+                hashes.append(0)
+                continue
+            arr = raw[(cell_idx * raw.size) // n_cells]
+            # (row//8, col//4) blocking: reshape 32x32 -> (4,8,8,4),
+            # block id = brow*8 + bcol after summing the in-block axes
+            sums = (
+                arr.reshape(4, 8, 8, 4).sum(axis=(1, 3), dtype=np.int64).ravel()
+            )
+            med = int(np.sort(sums)[15])  # lower median of 32 block sums
             ph = 0
-            for s in range(PHASH_BITS):
-                if int(arr[s::PHASH_BITS].sum()) % 2:
-                    ph |= 1 << s
+            for i in range(PHASH_BITS):
+                if int(sums[i]) > med:
+                    ph |= 1 << i
             hashes.append(ph)
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
 
@@ -261,22 +285,43 @@ def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @query(
     "mm_phash_dedup",
     # ASCII fixture ⇒ ord(char) == payload byte (same equivalence
-    # mm_feature_extract documents); the oracle recomputes the stripe
-    # parities, the banding, and the hamming verify relationally.
+    # mm_feature_extract documents); the oracle recomputes the 32x32
+    # grid, the 8x4 block sums, the median threshold, the banding, and
+    # the hamming verify relationally.
     oracle=f"""
-    WITH ph AS (
-      SELECT doc_id,
-             CAST(coalesce(list_sum(list_transform(generate_series(1, {PHASH_BITS}),
-                i -> CASE WHEN (coalesce(list_sum(list_transform(
-                            generate_series(i, length(text), {PHASH_BITS}),
-                            p -> ord(substr(text, p, 1)))), 0) % 2) = 1
-                     THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)), 0)
+    WITH pos AS (
+      SELECT doc_id, p,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE ord(substr(text,
+                       CAST((p * length(text)) // {PHASH_GRID * PHASH_GRID}
+                            AS BIGINT) + 1, 1)) END AS byte_v,
+             ((p // {PHASH_GRID}) // 8) * 8 + ((p % {PHASH_GRID}) // 4) AS blk
+      FROM documents, generate_series(0, {PHASH_GRID * PHASH_GRID - 1}) t(p)
+    ),
+    bsum AS (
+      SELECT doc_id, blk, sum(byte_v) AS s FROM pos GROUP BY doc_id, blk
+    ),
+    med AS (
+      SELECT doc_id, s AS med FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+        FROM bsum) t WHERE rn = 16
+    ),
+    ph AS (
+      SELECT b.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.s > m.med
+                  THEN CAST(1 AS BIGINT) << b.blk ELSE 0 END), 0)
                 AS BIGINT) AS phash
-      FROM documents
+      FROM bsum b JOIN med m USING (doc_id)
+      GROUP BY b.doc_id
+    ),
+    bands AS (
+      SELECT * FROM (VALUES {", ".join(f"({j}, {off}, {(1 << w) - 1})" for j, (off, w) in enumerate(PHASH_BANDS))})
+             w(j, boff, bmask)
     ),
     blocks AS (
-      SELECT doc_id, phash, j, (phash >> (8 * j)) & 255 AS bv
-      FROM ph, generate_series(0, {PHASH_BLOCKS - 1}) t(j)
+      SELECT doc_id, phash, j, (phash >> boff) & bmask AS bv
+      FROM ph, bands
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -295,11 +340,11 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode→fingerprint via Arrow-batched ``mapInPandas`` (the pHash
     stage), then the banded hamming join — NEVER all-pairs.
 
-    Same pigeonhole scheme as dedup_simhash: hamming ≤ {3} on a 32-bit
-    fingerprint means at least one of 4 8-bit blocks is identical, so
-    candidates come from 4 equi-joins on (block, value) expressed as one
-    exploded equi-join; exact hamming (bit_count of xor) verifies only
-    bucket-mates.  At 100 TB the fingerprint table is 12 bytes/row next
+    Same pigeonhole scheme as dedup_simhash: hamming ≤ 4 on a 32-bit
+    fingerprint means at least one of 5 disjoint bit blocks (7/7/6/6/6)
+    is identical, so candidates come from 5 equi-joins on (block, value)
+    expressed as one exploded equi-join; exact hamming (bit_count of
+    xor) verifies only bucket-mates.  At 100 TB the fingerprint table is 12 bytes/row next
     to the payload bytes (column-pruned away), and every shuffle key is
     (block, value) — hash-partitionable, skew-salted if a degenerate
     block value ever hot-spots."""
@@ -315,11 +360,11 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.shiftright("phash", 8 * j)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright("phash", off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("bv"),
                     )
-                    for j in range(PHASH_BLOCKS)
+                    for j, (off, w) in enumerate(PHASH_BANDS)
                 ]
             )
         ).alias("bk"),
