@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ducklakexl_spark import iofs
-from ducklakexl_spark.catalog import CatalogStore, DuckLakeCatalog
+from ducklakexl_spark.catalog import (
+    CATALOG_SCHEMAS,
+    CatalogStore,
+    DuckLakeCatalog,
+)
 from ducklakexl_spark.operators import joins as joins_ops
 
 # ---------------------------------------------------------------------------
@@ -6697,7 +6701,19 @@ class DuckLakeSpark:
         def _rewrite_at(m: re.Match) -> str:
             tname, version = m.group(1), int(m.group(2))
             view = f"{tname}__v{version}"
-            self.table_df(tname, snapshot=version).createOrReplaceTempView(view)
+            if tname in CATALOG_SCHEMAS:
+                # META time travel (reference README.md:164's planned
+                # "time travel of the meta catalog"): the catalog frames
+                # are themselves MVCC (begin/end_snapshot), so
+                # ducklake_table AT (VERSION n) reads the catalog AS OF
+                # snapshot n — e.g. which files/columns a table had then
+                self._catalog_table_df(
+                    tname, snapshot=version
+                ).createOrReplaceTempView(view)
+            else:
+                self.table_df(
+                    tname, snapshot=version
+                ).createOrReplaceTempView(view)
             return f" {view} "
 
         stmt = _AT_VERSION_RE.sub(_rewrite_at, stmt)
@@ -6753,6 +6769,12 @@ class DuckLakeSpark:
             stmt = re.sub(rf"\b{re.escape(att)}\.(\w+)", _rw_att, stmt)
 
         idents = sql_identifiers(stmt)
+        # bare catalog-table reads (SELECT * FROM ducklake_table …):
+        # live rows at the current snapshot — SQL-queryable metadata,
+        # same surface DuckDB exposes for the ducklake extension
+        for cname in CATALOG_SCHEMAS:
+            if cname in idents:
+                self._catalog_table_df(cname).createOrReplaceTempView(cname)
         for tname in self.catalog.table_names():
             if tname in idents:
                 preds = self._extract_scan_predicates(stmt, tname)
@@ -6935,6 +6957,34 @@ class DuckLakeSpark:
     def snapshots(self) -> DataFrame:
         """The <lake>.snapshots() table function (README.md:162)."""
         return self.spark.createDataFrame(self.catalog.snapshots())
+
+    def _catalog_table_df(
+        self, tname: str, snapshot: int | None = None
+    ) -> DataFrame:
+        """A catalog table as a Spark DataFrame — live rows at the given
+        (default current) snapshot for MVCC frames, the raw frame for
+        the few non-versioned ones (ducklake_metadata).  Schema comes
+        from the arrow catalog schema so empty frames still register.
+        Driver-sized by construction: catalog frames, not data."""
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        frame = self.catalog.tables[tname]
+        if "begin_snapshot" in frame.columns:
+            frame = self.catalog.live(tname, snapshot)
+        import pyarrow as pa
+
+        tbl = pa.Table.from_pandas(
+            frame.reset_index(drop=True),
+            schema=CATALOG_SCHEMAS[tname],
+            preserve_index=False,
+        )
+        # via arrow pylist so pandas NaN-for-null never reaches the
+        # LongType verifier as a float
+        spark_schema = from_arrow_schema(CATALOG_SCHEMAS[tname])
+        return self.spark.createDataFrame(
+            [tuple(d[f] for f in tbl.column_names) for d in tbl.to_pylist()],
+            schema=spark_schema,
+        )
 
     def table(self, name: str, snapshot: int | None = None, **kw) -> DataFrame:
         return self.table_df(name, snapshot, **kw)

@@ -731,6 +731,40 @@ def lakehouse_partition_transform(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "lakehouse_meta_time_travel",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      ('now', 3), ('v2', 2)
+    ) t(probe, n_cols)
+    """,
+)
+def lakehouse_meta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """META time travel (reference README.md:164's planned feature):
+    the catalog tables are MVCC frames, so `ducklake_column AT
+    (VERSION n)` reads the catalog itself as of snapshot n — here the
+    column set a table had before an ALTER ADD COLUMN.  Driver-sized:
+    catalog frames, never data files."""
+    lake = _fresh_lake(spark)
+    lake.sql(
+        """
+        CREATE TABLE mtt(id INTEGER, v VARCHAR);
+        INSERT INTO mtt VALUES (1, 'a');
+        ALTER TABLE mtt ADD COLUMN w DOUBLE;
+        """
+    )
+    return lake.sql(
+        """
+        SELECT 'now' AS probe, count(*) AS n_cols
+        FROM ducklake_column WHERE table_id = 1
+        UNION ALL
+        SELECT 'v2' AS probe, count(*) AS n_cols
+        FROM ducklake_column AT (VERSION => 2) WHERE table_id = 1
+        """
+    )
+
+
+@query(
     "lakehouse_pivot_statement",
     pure=False,
     oracle="""

@@ -477,6 +477,45 @@ def test_partition_transform_month_write_and_prune(lake):
     assert [t for _c, t in pid_cols] == ["identity", "year"]
 
 
+def test_meta_time_travel(lake):
+    """Catalog tables are SQL-queryable and themselves time-travel
+    (reference README.md:164's planned meta time travel): the MVCC
+    begin/end_snapshot columns resolve `ducklake_column AT (VERSION n)`
+    to the schema a table had at snapshot n."""
+    lake.sql("CREATE TABLE mt(id INTEGER, v VARCHAR);")
+    lake.sql("INSERT INTO mt VALUES (1, 'a');")
+    lake.sql("ALTER TABLE mt ADD COLUMN w DOUBLE;")
+    snap_before = 2  # CREATE=1, INSERT=2, ALTER=3
+    cur = [
+        r[0]
+        for r in lake.sql(
+            "SELECT column_name FROM ducklake_column "
+            "WHERE table_id = 1 ORDER BY column_id"
+        ).collect()
+    ]
+    old = [
+        r[0]
+        for r in lake.sql(
+            f"SELECT column_name FROM ducklake_column "
+            f"AT (VERSION => {snap_before}) "
+            f"WHERE table_id = 1 ORDER BY column_id"
+        ).collect()
+    ]
+    assert cur == ["id", "v", "w"]
+    assert old == ["id", "v"]
+    # non-MVCC frame reads whole
+    assert rows(
+        lake.sql("SELECT value FROM ducklake_metadata WHERE key = 'encrypted'")
+    ) == [("false",)]
+    # joinable against data tables like any other relation
+    n = lake.sql(
+        "SELECT count(*) AS n FROM ducklake_data_file f "
+        "JOIN ducklake_table t ON t.table_id = f.table_id "
+        "WHERE t.table_name = 'mt'"
+    ).collect()[0][0]
+    assert n == 1
+
+
 def test_encrypted_catalog_rejected(lake, spark, tmp_path):
     """A catalog marked encrypted=true (or carrying per-file encryption
     keys) must fail at ATTACH with a clear error — parquet modular

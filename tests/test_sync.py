@@ -397,3 +397,47 @@ def test_push_is_changed_tables_only(tmp_path):
     assert 0 < n < len(first)
     assert "inlined_data" not in writes  # untouched table not rewritten
     assert "table" in writes and "column" in writes and "snapshot" in writes
+
+
+def test_onedrive_workbook_under_running_loop():
+    """Jupyter parity (reference ducklakexl.py:68-71 + README
+    nest_asyncio note): when the CALLING thread already runs an asyncio
+    loop — exactly a notebook cell — the sync surface must not raise
+    'asyncio.run() cannot be called from a running event loop'.  _run
+    detects the running loop and drives the private loop from a
+    background thread via run_coroutine_threadsafe; this exercises that
+    path end to end (reads AND writes), no nest_asyncio required."""
+    import asyncio
+
+    from ducklakexl_spark.sync.graph import OneDriveWorkbook
+
+    sheets = {"snapshot": [["snapshot_id"], ["0"]]}
+
+    async def transport(method, url, **kw):
+        if url.endswith("/workbook/worksheets"):
+            return 200, {}, {"value": [{"name": n} for n in sheets]}
+        if "/usedRange/clear" in url:
+            return 200, {}, {}
+        if "/usedRange" in url:
+            name = url.split("worksheets('")[1].split("')")[0]
+            return 200, {}, {"values": sheets[name]}
+        if "/range(address=" in url:
+            name = url.split("worksheets('")[1].split("')")[0]
+            sheets[name] = kw["json"]["values"]
+            return 200, {}, {}
+        if url.endswith("/worksheets/add"):
+            sheets[kw["json"]["name"]] = []
+            return 200, {}, {}
+        return 404, {}, None
+
+    async def notebook_cell():
+        # everything in here executes WITH a running loop in this thread
+        wb = OneDriveWorkbook("/drives/d/items/i", transport=transport)
+        assert wb.sheet_names() == ["snapshot"]
+        header, rows = wb.read_sheet("snapshot")
+        assert header == ["snapshot_id"] and rows == [["0"]]
+        wb.create_sheet("table")
+        wb.write_sheet("table", ["table_id"], [["1"]])
+        return sheets["table"][0]
+
+    assert asyncio.run(notebook_cell()) == ["table_id"]
