@@ -6845,17 +6845,24 @@ class DuckLakeSpark:
 
         Scope is deliberately narrow — a wrong predicate PRUNES DATA, so
         every ambiguity bails to None (no skipping, still correct):
-        the table must be referenced exactly once, the WHERE must
-        directly follow ``FROM tname [AS alias]`` (no JOIN in between —
-        alias attribution across joins needs a resolver), and only
-        AND-level conjuncts of the shape ``[alias.]col op literal`` with
-        col in the table's schema are used.  Derived-column shadowing
-        can't occur in this scope: the WHERE binds directly to the scan,
+        the table must be referenced exactly once (after ``FROM`` or
+        ``JOIN``), and only top-level-AND conjuncts of the shape
+        ``[alias.]col op literal`` with col in the table's schema are
+        used.  Across plain equi/theta joins (inner and outer) the
+        extraction still applies with QUALIFIED refs only: a WHERE
+        ``col op literal`` conjunct evaluates false-or-NULL on a
+        NULL-extended row, so file pruning commutes with the join — any
+        joined row a pruned file would have produced is filtered by
+        that same WHERE either way.  ASOF / POSITIONAL joins bail:
+        their MATCH depends on which rows exist, so row removal changes
+        results instead of just filtering them.  LATERAL, comma joins,
+        and subqueries in FROM also bail.  Derived-column shadowing
+        can't occur in this scope: the WHERE binds the scan columns,
         before any SELECT renaming."""
         occurrences = [
             m
             for m in re.finditer(
-                rf"\bFROM\s+{re.escape(tname)}\b", stmt, re.I
+                rf"\b(FROM|JOIN)\s+{re.escape(tname)}\b", stmt, re.I
             )
             if not _inside_string_literal(stmt, m.start())
         ]
@@ -6867,22 +6874,91 @@ class DuckLakeSpark:
         if len(occurrences) != 1 or len(refs) != 1:
             return None
         rest = stmt[occurrences[0].end() :]
-        am = re.match(r"\s+(?:AS\s+)?(\w+)", rest)
-        alias = None
-        if am and am.group(1).upper() not in (
+        _STOP_WORDS = (
             "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "JOIN", "LEFT",
             "RIGHT", "FULL", "INNER", "CROSS", "ON", "USING", "UNION",
             "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW", "OFFSET", "ASOF",
             "SEMI", "ANTI", "NATURAL", "LATERAL", "SAMPLE", "TABLESAMPLE",
-        ):
+            "OUTER",
+        )
+        am = re.match(r"\s+(?:AS\s+)?(\w+)", rest)
+        alias = None
+        if am and am.group(1).upper() not in _STOP_WORDS:
             alias = am.group(1)
             rest = rest[am.end() :]
-        wm = re.match(r"\s*WHERE\b", rest, re.I)
-        if not wm:
+        # walk the rest of the FROM region at relative depth 0 up to the
+        # WHERE (or a terminator): collect every other table binder so an
+        # alias collision with ours bails, and bail on join forms whose
+        # semantics don't commute with row removal
+        other_binders: set[str] = set()
+        has_join = False
+        i2, n2 = 0, len(rest)
+        depth2 = 0
+        in_str2: str | None = None
+        where_at = None
+        expect_binder = False
+        while i2 < n2:
+            ch = rest[i2]
+            if in_str2:
+                if ch == in_str2:
+                    in_str2 = None
+                i2 += 1
+                continue
+            if ch in ("'", '"'):
+                in_str2 = ch
+                i2 += 1
+                continue
+            if ch == "(":
+                if expect_binder:
+                    return None  # subquery in FROM
+                depth2 += 1
+                i2 += 1
+                continue
+            if ch == ")":
+                if depth2 == 0:
+                    break  # end of enclosing subquery scope
+                depth2 -= 1
+                i2 += 1
+                continue
+            if ch == "," and depth2 == 0:
+                return None  # comma join — unhandled binder grammar
+            if (ch.isalpha() or ch == "_") and depth2 == 0:
+                j2 = i2
+                while j2 < n2 and (rest[j2].isalnum() or rest[j2] == "_"):
+                    j2 += 1
+                word = rest[i2:j2]
+                up = word.upper()
+                if up == "WHERE":
+                    where_at = j2
+                    break
+                if up in (
+                    "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY",
+                    "WINDOW", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
+                ):
+                    return None  # no WHERE in this scope
+                if up in ("ASOF", "POSITIONAL", "LATERAL"):
+                    return None  # match depends on which rows exist
+                if up == "JOIN":
+                    has_join = True
+                    expect_binder = True
+                elif expect_binder and up not in _STOP_WORDS:
+                    other_binders.add(word)
+                    expect_binder = False
+                    # optional alias for that binder
+                    am2 = re.match(r"\s+(?:AS\s+)?(\w+)", rest[j2:])
+                    if am2 and am2.group(1).upper() not in _STOP_WORDS:
+                        other_binders.add(am2.group(1))
+                        j2 += am2.end()
+                i2 = j2
+                continue
+            i2 += 1
+        if where_at is None:
             return None
+        if (alias or tname) in other_binders or tname in other_binders:
+            return None  # our binder name is ambiguous in this FROM
         # WHERE span: up to the enclosing subquery's close or the next
         # same-level tail keyword
-        body = rest[wm.end() :]
+        body = rest[where_at:]
         depth = 0
         in_str: str | None = None
         end = len(body)
@@ -6920,14 +6996,22 @@ class DuckLakeSpark:
                 self.catalog.table_id(tname)
             ).itertuples()
         }
-        return self._conjunct_predicates(body[:end], cols, (tname, alias))
+        return self._conjunct_predicates(
+            body[:end], cols, (tname, alias), require_qualified=has_join
+        )
 
     def _conjunct_predicates(
-        self, where_txt: str, cols: set, owners: tuple
+        self,
+        where_txt: str,
+        cols: set,
+        owners: tuple,
+        require_qualified: bool = False,
     ) -> list[tuple[str, str, object]] | None:
         """AND-level ``[owner.]col op literal`` conjuncts of a WHERE body
         as file-skipping predicates; None on any ambiguity (top-level OR
-        makes every conjunct optional, so nothing may prune)."""
+        makes every conjunct optional, so nothing may prune).  With
+        ``require_qualified`` (join scope) an unqualified col could
+        belong to another table, so only ``owner.col`` refs count."""
         if len(split_top_level_kw(where_txt, "OR")) > 1:
             return None
         preds: list[tuple[str, str, object]] = []
@@ -6938,6 +7022,8 @@ class DuckLakeSpark:
             ref, op, lit = pm.group(1), pm.group(2), pm.group(3)
             parts = ref.split(".")
             if len(parts) == 2 and parts[0] not in owners:
+                continue
+            if len(parts) == 1 and require_qualified:
                 continue
             col = parts[-1]
             if col not in cols:

@@ -477,6 +477,50 @@ def test_partition_transform_month_write_and_prune(lake):
     assert [t for _c, t in pid_cols] == ["identity", "year"]
 
 
+def test_scan_predicate_extraction_across_joins(lake):
+    """SQL-text file pruning now reaches JOIN queries (previously it
+    bailed on any join): qualified ``alias.col op literal`` WHERE
+    conjuncts prune the named table's files — correct even for outer
+    joins, because such a conjunct filters NULL-extended rows too, so
+    pruning commutes with the join.  ASOF/POSITIONAL (match depends on
+    which rows exist), comma joins, subqueries in FROM, unqualified
+    refs, and binder-name collisions all still bail to no-pruning."""
+    lake.sql("CREATE TABLE facts(id INTEGER, k INTEGER, v DOUBLE);")
+    lake.sql("CREATE TABLE dims(k INTEGER, name VARCHAR);")
+    for i in (1, 2, 3):
+        lake.sql(f"INSERT INTO facts VALUES ({i}, {i}, {i * 10.0});")
+    lake.sql("INSERT INTO dims VALUES (1,'a'), (2,'b'), (3,'c');")
+
+    cases = [
+        ("SELECT f.v, d.name FROM facts f JOIN dims d ON f.k = d.k "
+         "WHERE f.id >= 2", [("id", ">=", 2)]),
+        ("SELECT f.v FROM facts f LEFT JOIN dims d ON f.k = d.k "
+         "WHERE f.id = 3 AND d.name = 'c'", [("id", "=", 3)]),
+        ("SELECT f.v FROM facts f JOIN dims d ON f.k = d.k WHERE id >= 2",
+         None),
+        ("SELECT f.v FROM facts f ASOF JOIN dims d ON f.k >= d.k "
+         "WHERE f.id = 2", None),
+        ("SELECT v FROM facts WHERE id = 2", [("id", "=", 2)]),
+        ("SELECT f.v FROM facts f, dims d WHERE f.id = 2", None),
+        ("SELECT f.v FROM facts f JOIN dims facts ON f.k = facts.k "
+         "WHERE f.id = 2", None),
+    ]
+    for sql, expect in cases:
+        assert lake._extract_scan_predicates(sql, "facts") == expect, sql
+
+    # the extracted predicate actually skips files: 3 single-row files,
+    # id >= 2 keeps 2
+    tid = lake.catalog.table_id("facts")
+    paths = list(lake.catalog.data_files(tid)["path"])
+    assert len(paths) == 3
+    assert len(lake._skip_files(tid, None, paths, [("id", ">=", 2)])) == 2
+    # and the join result stays correct
+    assert rows(
+        lake.sql("SELECT f.id, d.name FROM facts f JOIN dims d "
+                 "ON f.k = d.k WHERE f.id >= 2")
+    ) == [(2, "b"), (3, "c")]
+
+
 def test_meta_time_travel(lake):
     """Catalog tables are SQL-queryable and themselves time-travel
     (reference README.md:164's planned meta time travel): the MVCC
