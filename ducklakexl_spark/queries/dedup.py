@@ -1010,3 +1010,55 @@ _ORACLES["dedup_lsh_recall"] = f"""
                  / count(*), 6) AS recall
     FROM ex LEFT JOIN lsh l ON l.doc_a = ex.doc_a AND l.doc_b = ex.doc_b
 """
+
+
+SOURCE_CAP = 20
+
+
+@query(
+    "dedup_per_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > {SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY source
+    """,
+)
+def dedup_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document capping — the standard pretraining guard
+    against a single hot domain dominating the mixture (the C4/RefinedWeb
+    per-host caps): keep at most {20} documents per source, selected by
+    a deterministic portable priority (md5 of doc_id — a seedless
+    shuffle both engines reproduce), and report kept/dropped per source.
+
+    100 TB shape: one window partitioned by source (a single shuffle on
+    the domain key); a pathological hot domain skews that shuffle, which
+    AQE skew-join splitting handles — and because only rank-vs-cap
+    survives, the alternative two-phase count-then-sample form stays
+    available without changing results."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("source", F.row_number().over(w).alias("rn"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("rn") <= SOURCE_CAP, 1).otherwise(0)
+        ).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(F.col("rn") > SOURCE_CAP, 1).otherwise(0)
+        ).cast("long").alias("n_dropped"),
+    )

@@ -478,3 +478,102 @@ def sketch_quantile_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("p50r") * 1000) / 1000).alias("p50_est"),
         (F.floor(F.col("p95r") * 1000) / 1000).alias("p95_est"),
     )
+
+
+# Theta sampling: keep user hashes below 2^60/THETA_INV of the 60-bit
+# space — the fixed-threshold variant of the theta sketch (KMV family).
+THETA_INV = 16
+THETA_MAX = (1 << 60) // THETA_INV
+
+
+@query(
+    "sketch_theta_set_ops",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#th'), 1, 15))::BIGINT AS h
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    s AS (SELECT * FROM u WHERE h < {THETA_MAX}),
+    a AS (SELECT user_id FROM s WHERE event_type = 'click'),
+    b AS (SELECT user_id FROM s WHERE event_type = 'purchase'),
+    ex AS (
+      SELECT
+        (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS xa,
+        (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS xb
+    )
+    SELECT
+      CAST((SELECT count(*) FROM a) * {THETA_INV} AS BIGINT) AS a_est,
+      CAST((SELECT count(*) FROM b) * {THETA_INV} AS BIGINT) AS b_est,
+      CAST((SELECT count(DISTINCT user_id)
+            FROM (SELECT user_id FROM a UNION SELECT user_id FROM b) t)
+           * {THETA_INV} AS BIGINT) AS union_est,
+      CAST((SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b))
+           * {THETA_INV} AS BIGINT) AS inter_est,
+      CAST((SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b))
+           * {THETA_INV} AS BIGINT) AS diff_est,
+      CAST(ex.xa AS BIGINT) AS a_exact,
+      CAST(ex.xb AS BIGINT) AS b_exact
+    FROM ex
+    """,
+)
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (the KMV/theta family behind
+    DataSketches): hash every user into a 60-bit space, keep only the
+    1/{16} fraction below a fixed threshold, and estimate distinct
+    counts AND set-expression cardinalities (A∪B, A∩B, A\\B) from the
+    retained sample scaled by 1/θ — the operation HLL cannot do
+    (HLL unions but never intersects without inclusion-exclusion error
+    stacking).  Exact distinct counts ride along as the audit columns.
+
+    100 TB shape: the theta filter drops (1-θ) of the corpus AT THE
+    SCAN (hash-predicate, no shuffle), every set expression then runs
+    on sample-sized relations; the sketch is mergeable by keeping
+    min(θ) and re-filtering — the same union discipline as the HLL
+    register-max merge."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#th"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = e.select("event_type", "user_id", h.alias("h")).distinct()
+    s = u.filter(F.col("h") < THETA_MAX)
+    a = s.filter(F.col("event_type") == "click").select("user_id")
+    b = s.filter(F.col("event_type") == "purchase").select("user_id")
+    inter = a.join(b, "user_id", "left_semi")
+    diff = a.join(b, "user_id", "left_anti")
+    union = a.union(b).distinct()
+    exact = e.groupBy().agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("xa"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("xb"),
+    )
+    scale = F.lit(THETA_INV)
+    return (
+        a.agg(F.count(F.lit(1)).alias("ca"))
+        .join(b.agg(F.count(F.lit(1)).alias("cb")))
+        .join(union.agg(F.count(F.lit(1)).alias("cu")))
+        .join(inter.agg(F.count(F.lit(1)).alias("ci")))
+        .join(diff.agg(F.count(F.lit(1)).alias("cd")))
+        .join(exact)
+        .select(
+            (F.col("ca") * scale).cast("long").alias("a_est"),
+            (F.col("cb") * scale).cast("long").alias("b_est"),
+            (F.col("cu") * scale).cast("long").alias("union_est"),
+            (F.col("ci") * scale).cast("long").alias("inter_est"),
+            (F.col("cd") * scale).cast("long").alias("diff_est"),
+            F.col("xa").cast("long").alias("a_exact"),
+            F.col("xb").cast("long").alias("b_exact"),
+        )
+    )

@@ -1023,3 +1023,115 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+DSIR_BUCKETS = 1024
+DSIR_SEED = 7
+
+
+@query(
+    "text_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(g || '#{DSIR_SEED}'),
+                              1, 8))::BIGINT % {DSIR_BUCKETS}) AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS g
+        FROM tok) t
+    ),
+    ct AS (SELECT b, count(*) AS c FROM feats WHERE lang = 'en' GROUP BY b),
+    cr AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+    nt AS (SELECT count(*) AS n FROM feats WHERE lang = 'en'),
+    nr AS (SELECT count(*) AS n FROM feats),
+    scored AS (
+      SELECT f.doc_id,
+             ln(((coalesce(ct.c, 0) + 1.0) * (nr.n + {DSIR_BUCKETS}))
+                / ((cr.c + 1.0) * (nt.n + {DSIR_BUCKETS}))) AS lr
+      FROM feats f
+      LEFT JOIN ct ON ct.b = f.b
+      JOIN cr ON cr.b = f.b
+      CROSS JOIN nt CROSS JOIN nr
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           round(avg(lr), 6) AS dsir_weight
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    documents are featurized as HASHED BIGRAMS (md5 → one of 1024
+    buckets), a target distribution (here lang='en' docs) and the raw
+    corpus distribution are estimated over the buckets with add-1
+    smoothing, and each document's weight is its mean bucket
+    log-likelihood ratio ln(p_target/p_raw).  Resampling by these
+    weights skews a pretraining mixture toward the target domain.
+
+    100 TB shape: the bucketed feature space is CONSTANT-sized (1024
+    rows) however large the corpus, so both count passes partially
+    aggregate map-side into one narrow shuffle each, and scoring is a
+    broadcast join — the only corpus-wide shuffle is the per-doc
+    aggregation."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = d.select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("g"), F.lit(f"#{DSIR_SEED}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    ct = feats.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    cr = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    nt = feats.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    nr = feats.agg(F.count(F.lit(1)).alias("n_r"))
+    scored = (
+        feats.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(nr))
+        .select(
+            "doc_id",
+            F.log(
+                (
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+                    * (F.col("n_r") + DSIR_BUCKETS)
+                )
+                / ((F.col("c_r") + 1.0) * (F.col("n_t") + DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(F.avg("lr"), 6).alias("dsir_weight"),
+    )

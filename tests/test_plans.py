@@ -394,3 +394,21 @@ def test_hll_merge_joins_only_sketch_metadata(spark):
 def test_canonical_pick_no_bnlj(spark):
     plan = executed_plan(spark, "dedup_canonical_pick")
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcasts_bucket_stats(spark):
+    """DSIR scoring joins the constant-sized (1024-bucket) frequency
+    tables back onto the corpus features — broadcast, never a
+    corpus-wide SortMergeJoin (the 100 TB property of hashed-feature
+    importance weighting)."""
+    plan = executed_plan(spark, "text_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_set_ops_no_cartesian(spark):
+    """Theta set expressions run on sample-sized relations; the only
+    joins are semi/anti/single-row — no cartesian over the corpus."""
+    plan = executed_plan(spark, "sketch_theta_set_ops")
+    assert "CartesianProduct" not in plan
