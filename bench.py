@@ -57,6 +57,8 @@ HEADLINE = [
     "events_markov_transitions",
     "ml_auc_quality",
     "sketch_hll_merge_daily",
+    "text_dsir_importance",
+    "sketch_theta_set_ops",
 ]
 
 

@@ -1082,24 +1082,30 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(toks)
+    # bigrams via arrays_zip of two slices, NOT transform(sequence(...),
+    # element_at) — the lambda-HOF form runs interpreted with per-element
+    # allocation and measured 4x the cold time (8 s vs 2 s at sf0.1) for
+    # the identical output
+    pairs = F.when(
+        n >= 2, F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
     feats = d.select(
-        "doc_id", "lang", F.explode(grams).alias("g")
+        "doc_id", "lang", F.explode(pairs).alias("p")
     ).select(
         "doc_id",
         "lang",
         (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.col("g"), F.lit(f"#{DSIR_SEED}"))), 1, 8
+                    F.md5(
+                        F.concat(
+                            F.concat_ws(" ", F.col("p.0"), F.col("p.1")),
+                            F.lit(f"#{DSIR_SEED}"),
+                        )
+                    ),
+                    1,
+                    8,
                 ),
                 16,
                 10,
@@ -1107,26 +1113,24 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("b"),
     )
-    ct = feats.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_t")
+    # ONE stats pass builds both distributions (bucket-conditional
+    # counts), and the totals reduce the 1024-row stats frame — the
+    # corpus is scanned exactly twice (train pass + score pass), not
+    # once per distribution
+    stats = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
     )
-    cr = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
-    nt = feats.filter(F.col("lang") == "en").agg(
-        F.count(F.lit(1)).alias("n_t")
+    tot = stats.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
     )
-    nr = feats.agg(F.count(F.lit(1)).alias("n_r"))
     scored = (
-        feats.join(F.broadcast(ct), "b", "left")
-        .join(F.broadcast(cr), "b")
-        .join(F.broadcast(nt))
-        .join(F.broadcast(nr))
+        feats.join(F.broadcast(stats), "b")
+        .join(F.broadcast(tot))
         .select(
             "doc_id",
             F.log(
-                (
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
-                    * (F.col("n_r") + DSIR_BUCKETS)
-                )
+                ((F.col("c_t") + 1.0) * (F.col("n_r") + DSIR_BUCKETS))
                 / ((F.col("c_r") + 1.0) * (F.col("n_t") + DSIR_BUCKETS))
             ).alias("lr"),
         )
