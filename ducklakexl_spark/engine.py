@@ -1242,6 +1242,11 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         if fmt is None:
             raise ValueError("format: template must be a string literal")
         out, i, n = [], 0, len(fmt)
+        # java.util.Formatter %f rejects DECIMAL/BigDecimal values (a
+        # DuckDB numeric literal like 3.14 parses DECIMAL in Spark) —
+        # args consumed by an f-spec get a CAST(... AS DOUBLE)
+        float_args: set[int] = set()
+        seq = 0  # next sequential arg index (0-based into a[1:])
         while i < n:
             ch = fmt[i]
             if ch == "{" and i + 1 < n and fmt[i + 1] == "{":
@@ -1256,11 +1261,16 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
                     raise ValueError(f"format: unbalanced brace in {fmt!r}")
                 spec = fmt[i + 1 : close]
                 pos, _, conv = spec.partition(":")
-                prefix = f"%{int(pos) + 1}$" if pos.strip().isdigit() else "%"
+                positional = pos.strip().isdigit()
+                arg_idx = int(pos) if positional else seq
+                if not positional:
+                    seq += 1
+                prefix = f"%{arg_idx + 1}$"if positional else "%"
                 if not conv:
                     out.append(prefix + "s")
                 elif re.fullmatch(r"\.\d+f", conv):
                     out.append(prefix + conv)
+                    float_args.add(arg_idx)
                 elif conv in ("d", "s", "x", "o"):
                     out.append(prefix + conv)
                 else:
@@ -1272,11 +1282,31 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             else:
                 out.append(ch)
                 i += 1
+        args = [
+            f"CAST({arg} AS DOUBLE)" if j in float_args else arg
+            for j, arg in enumerate(a[1:])
+        ]
         return (
             f"format_string({_sql_str(''.join(out))}"
-            + (", " + ", ".join(a[1:]) if len(a) > 1 else "")
+            + (", " + ", ".join(args) if args else "")
             + ")"
         )
+    if key == "json_group_array":
+        # DuckDB JSON aggregate: collect into a JSON array string
+        return f"to_json(collect_list({a[0]}))"
+    if key == "timezone" and len(a) == 2:
+        # DuckDB timezone(tz, naive_ts): interpret the naive timestamp
+        # in tz -> TIMESTAMPTZ (rendered in the UTC session zone).  The
+        # TIMESTAMPTZ-input overload (convert the other way) is not
+        # detectable from text; scripts overwhelmingly use the naive
+        # form.
+        return f"to_utc_timestamp({a[1]}, {a[0]})"
+    if key == "date_add" and len(a) == 2 and re.match(
+        r"^\s*INTERVAL\b", a[1], re.I
+    ):
+        # DuckDB date_add(date, INTERVAL): Spark's date_add takes an
+        # int of days — the interval form is plain date arithmetic
+        return f"({a[0]} + {a[1]})"
     if key == "len":
         # DuckDB len() is polymorphic (lists AND strings); Spark splits
         # it into size()/length().  A string literal argument is the one
@@ -1733,7 +1763,7 @@ _DUCK_FN_TEMPLATES = {
     "least_common_multiple", "list_select", "list_where", "list_resize",
     "regexp_full_match", "datediff", "date_trunc",
     "format", "len", "try_strptime", "list_has_all", "list_aggregate",
-    "list_aggr",
+    "list_aggr", "json_group_array", "timezone", "date_add",
     "list_dot_product", "list_inner_product", "array_inner_product",
     "list_cosine_similarity", "array_cosine_similarity",
     "list_cosine_distance", "array_cosine_distance",

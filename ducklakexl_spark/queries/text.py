@@ -1052,8 +1052,10 @@ DSIR_SEED = 7
     nr AS (SELECT count(*) AS n FROM feats),
     scored AS (
       SELECT f.doc_id,
-             ln(((coalesce(ct.c, 0) + 1.0) * (nr.n + {DSIR_BUCKETS}))
-                / ((cr.c + 1.0) * (nt.n + {DSIR_BUCKETS}))) AS lr
+             CAST(floor(ln(
+                CAST((coalesce(ct.c, 0) + 1) * (nr.n + {DSIR_BUCKETS}) AS DOUBLE)
+                / CAST((cr.c + 1) * (nt.n + {DSIR_BUCKETS}) AS DOUBLE)
+             ) * 1000000) AS BIGINT) AS lr_micro
       FROM feats f
       LEFT JOIN ct ON ct.b = f.b
       JOIN cr ON cr.b = f.b
@@ -1061,7 +1063,8 @@ DSIR_SEED = 7
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_feats,
-           round(avg(lr), 6) AS dsir_weight
+           round(CAST(sum(lr_micro) AS DOUBLE) / 1000000.0 / count(*), 6)
+             AS dsir_weight
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1124,18 +1127,36 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = stats.agg(
         F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
     )
+    # per-feature log-ratios floor-quantize to integer MICRO-units
+    # before the per-doc sum: float summation is partition-order-
+    # dependent and a boundary doc rounds differently between engines;
+    # integer sums are exact in any order (the repo's micro-unit
+    # discipline)
     scored = (
         feats.join(F.broadcast(stats), "b")
         .join(F.broadcast(tot))
         .select(
             "doc_id",
-            F.log(
-                ((F.col("c_t") + 1.0) * (F.col("n_r") + DSIR_BUCKETS))
-                / ((F.col("c_r") + 1.0) * (F.col("n_t") + DSIR_BUCKETS))
-            ).alias("lr"),
+            # integer numerator/denominator (exact in any engine), ONE
+            # float division, then ln — no decimal-literal typing or
+            # float-product order can perturb the input to ln
+            F.floor(
+                F.log(
+                    ((F.col("c_t") + 1) * (F.col("n_r") + DSIR_BUCKETS))
+                    .cast("double")
+                    / ((F.col("c_r") + 1) * (F.col("n_t") + DSIR_BUCKETS))
+                    .cast("double")
+                )
+                * 1000000
+            ).alias("lr_micro"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_feats"),
-        F.round(F.avg("lr"), 6).alias("dsir_weight"),
+        F.round(
+            F.sum("lr_micro").cast("double")
+            / 1000000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dsir_weight"),
     )

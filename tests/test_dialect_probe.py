@@ -105,6 +105,19 @@ PROBES = [
     ("materialized_in_literal",
      "SELECT 'x AS MATERIALIZED (y' AS s"),
     ("sign_nested_cast", "SELECT CAST(sign(-2.5) AS INT) AS s"),
+    ("json_group_array_f",
+     # single element: collect_list is partition-order-dependent, so a
+     # multi-row probe would be flaky in BOTH engines' contract
+     "SELECT json_group_array(x) AS j FROM (SELECT 7 AS x) t"),
+    ("timezone_naive",
+     # cast to naive: DuckDB yields TIMESTAMPTZ whose str carries +00:00
+     # under the UTC session; values are identical
+     "SELECT CAST(timezone('America/New_York', "
+     "TIMESTAMP '2024-01-01 00:00:00') AS TIMESTAMP) AS t"),
+    ("date_add_interval",
+     "SELECT date_add(DATE '2024-01-01', INTERVAL 3 DAY) AS d"),
+    ("format_float_decimal",
+     "SELECT format('{:.2f}|{}', 3.14159, 'x') AS f"),
 ]
 
 
