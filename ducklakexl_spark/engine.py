@@ -1294,6 +1294,18 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key == "json_group_array":
         # DuckDB JSON aggregate: collect into a JSON array string
         return f"to_json(collect_list({a[0]}))"
+    if key == "json_valid":
+        return f"(try_parse_json({a[0]}) IS NOT NULL)"
+    if (
+        key == "map"
+        and len(a) == 2
+        and a[0].lstrip().lower().startswith(("array(", "["))
+        and a[1].lstrip().lower().startswith(("array(", "["))
+    ):
+        # DuckDB map(keys_list, values_list) — only when both args are
+        # visibly list constructors; Spark's own alternating-scalar
+        # map(k, v) (emitted by the inlined-insert writer) passes through
+        return f"map_from_arrays({a[0]}, {a[1]})"
     if key == "timezone" and len(a) == 2:
         # DuckDB timezone(tz, naive_ts): interpret the naive timestamp
         # in tz -> TIMESTAMPTZ (rendered in the UTC session zone).  The
@@ -1764,6 +1776,7 @@ _DUCK_FN_TEMPLATES = {
     "regexp_full_match", "datediff", "date_trunc",
     "format", "len", "try_strptime", "list_has_all", "list_aggregate",
     "list_aggr", "json_group_array", "timezone", "date_add",
+    "json_valid", "map",
     "list_dot_product", "list_inner_product", "array_inner_product",
     "list_cosine_similarity", "array_cosine_similarity",
     "list_cosine_distance", "array_cosine_distance",
@@ -2154,6 +2167,21 @@ _LIKE_ESCAPE_RE = re.compile(
 _DATE_LIT_INTERVAL_RE = re.compile(
     r"\bDATE\s*('(?:[^']|'')*')\s*([+-])\s*(?=INTERVAL\b)", re.I
 )
+# the ::DATE spelling of the same idiom: 'lit'::DATE ± INTERVAL (and
+# col::DATE ± INTERVAL) — DuckDB types the sum TIMESTAMP, Spark DATE
+_CAST_DATE_INTERVAL_RE = re.compile(
+    r"('(?:[^']|'')*'|[\w.]+)\s*::\s*DATE\s*([+-])\s*(?=INTERVAL\b)", re.I
+)
+# DATE 'a' - DATE 'b': DuckDB yields INTEGER days, Spark an INTERVAL
+_DATE_MINUS_DATE_RE = re.compile(
+    r"\bDATE\s*('(?:[^']|'')*')\s*-\s*DATE\s*('(?:[^']|'')*')", re.I
+)
+# FILTER (cond) — DuckDB allows omitting WHERE; Spark requires it.
+# Must follow an aggregate's closing paren, which distinguishes the
+# clause from the filter(arr, lambda) higher-order FUNCTION
+_FILTER_NO_WHERE_RE = re.compile(r"(\))\s*FILTER\s*\(\s*(?!WHERE\b)", re.I)
+# @(x): DuckDB's abs operator
+_ABS_OP_RE = re.compile(r"@\s*\(")
 
 
 def rewrite_duck_operators(stmt: str) -> str:
@@ -2215,6 +2243,35 @@ def rewrite_duck_operators(stmt: str) -> str:
         return f"LIKE '{''.join(converted)}'"
 
     stmt = _LIKE_ESCAPE_RE.sub(_esc, stmt)
+    _post = stmt
+    stmt = _DATE_MINUS_DATE_RE.sub(
+        lambda m: m.group(0)
+        if _inside_string_literal(_post, m.start())
+        # DuckDB: DATE - DATE is INTEGER days; Spark yields an INTERVAL
+        else f"datediff(DATE {m.group(1)}, DATE {m.group(2)})",
+        stmt,
+    )
+    _post2 = stmt
+    stmt = _CAST_DATE_INTERVAL_RE.sub(
+        lambda m: m.group(0)
+        if _inside_string_literal(_post2, m.start())
+        else f"CAST({m.group(1)}::DATE AS TIMESTAMP) {m.group(2)} ",
+        stmt,
+    )
+    _post3 = stmt
+    stmt = _FILTER_NO_WHERE_RE.sub(
+        lambda m: m.group(0)
+        if _inside_string_literal(_post3, m.start())
+        else f"{m.group(1)} FILTER (WHERE ",
+        stmt,
+    )
+    _post4 = stmt
+    stmt = _ABS_OP_RE.sub(
+        lambda m: m.group(0)
+        if _inside_string_literal(_post4, m.start())
+        else "abs(",
+        stmt,
+    )
     return _DATE_LIT_INTERVAL_RE.sub(
         lambda m: f"CAST(DATE {m.group(1)} AS TIMESTAMP) {m.group(2)} ",
         stmt,

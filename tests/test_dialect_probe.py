@@ -118,6 +118,17 @@ PROBES = [
      "SELECT date_add(DATE '2024-01-01', INTERVAL 3 DAY) AS d"),
     ("format_float_decimal",
      "SELECT format('{:.2f}|{}', 3.14159, 'x') AS f"),
+    ("date_minus_date",
+     "SELECT DATE '2024-03-05' - DATE '2024-03-01' AS days"),
+    ("cast_date_plus_interval",
+     "SELECT '2024-01-01'::DATE + INTERVAL 1 DAY AS d"),
+    ("filter_no_where",
+     "SELECT count(*) FILTER (r_regionkey > 1) AS c FROM region"),
+    ("json_valid_f",
+     """SELECT json_valid('{"a":1}') AS v, json_valid('nope') AS n"""),
+    ("abs_at_operator", "SELECT @(-5) AS a"),
+    ("map_list_form",
+     "SELECT cardinality(map([1,2],[10,20])) AS n"),
 ]
 
 
