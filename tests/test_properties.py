@@ -384,3 +384,23 @@ def test_driver_window_samples_every_family():
     osql = e.oracle_sql()
     no_oracle = [n for n in first50 if n not in osql]
     assert not no_oracle, f"driver-window queries without oracle: {no_oracle}"
+
+
+def test_documents_fixture_is_ascii():
+    """The multimodal oracles equate payload BYTES with text CHARS
+    (ord(substr(text, i, 1)) == utf-8 byte i), which holds only for
+    pure-ASCII fixtures.  If the driver ever regenerates documents with
+    non-ASCII text, fail HERE with a clear message instead of as opaque
+    value-hash mismatches across every mm_* query."""
+    import duckdb
+
+    for sf in ("0.001", "0.01"):
+        n = duckdb.connect().execute(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/documents.parquet' "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"sf{sf}: {n} non-ASCII documents — the mm_* oracles' "
+            "byte==char equivalence no longer holds; re-derive the "
+            "multimodal oracles over bytes (see queries/multimodal.py)"
+        )
