@@ -974,3 +974,42 @@ def percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_cont_hist(
         li, "l_returnflag", "l_quantity", {"q25": 0.25, "q50": 0.50, "q75": 0.75}
     )
+
+
+@query(
+    "join_copartition_reuse",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, round(sum(value), 4) AS total_value
+      FROM events GROUP BY user_id
+    ),
+    diversity AS (
+      SELECT user_id, count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id
+    )
+    SELECT t.user_id, t.total_value, d.n_types
+    FROM totals t JOIN diversity d ON t.user_id = d.user_id
+    WHERE d.n_types >= 4
+    """,
+)
+def join_copartition_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning reuse across stages — the 100 TB pattern of keying
+    every stage on the SAME column so the join step is free: both
+    aggregations shuffle on user_id (their own required distribution),
+    and the join then adds ZERO exchanges because both inputs already
+    arrive hash-partitioned on the join key (verified in the plan guard:
+    no Exchange sits between the aggregates and the join).  At fixture
+    scale AQE further converts the join to broadcast; at cluster scale
+    the same plan runs as a shuffle-free SortMergeJoin."""
+    e = load(spark, sf_dir, "events")
+    totals = e.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    diversity = e.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    return (
+        totals.join(diversity, "user_id")
+        .filter(F.col("n_types") >= 4)
+        .select("user_id", "total_value", "n_types")
+    )

@@ -412,3 +412,16 @@ def test_theta_set_ops_no_cartesian(spark):
     joins are semi/anti/single-row — no cartesian over the corpus."""
     plan = executed_plan(spark, "sketch_theta_set_ops")
     assert "CartesianProduct" not in plan
+
+
+def test_copartition_join_adds_no_exchange(spark):
+    """Both aggregations key on user_id, so the join must introduce no
+    exchange of its own: every Exchange in the final plan partitions on
+    a key set CONTAINING user_id (the aggregates' own requirement) —
+    none is a join-induced repartition of an already-aggregated side."""
+    plan = executed_plan(spark, "join_copartition_reuse")
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", final):
+        assert "user_id" in m.group(1), m.group(0)
