@@ -1477,3 +1477,174 @@ _ORACLES["sim_diversity_coverage"] = f"""
            CAST(sum(mc) // count(*) AS DOUBLE) / 1000000
     FROM trows
 """
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label AS cell, list(v ORDER BY i) AS cvec
+      FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+            FROM embeddings, generate_series(1, {DIM}) t(i)
+            GROUP BY label, i)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cell,
+             {_sql_cosine("e.embedding", "c.cvec")} AS cs
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cell) AS rn
+        FROM scored) t WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cell FROM (
+        SELECT cell, row_number() OVER (ORDER BY cs DESC, cell) AS rn
+        FROM scored WHERE vec_id = 0) t WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell
+      WHERE a.vec_id <> 0
+    ),
+    cb AS (
+      SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    dists AS (
+      SELECT e.vec_id, t.m, cb.code,
+             list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+               i -> (CAST(e.embedding[t.m * {PQ_SUBDIM} + i] AS DOUBLE)
+                     - CAST(cb.embedding[t.m * {PQ_SUBDIM} + i] AS DOUBLE))
+                  * (CAST(e.embedding[t.m * {PQ_SUBDIM} + i] AS DOUBLE)
+                     - CAST(cb.embedding[t.m * {PQ_SUBDIM} + i] AS DOUBLE))))
+               AS d
+      FROM embeddings e, generate_series(0, {PQ_M - 1}) t(m), cb
+      WHERE e.vec_id IN (SELECT vec_id FROM cand) OR e.vec_id = 0
+    ),
+    enc AS (
+      SELECT vec_id, m, code
+      FROM (SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, code) AS rn
+            FROM dists
+            WHERE vec_id IN (SELECT vec_id FROM cand)) x
+      WHERE rn = 1
+    ),
+    qd AS (SELECT m, code, d FROM dists WHERE vec_id = 0),
+    adc AS (
+      SELECT enc.vec_id, round(sum(qd.d), 6) AS adc_dist
+      FROM enc JOIN qd ON qd.m = enc.m AND qd.code = enc.code
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id AS neighbor_id, rnk, adc_dist
+    FROM (SELECT vec_id, adc_dist,
+                 row_number() OVER (ORDER BY adc_dist, vec_id) AS rnk
+          FROM adc) t
+    WHERE rnk <= {PQ_TOPK}
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN composition (the FAISS IVFPQ index,
+    Jégou et al. 2011 §IV): a coarse IVF quantizer restricts the search
+    to the query's 2 probed cells, and candidates are scored in the
+    COMPRESSED domain by PQ asymmetric distance (sum of {PQ_M} table
+    lookups) — never touching full floats for the non-probed corpus.
+
+    Scale shape — this is what a 100 TB vector store actually runs:
+    one corpus scan assigns cells (broadcast centroids, constant-folded
+    codegen); the cell filter drops (1 - nprobe/k) of the corpus BEFORE
+    the PQ projection, so the encode+ADC work is proportional to the
+    probed inverted lists, not the corpus; the query's {PQ_M}x{PQ_K}
+    distance table computes driver-side and constant-folds; top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge, no global
+    sort)."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    cnorm = {c: math.sqrt(sum(v * v for v in cv)) for c, cv in cents}
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    cb = [rows[c] for c in range(PQ_K)]
+    qv = cb[0]  # query = vector 0 (the oracle's choice)
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, w in zip(a, b):
+            s = s + x * w
+        return s
+
+    qn = math.sqrt(sum(v * v for v in qv))
+    probed = [
+        int(-neg)
+        for _cs, neg in sorted(
+            ((_dot(qv, cv) / (qn * cnorm[c]), -c) for c, cv in cents),
+            reverse=True,
+        )[:2]
+    ]
+
+    assign = _ivf_scored(spark, sf_dir).select(
+        "vec_id",
+        "evec",
+        (-F.array_max("scores").getField("negcell")).alias("cell"),
+    )
+    cand = assign.filter(
+        F.col("cell").isin(probed) & (F.col("vec_id") != 0)
+    )
+    # PQ encode runs on the PROBED candidates only (the filter sits
+    # between _ivf_scored's barrier and this projection)
+    lower = cand.select(
+        "vec_id",
+        *[
+            F.expr(f"({_pq_subdist_sql('evec', cb[c], m)})").alias(
+                f"_d{m}_{c}"
+            )
+            for m in range(PQ_M)
+            for c in range(PQ_K)
+        ],
+        F.monotonically_increasing_id().alias("_b2"),
+    ).filter(F.col("_b2") >= 0)
+    codes = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_d{m}_{c}").alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(PQ_K)
+                ]
+            )
+        )
+        .getField("c")
+        .alias(f"_code{m}")
+        for m in range(PQ_M)
+    ]
+    encoded = lower.select("vec_id", *codes)
+    tables = [
+        [_pq_subdist_py(qv, cb[c], m) for c in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    adc_sql = " + ".join(
+        "element_at(array({vals}), CAST(_code{m} AS INT) + 1)".format(
+            vals=", ".join(f"{v!r}D" for v in tables[m]), m=m
+        )
+        for m in range(PQ_M)
+    )
+    scored = encoded.select(
+        "vec_id", F.round(F.expr(f"({adc_sql})"), 6).alias("adc_dist")
+    )
+    top = scored.orderBy("adc_dist", "vec_id").limit(PQ_TOPK)
+    w = W.orderBy("adc_dist", "vec_id")
+    return top.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.row_number().over(w).alias("rnk"),
+        "adc_dist",
+    )

@@ -425,3 +425,13 @@ def test_copartition_join_adds_no_exchange(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", final):
         assert "user_id" in m.group(1), m.group(0)
+
+
+def test_ivfpq_no_joins_before_topk(spark):
+    """IVFPQ: assignment + encode + ADC is a pure scan pipeline — no
+    SortMergeJoin or cartesian anywhere, and the top-k is
+    TakeOrderedAndProject (no global sort of the candidates)."""
+    plan = executed_plan(spark, "sim_ivfpq_topk")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
