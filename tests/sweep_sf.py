@@ -22,8 +22,13 @@ def main() -> int:
 
     done = set()
     if os.path.exists(state):
+        # only OK/SKIP lines count as done — ERROR lines (e.g. from a
+        # killed JVM cascading ConnectionRefused) are retried on resume
         done = {
-            line.split(" ", 1)[0] for line in open(state) if line.strip()
+            line.split(" ", 1)[0]
+            for line in open(state)
+            if line.strip()
+            and (" OK" in line or " SKIP" in line)
         }
 
     import duckdb
@@ -37,6 +42,9 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # the default 1g driver heap OOM-kills the JVM on the heavier
+        # graph/dedup queries at sf>=0.1, poisoning the whole chunk
+        .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "24g"))
         .getOrCreate()
     )
     con = duckdb.connect()
@@ -68,6 +76,14 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001
                 status = f"ERROR {type(exc).__name__}"
                 fails += 1
+                if isinstance(exc, ConnectionRefusedError) or (
+                    "Answer from Java side is empty" in str(exc)
+                ):
+                    # the JVM is gone — abort the chunk instead of
+                    # writing a cascade of bogus failures
+                    print(f"{n}: JVM lost, aborting chunk", flush=True)
+                    out.write(f"{n} {status}\n")
+                    return 1
             out.write(f"{n} {status}\n")
             out.flush()
             print(n, status, flush=True)
