@@ -1052,10 +1052,8 @@ DSIR_SEED = 7
     nr AS (SELECT count(*) AS n FROM feats),
     scored AS (
       SELECT f.doc_id,
-             CAST(floor(ln(
-                CAST((coalesce(ct.c, 0) + 1) * (nr.n + {DSIR_BUCKETS}) AS DOUBLE)
-                / CAST((cr.c + 1) * (nt.n + {DSIR_BUCKETS}) AS DOUBLE)
-             ) * 1000000) AS BIGINT) AS lr_micro
+             ((1000000 * (coalesce(ct.c, 0) + 1) * (nr.n + {DSIR_BUCKETS}))
+              // ((cr.c + 1) * (nt.n + {DSIR_BUCKETS}))) AS lr_micro
       FROM feats f
       LEFT JOIN ct ON ct.b = f.b
       JOIN cr ON cr.b = f.b
@@ -1063,8 +1061,7 @@ DSIR_SEED = 7
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_feats,
-           round(CAST(sum(lr_micro) AS DOUBLE) / 1000000.0 / count(*), 6)
-             AS dsir_weight
+           CAST(sum(lr_micro) // count(*) AS BIGINT) AS dsir_weight_micro
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1074,9 +1071,12 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents are featurized as HASHED BIGRAMS (md5 → one of 1024
     buckets), a target distribution (here lang='en' docs) and the raw
     corpus distribution are estimated over the buckets with add-1
-    smoothing, and each document's weight is its mean bucket
-    log-likelihood ratio ln(p_target/p_raw).  Resampling by these
-    weights skews a pretraining mixture toward the target domain.
+    smoothing, and each document's weight is its mean bucket likelihood
+    ratio p_target/p_raw (the integer-exact variant of the paper's mean
+    log-ratio — monotone per feature, and immune to the JVM-vs-libm
+    ln() ulp differences that flipped rounding boundaries at sf0.1).
+    Resampling by these weights skews a pretraining mixture toward the
+    target domain.
 
     100 TB shape: the bucketed feature space is CONSTANT-sized (1024
     rows) however large the corpus, so both count passes partially
@@ -1137,26 +1137,26 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .select(
             "doc_id",
-            # integer numerator/denominator (exact in any engine), ONE
-            # float division, then ln — no decimal-literal typing or
-            # float-product order can perturb the input to ln
-            F.floor(
-                F.log(
-                    ((F.col("c_t") + 1) * (F.col("n_r") + DSIR_BUCKETS))
-                    .cast("double")
-                    / ((F.col("c_r") + 1) * (F.col("n_t") + DSIR_BUCKETS))
-                    .cast("double")
-                )
-                * 1000000
+            # per-feature likelihood RATIO in integer micro-units — all
+            # integer ops, so no float sum order, decimal-literal typing
+            # or JVM-vs-libm ln() ulp difference can flip a value (the
+            # sf0.1 sweep caught exactly that with the ln form; ratio vs
+            # log-ratio is monotone per feature).  Magnitude bound:
+            # 1e6 * n_feats^2 must fit BIGINT — holds to ~2.9e6 features
+            # per corpus partition of the ratio (sf1-scale fixtures).
+            F.expr(
+                f"(1000000 * (c_t + 1) * (n_r + {DSIR_BUCKETS})) div "
+                f"((c_r + 1) * (n_t + {DSIR_BUCKETS}))"
             ).alias("lr_micro"),
         )
     )
+    # integer end to end: the mean stays in micro-units via integer
+    # division — round() of a float mean diverges between engines on
+    # exact half-decimal boundaries (the repo has measured this three
+    # times now; see ml_gd_linear_probe)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_feats"),
-        F.round(
-            F.sum("lr_micro").cast("double")
-            / 1000000.0
-            / F.count(F.lit(1)),
-            6,
-        ).alias("dsir_weight"),
+        F.expr("CAST(sum(lr_micro) div count(*) AS BIGINT)").alias(
+            "dsir_weight_micro"
+        ),
     )
