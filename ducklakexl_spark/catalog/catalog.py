@@ -531,8 +531,19 @@ class DuckLakeCatalog:
 
     def drop_column(self, table_id: int, name: str) -> int:
         """End-snapshot the column row; data files keep the physical
-        column, scans stop projecting it — instant at any table size."""
+        column, scans stop projecting it — instant at any table size.
+        A live partition KEY cannot be dropped: the scheme would dangle
+        and the next partitioned write would fail confusingly."""
         row = self._column_row(table_id, name)
+        scheme = self.partition_scheme(table_id)
+        if scheme and any(
+            cid == int(row["column_id"]) for cid, _t in scheme[1]
+        ):
+            raise ValueError(
+                f"cannot drop column {name!r}: it is a partition key of "
+                "the live partition scheme (SET PARTITIONED BY a new "
+                "scheme first)"
+            )
         snapshot = self.current_snapshot + 1
         df = self.tables["ducklake_column"]
         mask = self.live_mask(df) & (df["column_id"] == int(row["column_id"]))

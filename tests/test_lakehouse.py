@@ -475,6 +475,15 @@ def test_partition_transform_month_write_and_prune(lake):
     lake.sql("ALTER TABLE ev SET PARTITIONED BY (id, year(ts));")
     pid_cols = lake.catalog.partition_scheme(tid)[1]
     assert [t for _c, t in pid_cols] == ["identity", "year"]
+    # dropping a live partition KEY must raise (a dangling scheme would
+    # crash the next partitioned write); renaming is id-based and safe
+    with pytest.raises(ValueError, match="partition key"):
+        lake.sql("ALTER TABLE ev DROP COLUMN ts;")
+    lake.sql("ALTER TABLE ev RENAME COLUMN ts TO event_ts;")
+    lake.sql(
+        "INSERT INTO ev VALUES (9, TIMESTAMP '2025-07-01 00:00:00', 9.0);"
+    )
+    assert rows(lake.sql("SELECT count(*) AS n FROM ev"))[0][0] == 6
 
 
 def test_scan_predicate_extraction_across_joins(lake):
