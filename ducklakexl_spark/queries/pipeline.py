@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ducklakexl_spark.queries import load, query
-from ducklakexl_spark.queries.dedup import SPAN_N, _sql_hash, portable_hash
+from ducklakexl_spark.queries.dedup import (
+    SPAN_N,
+    _sql_hash,
+    portable_hash,
+    word_ngrams_col,
+)
 
 DUP_FRAC_MAX = 0.5  # span stage: drop docs with > 50% duplicated 8-grams
 
@@ -126,10 +131,7 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = keepers.filter(F.col("nt") >= SPAN_N).select(
         "doc_id",
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.col("nt") - F.lit(SPAN_N - 1)),
-                lambda i: F.array_join(F.slice(F.col("toks"), i, SPAN_N), " "),
-            )
+            word_ngrams_col(F.col("toks"), SPAN_N)
         ).alias("gs"),
     )
     ex = grams.select("doc_id", F.explode("gs").alias("g")).select(

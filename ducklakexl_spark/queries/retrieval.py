@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ducklakexl_spark.queries import load, query
+from ducklakexl_spark.queries.dedup import word_ngrams_col
 
 # alpha word tokens of the lowercased text — the tokenizer every query
 # in this module shares (identical regex semantics in Spark and DuckDB)
@@ -88,14 +89,7 @@ def text_contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.when(
                 n >= 3,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), n - 2),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(F.col("toks"), i, 3)
-                        ),
-                    )
-                ),
+                F.array_distinct(word_ngrams_col(F.col("toks"), 3)),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )

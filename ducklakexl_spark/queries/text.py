@@ -237,12 +237,10 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(w)
+    from ducklakexl_spark.queries.dedup import word_ngrams_col
+
     bg = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
-        ),
+        n >= 2, word_ngrams_col(w, 2)
     ).otherwise(F.array().cast("array<string>"))
     dup_w = 1.0 - F.size(F.array_distinct(w)).cast("double") / n
     dup_b = F.when(
