@@ -1291,6 +1291,27 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             + (", " + ", ".join(args) if args else "")
             + ")"
         )
+    if key == "skewness":
+        # DuckDB reports SAMPLE skewness G1 = g1 * sqrt(n(n-1))/(n-2);
+        # Spark's skewness() is the population g1
+        x = a[0]
+        return (
+            f"(skewness({x}) * sqrt(count({x}) * (count({x}) - 1)) "
+            f"/ (count({x}) - 2))"
+        )
+    if key == "kurtosis":
+        # DuckDB reports SAMPLE excess kurtosis
+        # G2 = ((n+1)*g2 + 6) * (n-1)/((n-2)(n-3)); Spark's kurtosis()
+        # is the population excess g2
+        x = a[0]
+        return (
+            f"((((count({x}) + 1) * kurtosis({x}) + 6) "
+            f"* (count({x}) - 1)) "
+            f"/ ((count({x}) - 2) * (count({x}) - 3)))"
+        )
+    if key == "geomean":
+        # alias of the engine-registered geo_mean grouped-agg UDF
+        return f"geo_mean({a[0]})"
     if key == "json_group_array":
         # DuckDB JSON aggregate: collect into a JSON array string
         return f"to_json(collect_list({a[0]}))"
@@ -1776,7 +1797,7 @@ _DUCK_FN_TEMPLATES = {
     "regexp_full_match", "datediff", "date_trunc",
     "format", "len", "try_strptime", "list_has_all", "list_aggregate",
     "list_aggr", "json_group_array", "timezone", "date_add",
-    "json_valid", "map",
+    "json_valid", "map", "skewness", "kurtosis", "geomean",
     "list_dot_product", "list_inner_product", "array_inner_product",
     "list_cosine_similarity", "array_cosine_similarity",
     "list_cosine_distance", "array_cosine_distance",
@@ -2720,6 +2741,20 @@ def rewrite_duckdb_functions(stmt: str) -> str:
                     and stmt[close + 1 :].lstrip().upper().startswith("AS INT)")
                 ):
                     out.append(f"sign({', '.join(args)})")
+                    i = close + 1
+                    continue
+                # skewness/kurtosis emissions contain their own names
+                # (sample-statistic corrections around Spark's population
+                # forms) — pass through when already inside the wrapper
+                if (
+                    key in ("skewness", "kurtosis")
+                    and re.match(
+                        r"\s*\*\s*sqrt\(count\(" if key == "skewness"
+                        else r"\s*\+\s*6\)",
+                        stmt[close + 1 :],
+                    )
+                ):
+                    out.append(f"{key}({', '.join(args)})")
                     i = close + 1
                     continue
                 out.append(_duck_fn_emit(key, args))

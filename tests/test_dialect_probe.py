@@ -129,6 +129,16 @@ PROBES = [
     ("abs_at_operator", "SELECT @(-5) AS a"),
     ("map_list_form",
      "SELECT cardinality(map([1,2],[10,20])) AS n"),
+    # sample-statistic corrections (DuckDB reports G1/G2, Spark g1/g2);
+    # round(…, 6) absorbs last-ulp differences of the algebraic forms
+    ("skewness_sample",
+     "SELECT round(skewness(x), 6) AS s "
+     "FROM (VALUES (1.0),(2.0),(2.0),(9.0)) t(x)"),
+    ("kurtosis_sample",
+     "SELECT round(kurtosis(x), 6) AS k "
+     "FROM (VALUES (1.0),(2.0),(2.0),(9.0)) t(x)"),
+    ("geomean_alias",
+     "SELECT round(geomean(x), 6) AS g FROM (VALUES (1.0),(4.0)) t(x)"),
 ]
 
 
