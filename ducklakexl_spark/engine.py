@@ -3777,10 +3777,26 @@ class DuckLakeSpark:
             df = self._select(m.group(2))
             mode = (m.group(1) or "").strip().upper()
             plan = df._jdf.queryExecution()
-            text = (
-                plan.toString() if mode == "ANALYZE"  # full chain
-                else plan.executedPlan().toString()
-            )
+            if mode == "ANALYZE":
+                # DuckDB's EXPLAIN ANALYZE RUNS the query; executing
+                # first means the AQE plan shown is the FINAL one
+                # (isFinalPlan=true — real join strategies, coalesced
+                # partitions) instead of the speculative initial plan,
+                # plus measured wall time and cardinality
+                import time as _time
+
+                t0 = _time.perf_counter()
+                # execute THIS plan (count() would execute a different
+                # one and leave ours un-finalized); a diagnostic
+                # statement buffering its result matches DuckDB
+                n_rows = len(df.collect())
+                wall = _time.perf_counter() - t0
+                text = plan.executedPlan().toString() + (
+                    f"\n== Analyze ==\nrows: {n_rows}\n"
+                    f"wall: {wall:.3f}s"
+                )
+            else:
+                text = plan.executedPlan().toString()
             return self.spark.createDataFrame(
                 [(line,) for line in text.splitlines()], "plan string"
             )

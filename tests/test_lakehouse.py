@@ -668,6 +668,22 @@ def test_catalog_prune_scales_to_a_million_files(lake):
     assert elapsed < 10.0, f"million-file prune took {elapsed:.1f}s"
 
 
+def test_explain_analyze_runs_and_shows_final_plan(lake):
+    """EXPLAIN ANALYZE executes (DuckDB semantics) so the AQE plan shown
+    is the FINAL one, with measured cardinality and wall time."""
+    lake.sql("CREATE TABLE ea(id INTEGER);")
+    lake.sql("INSERT INTO ea VALUES (1), (2), (2);")
+    out = [
+        r[0]
+        for r in lake.sql(
+            "EXPLAIN ANALYZE SELECT id, count(*) AS c FROM ea GROUP BY id"
+        ).collect()
+    ]
+    assert any("isFinalPlan=true" in line for line in out)
+    assert any(line == "rows: 2" for line in out)
+    assert any(line.startswith("wall:") for line in out)
+
+
 def test_comment_on_table_and_column(lake):
     lake.sql("CREATE TABLE doc_t(id INTEGER, txt VARCHAR);")
     lake.sql("COMMENT ON TABLE doc_t IS 'raw docs';")
