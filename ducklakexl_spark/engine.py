@@ -240,6 +240,9 @@ _INSERT_RE = re.compile(
     r"(VALUES\b.*|SELECT\b.*|WITH\b.*|FROM\b.*)$",
     re.I | re.S,
 )
+_INSERT_DEFAULTS_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s+DEFAULT\s+VALUES\s*$", re.I
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.\"]+)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
@@ -3666,6 +3669,26 @@ class DuckLakeSpark:
                     f"ON CONFLICT: unsupported action {action!r}"
                 )
             return self._merge(name, None, src, "excluded", cond, actions)
+        m = _INSERT_DEFAULTS_RE.match(stmt)
+        if m:
+            # INSERT INTO t DEFAULT VALUES: one row of each column's
+            # default (NULL where none) — synthesized as an explicit
+            # SELECT so default expressions (nextval, CURRENT_DATE, …)
+            # run through the ordinary dialect/expression path
+            name = _unqualify(m.group(1))
+            tid = self.catalog.table_id(name)
+            cols = self.catalog.columns(tid)
+            exprs = []
+            for r in cols.itertuples():
+                if pd.notna(r.default_value):
+                    exprs.append(str(r.default_value))
+                else:
+                    duck_t = str(r.column_type)
+                    exprs.append(f"CAST(NULL AS {duck_t})")
+            src = "SELECT " + ", ".join(exprs)
+            if _NEXTVAL_RE.search(src):
+                src = self._rewrite_seq_calls(src)
+            return self._insert(name, None, src)
         m = _INSERT_RE.match(stmt)
         if m:
             return self._insert(

@@ -668,6 +668,24 @@ def test_catalog_prune_scales_to_a_million_files(lake):
     assert elapsed < 10.0, f"million-file prune took {elapsed:.1f}s"
 
 
+def test_insert_default_values(lake):
+    """INSERT INTO t DEFAULT VALUES (DuckDB/Postgres): one row of each
+    column's default — NULL where none, literal defaults, and
+    sequence-backed nextval defaults all via the ordinary insert path."""
+    lake.sql(
+        "CREATE TABLE dv(id INTEGER, v VARCHAR DEFAULT 'x', "
+        "d DATE DEFAULT DATE '2024-01-01');"
+    )
+    lake.sql("INSERT INTO dv DEFAULT VALUES;")
+    assert rows(lake.sql("SELECT * FROM dv")) == [
+        (None, "x", __import__("datetime").date(2024, 1, 1))
+    ]
+    lake.sql("CREATE SEQUENCE dvsq START 100;")
+    lake.sql("CREATE TABLE dv2(id INTEGER DEFAULT nextval('dvsq'), v VARCHAR);")
+    lake.sql("INSERT INTO dv2 DEFAULT VALUES; INSERT INTO dv2 DEFAULT VALUES;")
+    assert rows(lake.sql("SELECT id FROM dv2")) == [(100,), (101,)]
+
+
 def test_explain_analyze_runs_and_shows_final_plan(lake):
     """EXPLAIN ANALYZE executes (DuckDB semantics) so the AQE plan shown
     is the FINAL one, with measured cardinality and wall time."""
