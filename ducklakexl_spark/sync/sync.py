@@ -36,13 +36,41 @@ def _fingerprint(header, rows) -> str:
     return h.hexdigest()
 
 
+def _max_snapshot(header, rows) -> int | None:
+    """Highest snapshot_id in a raw snapshot-sheet payload, or None."""
+    try:
+        idx = header.index("snapshot_id")
+    except (ValueError, AttributeError):
+        return None
+    best = None
+    for r in rows:
+        try:
+            v = int(float(r[idx]))
+        except (TypeError, ValueError, IndexError):
+            continue
+        best = v if best is None else max(best, v)
+    return best
+
+
 class WorkbookSync:
-    def __init__(self, workbook):
+    """Catalog ↔ workbook mirror with WORKBOOK-plane optimistic
+    concurrency: the reference's TODO list sketches a semaphore sheet
+    for OneDrive ACID (README.md:148-154); the better variant it also
+    names — version the state and detect conflicts — falls out of the
+    MVCC catalog: push re-reads the remote snapshot sheet and REFUSES
+    to clobber a workbook another writer advanced since our pull
+    (raising the same ConcurrentWriteError the local store uses; the
+    loser re-runs its statement, which pulls the winner's state)."""
+
+    def __init__(self, workbook, check_remote: bool = True):
         self.workbook = workbook
         self._sheet_for = {t: sheet_name(t) for t in CATALOG_SCHEMAS}
         # table -> fingerprint of the payload last known to be on the
         # remote sheet (written by us, or adopted by a pull)
         self._synced: dict[str, str] = {}
+        self.check_remote = check_remote
+        # remote snapshot id observed at last pull/push (None = unknown)
+        self._remote_snapshot: int | None = None
 
     def initialize(self, catalog: DuckLakeCatalog) -> None:
         existing = set(self.workbook.sheet_names())
@@ -81,12 +109,20 @@ class WorkbookSync:
             return
         catalog.tables.update(new_tables)
         catalog.store.save(catalog.tables)
+        # keep the LOCAL store's optimistic-concurrency baseline in sync
+        # with the adoption — otherwise the first write after an
+        # adopt-pull spuriously raises ConcurrentWriteError against our
+        # own save (latent until a fresh engine pulled THEN wrote)
+        catalog._base_snapshot = catalog.current_snapshot
         # the adopted state IS the remote state: seed the dirty tracker so
         # the next push rewrites only tables the engine then mutates
         for t in self._sheet_for:
             self._synced[t] = _fingerprint(
                 *push_serialize(t, catalog.tables[t])
             )
+        self._remote_snapshot = _max_snapshot(
+            *push_serialize("ducklake_snapshot", catalog.tables["ducklake_snapshot"])
+        )
 
     def push(self, catalog: DuckLakeCatalog, force: bool = False) -> int:
         """Catalog → workbook: serialize every table, clear+rewrite the
@@ -103,6 +139,24 @@ class WorkbookSync:
                 dirty.append((t, sheet, header, rows, fp))
         if not dirty:
             return 0
+        if self.check_remote and self._remote_snapshot is not None:
+            # workbook-plane optimistic concurrency: one extra sheet
+            # read detects a concurrent writer's commit between our
+            # pull and this push
+            rh, rr = self.workbook.read_sheet(
+                self._sheet_for["ducklake_snapshot"]
+            )
+            remote = _max_snapshot(rh, rr)
+            if remote is not None and remote > self._remote_snapshot:
+                from ducklakexl_spark.catalog.catalog import (
+                    ConcurrentWriteError,
+                )
+
+                raise ConcurrentWriteError(
+                    f"workbook advanced to snapshot {remote} (this writer "
+                    f"pulled {self._remote_snapshot}): re-run the "
+                    "statement to adopt the other writer's state"
+                )
         payloads = [(sheet, header, rows) for _t, sheet, header, rows, _f in dirty]
         if hasattr(self.workbook, "write_sheets"):
             self.workbook.write_sheets(payloads)
@@ -111,4 +165,9 @@ class WorkbookSync:
                 self.workbook.write_sheet(sheet, header, rows)
         for t, _sheet, _h, _r, fp in dirty:
             self._synced[t] = fp
+        self._remote_snapshot = _max_snapshot(
+            *push_serialize(
+                "ducklake_snapshot", catalog.tables["ducklake_snapshot"]
+            )
+        )
         return len(dirty)

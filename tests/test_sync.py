@@ -441,3 +441,40 @@ def test_onedrive_workbook_under_running_loop():
         return sheets["table"][0]
 
     assert asyncio.run(notebook_cell()) == ["table_id"]
+
+
+def test_workbook_optimistic_concurrency(spark, tmp_path):
+    """Workbook-plane conflict detection (the reference TODO's OneDrive
+    ACID, done the versioned way): two engines share one workbook; when
+    writer B commits between writer A's pull and push, A's push must
+    raise ConcurrentWriteError instead of clobbering B's snapshot —
+    re-running A's statement then pulls B's state and succeeds."""
+    import pytest as _pytest
+
+    from ducklakexl_spark.catalog.catalog import ConcurrentWriteError
+    from ducklakexl_spark.engine import DuckLakeSpark
+
+    wb_path = str(tmp_path / "wb.csvdir")
+    a = DuckLakeSpark(
+        spark=spark, excel_file=wb_path,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "cat_a"),
+    )
+    a.sql("CREATE TABLE t(id INTEGER)")
+    b = DuckLakeSpark(
+        spark=spark, excel_file=wb_path,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "cat_b"),
+    )
+    # A pulls (inside sql) then B commits before A's push lands:
+    # simulate by running B's statement between A's pull and push
+    a._pull()
+    b.sql("INSERT INTO t VALUES (1)")
+    a._execute("INSERT INTO t VALUES (2)")
+    with _pytest.raises(ConcurrentWriteError, match="workbook advanced"):
+        a._push()
+    # re-running the whole statement pulls B's state first, then succeeds
+    a.sql("INSERT INTO t VALUES (3)")
+    assert sorted(
+        r[0] for r in b.sql("SELECT id FROM t").collect()
+    ) == [1, 3]
