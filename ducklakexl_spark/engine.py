@@ -2889,9 +2889,16 @@ class DuckLakeSpark:
         local_catalog: str | None = None,
         workbook=None,
         data_inlining_row_limit: int = 0,
+        logger=None,
     ):
+        import logging
+
         from ducklakexl_spark.session import get_spark
 
+        # user-provided logger (a reference TODO, README.md:157-159):
+        # statements log at DEBUG, sync round-trips at INFO — silent by
+        # default via the standard library's unconfigured-logger rules
+        self.logger = logger or logging.getLogger("ducklakexl_spark")
         self.spark = spark or get_spark()
         # standard / DuckDB string-literal semantics for the SQL surface:
         # '\s+' stays a regex escape instead of collapsing to 's+'
@@ -2968,6 +2975,7 @@ class DuckLakeSpark:
         self._pull()
         result = None
         for stmt in split_statements(query):
+            self.logger.debug("sql: %s", stmt[:200])
             r = self._execute(stmt)
             if r is not None:
                 result = r
@@ -2977,10 +2985,16 @@ class DuckLakeSpark:
     def _pull(self) -> None:
         if self._sync is not None:
             self._sync.pull(self.catalog)
+            self.logger.info(
+                "pulled workbook state (snapshot %s)",
+                self.catalog.current_snapshot,
+            )
 
     def _push(self) -> None:
         if self._sync is not None:
-            self._sync.push(self.catalog)
+            n = self._sync.push(self.catalog)
+            if n:
+                self.logger.info("pushed %d changed sheet(s)", n)
 
     # ------------------------------------------------------------- dispatch
 

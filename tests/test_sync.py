@@ -478,3 +478,31 @@ def test_workbook_optimistic_concurrency(spark, tmp_path):
     assert sorted(
         r[0] for r in b.sql("SELECT id FROM t").collect()
     ) == [1, 3]
+
+
+def test_user_provided_logger(spark, tmp_path):
+    """A user-provided logger (reference TODO, README.md:157-159)
+    receives statement traces and sync round-trip summaries."""
+    import logging
+
+    from ducklakexl_spark.engine import DuckLakeSpark
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    lg = logging.getLogger("test_ducklakexl_capture")
+    lg.setLevel(logging.DEBUG)
+    lg.addHandler(Capture())
+    lake = DuckLakeSpark(
+        spark=spark, excel_file=str(tmp_path / "wb.csvdir"),
+        data_path=str(tmp_path / "d"),
+        local_catalog=str(tmp_path / "c"),
+        logger=lg,
+    )
+    lake.sql("CREATE TABLE lt(id INTEGER); INSERT INTO lt VALUES (1);")
+    assert any(m.startswith("sql: CREATE TABLE lt") for m in records)
+    assert any("pushed" in m and "sheet" in m for m in records)
+    assert any(m.startswith("pulled workbook state") for m in records)
