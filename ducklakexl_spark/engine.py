@@ -1315,6 +1315,19 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key == "geomean":
         # alias of the engine-registered geo_mean grouped-agg UDF
         return f"geo_mean({a[0]})"
+    if key == "concat":
+        # DuckDB concat skips NULL arguments; Spark concat returns NULL
+        # if any argument is NULL.  concat_ws('') has DuckDB's skip
+        # semantics exactly.
+        return f"concat_ws('', {', '.join(a)})"
+    if key == "regexp_escape":
+        # 4-arg position form: global in Spark AND a rewrite fixed point
+        return (
+            f"regexp_replace({a[0]}, "
+            "'([\\\\.^$|?*+()\\[\\]{}])', '\\\\$1', 1)"
+        )
+    if key == "parse_filename" and len(a) == 1:
+        return f"regexp_extract({a[0]}, '([^/\\\\]*)$', 1)"
     if key == "json_group_array":
         # DuckDB JSON aggregate: collect into a JSON array string
         return f"to_json(collect_list({a[0]}))"
@@ -1507,11 +1520,16 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key == "regexp_extract_all" and len(a) == 2:
         return f"regexp_extract_all({a[0]}, {a[1]}, 0)"
     if key == "regexp_replace" and len(a) in (3, 4):
-        # DuckDB's 4th arg is an options string; Spark is global by
-        # default, so 'g' drops and 'i' folds into the pattern.  The
+        # DuckDB's 4th arg is an options string ('g' = global, 'i' =
+        # case-fold); WITHOUT 'g' DuckDB replaces only the FIRST match,
+        # while Spark's regexp_replace is always global.  The
         # replacement string also changes dialect: DuckDB (RE2 rewrite)
         # spells group backreferences \1 and treats $ literally; Java
         # spells them $1 and needs $ escaped as \$.
+        if a[0].lstrip().lower().startswith("regexp_extract("):
+            # inner call of our own first-match splice (below) — pass
+            # through so repeated rewrite passes stay idempotent
+            return f"regexp_replace({', '.join(a)})"
         rep = a[2]
         rl = _literal_str(rep)
         if rl is not None:
@@ -1525,14 +1543,37 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
                 if esc != rl:
                     rep = _sql_str(esc)
         pat = a[1]
+        global_replace = False
         if len(a) == 4:
             flags = _literal_str(a[3])
             if flags is None:
                 return f"regexp_replace({a[0]}, {pat}, {rep}, {a[3]})"
+            global_replace = "g" in flags
             if "i" in flags:
                 pl = _literal_str(pat)
                 pat = _sql_str("(?i)" + pl) if pl is not None else pat
-        return f"regexp_replace({a[0]}, {pat}, {rep})"
+        if global_replace:
+            # Spark's 4-arg form with position 1 ≡ 3-arg global, and the
+            # integer 4th arg makes the emission a rewrite FIXED POINT
+            # (a bare 3-arg output would be re-read as DuckDB
+            # first-match-only on the next pass)
+            return f"regexp_replace({a[0]}, {pat}, {rep}, 1)"
+        # first-match-only: splice the replaced first match between the
+        # unmatched prefix and suffix; the inner regexp_replace runs on
+        # the matched text alone (so backreferences still expand)
+        x = a[0]
+        instr = f"regexp_instr({x}, {pat})"
+        m0 = f"regexp_extract({x}, {pat}, 0)"
+        # concat_ws (NULL-skipping) keeps the emission a rewrite fixed
+        # point vs plain concat; the explicit IS NULL arm restores
+        # NULL-in/NULL-out (concat_ws would yield '')
+        return (
+            f"(CASE WHEN {x} IS NULL THEN NULL "
+            f"WHEN {instr} = 0 THEN {x} ELSE concat_ws('', "
+            f"substr({x}, 1, {instr} - 1), "
+            f"regexp_replace({m0}, {pat}, {rep}), "
+            f"substr({x}, {instr} + length({m0}))) END)"
+        )
     if key == "sha256":
         return f"sha2({a[0]}, 256)"
     if key == "to_base":
@@ -1801,6 +1842,7 @@ _DUCK_FN_TEMPLATES = {
     "format", "len", "try_strptime", "list_has_all", "list_aggregate",
     "list_aggr", "json_group_array", "timezone", "date_add",
     "json_valid", "map", "skewness", "kurtosis", "geomean",
+    "concat", "regexp_escape", "parse_filename", "nfc_normalize",
     "list_dot_product", "list_inner_product", "array_inner_product",
     "list_cosine_similarity", "array_cosine_similarity",
     "list_cosine_distance", "array_cosine_distance",

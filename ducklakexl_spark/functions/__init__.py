@@ -196,9 +196,22 @@ def nextafter_fn(x: pd.Series, y: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(T.StringType())
+def nfc_normalize(text: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (DuckDB builtin; no Spark equivalent).
+    Arrow-batched; pure-ASCII corpora never need it — composition only
+    changes strings carrying combining marks."""
+    import unicodedata
+
+    return text.map(
+        lambda s: None if s is None else unicodedata.normalize("NFC", s)
+    )
+
+
 def register_all(spark: SparkSession) -> None:
     """Install every engine UDF into the session's SQL namespace."""
     spark.udf.register("bpe_token_count", bpe_token_count)
+    spark.udf.register("nfc_normalize", nfc_normalize)
     spark.udf.register("quality_score", quality_score)
     spark.udf.register("l2_normalize", l2_normalize)
     spark.udf.register("geo_mean", geo_mean)

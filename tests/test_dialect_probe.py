@@ -139,6 +139,17 @@ PROBES = [
      "FROM (VALUES (1.0),(2.0),(2.0),(9.0)) t(x)"),
     ("geomean_alias",
      "SELECT round(geomean(x), 6) AS g FROM (VALUES (1.0),(4.0)) t(x)"),
+    # DuckDB regexp_replace is FIRST-match-only without the 'g' flag
+    ("regexp_replace_first_only",
+     "SELECT regexp_replace('aaa', 'a', 'b') AS r, "
+     "regexp_replace('abc', 'x', 'y') AS none_matched, "
+     "regexp_replace('aaa', 'a', 'b', 'g') AS global_form"),
+    ("regexp_replace_first_backref",
+     "SELECT regexp_replace('aXa', '(X)', '[\\1]') AS r"),
+    ("concat_skips_nulls", "SELECT concat('a', NULL, 'b') AS c"),
+    ("regexp_escape_f", "SELECT regexp_escape('a.b+c') AS e"),
+    ("parse_filename_f", "SELECT parse_filename('/x/y/z.txt') AS f"),
+    ("nfc_normalize_f", "SELECT nfc_normalize('abc') AS n"),
 ]
 
 
