@@ -963,10 +963,23 @@ _DUCK_FN_RENAME = {
     "list_value": "array",
     "list_pack": "array",
     "list_append": "array_append",
-    "list_concat": "concat",
-    "list_extract": "element_at",
-    "list_element": "element_at",
-    "array_extract": "element_at",
+    # try_element_at: DuckDB list_extract is NULL out of bounds, and
+    # plain element_at is the dialect's MAP-extract (list-wrapped) —
+    # the emitted name must not re-match that template
+    "list_extract": "try_element_at",
+    "list_element": "try_element_at",
+    "array_extract": "try_element_at",
+    "array_transform": "transform",
+    "array_apply": "transform",
+    "apply": "transform",
+    "array_filter": "filter",
+    "list_has": "array_contains",
+    "array_has": "array_contains",
+    "array_contains": "array_contains",
+    "array_indexof": "array_position",
+    "array_zip": "arrays_zip",
+    "row_to_json": "to_json",
+    "array_to_json": "to_json",
     "list_position": "array_position",
     "list_indexof": "array_position",
     "list_sort": "array_sort",
@@ -989,9 +1002,6 @@ _DUCK_FN_RENAME = {
     "to_hex": "hex",
     "from_hex": "unhex",
     "strlen": "length",
-    "json_extract_string": "get_json_object",
-    "json_extract_path_text": "get_json_object",
-    "json_extract": "get_json_object",
     # date/time family
     "epoch_ms": "unix_millis",
     "epoch_us": "unix_micros",
@@ -1106,6 +1116,84 @@ def _re2_rewrite_to_java(s: str) -> str:
             out.append(c)
         i += 1
     return "".join(out)
+
+
+def _json_norm_path_lit(lit: str) -> str | None:
+    """DuckDB JSON path literal → Spark get_json_object path.  DuckDB
+    accepts '$'-prefixed JSONPath, '/'-separated pointer paths, or a
+    bare key (looked up literally, no dot splitting)."""
+    if lit.startswith("$"):
+        return lit
+    if lit.startswith("/"):
+        segs = [p for p in lit.split("/") if p]
+        if not all(
+            re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*|\d+", p) for p in segs
+        ):
+            return None
+        return "$" + "".join(
+            f"[{p}]" if p.isdigit() else f".{p}" for p in segs
+        )
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", lit):
+        return "$." + lit
+    return None
+
+
+def _json_path_arg(args: list[str]) -> str | None:
+    """Combine json_extract path arguments (string literals or bare
+    integer indexes) into ONE quoted Spark path literal; None when the
+    path is not statically derivable (expression path)."""
+    segs: list[str] = []
+    for p in args:
+        lit = _literal_str(p)
+        if lit is None:
+            t = p.strip()
+            if re.fullmatch(r"\d+", t):
+                segs.append(f"[{t}]")
+                continue
+            return None
+        norm = _json_norm_path_lit(lit)
+        if norm is None:
+            return None
+        segs.append(norm[1:])
+    return _sql_str("$" + "".join(segs))
+
+
+def _jsonify_expr(x: str, null_form: str) -> str:
+    """A Spark SQL expression rendering ``x`` as its JSON encoding
+    (DuckDB json_quote semantics): strings quoted, numbers bare,
+    arrays/structs recursive — via to_json of a one-field struct with
+    the wrapper stripped.  ``null_form`` is what a NULL input yields
+    ('null' inside json_array elements, NULL for json_quote)."""
+    body = f"to_json(struct({x} AS v))"
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN {null_form} "
+        f"ELSE substring({body}, 6, length({body}) - 6) END)"
+    )
+
+
+_DUCK_DDL_TYPES = {
+    "VARCHAR": "STRING", "INTEGER": "INT", "UBIGINT": "BIGINT",
+    "BIGINT": "BIGINT", "DOUBLE": "DOUBLE", "BOOLEAN": "BOOLEAN",
+    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "FLOAT": "FLOAT",
+    "SMALLINT": "SMALLINT", "TINYINT": "TINYINT",
+    "HUGEINT": "DECIMAL(38,0)", "NULL": "STRING", "JSON": "STRING",
+}
+
+
+def _duck_json_structure_to_ddl(node) -> str:
+    """DuckDB from_json type-structure document → Spark type string."""
+    if isinstance(node, str):
+        return _DUCK_DDL_TYPES.get(node.upper(), node)
+    if isinstance(node, list):
+        inner = _duck_json_structure_to_ddl(node[0]) if node else "STRING"
+        return f"ARRAY<{inner}>"
+    if isinstance(node, dict):
+        fields = ", ".join(
+            f"{k}: {_duck_json_structure_to_ddl(v)}"
+            for k, v in node.items()
+        )
+        return f"STRUCT<{fields}>"
+    raise ValueError(f"from_json: unsupported structure node {node!r}")
 
 
 def _duck_fn_emit(key: str, args: list[str]) -> str:
@@ -1372,7 +1460,8 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key == "list_has_all":
         # list_has_all(l, sub): every element of sub present in l
         return f"(size(array_except({a[1]}, {a[0]})) = 0)"
-    if key in ("list_aggregate", "list_aggr"):
+    if key in ("list_aggregate", "list_aggr", "array_aggregate",
+               "array_aggr"):
         fn = (_literal_str(a[1]) or "").lower()
         if fn in ("sum", "avg", "min", "max"):
             return _duck_fn_emit(f"list_{fn}", [a[0]]) if fn in (
@@ -1380,6 +1469,15 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             ) else f"array_{fn}({a[0]})"
         if fn == "count":
             return f"size(filter({a[0]}, x -> x IS NOT NULL))"
+        if fn in ("first", "last"):
+            fl = f"filter({a[0]}, __v -> __v IS NOT NULL)"
+            return f"try_element_at({fl}, {1 if fn == 'first' else -1})"
+        if fn == "string_agg":
+            fl = f"filter({a[0]}, __v -> __v IS NOT NULL)"
+            return (
+                f"array_join(transform({fl}, "
+                f"__v -> CAST(__v AS STRING)), ',')"
+            )
         raise ValueError(f"list_aggregate: unsupported function {fn!r}")
     # vector math (DuckDB array/list similarity family).  All folds in
     # DOUBLE; DuckDB computes FLOAT[] inputs in float32, so dialect
@@ -1415,7 +1513,7 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         # DuckDB list_reduce seeds the fold with the FIRST element
         return (
             f"aggregate(slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0)), "
-            f"element_at({a[0]}, 1), {a[1]})"
+            f"try_element_at({a[0]}, 1), {a[1]})"
         )
     if key == "struct_extract":
         field = _literal_str(a[1])
@@ -1423,7 +1521,7 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             raise ValueError("struct_extract: field must be a string literal")
         return f"({a[0]}).{field}"
     if key == "list_any_value":
-        return f"element_at(filter({a[0]}, x -> x IS NOT NULL), 1)"
+        return f"try_element_at(filter({a[0]}, x -> x IS NOT NULL), 1)"
     if key == "product":
         # multiset product as an array fold (commutative, so collect
         # order doesn't matter); NULLs ignored like every aggregate
@@ -1436,7 +1534,8 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         # log2(n) - sum(c*log2(c))/n over per-distinct-value counts c
         lst = f"collect_list(CAST({a[0]} AS STRING))"
         counts = (
-            f"transform(array_distinct({lst}), "
+            f"transform(array_distinct(filter({lst}, "
+            f"__x -> __x IS NOT NULL)), "
             f"v -> CAST(size(filter({lst}, y -> y = v)) AS DOUBLE))"
         )
         return (
@@ -1451,13 +1550,13 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         # collapses the duplicate aggregates
         lst = f"array_sort(collect_list(CAST({a[0]} AS DOUBLE)))"
         med = (
-            f"((element_at({lst}, CAST((size({lst}) + 1) / 2 AS INT)) + "
-            f"element_at({lst}, CAST(size({lst}) / 2 + 1 AS INT))) / 2.0)"
+            f"((try_element_at({lst}, CAST((size({lst}) + 1) / 2 AS INT)) + "
+            f"try_element_at({lst}, CAST(size({lst}) / 2 + 1 AS INT))) / 2.0)"
         )
         dev = f"array_sort(transform({lst}, v -> abs(v - {med})))"
         return (
-            f"((element_at({dev}, CAST((size({dev}) + 1) / 2 AS INT)) + "
-            f"element_at({dev}, CAST(size({dev}) / 2 + 1 AS INT))) / 2.0)"
+            f"((try_element_at({dev}, CAST((size({dev}) + 1) / 2 AS INT)) + "
+            f"try_element_at({dev}, CAST(size({dev}) / 2 + 1 AS INT))) / 2.0)"
         )
     if key in ("first", "last"):
         # DuckDB's ordered first/last aggregate: first(x ORDER BY k) —
@@ -1481,7 +1580,7 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"{', '.join(fields)}, {val} AS __v))), s -> s.__v)"
         )
         pick_last = (key == "last") != desc
-        return f"element_at({arr}, {-1 if pick_last else 1})"
+        return f"try_element_at({arr}, {-1 if pick_last else 1})"
     if key == "range":
         # DuckDB range() is END-EXCLUSIVE and EMPTY when stop <= start;
         # Spark sequence() is inclusive and would run DESCENDING for
@@ -1504,10 +1603,22 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"ELSE slice(sequence({lo}, {lo}), 1, 0) END)"
         )
     if key == "list_sum":
-        return f"aggregate({a[0]}, 0D, (acc, v) -> acc + v)"
-    if key == "list_avg":
+        # DuckDB list_sum ignores NULLs and keeps the element type
+        # (INT lists sum integral, DECIMAL lists sum decimal); seed the
+        # fold with an element-typed zero instead of 0D
+        fl = f"filter({a[0]}, __v -> __v IS NOT NULL)"
+        # element-typed zero via * 0L: INT lists sum integral, DOUBLE
+        # stays double (both duck-exact).  DECIMAL lists cannot fold in
+        # Spark's aggregate() (precision grows each merge) — they raise
+        # the analyzer's type error.
         return (
-            f"(aggregate({a[0]}, 0D, (acc, v) -> acc + v) / size({a[0]}))"
+            f"aggregate({fl}, try_element_at({fl}, 1) * 0L, "
+            f"(acc, __v) -> acc + __v)"
+        )
+    if key == "list_avg":
+        fl = f"filter({a[0]}, __v -> __v IS NOT NULL)"
+        return (
+            f"(aggregate({fl}, 0D, (acc, __v) -> acc + __v) / size({fl}))"
         )
     if key in ("encode", "decode"):
         # DuckDB's 1-arg form is UTF-8; Spark requires the charset
@@ -1627,35 +1738,49 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         # CalendarIntervalType, which the Python client can't collect)
         unit = key[3:].rstrip("s").upper()
         return f"(CAST({a[0]} AS BIGINT) * INTERVAL '1' {unit})"
-    if key == "datesub":
+    if key == "datesub" or (key == "date_sub" and len(a) == 3):
+        # complete-interval count (DuckDB date_sub); Spark's own 2-arg
+        # date_sub(date, n) passes through below
         part = _literal_str(a[0])
         if part is None:
             raise ValueError("datesub: part must be a string literal")
         return f"timestampdiff({part.upper()}, {a[1]}, {a[2]})"
     if key == "time_bucket":
         im = re.match(
-            r"^\s*INTERVAL\s+'?(\d+)'?\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$",
+            r"^\s*INTERVAL\s+'?(\d+)'?\s+"
+            r"(SECOND|MINUTE|HOUR|DAY|WEEK)S?\s*$",
             a[0],
             re.I,
         )
         if not im:
             raise ValueError(
-                "time_bucket: only INTERVAL n SECOND/MINUTE/HOUR/DAY "
-                "buckets are supported"
+                "time_bucket: only INTERVAL n SECOND/MINUTE/HOUR/DAY/"
+                "WEEK buckets are supported"
             )
         secs = int(im.group(1)) * {
-            "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400
+            "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
+            "WEEK": 604800,
         }[im.group(2).upper()]
-        return (
-            f"timestamp_seconds(CAST(floor(unix_timestamp({a[1]}) "
-            f"/ {secs}D) AS BIGINT) * {secs})"
+        # DuckDB's bucket origin is 2000-01-03 00:00:00 (a Monday —
+        # epoch 946857600); invisible for sub-day buckets that divide
+        # it, decisive for multi-day/week buckets
+        org = 946857600
+        ts = (
+            f"timestamp_seconds(CAST(floor((unix_timestamp({a[1]}) "
+            f"- {org}) / {secs}D) AS BIGINT) * {secs} + {org})"
         )
+        if re.match(r"^\s*DATE\s*'", a[1], re.I):
+            # a DATE operand stays DATE in DuckDB; only a literal is
+            # provably a date from the text
+            return f"CAST({ts} AS DATE)"
+        return ts
     if key == "century":
         return f"CAST(ceil(year({a[0]}) / 100.0) AS BIGINT)"
     if key == "histogram":
         lst = f"collect_list({a[0]})"
         return (
-            f"map_from_entries(transform(array_sort(array_distinct({lst})), "
+            f"map_from_entries(transform(array_sort(array_distinct("
+            f"filter({lst}, __x -> __x IS NOT NULL))), "
             f"v -> struct(v, CAST(size(filter({lst}, y -> y = v)) "
             f"AS BIGINT))))"
         )
@@ -1722,23 +1847,25 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"END"
         )
     if key == "list_select":
-        return f"transform({a[1]}, i -> element_at({a[0]}, CAST(i AS INT)))"
+        return f"transform({a[1]}, i -> try_element_at({a[0]}, CAST(i AS INT)))"
     if key == "list_where":
         return (
             f"transform(filter(sequence(1, size({a[0]})), "
-            f"i -> element_at({a[1]}, i)), i -> element_at({a[0]}, i))"
+            f"i -> try_element_at({a[1]}, i)), i -> try_element_at({a[0]}, i))"
         )
     if key == "list_resize":
         val = a[2] if len(a) > 2 else "NULL"
         return (
             f"CASE WHEN size({a[0]}) >= {a[1]} THEN slice({a[0]}, 1, {a[1]}) "
-            f"ELSE concat({a[0]}, array_repeat({val}, "
-            f"CAST({a[1]} AS INT) - size({a[0]}))) END"
+            f"ELSE flatten(array({a[0]}, array_repeat({val}, "
+            f"CAST({a[1]} AS INT) - size({a[0]})))) END"
         )
     if key == "regexp_full_match":
         return f"regexp_like({a[0]}, concat('^(?:', {a[1]}, ')$'))"
     if key == "isodow":
-        return f"(weekday({a[0]}) + 1)"
+        # DAYOFWEEK_ISO (Mon=1..Sun=7); spelled as extract so the
+        # emission cannot re-match the weekday/dayofweek templates
+        return f"extract(DAYOFWEEK_ISO FROM {a[0]})"
     if key in ("date_trunc", "datetrunc") and len(a) == 2:
         part = _literal_str(a[0])
         p = part.lower() if part else None
@@ -1759,9 +1886,9 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         # day-of-week numbering differs: DuckDB dow is Sunday=0,
         # isodow is Monday=1; Spark date_part('dow') is Sunday=1
         if p == "dow":
-            return f"(dayofweek({a[1]}) - 1)"
+            return f"(extract(DAYOFWEEK FROM {a[1]}) - 1)"
         if p == "isodow":
-            return f"(weekday({a[1]}) + 1)"
+            return f"extract(DAYOFWEEK_ISO FROM {a[1]})"
         if p == "epoch":
             # same emission as epoch(): DuckDB returns DOUBLE seconds
             # with the fraction; unix_timestamp would truncate to BIGINT
@@ -1811,8 +1938,251 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         return f"log10({a[0]})"
     if key == "list_reverse_sort":
         return f"sort_array({a[0]}, false)"
-    if key == "list_unique":
-        return f"size(array_distinct({a[0]}))"
+    if key in ("list_unique", "array_unique"):
+        # DuckDB counts distinct NON-NULL elements
+        arg = a[0].lstrip()
+        if arg.startswith("filter(") and "IS NOT NULL" in arg:
+            return f"size(array_distinct({a[0]}))"
+        return (
+            f"size(array_distinct(filter({a[0]}, "
+            f"__v -> __v IS NOT NULL)))"
+        )
+    # ------------------------------------------- round-5 breadth batch
+    # DuckDB functions a switching user writes daily, surveyed against
+    # duckdb_functions() (reference delegates its whole SQL surface to
+    # DuckDB via ducklakexl.py:394, so every one of these is reachable
+    # reference behavior).  Every emission is a fixed point of the
+    # rewrite chain (idempotence property).
+    if key in ("list_cat", "array_cat", "list_concat"):
+        # DuckDB skips NULL list arguments (list_cat(NULL, [2]) = [2]);
+        # NOT spelled concat() — that is the NULL-skipping STRING
+        # template and would corrupt arrays on a chained rewrite
+        return (
+            f"flatten(filter(array({', '.join(a)}), "
+            f"__l -> __l IS NOT NULL))"
+        )
+    if key in ("list_distinct", "array_distinct"):
+        # DuckDB drops NULLs (element order is engine-defined — compare
+        # sorted).  Already-filtered args are this template's own
+        # output: pass through so the rewrite stays idempotent.
+        arg = a[0].lstrip()
+        if arg.startswith("filter(") and "IS NOT NULL" in arg:
+            return f"array_distinct({a[0]})"
+        return f"array_distinct(filter({a[0]}, __v -> __v IS NOT NULL))"
+    if key in ("list_grade_up", "array_grade_up"):
+        # indexes that would sort the list ascending, NULLs last,
+        # ties by position (verified against DuckDB [2,NULL,1]→[3,1,2])
+        x = a[0]
+        return (
+            f"transform(array_sort(zip_with({x}, sequence(1, size({x})), "
+            f"(__v, __i) -> struct(__v AS v, __i AS i)), "
+            f"(l, r) -> CASE "
+            f"WHEN l.v IS NULL AND r.v IS NULL THEN "
+            f"(CASE WHEN l.i < r.i THEN -1 ELSE 1 END) "
+            f"WHEN l.v IS NULL THEN 1 WHEN r.v IS NULL THEN -1 "
+            f"WHEN l.v < r.v THEN -1 WHEN l.v > r.v THEN 1 "
+            f"WHEN l.i < r.i THEN -1 ELSE 1 END), __s -> __s.i)"
+        )
+    if key in ("element_at", "map_extract") and len(a) == 2:
+        # DuckDB element_at/map_extract are MAP-only and return the
+        # match LIST-WRAPPED ([] on a miss); list positions use
+        # list_extract/[i], which emit try_element_at
+        return (
+            f"map_values(map_filter({a[0]}, (__k, __v) -> __k = {a[1]}))"
+        )
+    if key == "aggregate" and len(a) == 2 and _literal_str(a[1]) is not None:
+        # DuckDB's 2-arg list-fold alias; Spark's own 3-arg aggregate
+        # passes through below
+        return _duck_fn_emit("list_aggregate", a)
+    if key in ("reduce", "array_reduce") and len(a) == 2:
+        return _duck_fn_emit("list_reduce", a)
+    # ---- date/time parts DuckDB spells as functions
+    if key == "decade":
+        return f"CAST(floor(year({a[0]}) / 10.0) AS BIGINT)"
+    if key == "millennium":
+        return f"CAST(ceil(year({a[0]}) / 1000.0) AS BIGINT)"
+    if key == "era":
+        return f"(CASE WHEN year({a[0]}) > 0 THEN 1 ELSE 0 END)"
+    if key == "isoyear":
+        return f"extract(YEAROFWEEK FROM {a[0]})"
+    if key == "julian":
+        # DuckDB julian(DATE '2024-01-01') = 2460311.0 (midnight maps
+        # to .0, noon to .5): epoch days + 2440588
+        return (
+            f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / "
+            f"CAST(86400000000 AS DOUBLE) + 2440588)"
+        )
+    if key == "yearweek":
+        return (
+            f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + "
+            f"weekofyear({a[0]}))"
+        )
+    if key in ("dayofweek", "weekday"):
+        # DuckDB numbers Sunday=0; spelled as extract so the emission
+        # cannot re-match this template
+        return f"(extract(DAYOFWEEK FROM {a[0]}) - 1)"
+    if key == "epoch_ns":
+        return (
+            f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * "
+            f"CAST(1000 AS BIGINT))"
+        )
+    if key in ("timezone_hour", "timezone_minute"):
+        # naive timestamps (and this engine's UTC session) have no
+        # zone offset; NULL propagates
+        return (
+            f"(CASE WHEN CAST({a[0]} AS TIMESTAMP) IS NULL "
+            f"THEN NULL ELSE 0 END)"
+        )
+    if key == "make_timestamp" and len(a) == 1:
+        # 1-arg form takes epoch MICROseconds
+        return f"timestamp_micros(CAST({a[0]} AS BIGINT))"
+    if key in ("to_years", "to_months", "to_quarters", "to_decades",
+               "to_centuries", "to_millennia"):
+        months = {"to_months": 1, "to_quarters": 3, "to_years": 12,
+                  "to_decades": 120, "to_centuries": 1200,
+                  "to_millennia": 12000}[key]
+        return f"(CAST({a[0]} AS INT) * INTERVAL '{months}' MONTH)"
+    if key == "to_weeks":
+        return f"(CAST({a[0]} AS BIGINT) * INTERVAL '7' DAY)"
+    if key == "to_milliseconds":
+        return f"(CAST({a[0]} AS BIGINT) * INTERVAL '0.001' SECOND)"
+    if key == "to_microseconds":
+        return f"(CAST({a[0]} AS BIGINT) * INTERVAL '0.000001' SECOND)"
+    # ---- string family
+    if key in ("like_escape", "not_like_escape", "ilike_escape",
+               "not_ilike_escape"):
+        op = "ILIKE" if "ilike" in key else "LIKE"
+        neg = "NOT " if key.startswith("not_") else ""
+        return f"({a[0]} {neg}{op} {a[1]} ESCAPE {a[2]})"
+    if key == "formatreadabledecimalsize":
+        # decimal (SI) tiers, truncated to one decimal, lowercase kB —
+        # mirrors the binary-tier format_bytes arm above
+        x = a[0]
+        arms = " ".join(
+            f"WHEN {x} >= {int(f)}D THEN "
+            f"format_string('%.1f {u}', floor({x} / {int(f)}D * 10) / 10)"
+            for f, u in [
+                (1000.0 ** 5, "PB"), (1000.0 ** 4, "TB"),
+                (1000.0 ** 3, "GB"), (1000.0 ** 2, "MB"), (1000.0, "kB"),
+            ]
+        )
+        return (
+            f"(CASE {arms} ELSE format_string('%d bytes', "
+            f"CAST({x} AS BIGINT)) END)"
+        )
+    if key == "bar":
+        # ASCII-art bar: full blocks + one eighth-block partial, then
+        # space-padded to ``width`` BYTES (block chars are 3 UTF-8
+        # bytes — verified against DuckDB: bar(3,0,10,10) = '███ ')
+        x, lo, hi = a[0], a[1], a[2]
+        w = a[3] if len(a) == 4 else "80"
+        t = (
+            f"(least(greatest((CAST({x} AS DOUBLE) - {lo}) / "
+            f"({hi} - {lo}), 0D), 1D) * {w})"
+        )
+        full = f"CAST(floor({t}) AS INT)"
+        e8 = f"CAST(floor(({t} - floor({t})) * 8) AS INT)"
+        return (
+            f"concat_ws('', repeat('█', {full}), "
+            f"if({e8} < 1, '', substring('▏▎▍▌▋▊▉', {e8}, 1)), "
+            f"repeat(' ', greatest(CAST({w} AS INT) - "
+            f"3 * ({full} + if({e8} < 1, 0, 1)), 0)))"
+        )
+    if key == "parse_path":
+        if len(a) == 2:
+            sep = (_literal_str(a[1]) or "").lower()
+            if sep not in ("forward", "both"):
+                raise ValueError(
+                    "parse_path: only 'forward'/'both' separators are "
+                    "supported"
+                )
+        comps = f"filter(split({a[0]}, '/'), __p -> __p != '')"
+        return (
+            f"if(startswith({a[0]}, '/'), "
+            f"array_insert({comps}, 1, '/'), {comps})"
+        )
+    if key == "parse_dirname":
+        # FIRST path component when the path has a directory part
+        # (DuckDB: '/a/b/c.txt' → '/', 'a/b/c.txt' → 'a', 'c.txt' → '')
+        pp = _duck_fn_emit("parse_path", [a[0]])
+        return f"if(size({pp}) >= 2, try_element_at({pp}, 1), '')"
+    if key == "parse_dirpath":
+        return (
+            f"(CASE WHEN contains({a[0]}, '/') THEN "
+            f"regexp_replace({a[0]}, '/[^/]*$', '', 1) ELSE '' END)"
+        )
+    if key == "constant_or_null":
+        conds = " OR ".join(f"({x}) IS NULL" for x in a[1:])
+        return f"(CASE WHEN {conds} THEN NULL ELSE {a[0]} END)"
+    if key == "current_schema":
+        return "'main'"
+    # ---- json family
+    if key in ("json_extract", "json_extract_path") and len(a) >= 2:
+        # returns JSON text (strings stay quoted — get_json_object
+        # would strip them): variant round-trip keeps the encoding
+        path = _json_path_arg(a[1:])
+        if path is not None:
+            return (
+                f"to_json(try_variant_get(try_parse_json({a[0]}), "
+                f"{path}))"
+            )
+        if len(a) == 2:
+            return f"get_json_object({a[0]}, {a[1]})"
+        raise ValueError("json_extract_path: path must be literal")
+    if key in ("json_extract_string", "json_extract_path_text") and (
+        len(a) >= 2
+    ):
+        path = _json_path_arg(a[1:])
+        if path is not None:
+            return f"get_json_object({a[0]}, {path})"
+        return f"get_json_object({', '.join(a)})"
+    if key == "json_array":
+        if not a:
+            return "'[]'"
+        parts = ", ".join(_jsonify_expr(x, "'null'") for x in a)
+        return f"concat_ws('', '[', concat_ws(',', {parts}), ']')"
+    if key == "json_object":
+        if len(a) % 2:
+            raise ValueError("json_object: even argument count required")
+        if not a:
+            return "'{}'"
+        pairs = ", ".join(
+            f"concat_ws(':', {_jsonify_expr(a[i], 'NULL')}, "
+            f"{_jsonify_expr(a[i + 1], chr(39) + 'null' + chr(39))})"
+            for i in range(0, len(a), 2)
+        )
+        return (
+            "concat_ws('', '{', concat_ws(',', " + pairs + "), '}')"
+        )
+    if key == "json_quote":
+        return _jsonify_expr(a[0], "NULL")
+    if key == "json_type":
+        j = _duck_fn_emit("json_extract", a) if len(a) == 2 else a[0]
+        v = f"ltrim({j})"
+        q = chr(34)
+        return (
+            f"(CASE WHEN {v} IS NULL THEN NULL "
+            f"WHEN startswith({v}, '{{') THEN 'OBJECT' "
+            f"WHEN startswith({v}, '[') THEN 'ARRAY' "
+            f"WHEN startswith({v}, '{q}') THEN 'VARCHAR' "
+            f"WHEN {v} IN ('true', 'false') THEN 'BOOLEAN' "
+            f"WHEN {v} = 'null' THEN 'NULL' "
+            f"WHEN contains({v}, '.') OR contains({v}, 'e') OR "
+            f"contains({v}, 'E') THEN 'DOUBLE' "
+            f"WHEN startswith({v}, '-') THEN 'BIGINT' "
+            f"ELSE 'UBIGINT' END)"
+        )
+    if key in ("from_json", "from_json_strict") and len(a) == 2:
+        lit = _literal_str(a[1])
+        if lit is not None:
+            try:
+                structure = json.loads(lit)
+            except ValueError:
+                structure = None
+            if structure is not None:
+                ddl = _duck_json_structure_to_ddl(structure)
+                return f"from_json({a[0]}, {_sql_str(ddl)})"
+        return f"from_json({', '.join(a)})"
     # template keys whose guard didn't match (e.g. Spark-style arg
     # counts) pass through under their own name
     name = _DUCK_FN_RENAME.get(key, key)
@@ -1847,6 +2217,21 @@ _DUCK_FN_TEMPLATES = {
     "list_cosine_similarity", "array_cosine_similarity",
     "list_cosine_distance", "array_cosine_distance",
     "list_distance", "array_distance",
+    # round-5 breadth batch
+    "list_cat", "array_cat", "list_concat", "list_distinct",
+    "array_distinct", "array_unique", "list_grade_up", "array_grade_up",
+    "element_at", "map_extract", "aggregate", "reduce", "array_reduce",
+    "array_aggregate", "array_aggr", "decade", "millennium", "era",
+    "isoyear", "julian", "yearweek", "dayofweek", "weekday", "epoch_ns",
+    "timezone_hour", "timezone_minute", "make_timestamp", "to_years",
+    "to_months", "to_quarters", "to_decades", "to_centuries",
+    "to_millennia", "to_weeks", "to_milliseconds", "to_microseconds",
+    "like_escape", "not_like_escape", "ilike_escape", "not_ilike_escape",
+    "formatreadabledecimalsize", "bar", "parse_path", "parse_dirname",
+    "parse_dirpath", "constant_or_null", "current_schema",
+    "json_extract", "json_extract_path", "json_extract_string",
+    "json_extract_path_text", "json_array", "json_object", "json_quote",
+    "json_type", "from_json", "from_json_strict", "date_sub",
 }
 
 # DuckDB type names (in CAST position etc.) Spark spells differently.
@@ -1976,7 +2361,7 @@ def rewrite_bracket_syntax(stmt: str) -> str:
     """DuckDB bracket syntax → Spark SQL:
 
     - ``[e1, e2, …]`` list literal → ``array(e1, e2, …)``
-    - ``expr[i]`` (1-based, like DuckDB) → ``element_at(expr, i)``
+    - ``expr[i]`` (1-based, like DuckDB) → ``try_element_at(expr, i)``
     - ``expr[a:b]`` (1-based inclusive) → ``slice(expr, a, b-a+1)``
       (open ends default to 1 / size(expr))
     - ``{'k': v, …}`` struct literal → ``named_struct('k', v, …)``
@@ -2073,7 +2458,10 @@ def rewrite_bracket_syntax(stmt: str) -> str:
                 elif is_str:
                     new = f"substr({expr}, {inner}, 1)"
                 else:
-                    new = f"element_at({expr}, {inner})"
+                    # try_element_at: DuckDB list[i] is NULL out of
+                    # bounds, and the emission must not re-match the
+                    # element_at (map-extract) dialect template
+                    new = f"try_element_at({expr}, {inner})"
                 mark = len(out)
                 out.append(new)
                 prev = ")"
@@ -2424,7 +2812,8 @@ def rewrite_ansi_fetch_and_json_arrow(stmt: str) -> str:
         looks_json = (
             had_json_cast
             or olow.startswith(("get_json_object(", "json_extract(",
-                                "to_json(", "json("))
+                                "to_json(", "json(", "try_parse_json(",
+                                "try_variant_get("))
             or re.match(r"^'\s*[\[{]", olow) is not None
         )
         if not looks_json:
@@ -2434,7 +2823,8 @@ def rewrite_ansi_fetch_and_json_arrow(stmt: str) -> str:
         path = f"'$[{arg}]'" if arg.isdigit() else f"'$.{arg[1:-1]}'"
         stmt = (
             stmt[:start]
-            + f"get_json_object({operand}, {path})"
+            + f"to_json(try_variant_get(try_parse_json({operand}), "
+            + f"{path}))"
             + stmt[m.end() :]
         )
         search_from = 0

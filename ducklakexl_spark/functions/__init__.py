@@ -208,6 +208,238 @@ def nfc_normalize(text: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(T.DoubleType())
+def jaro_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Plain Jaro similarity (DuckDB jaro_similarity; the Winkler
+    variant above reuses the same _jaro kernel)."""
+    return pd.Series(
+        [_jaro(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+def _graphemes(s: str) -> list[str]:
+    """UAX#29-lite grapheme clustering: combining marks, ZWJ joins,
+    variation selectors, and regional-indicator (flag) pairs attach to
+    the preceding cluster.  Covers the practical cases DuckDB's
+    utf8proc segmentation handles; exotic Indic/Hangul sequences may
+    differ (documented approximation)."""
+    import unicodedata
+
+    out: list[str] = []
+    prev_zwj = False
+    ri_run = 0
+    for ch in s:
+        cat = unicodedata.category(ch)
+        is_ri = 0x1F1E6 <= ord(ch) <= 0x1F1FF
+        joins = (
+            out
+            and (
+                cat in ("Mn", "Mc", "Me")
+                or ch == "\u200d"
+                or 0xFE00 <= ord(ch) <= 0xFE0F
+                or prev_zwj
+                or (is_ri and ri_run % 2 == 1)
+            )
+        )
+        if joins:
+            out[-1] += ch
+        else:
+            out.append(ch)
+        prev_zwj = ch == "\u200d"
+        ri_run = ri_run + 1 if is_ri else 0
+    return out
+
+
+@pandas_udf(T.LongType())
+def length_grapheme(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else len(_graphemes(v)))
+
+
+@pandas_udf(T.StringType())
+def substring_grapheme(s: pd.Series, start: pd.Series,
+                       length: pd.Series) -> pd.Series:
+    def sub(v, st, ln):
+        if v is None or st is None or ln is None:
+            return None
+        g = _graphemes(v)
+        i0 = int(st) - 1 if st > 0 else len(g) + int(st)
+        if i0 < 0:
+            ln = max(int(ln) + i0, 0)
+            i0 = 0
+        return "".join(g[i0 : i0 + int(ln)])
+
+    return pd.Series(
+        [sub(v, st, ln) for v, st, ln in zip(s, start, length)],
+        dtype="object",
+    )
+
+
+@pandas_udf(T.StringType())
+def left_grapheme(s: pd.Series, n: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if v is None or k is None
+            else "".join(_graphemes(v)[: int(k)])
+            for v, k in zip(s, n)
+        ],
+        dtype="object",
+    )
+
+
+@pandas_udf(T.StringType())
+def right_grapheme(s: pd.Series, n: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if v is None or k is None
+            else ("".join(_graphemes(v)[-int(k):]) if int(k) else "")
+            for v, k in zip(s, n)
+        ],
+        dtype="object",
+    )
+
+
+def _json_merge_patch(a: str, b: str):
+    import json as _json
+
+    def merge(x, y):
+        if not isinstance(y, dict):
+            return y
+        if not isinstance(x, dict):
+            x = {}
+        out = dict(x)
+        for k, v in y.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = merge(out.get(k), v)
+        return out
+
+    if a is None or b is None:
+        return None
+    try:
+        return _json.dumps(
+            merge(_json.loads(a), _json.loads(b)),
+            separators=(",", ":"), ensure_ascii=False,
+        )
+    except ValueError:
+        return None
+
+
+@pandas_udf(T.StringType())
+def json_merge_patch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """RFC 7386 merge patch (DuckDB json_merge_patch): null values in
+    the patch delete keys, objects merge recursively, anything else
+    replaces."""
+    return pd.Series(
+        [_json_merge_patch(x, y) for x, y in zip(a, b)], dtype="object"
+    )
+
+
+def _json_structure_node(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "UBIGINT" if v >= 0 else "BIGINT"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "VARCHAR"
+    if isinstance(v, list):
+        merged = "NULL"
+        for el in v:
+            merged = _json_structure_merge(merged, _json_structure_node(el))
+        return [merged]
+    return {k: _json_structure_node(x) for k, x in v.items()}
+
+
+def _json_structure_merge(x, y):
+    if x == y:
+        return x
+    if x == "NULL":
+        return y
+    if y == "NULL":
+        return x
+    nums = {"UBIGINT", "BIGINT", "DOUBLE"}
+    if isinstance(x, str) and isinstance(y, str) and x in nums and y in nums:
+        return "DOUBLE" if "DOUBLE" in (x, y) else "BIGINT"
+    if isinstance(x, list) and isinstance(y, list):
+        return [_json_structure_merge(x[0], y[0])]
+    if isinstance(x, dict) and isinstance(y, dict):
+        return {
+            k: _json_structure_merge(x.get(k, "NULL"), y.get(k, "NULL"))
+            for k in {**x, **y}
+        }
+    return "JSON"
+
+
+@pandas_udf(T.StringType())
+def json_structure(s: pd.Series) -> pd.Series:
+    """DuckDB json_structure: the value's type skeleton as JSON —
+    scalars as type names, arrays as the merged element structure
+    (incompatible elements collapse to \"JSON\")."""
+    import json as _json
+
+    def struct(v):
+        if v is None:
+            return None
+        try:
+            return _json.dumps(
+                _json_structure_node(_json.loads(v)),
+                separators=(",", ":"), ensure_ascii=False,
+            )
+        except ValueError:
+            return None
+
+    return s.map(struct)
+
+
+def _json_match(t, n) -> bool:
+    if isinstance(n, dict):
+        return isinstance(t, dict) and all(
+            k in t and _json_match(t[k], v) for k, v in n.items()
+        )
+    if isinstance(n, list):
+        if not isinstance(t, list):
+            return False
+        return all(any(_json_match(el, x) for el in t) for x in n)
+    if isinstance(t, list):
+        return any(_json_match(el, n) for el in t)
+    return type(t) is type(n) and t == n
+
+
+def _json_contains(hay, needle) -> bool:
+    if _json_match(hay, needle):
+        return True
+    if isinstance(hay, dict):
+        return any(_json_contains(v, needle) for v in hay.values())
+    if isinstance(hay, list):
+        return any(_json_contains(v, needle) for v in hay)
+    return False
+
+
+@pandas_udf(T.BooleanType())
+def json_contains(hay: pd.Series, needle: pd.Series) -> pd.Series:
+    """DuckDB json_contains: the needle document appears in the
+    haystack at any depth — objects match as key subsets, arrays as
+    order-insensitive element subsets, scalars by equality (or array
+    membership)."""
+    import json as _json
+
+    def c(h, n):
+        if h is None or n is None:
+            return None
+        try:
+            return _json_contains(_json.loads(h), _json.loads(n))
+        except ValueError:
+            return None
+
+    return pd.Series(
+        [c(h, n) for h, n in zip(hay, needle)], dtype="object"
+    )
+
+
 def register_all(spark: SparkSession) -> None:
     """Install every engine UDF into the session's SQL namespace."""
     spark.udf.register("bpe_token_count", bpe_token_count)
@@ -220,6 +452,14 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("damerau_levenshtein", damerau_levenshtein)
     spark.udf.register("jaccard", jaccard_sim)
     spark.udf.register("jaro_winkler_similarity", jaro_winkler_similarity)
+    spark.udf.register("jaro_similarity", jaro_similarity)
+    spark.udf.register("length_grapheme", length_grapheme)
+    spark.udf.register("substring_grapheme", substring_grapheme)
+    spark.udf.register("left_grapheme", left_grapheme)
+    spark.udf.register("right_grapheme", right_grapheme)
+    spark.udf.register("json_merge_patch", json_merge_patch)
+    spark.udf.register("json_structure", json_structure)
+    spark.udf.register("json_contains", json_contains)
     spark.udf.register("hamming", hamming)
     spark.udf.register("mismatches", hamming)
     spark.udf.register("gamma", gamma_fn)

@@ -150,6 +150,104 @@ PROBES = [
     ("regexp_escape_f", "SELECT regexp_escape('a.b+c') AS e"),
     ("parse_filename_f", "SELECT parse_filename('/x/y/z.txt') AS f"),
     ("nfc_normalize_f", "SELECT nfc_normalize('abc') AS n"),
+    # round-5 dialect-breadth batch (surveyed against
+    # duckdb_functions(); every emission is a rewrite fixed point)
+    ("decade_era_millennium",
+     "SELECT decade(DATE '2024-05-04') AS d, era(DATE '2024-01-01') AS e, "
+     "millennium(DATE '2024-01-01') AS m, millennium(DATE '2000-12-31') AS m2"),
+    ("isoyear_yearweek",
+     "SELECT isoyear(DATE '2022-01-01') AS a, yearweek(DATE '2022-01-01') AS b, "
+     "yearweek(DATE '2024-01-07') AS c"),
+    ("julian_day",
+     "SELECT julian(DATE '2024-01-01') AS j, julian(TIMESTAMP '2024-01-01 12:00:00') AS jt"),
+    ("dayofweek_zero_based",
+     "SELECT dayofweek(DATE '2024-01-07') AS sun, dayofweek(DATE '2024-01-08') AS mon, "
+     "weekday(DATE '2024-01-09') AS tue, isodow(DATE '2024-01-07') AS iso"),
+    ("epoch_ns_probe",
+     "SELECT epoch_ns(TIMESTAMP '2024-01-01 00:00:01.5') AS ns"),
+    ("timezone_hm",
+     "SELECT timezone_hour(TIMESTAMP '2024-01-01 10:00:00') AS h, "
+     "timezone_minute(TIMESTAMP '2024-01-01 10:00:00') AS m"),
+    ("make_timestamp_micros", "SELECT make_timestamp(1700000000000000) AS t"),
+    ("interval_makers",
+     "SELECT CAST(DATE '2024-01-31' + to_years(1) AS DATE) AS y, "
+     "CAST(DATE '2024-01-31' + to_months(1) AS DATE) AS m, "
+     "CAST(DATE '2024-01-01' + to_weeks(2) AS DATE) AS w"),
+    ("date_sub_parts",
+     "SELECT date_sub('month', DATE '2024-01-15', DATE '2024-05-20') AS m, "
+     "date_sub('day', TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-03 09:59:59') AS d, "
+     "date_sub('year', DATE '2020-03-01', DATE '2024-02-28') AS y"),
+    ("time_bucket_day_origin",
+     "SELECT time_bucket(INTERVAL 2 DAY, DATE '2024-01-08') AS b, "
+     "time_bucket(INTERVAL 1 WEEK, DATE '2024-01-10') AS w, "
+     "time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-01-01 10:23:00') AS q"),
+    ("like_escape_fns",
+     "SELECT like_escape('a%c', 'a$%c', '$') AS a, "
+     "ilike_escape('A%c', 'a$%C', '$') AS b, "
+     "not_like_escape('abc', 'a$%c', '$') AS c"),
+    ("bar_chart",
+     "SELECT bar(3, 0, 10, 10) AS a, bar(3.7, 0, 10, 10) AS b, "
+     "bar(0, 0, 10, 10) AS z, bar(11, 0, 10, 10) AS f"),
+    ("format_decimal_size",
+     "SELECT formatReadableDecimalSize(16000) AS s, format_bytes(16384) AS b"),
+    ("parse_path_family",
+     "SELECT parse_path('/a/b/c.txt') AS p, parse_dirname('/a/b/c.txt') AS dn, "
+     "parse_dirpath('/a/b/c.txt') AS dp, parse_dirname('c.txt') AS dn2, "
+     "parse_filename('/a/b/c.txt') AS fn"),
+    ("constant_or_null_fn",
+     "SELECT constant_or_null(7, 1, 2) AS a, constant_or_null(7, NULL, 1) AS b"),
+    ("current_schema_fn", "SELECT current_schema() AS s"),
+    ("list_alias_family",
+     "SELECT array_transform([1, 2], x -> x + 1) AS t, "
+     "array_filter([1, 2, 3], x -> x < 3) AS f, array_has([1, 2], 2) AS h, "
+     "array_indexof([9, 8, 7], 8) AS i, apply([3, 4], x -> x * 2) AS ap"),
+    ("list_cat_null_skip",
+     "SELECT list_cat([1], [2, 3]) AS a, list_cat(NULL, [2]) AS b, "
+     "array_cat([1], NULL) AS c"),
+    ("list_distinct_null_drop",
+     "SELECT list_sort(list_distinct([1, NULL, 1, 2])) AS d, "
+     "array_unique([1, 2, 2, NULL]) AS u, list_unique([1, 1, NULL]) AS u2"),
+    ("list_grade_up_fn",
+     "SELECT list_grade_up([30, 10, 20]) AS g, list_grade_up([2, NULL, 1]) AS gn"),
+    ("map_element_at_list_wrap",
+     "SELECT element_at(map([1, 2], ['a', 'b']), 2) AS hit, "
+     "element_at(map([1], ['x']), 5) AS miss, "
+     "map_extract(map([1, 2], ['a', 'b']), 1) AS me"),
+    ("list_fold_aliases",
+     "SELECT aggregate([1, 2], 'sum') AS s, reduce([1, 2, 3], (a, b) -> a + b) AS r, "
+     "array_reduce([2, 3], (a, b) -> a * b) AS p"),
+    ("list_aggregate_more",
+     "SELECT list_aggregate([1, 2, 3], 'first') AS f, "
+     "list_aggregate([1, 2, 3], 'last') AS l, "
+     "list_aggregate([1, 2], 'string_agg') AS sa, "
+     "list_aggregate([NULL, 1, 2], 'sum') AS s, list_sum(([0.5, 2.5])::DOUBLE[]) AS ds"),
+    ("grapheme_fns",
+     "SELECT length_grapheme('héllo') AS n, substring_grapheme('abcdef', 2, 3) AS s, "
+     "left_grapheme('hello', 2) AS l, right_grapheme('hello', 3) AS r"),
+    ("jaro_fns",
+     "SELECT round(jaro_similarity('martha', 'marhta'), 6) AS j, "
+     "round(jaro_winkler_similarity('duck', 'luck'), 6) AS jw"),
+    ("json_build",
+     "SELECT json_array(1, 'a', NULL) AS ja, json_object('k', 1, 'j', 'x') AS jo, "
+     "json_quote('ab') AS q1, json_quote(1.5) AS q2"),
+    ("json_type_fn",
+     "SELECT json_type('{\"a\":1}') AS o, json_type('[1]') AS a, "
+     "json_type('\"x\"') AS v, json_type('-2') AS n, json_type('1.5') AS d, "
+     "json_type('{\"a\":[1]}', 'a') AS p"),
+    ("json_extract_quoting",
+     "SELECT json_extract('{\"a\":\"x\"}', 'a') AS q, "
+     "json_extract('{\"a\":{\"b\":3}}', '/a/b') AS p, "
+     "json_extract('[10,20]', 1) AS idx, "
+     "json_extract_string('{\"a\":\"x\"}', 'a') AS s"),
+    ("json_merge_struct",
+     "SELECT json_merge_patch('{\"a\":1,\"c\":3}', '{\"b\":2,\"c\":null}') AS m, "
+     "json_structure('{\"a\":1,\"b\":[1.5],\"c\":\"x\"}') AS s, "
+     "json_contains('{\"a\":1}', '1') AS c1, json_contains('[1,2]', '3') AS c2"),
+    ("from_json_structure",
+     "SELECT (from_json('{\"a\":1,\"b\":\"x\"}', "
+     "'{\"a\":\"INTEGER\",\"b\":\"VARCHAR\"}')).a AS a"),
+    ("json_arrow_quoted",
+     "SELECT '{\"a\": {\"b\": \"x\"}}'::JSON -> 'a' -> 'b' AS v"),
 ]
 
 
