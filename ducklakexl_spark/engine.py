@@ -289,6 +289,12 @@ _COMMENT_RE = re.compile(
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.I)
 _DESCRIBE_RE = re.compile(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+# DuckDB's DESCRIBE output shape (column_name/column_type/null/key/
+# default/extra, null spelled 'YES'/'NO')
+_DESCRIBE_SCHEMA = (
+    "column_name string, column_type string, null string, key string, "
+    "default string, extra string"
+)
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(ANALYZE\s+)?(SELECT\b.*|WITH\b.*)$", re.I | re.S)
 _SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+(.*)$", re.I | re.S)
 _MERGE_RE = re.compile(
@@ -1016,8 +1022,6 @@ _DUCK_FN_RENAME = {
     "quantile_cont": "percentile",
     "countif": "count_if",
     "ord": "ascii",
-    "favg": "avg",
-    "fsum": "sum",
     # misc
     "unnest": "explode",
     "gen_random_uuid": "uuid",
@@ -1785,6 +1789,9 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"AS BIGINT))))"
         )
     if key in ("sum", "avg", "min", "max", "count"):
+        if key == "count" and not a:
+            # DuckDB allows zero-arg count()
+            return "count(*)"
         # DuckDB tolerates ORDER BY inside any aggregate; for these the
         # order can't change the answer — strip it (top level only: an
         # ORDER BY inside a nested subquery argument must survive)
@@ -2183,6 +2190,61 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
                 ddl = _duck_json_structure_to_ddl(structure)
                 return f"from_json({a[0]}, {_sql_str(ddl)})"
         return f"from_json({', '.join(a)})"
+    if key == "mode" and len(a) == 1:
+        # Spark's deterministic mode breaks count ties toward the
+        # LOWEST value; DuckDB's tie-break is first-seen scan order
+        # (officially unspecified) — deterministic-min is the stable
+        # choice.  The 2-arg emission cannot re-match this 1-arg guard.
+        return f"mode({a[0]}, true)"
+    if key in ("fsum", "sumkahan", "kahan_sum"):
+        # Kahan-compensated float sum: DuckDB returns DOUBLE even for
+        # integer inputs
+        return f"sum(CAST({a[0]} AS DOUBLE))"
+    if key == "favg":
+        return f"avg(CAST({a[0]} AS DOUBLE))"
+    if key == "struct_insert":
+        kv: list[tuple[str, str]] = []
+        for arg in a[1:]:
+            k, _, v = arg.partition(":=")
+            if not v:
+                raise ValueError(
+                    f"struct_insert: expected k := v, got {arg!r}"
+                )
+            kv.append((k.strip(), v.strip()))
+        base = a[0].strip()
+        nm = re.match(r"^named_struct\s*\(", base, re.I)
+        if nm and matching_paren(base, nm.end() - 1) == len(base) - 1:
+            # struct literal: splice the new fields into the same
+            # named_struct (Spark can't expand `(expr).*`)
+            inner = base[nm.end() : -1].strip()
+            news = ", ".join(f"'{k}', {v}" for k, v in kv)
+            return f"named_struct({inner}, {news})"
+        if re.fullmatch(r"\w+(?:\.\w+)*", base):
+            # column reference: `ref.*` expands the existing fields
+            news = ", ".join(f"{v} AS {k}" for k, v in kv)
+            return f"struct({base}.*, {news})"
+        raise ValueError(
+            "struct_insert: base must be a struct literal or a column "
+            "reference"
+        )
+    if key == "regexp_matches" and len(a) == 3:
+        # options string (RE2 flags): i case-insensitive, s dot-matches-
+        # newline, m/n/p newline-sensitive anchors, l literal, c/g no-op
+        opts = _literal_str(a[2])
+        if opts is None:
+            raise ValueError("regexp_matches: options must be a literal")
+        if any(ch not in "ismnplcg" for ch in opts):
+            raise ValueError(f"regexp_matches: unknown options {opts!r}")
+        pat = a[1]
+        if "l" in opts:
+            pat = f"concat('\\Q', {pat}, '\\E')"
+        flags = "".join(
+            sorted({{"i": "i", "s": "s", "m": "m", "n": "m",
+                     "p": "m"}[ch] for ch in opts if ch in "ismnp"})
+        )
+        if flags:
+            pat = f"concat('(?{flags})', {pat})"
+        return f"regexp_like({a[0]}, {pat})"
     # template keys whose guard didn't match (e.g. Spark-style arg
     # counts) pass through under their own name
     name = _DUCK_FN_RENAME.get(key, key)
@@ -2232,6 +2294,8 @@ _DUCK_FN_TEMPLATES = {
     "json_extract", "json_extract_path", "json_extract_string",
     "json_extract_path_text", "json_array", "json_object", "json_quote",
     "json_type", "from_json", "from_json_strict", "date_sub",
+    "mode", "fsum", "sumkahan", "kahan_sum", "favg", "count",
+    "struct_insert", "regexp_matches",
 }
 
 # DuckDB type names (in CAST position etc.) Spark spells differently.
@@ -2988,6 +3052,32 @@ def rewrite_from_first(stmt: str) -> str:
         if 0 <= pos < cut:
             cut = pos
     return f"{tail[:cut].rstrip()} {head} {tail[cut:]}".rstrip()
+
+
+_FROM_FIRST_SUBQUERY_RE = re.compile(r"\(\s*FROM\b", re.I)
+
+
+def rewrite_from_first_subqueries(stmt: str) -> str:
+    """DuckDB accepts a FROM-first query anywhere a SELECT subquery is
+    legal — ``EXISTS (FROM t WHERE …)``, ``IN (FROM t)``, a scalar
+    ``(FROM t SELECT max(x))`` — while :func:`rewrite_from_first` only
+    handles the outermost statement.  Rewrite every parenthesized
+    FROM-first body in place (a ``(`` directly followed by ``FROM`` is
+    unambiguous: no SQL function or clause puts FROM first inside
+    parens).  Quote-aware; nested bodies are reached because scanning
+    resumes inside the rewritten text."""
+    search = 0
+    while True:
+        m = _FROM_FIRST_SUBQUERY_RE.search(stmt, search)
+        if not m:
+            return stmt
+        if _inside_string_literal(stmt, m.start()):
+            search = m.end()
+            continue
+        close = matching_paren(stmt, m.start())
+        inner = rewrite_from_first(stmt[m.start() + 1 : close])
+        stmt = stmt[: m.start() + 1] + inner + stmt[close:]
+        search = m.start() + 1
 
 
 _IGNORE_NULLS_RE = re.compile(r"\s+((?:IGNORE|RESPECT)\s+NULLS)\s*\)", re.I)
@@ -4220,26 +4310,40 @@ class DuckLakeSpark:
         )
         if m:
             # DuckDB's DESCRIBE <query>: the query's schema without
-            # executing it (analysis only — no jobs run)
+            # executing it (analysis only — no jobs run).  DuckDB's
+            # 6-column shape: null as 'YES'/'NO', key/default/extra.
             df = self._select(m.group(1))
             return self.spark.createDataFrame(
                 [
-                    (f.name, _spark_type_to_ducklake(f.dataType), f.nullable)
+                    (f.name, _spark_type_to_ducklake(f.dataType),
+                     "YES" if f.nullable else "NO", None, None, None)
                     for f in df.schema.fields
                 ],
-                "column_name string, column_type string, nulls_allowed boolean",
+                _DESCRIBE_SCHEMA,
             )
         m = _DESCRIBE_RE.match(stmt)
         if m:
             name = _unqualify(m.group(1))
-            tid = self.catalog.table_id(name)
+            try:
+                tid = self.catalog.table_id(name)
+            except (KeyError, ValueError):
+                # temp views / registered DataFrames: describe the scan
+                return self.sql(f"DESCRIBE SELECT * FROM {m.group(1)}")
             cols = self.catalog.columns(tid)
+            pks = set(
+                json.loads(self.catalog.get_tag(tid, "primary_key") or "[]")
+            )
             return self.spark.createDataFrame(
                 [
-                    (r.column_name, r.column_type, bool(r.nulls_allowed))
+                    (r.column_name, r.column_type,
+                     "YES" if bool(r.nulls_allowed) else "NO",
+                     "PRI" if r.column_name in pks else None,
+                     None if r.initial_default is None
+                     else str(r.initial_default),
+                     None)
                     for r in cols.itertuples()
                 ],
-                "column_name string, column_type string, nulls_allowed boolean",
+                _DESCRIBE_SCHEMA,
             )
         m = _EXPLAIN_RE.match(stmt)
         if m:
@@ -4342,7 +4446,11 @@ class DuckLakeSpark:
         elif re.match(r"^read_\w+\s*\(", target, re.I):
             df = self._select(f"SELECT * FROM {target}")
         else:
-            df = self.table_df(_unqualify(target))
+            try:
+                df = self.table_df(_unqualify(target))
+            except (KeyError, ValueError):
+                # temp views / registered DataFrames summarize too
+                df = self._select(f"SELECT * FROM {target}")
         # row count folds into the same aggregate pass as the per-column
         # stats — one job, not a count() job plus an agg job
         aggs = [F.count(F.lit(1)).alias("__smz_n")]
@@ -4370,30 +4478,49 @@ class DuckLakeSpark:
         row = df.agg(*aggs).collect()[0]
         n = row["__smz_n"]
         out = []
+        from decimal import Decimal
+
         for f in df.schema.fields:
             c = f.name
             q = row[f"__q_{c}"] if c in numeric else None
+            integral = isinstance(f.dataType, T.IntegralType)
+
+            def _fmt(v, integral=integral):
+                # DuckDB renders avg/std/quantiles as VARCHAR; integer
+                # columns keep integer-valued quantiles
+                if v is None:
+                    return None
+                return str(int(v)) if integral else str(float(v))
+
             out.append(
                 (
                     c,
-                    f.dataType.simpleString(),
+                    _spark_type_to_ducklake(f.dataType),
                     row[f"__min_{c}"],
                     row[f"__max_{c}"],
                     int(row[f"__dist_{c}"]),
-                    float(row[f"__avg_{c}"]) if c in numeric and row[f"__avg_{c}"] is not None else None,
-                    float(row[f"__std_{c}"]) if c in numeric and row[f"__std_{c}"] is not None else None,
-                    float(q[0]) if q else None,
-                    float(q[1]) if q else None,
-                    float(q[2]) if q else None,
+                    str(float(row[f"__avg_{c}"]))
+                    if c in numeric and row[f"__avg_{c}"] is not None
+                    else None,
+                    str(float(row[f"__std_{c}"]))
+                    if c in numeric and row[f"__std_{c}"] is not None
+                    else None,
+                    _fmt(q[0]) if q else None,
+                    _fmt(q[1]) if q else None,
+                    _fmt(q[2]) if q else None,
                     int(n),
-                    round(100.0 * row[f"__null_{c}"] / n, 2) if n else 0.0,
+                    Decimal(100.0 * row[f"__null_{c}"] / n).quantize(
+                        Decimal("0.01")
+                    )
+                    if n
+                    else Decimal("0.00"),
                 )
             )
         return self.spark.createDataFrame(
             out,
             "column_name string, column_type string, min string, max string, "
-            "approx_unique bigint, avg double, std double, q25 double, "
-            "q50 double, q75 double, count bigint, null_percentage double",
+            "approx_unique bigint, avg string, std string, q25 string, "
+            "q50 string, q75 string, count bigint, null_percentage decimal(9,2)",
         )
 
     # ------------------------------------------------------------------- DDL
@@ -6947,6 +7074,24 @@ class DuckLakeSpark:
             arg = item[cm.end() : close].strip()
             if arg == "*":
                 matched = list(cols)
+            elif arg.startswith("[") or re.match(r"^array\s*\(", arg, re.I):
+                # COLUMNS(['a', 'b']) explicit name-list form (the
+                # bracket literal may already be array(…) depending on
+                # rewrite order)
+                inner = (
+                    arg[arg.index("(") + 1 : -1]
+                    if arg.lower().startswith("array")
+                    else arg[1:-1]
+                )
+                matched = [
+                    _literal_str(x) or x.strip()
+                    for x in _split_bracket_args(inner)
+                ]
+                missing = [c for c in matched if c not in cols]
+                if missing:
+                    raise ValueError(
+                        f"COLUMNS(...): unknown columns {missing}"
+                    )
             else:
                 rx = re.compile(arg.strip("'\""))
                 matched = [c for c in cols if rx.search(c)]
@@ -7167,8 +7312,10 @@ class DuckLakeSpark:
         if _WITH_RECURSIVE_RE.match(stmt):
             return self._exec_recursive_cte(stmt)
         # DuckDB's leading-FROM sugar: bare `FROM t [WHERE …]` == SELECT *,
-        # and `FROM t SELECT cols …` reorders to SELECT-first
+        # and `FROM t SELECT cols …` reorders to SELECT-first — at the
+        # top level and inside parenthesized subqueries
         stmt = rewrite_from_first(stmt)
+        stmt = rewrite_from_first_subqueries(stmt)
         # read_* TVFs first: their ['p1','p2'] path-list syntax must be
         # consumed before the bracket rewrite turns it into array(…)
         stmt = self._read_file_views(stmt)

@@ -248,6 +248,60 @@ PROBES = [
      "'{\"a\":\"INTEGER\",\"b\":\"VARCHAR\"}')).a AS a"),
     ("json_arrow_quoted",
      "SELECT '{\"a\": {\"b\": \"x\"}}'::JSON -> 'a' -> 'b' AS v"),
+    # round-5 gap-probe batch: idioms surveyed by running a 56-statement
+    # battery of daily-driver DuckDB SQL through the engine vs DuckDB
+    ("group_by_all",
+     "SELECT n_regionkey, count(*) AS c FROM nation GROUP BY ALL ORDER BY ALL"),
+    ("columns_regex_probe",
+     "SELECT COLUMNS('n_n.*') FROM nation ORDER BY n_name LIMIT 3"),
+    ("columns_list_agg",
+     "SELECT min(COLUMNS(['n_regionkey', 'n_nationkey'])) FROM nation"),
+    ("unnest_select", "SELECT unnest([1, 2, 3]) AS u"),
+    ("values_from",
+     "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS t(i, s) ORDER BY i"),
+    ("describe_select_shape",
+     "DESCRIBE SELECT r_regionkey, r_name FROM region"),
+    ("list_comprehension_probe",
+     "SELECT [x * 2 FOR x IN [1, 2, 3, 4] IF x % 2 = 0] AS l"),
+    ("mode_unique",
+     "SELECT mode(x) AS m FROM (VALUES (1), (2), (2), (3)) t(x)"),
+    ("bit_bool_aggs",
+     "SELECT bit_and(n_nationkey) AS ba, bit_or(n_nationkey) AS bo, "
+     "bit_xor(n_nationkey) AS bx, bool_and(n_regionkey < 5) AS ca, "
+     "bool_or(n_regionkey = 0) AS co FROM nation"),
+    ("kahan_fold",
+     "SELECT fsum(n_nationkey) AS s, favg(n_nationkey) AS a, "
+     "sumkahan(n_nationkey) AS k FROM nation"),
+    ("quantile_cont_list",
+     "SELECT quantile_cont(n_nationkey, [0.25, 0.5, 0.75]) AS q FROM nation"),
+    ("count_zero_arg", "SELECT count() AS c FROM nation"),
+    ("struct_insert_scalar",
+     "SELECT struct_insert({'a': 1}, b := 2).b AS b, "
+     "struct_insert({'a': 1, 'c': 3}, d := 'x').d AS d"),
+    ("regexp_matches_flags",
+     "SELECT regexp_matches('abc', 'B', 'i') AS i, "
+     "regexp_matches('a' || chr(10) || 'b', 'a.b', 's') AS s, "
+     "regexp_matches('a.c', 'a.c', 'l') AS l, "
+     "regexp_matches('abc', 'a.c', 'l') AS l2"),
+    ("exists_from_first",
+     "SELECT r_name FROM region r WHERE EXISTS (FROM nation WHERE "
+     "n_regionkey = r.r_regionkey AND n_name GLOB 'A*') ORDER BY r_name"),
+    ("scalar_from_first",
+     "SELECT (FROM nation SELECT max(n_nationkey)) AS m"),
+    ("in_null_semantics",
+     "SELECT 3 IN (1, 2, NULL) AS a, 1 IN (1, NULL) AS b"),
+    ("similar_to_probe",
+     "SELECT count(*) AS c FROM nation WHERE n_name SIMILAR TO '.*IA'"),
+    ("grouping_fn",
+     "SELECT n_regionkey, grouping(n_regionkey) AS g, count(*) AS c "
+     "FROM nation GROUP BY ROLLUP (n_regionkey) "
+     "ORDER BY n_regionkey NULLS LAST, g"),
+    ("string_agg_distinct_probe",
+     "SELECT string_agg(DISTINCT n_regionkey::VARCHAR, ',' "
+     "ORDER BY n_regionkey::VARCHAR) AS s FROM nation"),
+    ("regr_corr_family",
+     "SELECT round(regr_slope(n_nationkey, n_regionkey), 6) AS s, "
+     "round(corr(n_nationkey, n_regionkey), 6) AS c FROM nation"),
 ]
 
 

@@ -326,8 +326,8 @@ def test_information_schema_and_show_describe(lake):
     assert ("alpha",) in names and ("gamma",) in names
     shown = [r[0] for r in lake.sql("SHOW TABLES;").collect()]
     assert "alpha" in shown and "beta" in shown
-    desc = rows(lake.sql("DESCRIBE alpha;"))
-    assert ("id", "INTEGER", True) in desc and ("v", "VARCHAR", True) in desc
+    desc = [r[:3] for r in rows(lake.sql("DESCRIBE alpha;"))]
+    assert ("id", "INTEGER", "YES") in desc and ("v", "VARCHAR", "YES") in desc
 
 
 def test_compact_and_vacuum(lake):
@@ -1415,8 +1415,8 @@ def test_explain_and_summarize(lake):
     assert set(summ) == {"id", "v", "s"}
     assert summ["id"].min == "1" and summ["id"].max == "3"
     assert summ["id"]["count"] == 3 and summ["id"].null_percentage == 0.0
-    assert summ["s"].null_percentage == pytest.approx(33.33, abs=0.01)
-    assert summ["v"].q50 == 2.5 and summ["s"].avg is None
+    assert float(summ["s"].null_percentage) == pytest.approx(33.33, abs=0.01)
+    assert summ["v"].q50 == "2.5" and summ["s"].avg is None
     # SUMMARIZE over a subquery
     sub = lake.sql("SUMMARIZE SELECT id FROM ex WHERE id >= 2;")
     r = sub.collect()[0]
