@@ -25,6 +25,7 @@ from __future__ import annotations
 import base64
 import datetime as _dt
 import decimal as _decimal
+import hashlib
 import json
 import os
 import re
@@ -269,6 +270,11 @@ _SET_RE = re.compile(
     r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([\w.]+)\s*(?:=|TO)\s*(.+?)\s*$", re.I
 )
 _RESET_RE = re.compile(r"^\s*RESET\s+([\w.]+)\s*$", re.I)
+_SET_VARIABLE_RE = re.compile(
+    r"^\s*SET\s+VARIABLE\s+(\w+)\s*=\s*(.+?)\s*$", re.I | re.S
+)
+_RESET_VARIABLE_RE = re.compile(r"^\s*RESET\s+VARIABLE\s+(\w+)\s*$", re.I)
+_GETVARIABLE_RE = re.compile(r"\bgetvariable\s*\(\s*'(\w+)'\s*\)", re.I)
 _PRAGMA_RE = re.compile(
     r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*'?([\w.]*)'?\s*\))?\s*$", re.I
 )
@@ -562,6 +568,14 @@ _INSERT_OR_RE = re.compile(
 _SERIES_TVF_RE = re.compile(
     r"(\bFROM\s+|\bJOIN\s+|,\s*)(generate_series|range)\s*\(\s*(-?\d+)\s*"
     r"(?:,\s*(-?\d+)\s*)?(?:,\s*(-?\d+)\s*)?\)"
+    r"(?:\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\))?",
+    re.I,
+)
+_SERIES_TVF_TEMPORAL_RE = re.compile(
+    r"(\bFROM\s+|\bJOIN\s+|,\s*)(generate_series|range)\s*\(\s*"
+    r"((?:DATE|TIMESTAMP)\s*'[^']+')\s*,\s*"
+    r"((?:DATE|TIMESTAMP)\s*'[^']+')\s*,\s*"
+    r"(-?\s*INTERVAL\s+'?(-?\d+)'?\s+\w+?S?)\s*\)"
     r"(?:\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\))?",
     re.I,
 )
@@ -1022,6 +1036,7 @@ _DUCK_FN_RENAME = {
     "quantile_cont": "percentile",
     "countif": "count_if",
     "ord": "ascii",
+    "transaction_timestamp": "now",
     # misc
     "unnest": "explode",
     "gen_random_uuid": "uuid",
@@ -1093,6 +1108,26 @@ def _literal_str(arg: str) -> str | None:
     """The Python value of a SQL string literal argument, else None."""
     m = _SQL_LITERAL_RE.match(arg.strip())
     return m.group(1).replace("''", "'") if m else None
+
+
+def _py_value_to_sql(v) -> str:
+    """Render a collected Python value back as a SQL literal (the
+    getvariable() substitution path)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, _decimal.Decimal)):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_py_value_to_sql(x) for x in v) + ")"
+    if isinstance(v, str):
+        return _sql_str(v)
+    raise ValueError(f"getvariable: unsupported value type {type(v)!r}")
 
 
 def _re2_rewrite_to_java(s: str) -> str:
@@ -1245,11 +1280,44 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             parts.append(f"'{k.strip()}', {v.strip()}")
         return f"named_struct({', '.join(parts)})"
     if key == "date_diff" or (key == "datediff" and len(a) == 3):
-        # date_diff('day', a, b) → timestampdiff(DAY, a, b)
+        # DuckDB date_diff counts PART BOUNDARIES CROSSED, not complete
+        # intervals (date_diff('month', Jan 15, Mar 1) = 2; the
+        # complete-interval form is date_sub) — truncating both
+        # operands to the part before timestampdiff turns complete
+        # intervals between boundaries into exactly the crossing count.
         part = _literal_str(a[0])
         if part is None:
             raise ValueError("date_diff: part must be a string literal")
-        return f"timestampdiff({part.upper()}, {a[1]}, {a[2]})"
+        _alias = {
+            "yr": "year", "y": "year", "mon": "month", "m": "month",
+            "d": "day", "dayofyear": "day", "doy": "day", "h": "hour",
+            "hr": "hour", "min": "minute", "n": "minute", "sec": "second",
+            "msec": "millisecond", "ms": "millisecond",
+            "usec": "microsecond", "us": "microsecond", "w": "week",
+            "qtr": "quarter",
+        }
+        raw = part.lower()
+        p = _alias.get(raw)
+        if p is None:
+            p = raw[:-1] if raw.endswith("s") and len(raw) > 2 else raw
+            p = _alias.get(p, p)
+        if p in ("decade", "century", "millennium"):
+            # boundary count via the same year arithmetic as the part
+            # extractors (decade floors, century/millennium ceil)
+            n = {"decade": 10, "century": 100, "millennium": 1000}[p]
+            fn = "floor" if p == "decade" else "ceil"
+            return (
+                f"CAST({fn}(year({a[2]}) / {n}.0) - "
+                f"{fn}(year({a[1]}) / {n}.0) AS BIGINT)"
+            )
+        if p not in ("year", "quarter", "month", "week", "day", "hour",
+                     "minute", "second", "millisecond", "microsecond"):
+            raise ValueError(f"date_diff: unsupported part {part!r}")
+        return (
+            f"timestampdiff({p.upper()}, "
+            f"date_trunc('{p.upper()}', CAST({a[1]} AS TIMESTAMP)), "
+            f"date_trunc('{p.upper()}', CAST({a[2]} AS TIMESTAMP)))"
+        )
     if key == "epoch":
         # DuckDB epoch() returns DOUBLE seconds (fraction preserved);
         # divide by a DOUBLE so Spark doesn't type the result DECIMAL
@@ -1697,11 +1765,20 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         # DuckDB numeric trunc (toward zero); 2-arg date trunc passes
         # through to Spark's own trunc below
         return f"(floor(abs({a[0]})) * CAST(sign({a[0]}) AS BIGINT))"
-    if key == "age":
-        # interval between timestamps (1-arg: from now)
-        if len(a) == 1:
-            return f"(current_timestamp() - CAST({a[0]} AS TIMESTAMP))"
-        return f"(CAST({a[0]} AS TIMESTAMP) - CAST({a[1]} AS TIMESTAMP))"
+    if key == "age" and not a[0].lstrip().upper().startswith("CAST("):
+        # age(a[, b]): PG-style CALENDAR decomposition (years/months/
+        # days borrow against real month lengths), rendered as DuckDB's
+        # VARCHAR text by the duck_age UDF — Spark has no mixed
+        # month+day+time interval type, and the old day-time interval
+        # subtraction could not show '2 months 5 days'.  1-arg form
+        # measures from current_date (PG semantics).
+        args = (
+            ["CAST(current_date() AS TIMESTAMP)",
+             f"CAST({a[0]} AS TIMESTAMP)"]
+            if len(a) == 1
+            else [f"CAST({a[0]} AS TIMESTAMP)", f"CAST({a[1]} AS TIMESTAMP)"]
+        )
+        return f"age({', '.join(args)})"
     if key == "even":
         # round away from zero to the next even number
         return (
@@ -1713,12 +1790,10 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f" ELSE CAST(floor({a[0]}) - 1 AS DOUBLE) END END)"
         )
     if key == "signbit":
-        # true for negatives AND -0.0 (1/-0.0 = -Infinity)
-        return (
-            f"(CASE WHEN CAST({a[0]} AS DOUBLE) = 0.0D "
-            f"THEN (1.0D / CAST({a[0]} AS DOUBLE)) < 0 "
-            f"ELSE CAST({a[0]} AS DOUBLE) < 0 END)"
-        )
+        # DuckDB's signbit is a plain < 0 test — signbit(-0.0) is FALSE
+        # there (verified), and the 1/-0.0 trick would yield NULL under
+        # the engine's DuckDB-style NULL division anyway
+        return f"(CAST({a[0]} AS DOUBLE) < 0D)"
     if key in ("format_bytes", "formatreadablesize"):
         # DuckDB's binary-prefix humanizer: 999 bytes / 1.4 KiB / 1.0 MiB
         x = f"CAST({a[0]} AS DOUBLE)"
@@ -2245,6 +2320,92 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         if flags:
             pat = f"concat('(?{flags})', {pat})"
         return f"regexp_like({a[0]}, {pat})"
+    if key == "isfinite":
+        x = f"CAST({a[0]} AS DOUBLE)"
+        return (
+            f"(CASE WHEN {x} IS NULL THEN NULL ELSE "
+            f"NOT (isnan({x}) OR abs({x}) = CAST('Infinity' AS DOUBLE)) "
+            f"END)"
+        )
+    if key == "isinf":
+        return f"(abs(CAST({a[0]} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+    if key == "fdiv":
+        # floor division, NULL on zero divisor (like every DuckDB
+        # division); DOUBLE result
+        return (
+            f"CAST(floor(try_divide(CAST({a[0]} AS DOUBLE), {a[1]})) "
+            f"AS DOUBLE)"
+        )
+    if key == "fmod":
+        # floor-mod (sign of the divisor): fmod(-7.5, 2) = 0.5 in
+        # DuckDB, verified — NOT C fmod
+        x, y = f"CAST({a[0]} AS DOUBLE)", f"({a[1]})"
+        return f"({x} - floor(try_divide({x}, {y})) * {y})"
+    if key == "generate_subscripts":
+        if len(a) > 1 and a[1].strip() not in ("1", "1L"):
+            raise ValueError(
+                "generate_subscripts: only dimension 1 is supported"
+            )
+        return f"explode(sequence(1, size({a[0]})))"
+    if key in ("left", "right") and len(a) == 2:
+        # DuckDB's negative count drops |n| characters from the other
+        # end (left('hello', -1) = 'hell'); Spark returns ''.  Emitted
+        # as substring with a greatest() start so the 3-arg substring
+        # template's idempotence guard passes it through untouched.
+        s, n = a[0], f"CAST({a[1]} AS INT)"
+        ln = (
+            f"(CASE WHEN {n} >= 0 THEN {n} "
+            f"ELSE greatest(length({s}) + {n}, 0) END)"
+        )
+        if key == "left":
+            return f"substring({s}, greatest(1, 1), {ln})"
+        pos = (
+            f"greatest(CASE WHEN {n} >= 0 THEN length({s}) - {n} + 1 "
+            f"ELSE 1 - {n} END, 1)"
+        )
+        return f"substring({s}, {pos}, {ln})"
+    if key in ("substring", "substr") and len(a) == 3:
+        # DuckDB's zero/negative start consumes count before the string
+        # begins: substring('hello', 0, 3) = 'he' (positions 0..2
+        # clipped to 1..2); negatives resolve from the end FIRST, then
+        # clip.  Spark treats 0 as 1 without shortening.  The inner
+        # substring call keeps a greatest() start — the guard below
+        # keeps the rewrite idempotent.
+        if a[1].lstrip().startswith("greatest("):
+            return f"{key}({', '.join(a)})"
+        s, st, ln = a[0], f"CAST({a[1]} AS INT)", f"CAST({a[2]} AS INT)"
+        pos = (
+            f"(CASE WHEN {st} >= 0 THEN {st} "
+            f"ELSE length({s}) + {st} + 1 END)"
+        )
+        eff = f"greatest({pos}, 1)"
+        return (
+            f"substring({s}, {eff}, "
+            f"greatest({ln} - ({eff} - {pos}), 0))"
+        )
+    if key == "any_value" and len(a) == 1 and re.search(
+        r"\bORDER\s+BY\b", a[0], re.I
+    ):
+        # any_value(x ORDER BY k): first NON-NULL in order (unlike
+        # ordered first(), which keeps NULLs) — same collect-sort-pick
+        # shape as first/last with a null filter before the pick
+        m = re.search(r"\bORDER\s+BY\b", a[0], re.I)
+        val = a[0][: m.start()].strip()
+        keys = split_top_level(a[0][m.end():])
+        if any(re.search(r"\bDESC\b", k, re.I) for k in keys) and len(keys) > 1:
+            raise ValueError("any_value: multi-key DESC ordering unsupported")
+        desc = any(re.search(r"\bDESC\b", k, re.I) for k in keys)
+        fields = []
+        for i, k in enumerate(keys):
+            k = re.sub(r"\s+(ASC|DESC)\s*$", "", k.strip(), flags=re.I)
+            fields.append(f"{k} AS __k{i}")
+        arr = (
+            f"transform(array_sort(collect_list(struct("
+            f"{', '.join(fields)}, {val} AS __v))), s -> s.__v)"
+        )
+        if desc:
+            arr = f"reverse({arr})"
+        return f"try_element_at(filter({arr}, __v -> __v IS NOT NULL), 1)"
     # template keys whose guard didn't match (e.g. Spark-style arg
     # counts) pass through under their own name
     name = _DUCK_FN_RENAME.get(key, key)
@@ -2296,6 +2457,9 @@ _DUCK_FN_TEMPLATES = {
     "json_type", "from_json", "from_json_strict", "date_sub",
     "mode", "fsum", "sumkahan", "kahan_sum", "favg", "count",
     "struct_insert", "regexp_matches",
+    "signbit", "isfinite", "isinf", "fdiv", "fmod",
+    "generate_subscripts", "left", "right", "substring", "substr",
+    "any_value", "age",
 }
 
 # DuckDB type names (in CAST position etc.) Spark spells differently.
@@ -3054,6 +3218,55 @@ def rewrite_from_first(stmt: str) -> str:
     return f"{tail[:cut].rstrip()} {head} {tail[cut:]}".rstrip()
 
 
+def rewrite_double_quoted_identifiers(stmt: str) -> str:
+    """ANSI/DuckDB double-quoted identifiers → Spark backticks.  Spark
+    parses ``"x"`` as a STRING literal (doubleQuotedIdentifiers needs
+    ANSI mode, which the engine turns off for DuckDB NULL-division), so
+    a reference user's ``SELECT "My Col" FROM t`` would silently select
+    a constant.  Single-quoted strings and comments pass through;
+    ``""`` inside an identifier unescapes to ``"``."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if stmt[j] == "'":
+                    if j + 1 < n and stmt[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(stmt[i : j + 1])
+            i = j + 1
+            continue
+        if stmt[i : i + 2] == "--":
+            j = stmt.find("\n", i)
+            j = n if j < 0 else j
+            out.append(stmt[i:j])
+            i = j
+            continue
+        if ch == '"':
+            j = i + 1
+            name: list[str] = []
+            while j < n:
+                if stmt[j] == '"':
+                    if j + 1 < n and stmt[j + 1] == '"':
+                        name.append('"')
+                        j += 2
+                        continue
+                    break
+                name.append(stmt[j])
+                j += 1
+            out.append("`" + "".join(name) + "`")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 _FROM_FIRST_SUBQUERY_RE = re.compile(r"\(\s*FROM\b", re.I)
 
 
@@ -3427,6 +3640,13 @@ class DuckLakeSpark:
         # (Spark's default Hive-style literal parsing).  Runtime-settable;
         # DataFrame-API code paths are unaffected by the parser conf.
         self.spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+        # DuckDB division semantics: x / 0, x % 0 and x // 0 are NULL
+        # (verified against DuckDB) — Spark's ANSI mode raises instead,
+        # which breaks real ratio queries mid-scan.  Session-wide like
+        # the parser conf above.  Documented trade: invalid explicit
+        # casts return NULL here where DuckDB raises (TRY_CAST spells
+        # the lenient form explicitly in both engines).
+        self.spark.conf.set("spark.sql.ansi.enabled", "false")
         # INT96 timestamps carry no footer stats → no pruning; write
         # int64 micros (runtime-settable, drivers may hand us a vanilla
         # session)
@@ -3455,6 +3675,8 @@ class DuckLakeSpark:
         self.catalog = DuckLakeCatalog(CatalogStore(local_catalog), self.data_path)
         self.current_db = ducklake_name
         self.session_settings: dict[str, str] = {}
+        # SET VARIABLE name = expr / getvariable('name') user variables
+        self.sql_variables: dict[str, object] = {}
         # CREATE TYPE … AS ENUM registry: enum columns store as VARCHAR
         # plus an auto-CHECK over the declared values (DuckDB's enum is
         # a constrained string at the SQL surface; declaration-order
@@ -3700,6 +3922,21 @@ class DuckLakeSpark:
         if m:
             self.current_db = m.group(1)
             return None
+        m = _SET_VARIABLE_RE.match(stmt)
+        if m:
+            # SET VARIABLE name = expr: evaluated NOW (DuckDB
+            # semantics — the value is captured, not the expression);
+            # arbitrary expressions including scalar subqueries work
+            # because evaluation runs through the full select path
+            val = self._select(f"SELECT ({m.group(2)}) AS __v").collect()
+            self.sql_variables[m.group(1).lower()] = (
+                val[0]["__v"] if val else None
+            )
+            return None
+        m = _RESET_VARIABLE_RE.match(stmt)
+        if m:
+            self.sql_variables.pop(m.group(1).lower(), None)
+            return None
         m = _SET_RE.match(stmt)
         if m:
             # SET spark.* keys hit the live session conf; DuckDB-only
@@ -3747,6 +3984,11 @@ class DuckLakeSpark:
             # DuckDB flushes its WAL here; our commits are already
             # durable per-statement, so CHECKPOINT is an accepted no-op
             return None
+        if re.match(r"^\s*ANALYZE(\s+[\w.\"]+)?\s*$", stmt, re.I):
+            # DuckDB recomputes table statistics; this engine records
+            # per-file column stats at WRITE time (insert/merge paths),
+            # so there is nothing stale to recompute — accepted no-op
+            return None
         if re.match(r"^\s*VACUUM\s*$", stmt, re.I):
             return self.spark.createDataFrame(
                 [(self.vacuum(),)], "files_deleted int"
@@ -3763,6 +4005,13 @@ class DuckLakeSpark:
                 for a in split_top_level(arg_txt)
                 if a.strip()
             ]
+            if fn.startswith("pragma_"):
+                # CALL pragma_version() / pragma_table_info('t') / … —
+                # the function form of the PRAGMA statements
+                tail = fn.removeprefix("pragma_")
+                if args:
+                    tail += f"('{args[0]}')"
+                return self.sql(f"PRAGMA {tail}")
             if fn in ("merge_adjacent_files", "compact"):
                 names = args or self.catalog.table_names()
                 rows = [
@@ -4303,6 +4552,31 @@ class DuckLakeSpark:
                 "SELECT table_name AS name FROM information_schema.tables "
                 "ORDER BY table_name"
             )
+        if re.match(r"^\s*SHOW\s+ALL\s+TABLES\s*$", stmt, re.I):
+            # DuckDB's wide listing: one row per table with the column
+            # name/type vectors inline
+            rows = []
+            for t in sorted(self.catalog.table_names()):
+                cols = self.catalog.columns(self.catalog.table_id(t))
+                rows.append(
+                    (
+                        self.current_db or "memory",
+                        "main",
+                        t,
+                        [str(c) for c in cols["column_name"]],
+                        [str(c) for c in cols["column_type"]],
+                        False,
+                    )
+                )
+            schema = (
+                "database string, schema string, name string, "
+                "column_names array<string>, column_types array<string>, "
+                "temporary boolean"
+            )
+            df = self.spark.createDataFrame(
+                rows or [("", "", "", [], [], False)], schema
+            )
+            return df if rows else df.filter(F.col("name") != "")
         m = re.match(
             r"^\s*(?:DESCRIBE|DESC)\s+((?:SELECT|WITH|FROM)\b.*)$",
             stmt,
@@ -6694,6 +6968,33 @@ class DuckLakeSpark:
             )
         return self.spark.read.json(paths)
 
+    _META_SUBQUERY_RE = re.compile(
+        r"\(\s*(DESCRIBE|SUMMARIZE|SHOW)\b", re.I
+    )
+
+    def _rewrite_meta_subqueries(self, stmt: str) -> str:
+        """DuckDB allows diagnostic statements as relations:
+        ``SELECT column_name FROM (DESCRIBE t)`` — execute the inner
+        statement through the full sql() dispatch and substitute a temp
+        view over its result."""
+        search = 0
+        while True:
+            m = self._META_SUBQUERY_RE.search(stmt, search)
+            if not m:
+                return stmt
+            if _inside_string_literal(stmt, m.start()):
+                search = m.end()
+                continue
+            close = matching_paren(stmt, m.start())
+            inner = stmt[m.start() + 1 : close].strip()
+            df = self.sql(inner)
+            view = "__meta_sub_" + hashlib.md5(
+                inner.encode()
+            ).hexdigest()[:12]
+            df.createOrReplaceTempView(view)
+            stmt = stmt[: m.start()] + f" {view} " + stmt[close + 1 :]
+            search = m.start()
+
     def _rewrite_misc_tvfs(self, stmt: str) -> str:
         """DuckDB introspection/utility TVFs in FROM position:
         ``glob('pattern')`` (file listing, one ``file`` column),
@@ -6734,6 +7035,75 @@ class DuckLakeSpark:
             stmt = re.sub(
                 r"\bpragma_version\s*\(\s*\)", " __pragma_version ", stmt,
                 flags=re.I,
+            )
+        if re.search(r"\bduckdb_columns\s*\(\s*\)", stmt, re.I):
+            rows = []
+            for t in sorted(self.catalog.table_names()):
+                cols = self.catalog.columns(self.catalog.table_id(t))
+                for i, r in enumerate(cols.itertuples()):
+                    rows.append(
+                        (self.current_db or "memory", "main", t,
+                         str(r.column_name), i + 1, str(r.column_type),
+                         bool(r.nulls_allowed))
+                    )
+            df = self.spark.createDataFrame(
+                rows or [(None, None, None, None, None, None, None)],
+                "database_name string, schema_name string, "
+                "table_name string, column_name string, "
+                "column_index int, data_type string, is_nullable boolean",
+            )
+            if not rows:
+                df = df.filter("table_name IS NOT NULL")
+            df.createOrReplaceTempView("__duckdb_columns")
+            stmt = re.sub(
+                r"\bduckdb_columns\s*\(\s*\)", " __duckdb_columns ", stmt,
+                flags=re.I,
+            )
+        if re.search(r"\bduckdb_views\s*\(\s*\)", stmt, re.I):
+            rows = [
+                (self.current_db or "memory", "main", v,
+                 self.catalog.view_sql(v))
+                for v in sorted(self.catalog.view_names())
+            ]
+            df = self.spark.createDataFrame(
+                rows or [(None, None, None, None)],
+                "database_name string, schema_name string, "
+                "view_name string, sql string",
+            )
+            if not rows:
+                df = df.filter("view_name IS NOT NULL")
+            df.createOrReplaceTempView("__duckdb_views")
+            stmt = re.sub(
+                r"\bduckdb_views\s*\(\s*\)", " __duckdb_views ", stmt,
+                flags=re.I,
+            )
+        if re.search(r"\bduckdb_settings\s*\(\s*\)", stmt, re.I):
+            rows = sorted(
+                (k, str(v), "", "VARCHAR")
+                for k, v in self.session_settings.items()
+            )
+            df = self.spark.createDataFrame(
+                rows or [(None, None, None, None)],
+                "name string, value string, description string, "
+                "input_type string",
+            )
+            if not rows:
+                df = df.filter("name IS NOT NULL")
+            df.createOrReplaceTempView("__duckdb_settings")
+            stmt = re.sub(
+                r"\bduckdb_settings\s*\(\s*\)", " __duckdb_settings ",
+                stmt, flags=re.I,
+            )
+        if re.search(r"\bduckdb_functions\s*\(\s*\)", stmt, re.I):
+            names = sorted(_DUCK_FNS | set(_DUCK_FN_RENAME.values()))
+            self.spark.createDataFrame(
+                [("system", "main", n, "scalar") for n in names],
+                "database_name string, schema_name string, "
+                "function_name string, function_type string",
+            ).createOrReplaceTempView("__duckdb_functions")
+            stmt = re.sub(
+                r"\bduckdb_functions\s*\(\s*\)", " __duckdb_functions ",
+                stmt, flags=re.I,
             )
         return stmt
 
@@ -7026,7 +7396,36 @@ class DuckLakeSpark:
             self.spark.sql(body).createOrReplaceTempView(view)
             return f"{kw}{view} {talias + ' ' if talias else ''}"
 
-        return _SERIES_TVF_RE.sub(_sub, stmt)
+        stmt = _SERIES_TVF_RE.sub(_sub, stmt)
+
+        def _sub_temporal(m: re.Match) -> str:
+            # DATE/TIMESTAMP series: DuckDB types the output TIMESTAMP
+            # either way; range() is end-exclusive (sequence() is
+            # inclusive — filter the endpoint off)
+            kw, name = m.group(1), m.group(2).lower()
+            lo, hi, step = m.group(3), m.group(4), m.group(5)
+            n = int(m.group(6)) * (-1 if step.lstrip().startswith("-") else 1)
+            talias, calias = m.group(7), m.group(8)
+            col = calias or name
+            seq = (
+                f"sequence(CAST({lo} AS TIMESTAMP), "
+                f"CAST({hi} AS TIMESTAMP), {step.lstrip('-').strip()}"
+                f"{' * -1' if n < 0 else ''})"
+            )
+            body = f"SELECT explode({seq}) AS {col}"
+            if name == "range":
+                cmp = "<" if n > 0 else ">"
+                body = (
+                    f"SELECT {col} FROM ({body}) "
+                    f"WHERE {col} {cmp} CAST({hi} AS TIMESTAMP)"
+                )
+            view = "__series_ts_" + hashlib.md5(
+                f"{name}|{lo}|{hi}|{step}|{col}".encode()
+            ).hexdigest()[:12]
+            self.spark.sql(body).createOrReplaceTempView(view)
+            return f"{kw}{view} {talias + ' ' if talias else ''}"
+
+        return _SERIES_TVF_TEMPORAL_RE.sub(_sub_temporal, stmt)
 
     _COLUMNS_CALL_RE = re.compile(r"\bCOLUMNS\s*\(", re.I)
 
@@ -7308,6 +7707,12 @@ class DuckLakeSpark:
         return new_stmt
 
     def _select(self, stmt: str) -> DataFrame:
+        # FIRST: "ident" → `ident` (Spark parses double quotes as string
+        # literals; DuckDB as identifiers).  Must run before any rewrite
+        # EMITS double-quoted string literals (_sql_str's quote-bearing
+        # case) — those are Spark-bound and must survive.
+        if '"' in stmt:
+            stmt = rewrite_double_quoted_identifiers(stmt)
         stmt = self._expand_macros(stmt)
         if _WITH_RECURSIVE_RE.match(stmt):
             return self._exec_recursive_cte(stmt)
@@ -7316,10 +7721,21 @@ class DuckLakeSpark:
         # top level and inside parenthesized subqueries
         stmt = rewrite_from_first(stmt)
         stmt = rewrite_from_first_subqueries(stmt)
+        # getvariable('name') → the captured value as a literal (NULL
+        # when unset, DuckDB semantics)
+        if "getvariable" in stmt.lower():
+            stmt = _GETVARIABLE_RE.sub(
+                lambda m: _py_value_to_sql(
+                    self.sql_variables.get(m.group(1).lower())
+                ),
+                stmt,
+            )
         # read_* TVFs first: their ['p1','p2'] path-list syntax must be
         # consumed before the bracket rewrite turns it into array(…)
         stmt = self._read_file_views(stmt)
         stmt = self._rewrite_misc_tvfs(stmt)
+        if self._META_SUBQUERY_RE.search(stmt):
+            stmt = self._rewrite_meta_subqueries(stmt)
         stmt = rewrite_trailing_commas(stmt)
         stmt = rewrite_list_comprehension(stmt)
         stmt = rewrite_array_type_suffix(stmt)

@@ -440,6 +440,72 @@ def json_contains(hay: pd.Series, needle: pd.Series) -> pd.Series:
     )
 
 
+def _age_str(a, b) -> str | None:
+    """DuckDB/PostgreSQL age(a, b) rendered as DuckDB's INTERVAL→VARCHAR
+    text ('2 years 1 month 26 days 01:30:15.5', '-2 months -5 days',
+    '00:00:00' for zero).  Field-wise calendar decomposition with
+    PG's borrow rule: negative days borrow the EARLIER date's month
+    length (verified: age('2024-03-01','2024-01-31') = '1 month 1 day').
+    Symmetric negation when a < b."""
+    import calendar
+
+    if a is None or b is None:
+        return None
+    neg = a < b
+    if neg:
+        a, b = b, a
+    us = a.microsecond - b.microsecond
+    s = a.second - b.second
+    mi = a.minute - b.minute
+    h = a.hour - b.hour
+    d = a.day - b.day
+    mo = a.month - b.month
+    y = a.year - b.year
+    if us < 0:
+        us += 1_000_000
+        s -= 1
+    if s < 0:
+        s += 60
+        mi -= 1
+    if mi < 0:
+        mi += 60
+        h -= 1
+    if h < 0:
+        h += 24
+        d -= 1
+    bm, by = b.month, b.year
+    while d < 0:
+        d += calendar.monthrange(by, bm)[1]
+        mo -= 1
+        bm += 1
+        if bm > 12:
+            bm, by = 1, by + 1
+    while mo < 0:
+        mo += 12
+        y -= 1
+    sign = "-" if neg else ""
+    parts = []
+    if y:
+        parts.append(f"{sign}{y} year" + ("s" if y != 1 else ""))
+    if mo:
+        parts.append(f"{sign}{mo} month" + ("s" if mo != 1 else ""))
+    if d:
+        parts.append(f"{sign}{d} day" + ("s" if d != 1 else ""))
+    if h or mi or s or us or not parts:
+        t = f"{sign}{h:02d}:{mi:02d}:{s:02d}"
+        if us:
+            t += f".{us:06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
+@pandas_udf(T.StringType())
+def duck_age(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_age_str(x, y) for x, y in zip(a, b)], dtype="object"
+    )
+
+
 def register_all(spark: SparkSession) -> None:
     """Install every engine UDF into the session's SQL namespace."""
     spark.udf.register("bpe_token_count", bpe_token_count)
@@ -460,6 +526,7 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("json_merge_patch", json_merge_patch)
     spark.udf.register("json_structure", json_structure)
     spark.udf.register("json_contains", json_contains)
+    spark.udf.register("age", duck_age)
     spark.udf.register("hamming", hamming)
     spark.udf.register("mismatches", hamming)
     spark.udf.register("gamma", gamma_fn)

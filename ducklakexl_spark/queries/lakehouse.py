@@ -1125,7 +1125,7 @@ def _smz_col_oracle(name: str, spark_type: str) -> str:
     min/max/count/null% — because approx_unique is HLL-estimated and the
     quantiles are percentile_approx on the Spark side.  Timestamp min/max
     are VARCHAR-cast the way Spark casts them."""
-    if spark_type == "timestamp":
+    if spark_type == "TIMESTAMP":
         mn = f"strftime(min({name}), '%Y-%m-%d %H:%M:%S')"
         mx = f"strftime(max({name}), '%Y-%m-%d %H:%M:%S')"
     else:
@@ -1133,19 +1133,21 @@ def _smz_col_oracle(name: str, spark_type: str) -> str:
     return f"""
       SELECT '{name}' AS column_name, '{spark_type}' AS column_type,
              {mn} AS min, {mx} AS max,
-             round(100.0 * (count(*) - count({name})) / count(*), 2)
-                 AS null_percentage,
+             CAST(round(100.0 * (count(*) - count({name})) / count(*), 2)
+                  AS DECIMAL(9,2)) AS null_percentage,
              count(*) AS count
       FROM orders"""
 
 
+# DuckDB-dialect type names, matching the engine's SUMMARIZE output
+# (round 5 aligned it with DuckDB's column_type/null_percentage shape)
 _SMZ_ORDERS_COLS = [
-    ("o_orderkey", "bigint"),
-    ("o_custkey", "bigint"),
-    ("o_orderstatus", "string"),
-    ("o_totalprice", "double"),
-    ("o_orderdate", "timestamp"),
-    ("o_orderpriority", "string"),
+    ("o_orderkey", "BIGINT"),
+    ("o_custkey", "BIGINT"),
+    ("o_orderstatus", "VARCHAR"),
+    ("o_totalprice", "DOUBLE"),
+    ("o_orderdate", "TIMESTAMP"),
+    ("o_orderpriority", "VARCHAR"),
 ]
 
 

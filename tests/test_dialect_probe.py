@@ -302,6 +302,59 @@ PROBES = [
     ("regr_corr_family",
      "SELECT round(regr_slope(n_nationkey, n_regionkey), 6) AS s, "
      "round(corr(n_nationkey, n_regionkey), 6) AS c FROM nation"),
+    # division by zero is NULL in DuckDB (every form)
+    ("division_by_zero",
+     "SELECT 1 / 0 AS a, 1.5 / 0 AS b, 1 // 0 AS c, 1 % 0 AS d, "
+     "7 / 2 AS e"),
+    # date_diff counts PART BOUNDARIES crossed, not complete intervals
+    ("date_diff_boundaries",
+     "SELECT date_diff('month', DATE '2024-01-15', DATE '2024-03-01') AS m, "
+     "date_diff('year', DATE '2023-12-31', DATE '2024-01-01') AS y, "
+     "date_diff('week', DATE '2024-01-06', DATE '2024-01-08') AS w1, "
+     "date_diff('week', DATE '2024-01-08', DATE '2024-01-14') AS w0, "
+     "date_diff('hour', TIMESTAMP '2024-01-01 10:59:59', "
+     "TIMESTAMP '2024-01-01 11:00:01') AS h, "
+     "datediff('months', DATE '2024-01-31', DATE '2024-02-01') AS pl"),
+    ("age_rendering",
+     "SELECT age(TIMESTAMP '2024-03-15 10:30:15.5', "
+     "TIMESTAMP '2022-01-20 09:00:00')::VARCHAR AS a, "
+     "age(TIMESTAMP '2024-01-10', TIMESTAMP '2024-03-15')::VARCHAR AS neg, "
+     "age(TIMESTAMP '2024-03-01', TIMESTAMP '2024-01-31')::VARCHAR AS brw, "
+     "age(TIMESTAMP '2024-03-15', TIMESTAMP '2024-03-15')::VARCHAR AS z"),
+    ("float_predicates",
+     "SELECT signbit(-0.0) AS s0, signbit(-3.5) AS sn, "
+     "isfinite(1.0) AS f, isinf(CAST('inf' AS DOUBLE)) AS i, "
+     "isnan(CAST('nan' AS DOUBLE)) AS n"),
+    ("floor_div_mod",
+     "SELECT fdiv(7, 2) AS a, fdiv(-7, 2) AS b, fmod(7.5, 2) AS c, "
+     "fmod(-7.5, 2) AS d"),
+    ("generate_subscripts_probe",
+     "SELECT generate_subscripts([10, 20, 30], 1) AS g"),
+    ("left_right_negative",
+     "SELECT left('hello', -1) AS l, right('hello', -1) AS r, "
+     "left('hello', -9) AS lz, right('hello', 99) AS rb, "
+     "left('hello', 2) AS lp, right('hello', 2) AS rp"),
+    ("substring_zero_start",
+     "SELECT substring('hello', 0, 3) AS z, substring('hello', -2, 3) AS n, "
+     "substring('hello', -5, 3) AS e, substring('hello', 2, 100) AS big, "
+     "substr('hello', 2, 2) AS pos"),
+    ("any_value_ordered",
+     "SELECT any_value(x ORDER BY y) AS a FROM "
+     "(VALUES (NULL, 1), ('b', 2), ('a', 3)) t(x, y)"),
+    ("range_tvf_temporal",
+     "SELECT CAST(r AS DATE) AS d FROM range(DATE '2024-01-01', "
+     "DATE '2024-01-04', INTERVAL 1 DAY) t(r) ORDER BY 1"),
+    ("series_tvf_timestamp",
+     "SELECT * FROM generate_series(TIMESTAMP '2024-01-01', "
+     "TIMESTAMP '2024-01-01 02:00:00', INTERVAL 1 HOUR) t(ts) ORDER BY 1"),
+    ("translate_probe", "SELECT translate('abcba', 'ab', 'xy') AS t"),
+    ("try_strptime_probe",
+     "SELECT try_strptime('2024-13-40', '%Y-%m-%d') IS NULL AS bad, "
+     "try_strptime('2024-01-02', '%Y-%m-%d')::DATE AS ok"),
+    # double quotes are IDENTIFIERS (ANSI/DuckDB), not string literals
+    ("double_quoted_identifiers",
+     'SELECT "n_name", upper("n_name") AS "Shouted Name" FROM nation '
+     'ORDER BY "n_name" LIMIT 2'),
 ]
 
 

@@ -2487,3 +2487,81 @@ def test_insert_by_position_keyword(lake):
     lake.sql("CREATE TABLE bp(a INTEGER, b VARCHAR)")
     lake.sql("INSERT INTO bp BY POSITION VALUES (1, 'x')")
     assert rows(lake.sql("SELECT * FROM bp")) == [(1, "x")]
+
+
+def test_sql_variables(lake):
+    """SET VARIABLE / getvariable / RESET VARIABLE (DuckDB user
+    variables): values captured at SET time, NULL when unset."""
+    lake.sql("SET VARIABLE vnum = 40 + 2")
+    lake.sql("SET VARIABLE vstr = 'he' || 'llo'")
+    got = rows(
+        lake.sql("SELECT getvariable('vnum') AS n, getvariable('vstr') AS s")
+    )
+    assert got == [(42, "hello")]
+    # usable inside predicates and expressions
+    lake.sql("CREATE TABLE vart(a INTEGER)")
+    lake.sql("INSERT INTO vart VALUES (41), (42), (43)")
+    assert rows(
+        lake.sql("SELECT a FROM vart WHERE a = getvariable('vnum')")
+    ) == [(42,)]
+    # scalar-subquery values capture at SET time
+    lake.sql("SET VARIABLE vmax = (SELECT max(a) FROM vart)")
+    lake.sql("INSERT INTO vart VALUES (99)")
+    assert rows(lake.sql("SELECT getvariable('vmax') AS m")) == [(43,)]
+    lake.sql("RESET VARIABLE vnum")
+    assert rows(lake.sql("SELECT getvariable('vnum') AS n")) == [(None,)]
+
+
+def test_statement_surface_breadth(lake):
+    """Round-5 statement battery: SHOW ALL TABLES, ANALYZE,
+    CALL pragma_*, DESCRIBE-as-relation, duckdb_* introspection TVFs."""
+    lake.sql("CREATE TABLE sb1(x INTEGER NOT NULL, y VARCHAR)")
+    lake.sql("CREATE VIEW sbv AS SELECT x FROM sb1")
+    assert lake.sql("ANALYZE") is None
+    assert lake.sql("ANALYZE sb1") is None
+    allt = {r["name"]: r for r in lake.sql("SHOW ALL TABLES").collect()}
+    assert "sb1" in allt
+    assert allt["sb1"]["column_names"] == ["x", "y"]
+    assert allt["sb1"]["column_types"] == ["INTEGER", "VARCHAR"]
+    ver = lake.sql("CALL pragma_version()").collect()
+    assert len(ver) == 1
+    ti = lake.sql("CALL pragma_table_info('sb1')").collect()
+    assert [r[0] for r in ti] == ["x", "y"]
+    # DESCRIBE as a relation, with DuckDB's 6-column shape
+    cols = rows(lake.sql("SELECT column_name, \"null\" FROM (DESCRIBE sb1)"))
+    assert cols == [("x", "NO"), ("y", "YES")]
+    # introspection TVFs
+    dc = rows(
+        lake.sql(
+            "SELECT column_name, data_type FROM duckdb_columns() "
+            "WHERE table_name = 'sb1' ORDER BY column_index"
+        )
+    )
+    assert dc == [("x", "INTEGER"), ("y", "VARCHAR")]
+    dv = rows(
+        lake.sql(
+            "SELECT view_name FROM duckdb_views() WHERE view_name = 'sbv'"
+        )
+    )
+    assert dv == [("sbv",)]
+    lake.sql("SET ducklake.probe_setting = 'hello'")
+    ds = rows(
+        lake.sql(
+            "SELECT value FROM duckdb_settings() "
+            "WHERE name = 'ducklake.probe_setting'"
+        )
+    )
+    assert ds == [("hello",)]
+    fn = rows(
+        lake.sql(
+            "SELECT count(*) > 100 AS many FROM duckdb_functions()"
+        )
+    )
+    assert fn == [(True,)]
+
+
+def test_division_by_zero_is_null(lake):
+    """DuckDB yields NULL for every division-by-zero form."""
+    assert rows(
+        lake.sql("SELECT 1 / 0 AS a, 1.5 / 0 AS b, 1 // 0 AS c, 1 % 0 AS d")
+    ) == [(None, None, None, None)]
