@@ -79,3 +79,76 @@ def test_udf_in_dataframe_api(spark):
         "doc_id", quality_score(F.col("text")).alias("q")
     )
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# codec-level unit tests (no Spark): the PNG and G.711 μ-law codecs in
+# queries/multimodal.py must hold spec properties the relational oracle
+# cannot express (zlib output size is data-dependent; corruption paths
+# never reach the oracle because decode raises)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_identity_and_compression():
+    import random
+    from ducklakexl_spark.queries.multimodal import (
+        PNG_WIDTH, decode_png, encode_png,
+    )
+
+    rng = random.Random(42)
+    # corpus-level compression: concatenated repetitive ASCII must
+    # genuinely shrink through DEFLATE (guards against a "compressed"
+    # path that stores raw bytes)
+    corpus = (b"the quick brown fox jumps over the lazy dog " * 60)
+    png = encode_png(corpus)
+    h = -(-len(corpus) // PNG_WIDTH)
+    assert len(png) < 8 + 36 + 13 + h * (PNG_WIDTH + 1)
+    d = decode_png(png)
+    assert d["pixel_sum"] == sum(corpus)
+    assert d["n_filters"] == 5  # all five filter types exercised
+    # random payloads, edge sizes
+    for n in (0, 1, PNG_WIDTH - 1, PNG_WIDTH, PNG_WIDTH + 1, 777):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        dd = decode_png(encode_png(data))
+        assert dd["pixel_sum"] == sum(data)
+        assert dd["width"] == PNG_WIDTH
+        assert dd["height"] == max(1, -(-n // PNG_WIDTH))
+
+
+def test_png_decoder_rejects_corruption():
+    import pytest as _pytest
+    from ducklakexl_spark.queries.multimodal import decode_png, encode_png
+
+    png = bytearray(encode_png(b"corruption target payload bytes"))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a" + bytes(png))
+    # flip one byte inside the IDAT payload → CRC must catch it
+    flipped = bytearray(png)
+    flipped[8 + 12 + 13 + 12] ^= 0xFF  # first IDAT data byte
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(flipped))
+
+
+def test_mulaw_spec_properties():
+    from ducklakexl_spark.queries.multimodal import (
+        mulaw_decode, mulaw_encode,
+    )
+
+    # spec anchor points (G.711 table): 0 → 0xFF, full-scale → 0x80
+    assert mulaw_encode(0) == 0xFF
+    assert mulaw_encode(32635) == 0x80
+    assert mulaw_encode(-32635) == 0x00
+    # decode(encode(x)) is within one quantization step, monotone in x,
+    # and sign-symmetric
+    prev = None
+    for lin in range(-32768, 32768, 257):
+        mu = mulaw_encode(lin)
+        dec = mulaw_decode(mu)
+        exponent = ((~mu & 0xFF) >> 4) & 7
+        step = 1 << (exponent + 3)
+        assert abs(dec - max(-32635, min(32635, lin))) <= step
+        if prev is not None:
+            assert dec >= prev  # non-decreasing reconstruction
+        prev = dec
+        if lin != -32768:
+            assert mulaw_encode(-lin) == (mulaw_encode(lin) ^ 0x80)
