@@ -974,7 +974,6 @@ def rewrite_window_exclude(stmt: str) -> str:
 
 _DUCK_FN_RENAME = {
     # list/array family (DuckDB list_* ↔ Spark array/higher-order names)
-    "list_contains": "array_contains",
     "list_has_any": "arrays_overlap",
     "list_transform": "transform",
     "list_apply": "transform",
@@ -993,9 +992,6 @@ _DUCK_FN_RENAME = {
     "array_apply": "transform",
     "apply": "transform",
     "array_filter": "filter",
-    "list_has": "array_contains",
-    "array_has": "array_contains",
-    "array_contains": "array_contains",
     "array_indexof": "array_position",
     "array_zip": "arrays_zip",
     "row_to_json": "to_json",
@@ -1238,6 +1234,26 @@ def _duck_json_structure_to_ddl(node) -> str:
 def _duck_fn_emit(key: str, args: list[str]) -> str:
     """Emit the Spark SQL call for one DuckDB-dialect call site."""
     a = args
+    if key in ("list_contains", "list_has", "array_has", "array_contains"):
+        # DuckDB NULL semantics (fuzz find #2): NULL needle/list → NULL,
+        # otherwise strictly true/false — in-list NULLs never contaminate
+        # a miss into NULL the way Spark's array_contains 3VL does.
+        # exists() also tolerates an untyped NULL needle (array_contains
+        # rejects VOID at analysis).
+        arr, x = a[0], a[1]
+        return (
+            f"(CASE WHEN ({x}) IS NULL OR ({arr}) IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE coalesce(exists({arr}, __lc -> __lc = ({x})), false) "
+            f"END)"
+        )
+    if key == "abs":
+        # DuckDB types abs(NULL) BIGINT; Spark promotes VOID → DOUBLE,
+        # which changes rendering once nested in an array ([1, NULL] vs
+        # [1.0, None]) — fuzz find #3
+        if len(a) == 1 and a[0].strip().upper() == "NULL":
+            return "CAST(NULL AS BIGINT)"
+        return f"abs({', '.join(a)})"
     if key in ("string_split", "str_split", "string_to_array"):
         # DuckDB splits on a LITERAL separator; Spark split() takes a
         # regex — escape metachars when the separator is a literal
@@ -2460,6 +2476,7 @@ _DUCK_FN_TEMPLATES = {
     "signbit", "isfinite", "isinf", "fdiv", "fmod",
     "generate_subscripts", "left", "right", "substring", "substr",
     "any_value", "age",
+    "list_contains", "list_has", "array_has", "array_contains", "abs",
 }
 
 # DuckDB type names (in CAST position etc.) Spark spells differently.
@@ -2814,6 +2831,60 @@ def rewrite_array_type_suffix(stmt: str) -> str:
         if new == stmt:
             return stmt
         stmt = new
+
+
+_NULL_COND_CASE_RE = re.compile(r"\b(CASE|WHEN|END)\b", re.I)
+_WHEN_NULL_THEN_RE = re.compile(r"WHEN(\s+)NULL(\s+)THEN", re.I)
+_WHERE_NULL_RE = re.compile(
+    r"\b(WHERE|HAVING)(\s+)NULL"
+    r"(?=\s*(?:$|\)|;|ORDER\b|GROUP\b|LIMIT\b|OFFSET\b|UNION\b|"
+    r"INTERSECT\b|EXCEPT\b|WINDOW\b|QUALIFY\b))",
+    re.I,
+)
+
+
+def rewrite_null_boolean_conditions(stmt: str) -> str:
+    """DuckDB types a bare ``NULL`` condition contextually — ``CASE WHEN
+    NULL THEN`` and ``WHERE NULL`` both run (condition unknown → not
+    taken); Spark 4 rejects VOID in boolean positions (found by the
+    differential fuzzer, tests/test_fuzz_differential.py).  Rewrite the
+    literal NULL to ``CAST(NULL AS BOOLEAN)`` — but ONLY in a SEARCHED
+    case expression: a simple CASE's ``WHEN NULL`` is a comparand whose
+    type must keep following the operand, so the scanner tracks a stack
+    of CASE kinds (searched = the token after CASE is WHEN)."""
+    if _WHEN_NULL_THEN_RE.search(stmt):
+        stack: list[bool] = []  # True = searched CASE
+        edits: list[tuple[int, int, str]] = []
+        for m in _NULL_COND_CASE_RE.finditer(stmt):
+            if _inside_string_literal(stmt, m.start()):
+                continue
+            tok = m.group(1).upper()
+            if tok == "CASE":
+                rest = stmt[m.end():].lstrip()
+                stack.append(rest[:4].upper() == "WHEN")
+            elif tok == "END":
+                if stack:
+                    stack.pop()
+            elif stack and stack[-1]:
+                wm = _WHEN_NULL_THEN_RE.match(stmt, m.start())
+                if wm:
+                    edits.append(
+                        (
+                            wm.start(),
+                            wm.end(),
+                            f"WHEN{wm.group(1)}CAST(NULL AS BOOLEAN)"
+                            f"{wm.group(2)}THEN",
+                        )
+                    )
+        for s, e, rep in reversed(edits):
+            stmt = stmt[:s] + rep + stmt[e:]
+    out = _WHERE_NULL_RE.sub(
+        lambda m: m.group(0)
+        if _inside_string_literal(stmt, m.start())
+        else f"{m.group(1)}{m.group(2)}CAST(NULL AS BOOLEAN)",
+        stmt,
+    )
+    return out
 
 
 def rewrite_glob_operator(stmt: str) -> str:
@@ -7749,6 +7820,7 @@ class DuckLakeSpark:
         stmt = rewrite_similar_to(stmt)
         stmt = rewrite_floor_div(stmt)
         stmt = rewrite_duck_operators(stmt)
+        stmt = rewrite_null_boolean_conditions(stmt)
         stmt = rewrite_glob_operator(stmt)
         stmt = rewrite_quantified_and_factorial(stmt)
         stmt = rewrite_ansi_fetch_and_json_arrow(stmt)

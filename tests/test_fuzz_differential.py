@@ -1,0 +1,347 @@
+"""Differential grammar fuzzing: hypothesis generates random DuckDB-
+dialect expression trees (integer/string/boolean/CASE/cast nests over a
+literal VALUES relation), and every generated statement must produce
+byte-identical canonical results through ``DuckLakeSpark.sql()`` and
+DuckDB itself.
+
+This is the adversarial complement to the curated dialect-compat corpus:
+the corpus proves the oracle texts the repo ships run verbatim; the
+fuzzer searches the COMPOSITION space (nested CASE inside substr inside
+||, `//` under coalesce, …) where single-rewrite bugs hide — exactly the
+class ADVICE r4 found by hand (`**` in literals, sign() re-wrap).
+
+Determinism: ``derandomize=True`` makes hypothesis derive examples from
+the test's own source, so CI never flakes on a fresh random seed; bugs
+found by ad-hoc exploratory runs get pinned in REGRESSION_STATEMENTS.
+
+Scope is integer-exact on purpose — float formatting differences are a
+known, documented representation gap, not a semantics gap, and would
+drown the signal.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ducklakexl_spark.engine import DuckLakeSpark
+
+# the shared literal relation: ints (negative/zero/NULL), strings
+# (empty, spaces, mixed case), booleans (NULL too) — embedded in every
+# generated statement so both engines parse identical text
+_ROWS = (
+    "(0, 7, 3, 'alpha', TRUE), "
+    "(1, -4, 2, 'Beta Gamma', FALSE), "
+    "(2, 0, -5, '', NULL), "
+    "(3, NULL, 9, 'delta', TRUE), "
+    "(4, 123, NULL, ' pad ', FALSE), "
+    "(5, -99, 4, 'ZETA zeta', NULL)"
+)
+_FROM = f"FROM (VALUES {_ROWS}) t(k, i, j, s, b)"
+
+
+def _int_exprs(depth: int):
+    base = st.sampled_from(["i", "j", "k", "0", "1", "-3", "42", "NULL"])
+    if depth <= 0:
+        return base
+    sub = _int_exprs(depth - 1)
+    boolean = _bool_exprs(depth - 1)
+    string = _str_exprs(depth - 1)
+    return st.one_of(
+        base,
+        st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        # DuckDB integer division / modulo (NULL on zero divisor is the
+        # engine's documented DuckDB-semantics translation)
+        st.tuples(sub, st.sampled_from(["//", "%"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        sub.map(lambda e: f"abs({e})"),
+        sub.map(lambda e: f"-({e})"),
+        st.tuples(sub, sub).map(lambda t: f"least({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"greatest({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"coalesce({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"nullif({t[0]}, {t[1]})"),
+        string.map(lambda e: f"length({e})"),
+        st.tuples(boolean, sub, sub).map(
+            lambda t: f"(CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END)"
+        ),
+        string.map(lambda e: f"try_cast({e} AS INTEGER)"),
+    )
+
+
+def _str_exprs(depth: int):
+    base = st.sampled_from(["s", "'lit'", "''", "'X Y'", "NULL"])
+    if depth <= 0:
+        return base
+    sub = _str_exprs(depth - 1)
+    num = _int_exprs(depth - 1)
+    boolean = _bool_exprs(depth - 1)
+    return st.one_of(
+        base,
+        sub.map(lambda e: f"upper({e})"),
+        sub.map(lambda e: f"lower({e})"),
+        sub.map(lambda e: f"trim({e})"),
+        sub.map(lambda e: f"reverse({e})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} || {t[1]})"),
+        st.tuples(sub, st.integers(1, 4), st.integers(0, 5)).map(
+            lambda t: f"substr({t[0]}, {t[1]}, {t[2]})"
+        ),
+        st.tuples(sub, st.integers(0, 4)).map(
+            lambda t: f"left({t[0]}, {t[1]})"
+        ),
+        st.tuples(sub, st.integers(0, 4)).map(
+            lambda t: f"right({t[0]}, {t[1]})"
+        ),
+        sub.map(lambda e: f"replace({e}, 'a', 'o')"),
+        num.map(lambda e: f"CAST({e} AS VARCHAR)"),
+        st.tuples(boolean, sub, sub).map(
+            lambda t: f"(CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END)"
+        ),
+        st.tuples(sub, sub).map(lambda t: f"coalesce({t[0]}, {t[1]})"),
+    )
+
+
+def _bool_exprs(depth: int):
+    base = st.sampled_from(["b", "TRUE", "FALSE", "NULL"])
+    if depth <= 0:
+        return base
+    sub = _bool_exprs(depth - 1)
+    num = _int_exprs(depth - 1)
+    string = _str_exprs(depth - 1)
+    return st.one_of(
+        base,
+        st.tuples(num, st.sampled_from(["<", "<=", "=", "<>", ">=", ">"]), num).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        st.tuples(string, string).map(lambda t: f"({t[0]} = {t[1]})"),
+        string.map(lambda e: f"({e} LIKE '%a%')"),
+        num.map(lambda e: f"({e} IS NULL)"),
+        num.map(lambda e: f"({e} IS NOT NULL)"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} AND {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} OR {t[1]})"),
+        sub.map(lambda e: f"(NOT {e})"),
+        st.tuples(num, num, num).map(
+            lambda t: f"({t[0]} BETWEEN {t[1]} AND {t[2]})"
+        ),
+        st.tuples(num, num, num).map(
+            lambda t: f"({t[0]} IN ({t[1]}, {t[2]}))"
+        ),
+    )
+
+
+_EXPR = st.one_of(
+    _int_exprs(3),
+    _str_exprs(3),
+    _bool_exprs(3),
+    # int result but through a VARCHAR cast roundtrip
+    _int_exprs(2).map(lambda e: f"try_cast(CAST({e} AS VARCHAR) AS BIGINT)"),
+)
+
+
+# divergences found by exploratory fuzzing get PINNED here (and fixed in
+# the engine) so they can never regress silently
+REGRESSION_STATEMENTS = [
+    # sign() re-wrap class (ADVICE r4): rewrite output must be stable
+    # under composition
+    f"SELECT k, (CASE WHEN (i % j) IS NULL THEN -1 ELSE (i // j) END) AS r {_FROM} ORDER BY k",
+    f"SELECT k, replace(upper(s || 'a'), 'A', 'o') AS r {_FROM} ORDER BY k",
+    f"SELECT k, substr(reverse(s), 2, 3) AS r {_FROM} ORDER BY k",
+    f"SELECT k, try_cast(CAST((i * j) AS VARCHAR) AS BIGINT) AS r {_FROM} ORDER BY k",
+    f"SELECT k, least(coalesce(i, j), nullif(j, 0)) AS r {_FROM} ORDER BY k",
+    f"SELECT k, (s LIKE '%a%' AND (i // 2) BETWEEN -3 AND j) AS r {_FROM} ORDER BY k",
+    # fuzz find #1: bare NULL in a boolean condition position — DuckDB
+    # types it contextually, Spark rejects VOID.  Searched CASE rewrites;
+    # a simple CASE's WHEN NULL is a comparand and must NOT be touched.
+    f"SELECT k, CAST(-((CASE WHEN NULL THEN i ELSE i END)) AS VARCHAR) AS r {_FROM} ORDER BY k",
+    f"SELECT k, (CASE WHEN NULL THEN 'a' WHEN b THEN s ELSE 'z' END) AS r {_FROM} ORDER BY k",
+    f"SELECT k, (CASE i WHEN NULL THEN 99 ELSE j END) AS r {_FROM} ORDER BY k",
+    f"SELECT k, (CASE i WHEN NULL THEN 99 WHEN (CASE WHEN NULL THEN 0 ELSE 7 END) THEN -1 ELSE j END) AS r {_FROM} ORDER BY k",
+    f"SELECT count(*) AS r FROM (SELECT k {_FROM} WHERE NULL) z",
+    f"SELECT k, 'CASE WHEN NULL THEN' AS lit {_FROM} WHERE NULL ORDER BY k",
+    # fuzz find #2: list_contains NULL semantics — DuckDB returns plain
+    # false on a miss even with in-list NULLs (Spark's array_contains
+    # 3VL gives NULL), NULL needle → NULL (Spark errors on VOID)
+    f"SELECT k, list_contains([nullif(i, i)], i) AS r {_FROM} ORDER BY k",
+    f"SELECT k, list_contains([-(i)], 1) AS r {_FROM} ORDER BY k",
+    f"SELECT k, list_contains([-(1)], NULL) AS r {_FROM} ORDER BY k",
+    f"SELECT k, list_contains([i, NULL, j], j) AS r {_FROM} ORDER BY k",
+    # fuzz find #3: abs(NULL) must stay integer-typed like DuckDB so
+    # array rendering agrees ([1, NULL], not [1.0, None])
+    f"SELECT k, list_sort([coalesce(1, k), abs(NULL)]) AS r {_FROM} ORDER BY k",
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    tmp = tempfile.mkdtemp(prefix="lake_fuzz_")
+    lake = DuckLakeSpark(
+        spark=spark, data_path=f"{tmp}/d", local_catalog=f"{tmp}/c"
+    )
+    con = duckdb.connect()
+    return lake, con
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    return str(v)
+
+
+def _run_both(lake, con, stmt: str):
+    sdf = lake.sql(stmt)
+    srows = [tuple(_canon(v) for v in r) for r in sdf.collect()]
+    drows = [
+        tuple(_canon(v) for v in r) for r in con.execute(stmt).fetchall()
+    ]
+    assert srows == drows, (
+        f"divergence on:\n  {stmt}\n  spark={srows}\n  duck ={drows}"
+    )
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(expr=_EXPR)
+def test_fuzz_expression_parity(engines, expr):
+    lake, con = engines
+    _run_both(lake, con, f"SELECT k, {expr} AS r {_FROM} ORDER BY k")
+
+
+# --- aggregate / window / list / date grammars --------------------------
+# these hit the translation layer's riskiest seams: frame rewrites,
+# list_* family mapping, DuckDB date arithmetic
+
+_AGG_INNER = _int_exprs(2)
+_AGGS = st.one_of(
+    _AGG_INNER.map(lambda e: f"sum({e})"),
+    _AGG_INNER.map(lambda e: f"min({e})"),
+    _AGG_INNER.map(lambda e: f"max({e})"),
+    _AGG_INNER.map(lambda e: f"count({e})"),
+    _AGG_INNER.map(lambda e: f"count(DISTINCT {e})"),
+    _bool_exprs(2).map(lambda e: f"count(*) FILTER (WHERE {e})"),
+    _AGG_INNER.map(lambda e: f"sum({e}) FILTER (WHERE i > 0)"),
+)
+
+_FRAMES = st.sampled_from([
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+])
+_WINDOWS = st.one_of(
+    st.tuples(_int_exprs(1), _FRAMES).map(
+        lambda t: f"sum({t[0]}) OVER (ORDER BY k {t[1]})"
+    ),
+    st.tuples(_int_exprs(1), _FRAMES).map(
+        lambda t: f"min({t[0]}) OVER (ORDER BY k {t[1]})"
+    ),
+    st.just("row_number() OVER (ORDER BY k)"),
+    _int_exprs(1).map(lambda e: f"lag({e}, 1) OVER (ORDER BY k)"),
+    _int_exprs(1).map(lambda e: f"lead({e}, 2) OVER (ORDER BY k)"),
+    st.tuples(_int_exprs(1), _int_exprs(0)).map(
+        lambda t: f"first_value({t[0]}) OVER (ORDER BY k ROWS BETWEEN 1 "
+                  f"PRECEDING AND CURRENT ROW)"
+    ),
+    st.just("rank() OVER (ORDER BY (i IS NULL), i)"),
+)
+
+_LIST_BASE = st.one_of(
+    st.just("[i, j, k]"),
+    st.just("[j, 2, NULL]"),
+    st.just("[]"),
+    _int_exprs(1).map(lambda e: f"[{e}]"),
+    st.tuples(_int_exprs(1), _int_exprs(1)).map(
+        lambda t: f"[{t[0]}, {t[1]}]"
+    ),
+)
+_LIST_EXPRS = st.one_of(
+    _LIST_BASE.map(lambda e: f"len({e})"),
+    _LIST_BASE.map(lambda e: f"list_sum({e})"),
+    _LIST_BASE.map(lambda e: f"list_sort({e})"),
+    st.tuples(_LIST_BASE, _int_exprs(0)).map(
+        lambda t: f"list_contains({t[0]}, {t[1]})"
+    ),
+    st.tuples(_LIST_BASE, st.integers(-3, 3)).map(
+        lambda t: f"{t[0]}[{t[1]}]" if t[1] else f"{t[0]}[1]"
+    ),
+    _LIST_BASE.map(lambda e: f"list_reverse({e})"),
+    st.tuples(_LIST_BASE, _LIST_BASE).map(
+        lambda t: f"list_concat({t[0]}, {t[1]})"
+    ),
+    _LIST_BASE.map(lambda e: f"list_transform({e}, x -> x * 2)"),
+    _LIST_BASE.map(lambda e: f"list_filter({e}, x -> x > 1)"),
+)
+
+_DATE_EXPRS = st.one_of(
+    # DuckDB's +(DATE, n) binds INTEGER only, so the offset is cast
+    _int_exprs(1).map(
+        lambda e: f"DATE '2024-03-15' + CAST(coalesce({e}, 0) % 400 "
+                  f"AS INTEGER)"
+    ),
+    _int_exprs(1).map(
+        lambda e: f"date_part('year', DATE '2024-03-15' + "
+                  f"CAST(coalesce({e}, 0) % 400 AS INTEGER))"
+    ),
+    st.sampled_from(["year", "month", "day", "dow", "doy", "week"]).map(
+        lambda p: f"date_part('{p}', DATE '2021-11-05' + j)"
+    ),
+    st.sampled_from(["year", "month", "day"]).map(
+        lambda p: f"date_trunc('{p}', DATE '2021-11-05' + i % 50)"
+    ),
+    st.just("datediff('day', DATE '2024-01-01', DATE '2024-03-15' + j)"),
+    st.just("strftime(DATE '2024-02-29' + j % 300, '%Y-%m-%d')"),
+    st.just("last_day(DATE '2024-01-15' + i % 365)"),
+)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(agg=_AGGS, cond=_bool_exprs(1))
+def test_fuzz_aggregate_parity(engines, agg, cond):
+    lake, con = engines
+    _run_both(
+        lake, con,
+        f"SELECT {agg} AS r {_FROM} WHERE coalesce({cond}, FALSE)",
+    )
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(win=_WINDOWS)
+def test_fuzz_window_parity(engines, win):
+    lake, con = engines
+    _run_both(lake, con, f"SELECT k, {win} AS r {_FROM} ORDER BY k")
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(expr=_LIST_EXPRS)
+def test_fuzz_list_parity(engines, expr):
+    lake, con = engines
+    _run_both(lake, con, f"SELECT k, {expr} AS r {_FROM} ORDER BY k")
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(expr=_DATE_EXPRS)
+def test_fuzz_date_parity(engines, expr):
+    lake, con = engines
+    _run_both(lake, con, f"SELECT k, {expr} AS r {_FROM} ORDER BY k")
+
+
+@pytest.mark.parametrize("stmt", REGRESSION_STATEMENTS)
+def test_fuzz_regressions(engines, stmt):
+    lake, con = engines
+    _run_both(lake, con, stmt)
