@@ -753,12 +753,21 @@ def rewrite_distinct_on(stmt: str) -> str:
 
 
 def rewrite_qualify(stmt: str) -> str:
-    """DuckDB's ``QUALIFY <pred>`` sugar → standard SQL: wrap the query
-    (minus QUALIFY) in a subquery, compute the predicate — window
-    functions and select-list aliases both resolve against the wrapped
-    output — filter on it, and drop the helper column with Spark's
-    native ``* EXCEPT``.  Applies to the outermost query only (the
-    fixture surface; nested QUALIFY would need a recursive parser)."""
+    """DuckDB's ``QUALIFY <pred>`` sugar → standard SQL: compute the
+    predicate as an extra select-list column, wrap, filter on it, and
+    drop the helper with Spark's native ``* EXCEPT``.
+
+    The predicate is SPLICED into the original select list (not
+    evaluated over a wrapping subquery) so it resolves against the full
+    FROM scope the way DuckDB's does — a QUALIFY may reference base
+    columns the projection dropped (fuzz find #4).  Select-list alias
+    references inside the predicate still resolve via Spark's lateral
+    column aliases (window-expression aliases included).  DISTINCT and
+    set-operation queries keep the old wrap (splicing would change the
+    DISTINCT row set / the branch arity), where only projected columns
+    are in scope — DuckDB's own scope for those shapes.  Applies to the
+    outermost query only (the fixture surface; nested QUALIFY would
+    need a recursive parser)."""
     qpos = find_top_level_keyword(stmt, "QUALIFY")
     if qpos < 0:
         return stmt
@@ -770,9 +779,24 @@ def rewrite_qualify(stmt: str) -> str:
     before = stmt[:qpos].rstrip()
     pred = stmt[qpos + len("QUALIFY") : tail_pos].strip()
     tail = stmt[tail_pos:].strip()
+    head = before.lstrip()
+    simple = head[:6].upper() == "SELECT" and not head[6:].lstrip()[
+        :8
+    ].upper().startswith("DISTINCT")
+    if simple:
+        for kw in ("UNION", "INTERSECT", "EXCEPT"):
+            if find_top_level_keyword(before, kw) >= 0:
+                simple = False
+                break
+    fpos = find_top_level_keyword(before, "FROM") if simple else -1
+    if fpos > 0:
+        inner = (
+            f"{before[:fpos].rstrip()}, ({pred}) AS __q {before[fpos:]}"
+        )
+    else:
+        inner = f"SELECT *, ({pred}) AS __q FROM ({before}) __qualify_src"
     return (
-        f"SELECT * EXCEPT(__q) FROM (SELECT *, ({pred}) AS __q "
-        f"FROM ({before}) __qualify_src) __qualify WHERE __q"
+        f"SELECT * EXCEPT(__q) FROM ({inner}) __qualify WHERE __q"
         + (f" {tail}" if tail else "")
     )
 

@@ -174,6 +174,12 @@ REGRESSION_STATEMENTS = [
     # fuzz find #3: abs(NULL) must stay integer-typed like DuckDB so
     # array rendering agrees ([1, NULL], not [1.0, None])
     f"SELECT k, list_sort([coalesce(1, k), abs(NULL)]) AS r {_FROM} ORDER BY k",
+    # fuzz find #4: QUALIFY may reference base columns the projection
+    # dropped — the rewrite must splice the predicate into the original
+    # scope, not evaluate it over the projected output
+    f"SELECT k {_FROM} QUALIFY row_number() OVER (ORDER BY coalesce(i, 99), k) <= 1 ORDER BY k",
+    f"SELECT k, row_number() OVER (ORDER BY k) AS rn {_FROM} QUALIFY rn <= 2 ORDER BY k",
+    f"SELECT s {_FROM} QUALIFY rank() OVER (ORDER BY i NULLS LAST) <= 2 AND b IS NOT NULL ORDER BY s",
 ]
 
 
@@ -339,6 +345,115 @@ def test_fuzz_list_parity(engines, expr):
 def test_fuzz_date_parity(engines, expr):
     lake, con = engines
     _run_both(lake, con, f"SELECT k, {expr} AS r {_FROM} ORDER BY k")
+
+
+# --- relational statement grammars --------------------------------------
+# joins (incl. DuckDB's bare SEMI/ANTI), GROUP BY, set ops, subqueries,
+# QUALIFY — the statement-level rewrite seams
+
+_U_ROWS = "(0, 3, 'x'), (1, NULL, 'y'), (2, 3, 'x'), (3, 7, NULL), (5, -4, 'zz')"
+_FROM_U = f"(VALUES {_U_ROWS}) u(k2, m, v)"
+_T_REL = f"(VALUES {_ROWS}) t(k, i, j, s, b)"
+
+_JOIN_TYPES = st.sampled_from(
+    ["JOIN", "INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+)
+_JOIN_CONDS = st.sampled_from([
+    "t.k = u.k2",
+    "t.k = u.k2 AND u.m > 0",
+    "t.i = u.m",
+    "t.k % 3 = u.k2 % 3",
+    "abs(coalesce(t.i, 0)) > abs(coalesce(u.m, 0))",
+])
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(jt=_JOIN_TYPES, cond=_JOIN_CONDS, proj=_int_exprs(1))
+def test_fuzz_join_parity(engines, jt, cond, proj):
+    lake, con = engines
+    _run_both(
+        lake, con,
+        f"SELECT t.k AS tk, u.k2 AS uk, coalesce({proj}, -1) + "
+        f"coalesce(u.m, 0) AS r FROM {_T_REL} {jt} {_FROM_U} ON {cond} "
+        f"ORDER BY tk NULLS FIRST, uk NULLS FIRST, r NULLS FIRST",
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(jt=st.sampled_from(["SEMI", "ANTI"]), cond=_JOIN_CONDS)
+def test_fuzz_semi_anti_parity(engines, jt, cond):
+    # DuckDB's bare SEMI/ANTI JOIN keywords (Spark spells LEFT SEMI)
+    lake, con = engines
+    _run_both(
+        lake, con,
+        f"SELECT t.k AS tk FROM {_T_REL} {jt} JOIN {_FROM_U} ON {cond} "
+        f"ORDER BY tk",
+    )
+
+
+_GROUP_KEYS = st.sampled_from([
+    "coalesce(i, 0) % 3", "(i IS NULL)", "length(s) % 2",
+    "CASE WHEN i > 0 THEN 'p' WHEN i < 0 THEN 'n' ELSE 'z' END",
+])
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(key=_GROUP_KEYS, agg=_AGGS)
+def test_fuzz_groupby_parity(engines, key, agg):
+    lake, con = engines
+    _run_both(
+        lake, con,
+        f"SELECT {key} AS g, {agg} AS r {_FROM} GROUP BY g "
+        f"ORDER BY g NULLS FIRST",
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(op=st.sampled_from(
+    ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "INTERSECT ALL",
+     "EXCEPT ALL"]),
+    lhs=st.sampled_from(["i", "j", "k", "coalesce(i, j)"]),
+    rhs=st.sampled_from(["m", "k2", "coalesce(m, 0)"]),
+)
+def test_fuzz_setop_parity(engines, op, lhs, rhs):
+    lake, con = engines
+    _run_both(
+        lake, con,
+        f"SELECT * FROM (SELECT {lhs} AS x {_FROM} {op} "
+        f"SELECT {rhs} FROM {_FROM_U}) z ORDER BY x NULLS FIRST",
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cond=st.sampled_from([
+    "u.m = t.i", "u.k2 < t.k", "u.m > t.j AND u.v IS NOT NULL"]),
+    form=st.sampled_from(["EXISTS", "NOT EXISTS"]),
+)
+def test_fuzz_subquery_parity(engines, cond, form):
+    lake, con = engines
+    _run_both(
+        lake, con,
+        f"SELECT t.k AS tk FROM {_T_REL} WHERE {form} "
+        f"(SELECT 1 FROM {_FROM_U} WHERE {cond}) ORDER BY tk",
+    )
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(n=st.integers(1, 5), key=st.sampled_from(
+    ["k", "coalesce(i, 99)", "length(s)"]))
+def test_fuzz_qualify_parity(engines, n, key):
+    lake, con = engines
+    _run_both(
+        lake, con,
+        f"SELECT k {_FROM} QUALIFY row_number() OVER (ORDER BY {key}, k) "
+        f"<= {n} ORDER BY k",
+    )
 
 
 @pytest.mark.parametrize("stmt", REGRESSION_STATEMENTS)
