@@ -801,6 +801,110 @@ def rewrite_qualify(stmt: str) -> str:
     )
 
 
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.I)
+_NULLS_SPEC_RE = re.compile(r"\bNULLS\s+(?:FIRST|LAST)\s*$", re.I)
+_OB_BOUNDARY_RE = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH|FOR|UNION|INTERSECT|EXCEPT|ROWS|RANGE|"
+    r"GROUPS|WINDOW|QUALIFY|HAVING)\b|;",
+    re.I,
+)
+# containing-paren tokens that mark a CLAUSE context (subquery, window
+# spec, CTE/window definition) rather than a function-call argument list
+_OB_CLAUSE_TOKENS = {
+    "OVER", "AS", "FROM", "JOIN", "WHERE", "SELECT", "IN", "EXISTS",
+    "ON", "AND", "OR", "NOT", "THEN", "ELSE", "WHEN", "UNION",
+    "INTERSECT", "EXCEPT", "ALL", "ANY", "SOME", "VALUES", "LATERAL",
+    "BY", "USING",
+}
+
+
+def rewrite_order_by_null_defaults(stmt: str) -> str:
+    """DuckDB's default null ordering is NULLS LAST for both ASC and
+    DESC; Spark defaults to NULLS FIRST on ASC.  With NULL sort keys
+    this silently changes which rows an ``ORDER BY … LIMIT`` keeps and
+    every ``row_number()/rank()`` assignment (found by the differential
+    fuzzer).  Append an explicit ``NULLS LAST`` to every sort key that
+    lacks a NULLS spec — in top-level/subquery ORDER BY clauses and
+    window specs.  ORDER BYs inside ordinary function calls (ordered
+    aggregates) are left alone: their templates translated them
+    earlier in the chain, and this rewrite runs late."""
+    if not _ORDER_BY_RE.search(stmt):
+        return stmt
+
+    def containing_token(pos: int) -> str | None:
+        """Word immediately before the unclosed '(' containing pos
+        (None when at statement top level)."""
+        stack: list[int] = []
+        in_str: str | None = None
+        i = 0
+        while i < pos:
+            c = stmt[i]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c == "(":
+                stack.append(i)
+            elif c == ")":
+                if stack:
+                    stack.pop()
+            i += 1
+        if not stack:
+            return None
+        m = re.search(r"(\w+)\s*$", stmt[: stack[-1]])
+        return m.group(1).upper() if m else ""
+
+    out = stmt
+    for m in reversed(list(_ORDER_BY_RE.finditer(stmt))):
+        if _inside_string_literal(stmt, m.start()):
+            continue
+        tok = containing_token(m.start())
+        if tok is not None and tok not in _OB_CLAUSE_TOKENS and tok != "":
+            continue  # function-call argument list (ordered aggregate)
+        # span of the sort-key list
+        i = m.end()
+        depth = 0
+        in_str = None
+        end = len(stmt)
+        while i < len(stmt):
+            c = stmt[i]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+                i += 1
+                continue
+            if c in ("'", '"'):
+                in_str = c
+                i += 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                bm = _OB_BOUNDARY_RE.match(stmt, i)
+                if bm:
+                    end = i
+                    break
+            i += 1
+        span = stmt[m.end() : end]
+        if not span.strip():
+            continue
+        new_keys = []
+        for key in split_top_level(span):  # segments come back stripped
+            body = key.strip()
+            if not body or _NULLS_SPEC_RE.search(body):
+                new_keys.append(body)
+            else:
+                new_keys.append(f"{body} NULLS LAST")
+        out = out[: m.end()] + " " + ", ".join(new_keys) + " " + out[end:]
+    return out
+
+
 _EXCLUDE_RE = re.compile(
     r"(\*\s*)EXCLUDE\s*(?:\(([^)]*)\)|(\w+))", re.I
 )
@@ -7870,6 +7974,7 @@ class DuckLakeSpark:
         stmt = rewrite_window_exclude(stmt)
         stmt = rewrite_groups_frame(stmt)
         stmt = rewrite_using_sample(stmt)
+        stmt = rewrite_order_by_null_defaults(stmt)
         stmt = self._expand_columns_expr(stmt)
         if re.search(r"\binformation_schema\.columns\b", stmt, re.I):
             rows = []

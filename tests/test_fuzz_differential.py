@@ -180,6 +180,15 @@ REGRESSION_STATEMENTS = [
     f"SELECT k {_FROM} QUALIFY row_number() OVER (ORDER BY coalesce(i, 99), k) <= 1 ORDER BY k",
     f"SELECT k, row_number() OVER (ORDER BY k) AS rn {_FROM} QUALIFY rn <= 2 ORDER BY k",
     f"SELECT s {_FROM} QUALIFY rank() OVER (ORDER BY i NULLS LAST) <= 2 AND b IS NOT NULL ORDER BY s",
+    # fuzz find #5: DuckDB defaults to NULLS LAST on both ASC and DESC;
+    # Spark to NULLS FIRST on ASC — visible wherever NULL sort keys meet
+    # row_number()/rank() or ORDER BY … LIMIT
+    f"SELECT k {_FROM} QUALIFY row_number() OVER (ORDER BY j, k) <= 2 ORDER BY k",
+    f"SELECT k {_FROM} QUALIFY row_number() OVER (PARTITION BY (i IS NULL) ORDER BY j, k) <= 1 ORDER BY k",
+    f"SELECT k, rank() OVER (ORDER BY i) AS r {_FROM} ORDER BY k",
+    f"SELECT k FROM (SELECT k, j {_FROM} ORDER BY j LIMIT 3) z ORDER BY k",
+    f"SELECT k FROM (SELECT k, i {_FROM} ORDER BY i DESC LIMIT 2) z ORDER BY k",
+    f"SELECT k, lag(i, 1) OVER (ORDER BY j, k) AS r {_FROM} ORDER BY k",
 ]
 
 
@@ -246,21 +255,27 @@ _FRAMES = st.sampled_from([
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
     "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
 ])
+_WIN_KEYS = st.sampled_from(["k", "j, k", "i, k", "j DESC, k"])
 _WINDOWS = st.one_of(
-    st.tuples(_int_exprs(1), _FRAMES).map(
-        lambda t: f"sum({t[0]}) OVER (ORDER BY k {t[1]})"
+    st.tuples(_int_exprs(1), _FRAMES, _WIN_KEYS).map(
+        lambda t: f"sum({t[0]}) OVER (ORDER BY {t[2]} {t[1]})"
     ),
-    st.tuples(_int_exprs(1), _FRAMES).map(
-        lambda t: f"min({t[0]}) OVER (ORDER BY k {t[1]})"
+    st.tuples(_int_exprs(1), _FRAMES, _WIN_KEYS).map(
+        lambda t: f"min({t[0]}) OVER (ORDER BY {t[2]} {t[1]})"
     ),
-    st.just("row_number() OVER (ORDER BY k)"),
-    _int_exprs(1).map(lambda e: f"lag({e}, 1) OVER (ORDER BY k)"),
-    _int_exprs(1).map(lambda e: f"lead({e}, 2) OVER (ORDER BY k)"),
+    _WIN_KEYS.map(lambda ks: f"row_number() OVER (ORDER BY {ks})"),
+    st.tuples(_int_exprs(1), _WIN_KEYS).map(
+        lambda t: f"lag({t[0]}, 1) OVER (ORDER BY {t[1]})"
+    ),
+    st.tuples(_int_exprs(1), _WIN_KEYS).map(
+        lambda t: f"lead({t[0]}, 2) OVER (ORDER BY {t[1]})"
+    ),
     st.tuples(_int_exprs(1), _int_exprs(0)).map(
         lambda t: f"first_value({t[0]}) OVER (ORDER BY k ROWS BETWEEN 1 "
                   f"PRECEDING AND CURRENT ROW)"
     ),
     st.just("rank() OVER (ORDER BY (i IS NULL), i)"),
+    st.just("rank() OVER (ORDER BY i)"),
 )
 
 _LIST_BASE = st.one_of(
