@@ -1158,3 +1158,140 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dsir_weight_micro"
         ),
     )
+
+
+def _bpe_encode_oracle() -> str:
+    """Training CTEs (the same 3 rounds as text_bpe_merges) feed the
+    ENCODE side: every document's words are character-split and each
+    trained merge is applied in rank order via the identical
+    space-padded replace, then token counts roll up per doc."""
+    rounds = ",".join(
+        _BPE_ROUND_SQL.format(r=r, w=f"w{r - 1}" if r > 1 else "w0")
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    seq = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        seq = (
+            f"trim(replace(' ' || {seq} || ' ', "
+            f"' ' || (SELECT pair FROM b{r}) || ' ', "
+            f"' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '))"
+        )
+    return f"""
+    WITH w0 AS (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq,
+             count(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents) t
+      GROUP BY seq
+    ),{rounds},
+    words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents) t
+      WHERE length(w) >= 1
+    ),
+    enc AS (
+      SELECT doc_id, w,
+             len(string_split({seq}, ' ')) AS n_tok,
+             length(w) AS n_chr
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)    AS n_words,
+           CAST(sum(n_chr) AS BIGINT)  AS n_chars,
+           CAST(sum(n_tok) AS BIGINT)  AS n_tokens,
+           CAST(sum(n_chr) - sum(n_tok) AS BIGINT) AS merged_away
+    FROM enc
+    GROUP BY doc_id
+    """
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE — the other half of the BPE pair: train the
+    merge table (the same 3 corpus-weighted rounds as text_bpe_merges),
+    then apply the merges in rank order to every document and report
+    per-doc token statistics.  Character-split each word, run each
+    merge as the space-padded replace (identical left-to-right
+    non-overlapping semantics in Spark, DuckDB and Sennrich's
+    reference), count the surviving symbols; merged_away = chars -
+    tokens is exactly the number of merge applications.
+
+    Scale shape: training runs on the VOCAB-sized frame (one corpus
+    scan + 3 vocab-local rounds, argmax rows collected driver-side —
+    metadata-sized); encoding is a per-row JVM codegen chain (k merges
+    → k chained replace()s, no Python, no shuffle until the per-doc
+    rollup).  With a production-sized merge table (10k+), the same
+    semantics move into an Arrow-batched pandas UDF with the merge
+    ranks broadcast — the plan shape (scan → per-row encode → rollup)
+    is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "cnt"
+        )
+    )
+    merges: list[str] = []
+    for _ in range(BPE_MERGE_ROUNDS):
+        pairs = (
+            vocab.select(F.split("seq", " ").alias("toks"), "cnt")
+            .filter(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1), i -> "
+                        "concat(element_at(toks, i), ' ', "
+                        "element_at(toks, i + 1)))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        best = pairs.orderBy(F.col("freq").desc(), "pair").first()
+        merges.append(best["pair"])
+        vocab = vocab.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {best['pair']} "),
+                    F.lit(f" {best['pair'].replace(' ', '')} "),
+                )
+            ).alias("seq"),
+            "cnt",
+        )
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).filter(F.length("w") >= 1)
+    seq = F.trim(F.regexp_replace("w", "(.)", "$1 "))
+    for pair in merges:
+        seq = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), seq, F.lit(" ")),
+                F.lit(f" {pair} "),
+                F.lit(f" {pair.replace(' ', '')} "),
+            )
+        )
+    enc = words.select(
+        "doc_id",
+        F.size(F.split(seq, " ")).alias("n_tok"),
+        F.length("w").alias("n_chr"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_chr").cast("long").alias("n_chars"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        (F.sum("n_chr") - F.sum("n_tok")).cast("long").alias("merged_away"),
+    )
