@@ -1295,3 +1295,52 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_tokens"),
         (F.sum("n_chr") - F.sum("n_tok")).cast("long").alias("merged_away"),
     )
+
+
+@query(
+    "text_charset_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) - length(regexp_replace(text,
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT)
+               AS n_control,
+           CAST(length(regexp_replace(text, '[\x20-\x7E]', '', 'g'))
+               AS BIGINT) AS n_non_printable_ascii,
+           contains(text, chr(65533)) AS has_replacement_char,
+           CAST(length(regexp_replace(text,
+                '[^\x20-\x7E\x09\x0A\x0D]', '', 'g')) AS BIGINT)
+               AS clean_len,
+           (length(regexp_replace(text, '[\x20-\x7E]', '', 'g')) = 0
+            AND NOT contains(text, chr(65533))) AS passes_charset
+    FROM documents
+    """,
+)
+def text_charset_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset hygiene — the mojibake/control-character scrub every
+    web-scrape ingest runs before training: count C0/DEL control
+    characters, non-printable-ASCII weight, U+FFFD replacement-char
+    presence (the classic double-decode fingerprint), the post-scrub
+    length, and the combined keep decision.
+
+    Pure per-row regexp projections: zero shuffles, whole-stage
+    codegen, embarrassingly parallel at 100 TB.  On a multilingual
+    corpus the printable-ASCII class widens to Unicode categories; the
+    plan shape is identical."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    ctrl = F.length(t) - F.length(
+        F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    )
+    non_print = F.length(F.regexp_replace(t, r"[\x20-\x7E]", ""))
+    has_fffd = t.contains("�")
+    clean_len = F.length(
+        F.regexp_replace(t, r"[^\x20-\x7E\x09\x0A\x0D]", "")
+    )
+    return d.select(
+        "doc_id",
+        ctrl.cast("long").alias("n_control"),
+        non_print.cast("long").alias("n_non_printable_ascii"),
+        has_fffd.alias("has_replacement_char"),
+        clean_len.cast("long").alias("clean_len"),
+        ((non_print == 0) & ~has_fffd).alias("passes_charset"),
+    )
