@@ -3417,6 +3417,105 @@ def rewrite_from_first(stmt: str) -> str:
     return f"{tail[:cut].rstrip()} {head} {tail[cut:]}".rstrip()
 
 
+_LIKE_LITERAL_RE = re.compile(
+    r"\b(LIKE|ILIKE)\s+('(?:[^']|'')*')(?!\s*ESCAPE)", re.I
+)
+
+
+def rewrite_like_default_escape(stmt: str) -> str:
+    """Spark's LIKE treats ``\\`` as a default escape character; DuckDB's
+    LIKE has none (escape only via an explicit ESCAPE clause).  Double
+    the backslashes inside literal LIKE/ILIKE patterns that carry no
+    ESCAPE clause so ``LIKE '%\\%'`` keeps matching a literal backslash
+    (found by the string-escaping differential probe).  Expression
+    patterns pass through — no safe textual transform exists for those.
+    Runs BEFORE quote-escape canonicalization (both lex DuckDB-style)."""
+
+    def _sub(m: re.Match) -> str:
+        if _inside_string_literal(stmt, m.start()):
+            return m.group(0)
+        lit = m.group(2)
+        if "\\" not in lit:
+            return m.group(0)
+        return f"{m.group(1)} '{lit[1:-1].replace(chr(92), chr(92) * 2)}'"
+
+    return _LIKE_LITERAL_RE.sub(_sub, stmt)
+
+
+def rewrite_quote_escapes(stmt: str) -> str:
+    """Canonicalize DuckDB-lexed single-quoted literals for Spark's
+    lexer under ``escapedStringLiterals=true`` (found by the
+    string-escaping differential probe):
+
+    - SQL-standard ``''`` quote escapes do NOT collapse in Spark's raw
+      string mode (``'it''s'`` stays two chars), and
+    - a literal whose content ends with ``\\`` swallows its own closing
+      quote in Spark's lexer (which always consumes ``\\'`` pairs).
+
+    DuckDB-lex each literal (``''`` = escaped quote, backslash has no
+    special meaning), then re-emit: verbatim when Spark-safe, otherwise
+    a parenthesized ``||`` chain splicing ``chr(39)`` for quotes and
+    ``chr(92)`` for the dangerous trailing backslash — expressible in
+    any literal position an expression is valid."""
+    if "'" not in stmt:
+        return stmt
+    out = []
+    i, n = 0, len(stmt)
+    changed = False
+    in_dquote = False
+    while i < n:
+        c = stmt[i]
+        if c == '"':
+            in_dquote = not in_dquote
+            out.append(c)
+            i += 1
+            continue
+        if c != "'" or in_dquote:
+            out.append(c)
+            i += 1
+            continue
+        # DuckDB-lex the literal
+        j = i + 1
+        content = []
+        while j < n:
+            if stmt[j] == "'":
+                if j + 1 < n and stmt[j + 1] == "'":
+                    content.append("'")
+                    j += 2
+                    continue
+                break
+            content.append(stmt[j])
+            j += 1
+        body = "".join(content)
+        closed = j < n
+        safe = "'" not in body and not body.endswith("\\")
+        # an ESCAPE '<char>' operand must stay a literal: the
+        # LIKE-ESCAPE rewrite downstream consumes it by regex, and
+        # Spark's ESCAPE clause does not accept expressions
+        if not safe and re.search(r"\bESCAPE\s*$", "".join(out), re.I):
+            safe = True
+        if not closed or safe:
+            out.append(stmt[i : j + 1] if closed else stmt[i:])
+            i = j + 1 if closed else n
+            continue
+        changed = True
+        # concat emission: split on quotes; ALL trailing backslashes of
+        # a segment sit against a quote (or the closing delimiter) and
+        # must be spliced as chr(92)
+        pieces: list[str | None] = []
+        for seg in body.split("'"):
+            head = seg.rstrip("\\")
+            n_bs = len(seg) - len(head)
+            pieces.append(f"'{head}'" if head else None)
+            pieces.extend(["chr(92)"] * n_bs)
+            pieces.append("chr(39)")
+        pieces.pop()  # no quote after the last segment
+        parts = [p for p in pieces if p]
+        out.append("(" + " || ".join(parts) + ")" if parts else "''")
+        i = j + 1
+    return "".join(out) if changed else stmt
+
+
 def rewrite_double_quoted_identifiers(stmt: str) -> str:
     """ANSI/DuckDB double-quoted identifiers → Spark backticks.  Spark
     parses ``"x"`` as a STRING literal (doubleQuotedIdentifiers needs
@@ -7906,7 +8005,13 @@ class DuckLakeSpark:
         return new_stmt
 
     def _select(self, stmt: str) -> DataFrame:
-        # FIRST: "ident" → `ident` (Spark parses double quotes as string
+        # FIRST: canonicalize DuckDB-lexed string literals for Spark's
+        # raw-mode lexer ('' escapes, trailing backslashes, LIKE's
+        # default-escape mismatch) — everything downstream may then
+        # assume literals are quote-free inside
+        stmt = rewrite_like_default_escape(stmt)
+        stmt = rewrite_quote_escapes(stmt)
+        # "ident" → `ident` (Spark parses double quotes as string
         # literals; DuckDB as identifiers).  Must run before any rewrite
         # EMITS double-quoted string literals (_sql_str's quote-bearing
         # case) — those are Spark-bound and must survive.

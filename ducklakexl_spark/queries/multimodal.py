@@ -1275,3 +1275,370 @@ def mm_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                "palette_size bigint, min_code_size bigint, "
                "pixel_sum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL lossy image codec — baseline JPEG (ITU T.81), grayscale, pure
+# Python + numpy: 8x8 DCT-II, Annex K luminance quantization, zigzag,
+# DC differential + Huffman entropy coding with the Annex K code
+# tables, 0xFF byte stuffing, full JFIF marker structure.  The decoder
+# re-parses everything FROM BYTES: marker walk, DQT/SOF0/DHT/SOS,
+# Huffman tree rebuild, dequant, IDCT.  Lossy — the relational oracle
+# checks the exactly-predictable structural fields (geometry, MCU
+# count, marker inventory); reconstruction fidelity is pinned by
+# PSNR-bounded unit tests (tests/test_functions.py).
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_QT = [  # Annex K.1 luminance, quality ~50
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+# Annex K.3: (BITS counts for lengths 1..16, HUFFVAL)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+JPEG_WIDTH = 16
+
+
+def _huff_codes(bits, vals):
+    """Annex C: generate canonical (code, length) per symbol."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_matrix():
+    import numpy as np
+
+    n = 8
+    d = np.zeros((n, n))
+    import math
+
+    for k in range(n):
+        for i in range(n):
+            c = (1 / n) ** 0.5 if k == 0 else (2 / n) ** 0.5
+            d[k, i] = c * math.cos(math.pi * k * (2 * i + 1) / (2 * n))
+    return d
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+
+def encode_jpeg(gray: bytes, width: int = JPEG_WIDTH) -> bytes:
+    """Baseline JFIF: grayscale, one component, Annex K tables."""
+    import numpy as np
+
+    height = max(1, -(-len(gray) // width))
+    img = np.frombuffer(gray.ljust(width * height, b"\0"), dtype=np.uint8)
+    img = img.reshape(height, width).astype(np.float64)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    pad = np.empty((ph, pw))
+    pad[:height, :width] = img
+    pad[height:, :width] = img[-1:, :]            # edge-replicate pad
+    pad[:, width:] = pad[:, width - 1 : width]
+    d = _dct_matrix()
+    qt = np.array(_JPEG_QT, dtype=np.float64).reshape(8, 8)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = d @ block @ d.T
+            q = np.round(coef / qt).astype(np.int64)
+            zz = [int(q.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            cat = _jpeg_category(diff)
+            bw.write(*dc_codes[cat])
+            if cat:
+                v = diff if diff >= 0 else diff + (1 << cat) - 1
+                bw.write(v, cat)
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                cat = _jpeg_category(v)
+                bw.write(*ac_codes[(run << 4) | cat])
+                vv = v if v >= 0 else v + (1 << cat) - 1
+                bw.write(vv, cat)
+                run = 0
+            if run:
+                bw.write(*ac_codes[0x00])  # EOB
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPEG_QT[_JPEG_ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, ph, pw, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) \
+        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xFF\xD8" + dqt + sof + dht + sos + bytes(bw.buf) + b"\xFF\xD9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise ValueError("unexpected marker in entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits, vals):
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg(jpg: bytes) -> dict:
+    """Parse baseline JPEG FROM BYTES: marker walk, table rebuild,
+    Huffman + DC-differential decode, dequant, IDCT."""
+    import numpy as np
+
+    if jpg[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt = None
+    h = w = None
+    dc_tab = ac_tab = None
+    markers = ["SOI"]
+    entropy = None
+    while pos + 4 <= len(jpg):
+        if jpg[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = jpg[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", jpg, pos + 2)
+        body = jpg[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            markers.append("DQT")
+            zzq = list(body[1:65])
+            qt = [0] * 64
+            for i in range(64):
+                qt[_JPEG_ZIGZAG[i]] = zzq[i]
+        elif marker == 0xC0:
+            markers.append("SOF0")
+            _prec, h, w, _nc = struct.unpack_from(">BHHB", body, 0)
+        elif marker == 0xC4:
+            markers.append("DHT")
+            tc_th = body[0]
+            bits = list(body[1:17])
+            vals = list(body[17 : 17 + sum(bits)])
+            if tc_th >> 4 == 0:
+                dc_tab = _huff_decoder(bits, vals)
+            else:
+                ac_tab = _huff_decoder(bits, vals)
+        elif marker == 0xDA:
+            markers.append("SOS")
+            entropy = jpg[pos + 2 + ln : -2]
+            pos = len(jpg)
+            break
+        pos += 2 + ln
+    if None in (qt, h, w, dc_tab, ac_tab) or entropy is None:
+        raise ValueError("missing JPEG segments")
+    br = _BitReader(entropy)
+
+    def read_sym(tab):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            if (length, code) in tab:
+                return tab[(length, code)]
+        raise ValueError("bad Huffman code")
+
+    def extend(v, cat):
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    d = _dct_matrix()
+    qtm = np.array(qt, dtype=np.float64).reshape(8, 8)
+    out = np.zeros((h, w))
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = [0] * 64
+            cat = read_sym(dc_tab)
+            diff = extend(br.bits(cat), cat) if cat else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = read_sym(ac_tab)
+                run, cat = rs >> 4, rs & 0x0F
+                if rs == 0x00:
+                    break  # EOB
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflow")
+                zz[k] = extend(br.bits(cat), cat)
+                k += 1
+            q = np.zeros(64)
+            for i in range(64):
+                q[_JPEG_ZIGZAG[i]] = zz[i]
+            coef = q.reshape(8, 8) * qtm
+            block = d.T @ coef @ d + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    pixels = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    markers.append("EOI")
+    return {
+        "width": w,
+        "height": h,
+        "n_blocks": (h // 8) * (w // 8),
+        "markers": markers,
+        "pixels": pixels,
+    }
+
+
+def _jpeg_roundtrip_batches(batches):
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "n_blocks": [],
+               "n_markers": []}
+        for did, payload in zip(pdf["doc_id"], pdf["content"]):
+            d = decode_jpeg(encode_jpeg(bytes(payload)))
+            out["doc_id"].append(did)
+            out["width"].append(d["width"])
+            out["height"].append(d["height"])
+            out["n_blocks"].append(d["n_blocks"])
+            out["n_markers"].append(len(d["markers"]))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_jpeg_roundtrip",
+    # structural oracle: padded geometry (8x8 MCU alignment over the
+    # 16-wide grid), MCU count, and the marker inventory a baseline
+    # grayscale JFIF must carry (SOI, DQT, SOF0, 2x DHT, SOS, EOI = 7).
+    # Reconstruction fidelity is lossy by design and pinned by the
+    # PSNR-bounded unit tests instead.
+    oracle=f"""
+    SELECT doc_id,
+           CAST({JPEG_WIDTH} AS BIGINT) AS width,
+           CAST(((greatest(1, CAST(ceil(length(text) / {JPEG_WIDTH}.0)
+                AS BIGINT)) + 7) // 8) * 8 AS BIGINT) AS height,
+           CAST(((greatest(1, CAST(ceil(length(text) / {JPEG_WIDTH}.0)
+                AS BIGINT)) + 7) // 8) * ({JPEG_WIDTH} // 8) AS BIGINT)
+               AS n_blocks,
+           CAST(7 AS BIGINT) AS n_markers
+    FROM documents
+    """,
+)
+def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy image codec: baseline JPEG (ITU T.81) implemented
+    here end to end — 8x8 DCT-II, Annex K luminance quantization,
+    zigzag, DC-differential + Huffman entropy coding with the Annex K
+    code tables, 0xFF byte stuffing, JFIF marker framing — and decoded
+    back by parsing the BYTES (marker walk, canonical Huffman rebuild,
+    dequant, IDCT).  The relational oracle pins the exactly-predictable
+    structure (MCU-padded geometry, block count, the 7-marker
+    inventory); reconstruction quality is pinned by unit tests (DC-path
+    exactness on flat blocks, PSNR floor on random payloads).
+
+    100 TB shape: the same no-shuffle mapInPandas stage as every codec
+    here; numpy does the per-block math inside Arrow batches."""
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "content").mapInPandas(
+        _jpeg_roundtrip_batches,
+        schema="doc_id bigint, width bigint, height bigint, "
+               "n_blocks bigint, n_markers bigint",
+    )

@@ -183,3 +183,48 @@ def test_gif_decoder_rejects_corruption():
         decode_gif(b"PNG" + gif)
     with _pytest.raises(ValueError):
         decode_gif(gif[:-1])  # missing trailer
+
+
+def test_jpeg_roundtrip_fidelity():
+    import random
+
+    import numpy as np
+
+    from ducklakexl_spark.queries.multimodal import (
+        _dct_matrix, decode_jpeg, encode_jpeg,
+    )
+
+    # the DCT basis must be orthonormal or everything else silently skews
+    d = _dct_matrix()
+    assert np.allclose(d @ d.T, np.eye(8), atol=1e-12)
+    # flat blocks are DC-only: reconstruction must be EXACT
+    r = decode_jpeg(encode_jpeg(bytes([200] * 256)))
+    assert int(np.abs(r["pixels"].astype(int) - 200).max()) == 0
+    assert r["markers"] == ["SOI", "DQT", "SOF0", "DHT", "DHT", "SOS", "EOI"]
+    # smooth gradient: high-fidelity band
+    grad = bytes(range(256))
+    r2 = decode_jpeg(encode_jpeg(grad))
+    ref = np.frombuffer(grad, dtype=np.uint8).reshape(16, 16).astype(float)
+    mse = ((r2["pixels"][:16, :16].astype(float) - ref) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 40
+    # random noise: JPEG's worst case still has a floor
+    rng = random.Random(5)
+    blob = bytes(rng.randrange(256) for _ in range(1000))
+    r3 = decode_jpeg(encode_jpeg(blob))
+    h = -(-1000 // 16)
+    ref = np.frombuffer(blob.ljust(16 * h, b"\0"), dtype=np.uint8)
+    ref = ref.reshape(h, 16).astype(float)
+    mse = ((r3["pixels"][:h, :16].astype(float) - ref) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 18
+
+
+def test_jpeg_decoder_rejects_corruption():
+    import pytest as _pytest
+
+    from ducklakexl_spark.queries.multimodal import decode_jpeg, encode_jpeg
+
+    jpg = encode_jpeg(b"corruption target")
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"XX" + jpg)
+    with _pytest.raises(ValueError):
+        decode_jpeg(jpg[:40])  # missing SOS/entropy segments

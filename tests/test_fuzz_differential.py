@@ -197,6 +197,19 @@ REGRESSION_STATEMENTS = [
     f"SELECT k FROM (SELECT k, j {_FROM} ORDER BY j LIMIT 3) z ORDER BY k",
     f"SELECT k FROM (SELECT k, i {_FROM} ORDER BY i DESC LIMIT 2) z ORDER BY k",
     f"SELECT k, lag(i, 1) OVER (ORDER BY j, k) AS r {_FROM} ORDER BY k",
+    # fuzz find #6 (string-escaping probe): DuckDB-lexed literals vs
+    # Spark's raw-mode lexer — SQL-standard '' escapes, trailing
+    # backslashes, and LIKE's default-\ escape mismatch
+    "SELECT 'it''s' AS r",
+    "SELECT length('\\') AS r",
+    "SELECT 'c:\\' || 'x' AS r",
+    "SELECT replace('it''s a test', '''', '!') AS r",
+    "SELECT s FROM (VALUES ('a\\b'), ('100%'), ('c:\\dir\\file')) t(s) "
+    "WHERE s LIKE '%\\%' ORDER BY s",
+    "SELECT s FROM (VALUES ('100%'), ('100x')) t(s) "
+    "WHERE s LIKE '100!%' ESCAPE '!' ORDER BY s",
+    "SELECT s, split_part(s, '\\', 2) AS p FROM (VALUES ('a\\b'), "
+    "('c:\\dir\\file')) t(s) ORDER BY s",
 ]
 
 
