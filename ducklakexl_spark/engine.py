@@ -1362,6 +1362,16 @@ def _duck_json_structure_to_ddl(node) -> str:
 def _duck_fn_emit(key: str, args: list[str]) -> str:
     """Emit the Spark SQL call for one DuckDB-dialect call site."""
     a = args
+    if (
+        key == "unnest"
+        and len(a) == 2
+        and re.match(r"(?i)recursive\s*:=\s*true$", a[1].strip())
+    ):
+        # DuckDB's recursive unnest over an array of structs expands one
+        # output column per struct field — Spark's inline().  (The
+        # array-of-arrays flattening reading of recursive unnest is
+        # spelled explode(flatten(x)) instead.)
+        return f"inline({a[0]})"
     if key in ("list_contains", "list_has", "array_has", "array_contains"):
         # DuckDB NULL semantics (fuzz find #2): NULL needle/list → NULL,
         # otherwise strictly true/false — in-list NULLs never contaminate
@@ -1738,7 +1748,7 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         return f"({a[0]}).{field}"
     if key == "list_any_value":
         return f"try_element_at(filter({a[0]}, x -> x IS NOT NULL), 1)"
-    if key == "product":
+    if key in ("product", "prod"):
         # multiset product as an array fold (commutative, so collect
         # order doesn't matter); NULLs ignored like every aggregate
         return (
@@ -2566,7 +2576,7 @@ _DUCK_FN_TEMPLATES = {
     "regexp_extract_all", "regexp_replace", "string_agg",
     "group_concat", "listagg", "list", "array_agg",
     "sha256", "to_base", "trunc", "age", "even", "signbit", "list_reduce",
-    "struct_extract", "list_any_value", "product", "entropy",
+    "struct_extract", "list_any_value", "product", "prod", "entropy",
     "quantile_disc", "mad", "first", "last",
     "format_bytes", "formatreadablesize", "to_seconds", "to_minutes",
     "to_hours", "to_days", "datesub", "time_bucket", "century",
@@ -7743,15 +7753,22 @@ class DuckLakeSpark:
         fpos = find_top_level_keyword(stmt, "FROM", sel_start)
         if fpos < 0:
             return stmt
+        from_text = stmt[fpos + 4 : tail_keyword_pos(stmt, fpos + 4)]
         try:
-            rel, _alias = split_rel_alias(
-                stmt[fpos + 4 : tail_keyword_pos(stmt, fpos + 4)]
-            )
-        except ValueError:
-            raise NotImplementedError(
-                "COLUMNS(...) requires a single-relation FROM clause"
-            ) from None
-        cols = self._rel_df(rel).columns
+            rel, _alias = split_rel_alias(from_text)
+            cols = self._rel_df(rel).columns
+        except (ValueError, NotImplementedError):
+            # general FROM (subquery / VALUES / join): discover the
+            # combined schema with a LIMIT-0 probe — lake tables the
+            # probe references are registered first (idempotent; the
+            # main path re-registers them later anyway)
+            idents = sql_identifiers(from_text)
+            for tname in self.catalog.table_names():
+                if tname in idents:
+                    self.table_df(tname).createOrReplaceTempView(tname)
+            cols = self.spark.sql(
+                f"SELECT * FROM {from_text} LIMIT 0"
+            ).columns
 
         def sub_all(body: str, col: str) -> str:
             while True:

@@ -90,6 +90,16 @@ PROBES = [
     ("date_trunc_date_lit",
      "SELECT date_trunc('week', DATE '2024-03-07') AS d"),
     ("hash_nonneg", "SELECT hash('x') >= 0 AS ok"),
+    # COLUMNS() over a general FROM (subquery/VALUES/join) resolves the
+    # schema via a LIMIT-0 probe instead of requiring a named table
+    ("columns_regex_subquery",
+     "SELECT columns('^[ab]$') FROM (VALUES (3, 7, 1), (1, 9, 2)) m(a, b, c)"),
+    ("columns_star_agg_subquery",
+     "SELECT min(COLUMNS(*)) FROM (VALUES (3, 7), (1, 9)) m(a, b)"),
+    # DuckDB's recursive unnest over an array of structs = Spark inline()
+    ("unnest_recursive_structs",
+     "SELECT unnest([{'x': 1, 'y': 'a'}, {'x': 2, 'y': 'b'}], "
+     "recursive := true) FROM (VALUES (1)) z(q)"),
     # round-5 advisor fixes: operator/type rewrites must skip string
     # literals without aborting, percentage LIMIT truncates like DuckDB,
     # date_part('epoch') keeps the fractional seconds
