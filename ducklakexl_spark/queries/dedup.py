@@ -189,7 +189,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", shingles_col(F.col("text")).alias("sh")
     )
-    a = d.alias("a")
+    # the ground-truth audit is quadratic BY DESIGN (see docstring) but
+    # must still use every core: the documents fixture is one parquet
+    # file = one input partition, and the broadcast-NLJ streams that
+    # single partition through one task — repartition the streamed side
+    # so the O(n^2) comparisons parallelize (observed: 1 core pinned
+    # for 20+ min at sf0.1 before this, minutes across 16 after)
+    par = spark.sparkContext.defaultParallelism * 2
+    a = d.repartition(par).alias("a")
     b = d.alias("b")
     j = jaccard_cols(F.col("a.sh"), F.col("b.sh"))
     return (
