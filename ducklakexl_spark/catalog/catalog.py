@@ -35,41 +35,40 @@ def _now() -> datetime:
 
 
 class DuckLakeCatalog:
-    def __init__(self, store: CatalogStore, data_path: str):
+    def __init__(
+        self, store: CatalogStore, data_path: str, encrypted: bool = False
+    ):
         self.store = store
         self.data_path = data_path
         self._txn_backup: dict[str, pd.DataFrame] | None = None
         self._txn_files: list[str] = []
         if store.exists():
             self.tables = store.load()
-            self._check_not_encrypted()
+            if encrypted and not self.encrypted:
+                raise ValueError(
+                    "encrypted=True requested but this existing lake is "
+                    "unencrypted; already-written plain files cannot be "
+                    "retroactively protected — create a new lake"
+                )
         else:
             self.tables = {t: empty_frame(t) for t in CATALOG_SCHEMAS}
+            self._encrypted_bootstrap = bool(encrypted)
             self._bootstrap()
         self._base_snapshot = self.current_snapshot
 
-    def _check_not_encrypted(self) -> None:
-        """Parquet modular encryption (spec: ducklake_metadata
-        'encrypted' + per-file encryption_key) is not implemented —
-        attaching an encrypted lake must fail LOUDLY here, not
-        confusingly at first scan.  The reference round-trips the
-        encrypted flag through its sync plane the same way it does any
-        metadata row (ducklakexl.py:501-505) but delegates actual
-        decryption to DuckDB; this engine has no decrypt path."""
+    @property
+    def encrypted(self) -> bool:
+        """Spec ``ducklake_metadata['encrypted']`` — when true, data and
+        delete files are written with Parquet Modular Encryption and
+        their per-file keys live in the ``encryption_key`` columns (the
+        reference round-trips this flag through its sync plane at
+        ducklakexl.py:501-505 and delegates the cryptography to DuckDB;
+        here crypto.py implements it on the Spark side)."""
         meta = self.tables.get("ducklake_metadata")
-        if meta is not None and not meta.empty:
-            enc = meta[meta["key"] == "encrypted"]
-            if not enc.empty and str(enc.iloc[0]["value"]).lower() == "true":
-                raise NotImplementedError(
-                    "this catalog is marked encrypted=true; parquet "
-                    "modular encryption is not supported by this engine"
-                )
-        df = self.tables.get("ducklake_data_file")
-        if df is not None and not df.empty and df["encryption_key"].notna().any():
-            raise NotImplementedError(
-                "this catalog carries per-file encryption keys; parquet "
-                "modular encryption is not supported by this engine"
-            )
+        if meta is None or meta.empty:
+            return False
+        enc = meta[meta["key"] == "encrypted"]
+        return (not enc.empty) and str(enc.iloc[0]["value"]).lower() == "true"
 
     def refresh(self) -> None:
         """Re-synchronize with the store (drop any unsaved in-memory
@@ -77,7 +76,6 @@ class DuckLakeCatalog:
         if self._txn_backup is not None:
             raise ValueError("refresh() inside a transaction")
         self.tables = self.store.load()
-        self._check_not_encrypted()
         self._base_snapshot = self.current_snapshot
 
     # -- transactions --------------------------------------------------------
@@ -158,7 +156,14 @@ class DuckLakeCatalog:
                 {"key": "version", "value": "0.1"},
                 {"key": "created_by", "value": "ducklakexl_spark"},
                 {"key": "data_path", "value": self.data_path},
-                {"key": "encrypted", "value": "false"},
+                {
+                    "key": "encrypted",
+                    "value": (
+                        "true"
+                        if getattr(self, "_encrypted_bootstrap", False)
+                        else "false"
+                    ),
+                },
             ],
         )
         self._append(
@@ -818,7 +823,7 @@ class DuckLakeCatalog:
                     "footer_size": f.get("footer_size"),
                     "row_id_start": next_row_id,
                     "partition_id": f.get("partition_id"),
-                    "encryption_key": None,
+                    "encryption_key": f.get("encryption_key"),
                     "partial_file_info": None,
                 }
             )
@@ -1041,7 +1046,7 @@ class DuckLakeCatalog:
                     "delete_count": e["delete_count"],
                     "file_size_bytes": e["file_size_bytes"],
                     "footer_size": None,
-                    "encryption_key": None,
+                    "encryption_key": e.get("encryption_key"),
                 }
             )
             next_file += 1

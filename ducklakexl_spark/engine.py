@@ -38,6 +38,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.pandas.types import to_arrow_schema
 
 from ducklakexl_spark import iofs
 from ducklakexl_spark.catalog import (
@@ -207,7 +208,8 @@ _USE_RE = re.compile(r"^\s*USE\s+([\w.]+)\s*$", re.I)
 _ATTACH_RE = re.compile(r"^\s*(?:ATTACH|DETACH)\b", re.I)
 _ATTACH_DUCKLAKE_RE = re.compile(
     r"^\s*ATTACH\s+(?:IF\s+NOT\s+EXISTS\s+)?'ducklake:([^']+)'\s+"
-    r"AS\s+(\w+)\s*(?:\(\s*DATA_PATH\s+'([^']+)'\s*\))?\s*$",
+    r"AS\s+(\w+)\s*"
+    r"(?:\(\s*(?:DATA_PATH\s+'([^']+)')?\s*,?\s*(ENCRYPTED)?\s*\))?\s*$",
     re.I,
 )
 _DETACH_RE = re.compile(
@@ -3933,6 +3935,7 @@ class DuckLakeSpark:
         workbook=None,
         data_inlining_row_limit: int = 0,
         logger=None,
+        encrypted: bool = False,
     ):
         import logging
 
@@ -3980,7 +3983,13 @@ class DuckLakeSpark:
                 "(the catalog store is driver-local by design)"
             )
         local_catalog = local_catalog or os.path.join(self.data_path, "_catalog")
-        self.catalog = DuckLakeCatalog(CatalogStore(local_catalog), self.data_path)
+        # encrypted=True on a FRESH lake turns on Parquet Modular
+        # Encryption (spec metadata 'encrypted' + per-file
+        # encryption_key): data/delete files are AES-GCM-encrypted with
+        # per-file keys held in the catalog — see crypto.py
+        self.catalog = DuckLakeCatalog(
+            CatalogStore(local_catalog), self.data_path, encrypted=encrypted
+        )
         self.current_db = ducklake_name
         self.session_settings: dict[str, str] = {}
         # SET VARIABLE name = expr / getvariable('name') user variables
@@ -4127,13 +4136,14 @@ class DuckLakeSpark:
             # scripts replay verbatim.
             m = _ATTACH_DUCKLAKE_RE.match(stmt)
             if m:
-                cat, name, dp = m.group(1), m.group(2), m.group(3)
+                cat, name, dp, enc = m.groups()
                 if name != self.name and name not in self._attached:
                     self._attached[name] = DuckLakeSpark(
                         spark=self.spark,
                         data_path=dp or cat + ".files",
                         local_catalog=cat,
                         ducklake_name=name,
+                        encrypted=bool(enc),
                     )
                 return None
             m = _DETACH_RE.match(stmt)
@@ -5874,12 +5884,20 @@ class DuckLakeSpark:
             # write task emits a file per value it sees (tasks x values
             # small files — the partitioned-write explosion)
             df = df.repartition(*[F.col(f"__part_{c}") for c in part_names])
+            if self.catalog.encrypted:
+                return self._write_files_encrypted(
+                    tid, df, out_dir, part_names, partition_id
+                )
             df.write.mode("overwrite").options(
                 **self._writer_options()
             ).partitionBy(*[f"__part_{c}" for c in part_names]).parquet(
                 out_dir
             )
         else:
+            if self.catalog.encrypted:
+                return self._write_files_encrypted(
+                    tid, df, out_dir, [], partition_id
+                )
             df.write.mode("overwrite").options(
                 **self._writer_options()
             ).parquet(out_dir)
@@ -5910,11 +5928,43 @@ class DuckLakeSpark:
 
         return self._collect_file_stats(tid, paths, partition_id)
 
+    def _write_files_encrypted(
+        self,
+        tid: int,
+        df: DataFrame,
+        out_dir: str,
+        part_names: list[str],
+        partition_id: int | None,
+    ) -> tuple[list[dict], list[dict]]:
+        """Distributed Parquet-Modular-Encryption write: each task
+        encrypts its partition's rows into its own file(s) with a fresh
+        random 128-bit key via pyarrow (crypto.py), returning
+        (path, key, partition values) rows — the keys land in
+        ``ducklake_data_file.encryption_key`` (spec field).  Executors
+        never share keys; the Spark JVM never sees plaintext parquet."""
+        from ducklakexl_spark import crypto
+
+        iofs.makedirs(out_dir)
+        fn = crypto.make_encrypted_writer(
+            out_dir,
+            [f"__part_{c}" for c in part_names],
+            self._writer_options().get("compression"),
+        )
+        res = df.mapInArrow(fn, "path string, key string, part string").collect()
+        paths: list[tuple[str, list[str] | None]] = []
+        keys: dict[str, str] = {}
+        for r in res:
+            vals = None if r["part"] is None else json.loads(r["part"])
+            paths.append((r["path"], vals))
+            keys[r["path"]] = r["key"]
+        return self._collect_file_stats(tid, paths, partition_id, keys)
+
     def _collect_file_stats(
         self,
         tid: int,
         paths: list[tuple[str, list[str] | None]],
         partition_id: int | None = None,
+        keys: dict[str, str] | None = None,
     ) -> tuple[list[dict], list[dict]]:
         """(file rows, per-file column stats) from parquet footers —
         metadata-only, no Spark job (SURVEY §4 item 4).  Shared by the
@@ -5923,7 +5973,13 @@ class DuckLakeSpark:
         col_ids = {r.column_name: int(r.column_id) for r in cols.itertuples()}
         files, col_stats = [], []
         for path, part_vals in sorted(paths):
-            meta = iofs.parquet_metadata(path)
+            key = (keys or {}).get(path)
+            if key:
+                from ducklakexl_spark import crypto
+
+                meta = crypto.open_parquet(path, key).metadata
+            else:
+                meta = iofs.parquet_metadata(path)
             files.append(
                 {
                     "path": path,
@@ -5932,6 +5988,7 @@ class DuckLakeSpark:
                     "footer_size": meta.serialized_size,
                     "partition_id": partition_id,
                     "partition_values": part_vals,
+                    "encryption_key": key,
                 }
             )
             agg: dict[str, dict] = {}
@@ -6324,6 +6381,44 @@ class DuckLakeSpark:
         equal to the scan's normalized _metadata.file_path."""
         return re.sub(r"^file:/*", "/", p)
 
+    def _scan_files_encrypted(
+        self,
+        file_keys: list[tuple[str, str | None]],
+        read_struct: T.StructType,
+        with_pos: bool,
+    ) -> DataFrame:
+        """Distributed decrypting scan: one (path, key) row per file,
+        ``mapInArrow`` tasks decrypt whole files with pyarrow
+        (crypto.py) and reconcile each to ``read_struct`` (schema
+        evolution: missing column → NULL, type widening casts).  Scale
+        unit = one file per task slot, the same granularity Spark's
+        plain parquet reader uses; key=None rows are plain files adopted
+        zero-copy into an encrypted lake.  Catalyst can't push
+        projections into the tasks, so this read carries all declared
+        columns — the documented cost of encryption at rest."""
+        from ducklakexl_spark import crypto
+
+        fn, _ = crypto.make_encrypted_reader(
+            to_arrow_schema(read_struct), with_pos
+        )
+        out_fields = list(read_struct.fields)
+        if with_pos:
+            out_fields += [
+                T.StructField("__file", T.StringType()),
+                T.StructField("__pos", T.LongType()),
+            ]
+        src = self.spark.createDataFrame(
+            file_keys, "path string, key string"
+        )
+        par = max(
+            1,
+            min(
+                len(file_keys),
+                self.spark.sparkContext.defaultParallelism * 2,
+            ),
+        )
+        return src.repartition(par).mapInArrow(fn, T.StructType(out_fields))
+
     def table_df(
         self,
         name: str,
@@ -6401,9 +6496,10 @@ class DuckLakeSpark:
                     if n not in seen:
                         seen.add(n)
                         read_fields.append(T.StructField(n, f.dataType))
-            reader = self.spark.read.schema(T.StructType(read_fields))
+            read_struct = T.StructType(read_fields)
         else:
-            reader = self.spark.read.schema(schema)
+            read_struct = schema
+        reader = self.spark.read.schema(read_struct)
 
         # columns added with a DEFAULT read that default from files
         # written BEFORE the column existed (the spec's initial_default:
@@ -6413,15 +6509,33 @@ class DuckLakeSpark:
             for r in live_cols.itertuples()
             if pd.notna(r.initial_default)
         ]
-        df = reader.parquet(*paths)
-        if not dels.empty or with_position or init_defaults:
-            df = (
-                reader.parquet(*paths)
-                .withColumn(
-                    "__file", self._norm_path(F.col("_metadata.file_path"))
-                )
-                .withColumn("__pos", F.col("_metadata.row_index"))
+        need_pos = (not dels.empty) or with_position or bool(init_defaults)
+        key_by_path = {
+            p: (None if pd.isna(k) else str(k))
+            for p, k in zip(files["path"], files["encryption_key"])
+        }
+        if any(key_by_path.get(p) for p in paths):
+            # encrypted lake (possibly with adopted plain files mixed
+            # in): decrypt-scan distributed through pyarrow
+            df = self._scan_files_encrypted(
+                [
+                    (self._norm_path_str(p), key_by_path.get(p))
+                    for p in paths
+                ],
+                read_struct,
+                need_pos,
             )
+        else:
+            df = reader.parquet(*paths)
+            if need_pos:
+                df = (
+                    reader.parquet(*paths)
+                    .withColumn(
+                        "__file",
+                        self._norm_path(F.col("_metadata.file_path")),
+                    )
+                    .withColumn("__pos", F.col("_metadata.row_index"))
+                )
         if renamed:
             sel = [
                 (
@@ -6458,8 +6572,7 @@ class DuckLakeSpark:
                 )
             df = df.drop("__dfile", "__fbegin")
         if not dels.empty:
-            del_paths = sorted(set(dels["path"]))
-            del_df = self.spark.read.parquet(*del_paths).select("file_path", "pos")
+            del_df = self._read_delete_rows(dels)
             df = df.join(
                 F.broadcast(del_df),
                 (df["__file"] == del_df["file_path"]) & (df["__pos"] == del_df["pos"]),
@@ -6504,6 +6617,11 @@ class DuckLakeSpark:
                 out = series.map({"true": True, "false": False, True: True, False: False})
             elif isinstance(value, (int, float)):
                 out = pd.to_numeric(series, errors="coerce")
+            elif isinstance(value, (_dt.datetime, _dt.date)):
+                # table(predicates=[("ts", ">=", datetime(...))]) — the
+                # stats are strings; go through UTC datetimes so the
+                # compare is typed, never lexicographic-vs-datetime
+                out = pd.to_datetime(series, errors="coerce", utc=True)
             else:
                 out = series.astype("string")
             _coerce_cache[ck] = out
@@ -6540,6 +6658,13 @@ class DuckLakeSpark:
             mn = _coerce(rel["min_value"], value)
             mx = _coerce(rel["max_value"], value)
             cmp_val = str(value) if isinstance(value, str) else value
+            if isinstance(value, (_dt.datetime, _dt.date)):
+                cmp_val = pd.Timestamp(value)
+                cmp_val = (
+                    cmp_val.tz_localize("UTC")
+                    if cmp_val.tzinfo is None
+                    else cmp_val.tz_convert("UTC")
+                )
             bad = _violates(mn, mx, op, cmp_val)
             if bad is None:
                 continue
@@ -6698,6 +6823,32 @@ class DuckLakeSpark:
         self._register_deletes(name, tid, hit_pos)
         return None
 
+    _DELETE_STRUCT = T.StructType(
+        [
+            T.StructField("file_path", T.StringType()),
+            T.StructField("pos", T.LongType()),
+        ]
+    )
+
+    def _read_delete_rows(self, dels: pd.DataFrame) -> DataFrame:
+        """(file_path, pos) rows of the given live delete files —
+        decrypting via the catalog's per-file keys when the lake is
+        encrypted (delete files carry the same spec ``encryption_key``
+        field as data files)."""
+        keyed = [
+            (p, None if pd.isna(k) else str(k))
+            for p, k in sorted(
+                set(zip(dels["path"], dels["encryption_key"]))
+            )
+        ]
+        if any(k for _p, k in keyed):
+            return self._scan_files_encrypted(
+                keyed, self._DELETE_STRUCT, with_pos=False
+            )
+        return self.spark.read.parquet(
+            *sorted(set(dels["path"]))
+        ).select("file_path", "pos")
+
     def _register_deletes(
         self, name: str, tid: int, hit_pos: DataFrame, commit: bool = True
     ) -> bool:
@@ -6718,11 +6869,7 @@ class DuckLakeSpark:
         if not dels.empty:
             # live-scan rows are never already-deleted, so old and new
             # delete sets are disjoint — a plain union, no distinct
-            old = (
-                self.spark.read.parquet(*sorted(set(dels["path"])))
-                .select("file_path", "pos")
-                .withColumn("__new", F.lit(0))
-            )
+            old = self._read_delete_rows(dels).withColumn("__new", F.lit(0))
             touched = new.select("file_path").distinct()
             old = old.join(F.broadcast(touched), "file_path", "left_semi")
             full = new.unionByName(old)
@@ -6745,40 +6892,67 @@ class DuckLakeSpark:
         out_dir = os.path.join(
             self.data_path, name, f"delete-{uuid.uuid4().hex[:12]}"
         )
-        (
-            full.withColumn("__part", F.md5("file_path"))
-            .repartition(F.col("__part"))
-            .select("file_path", "pos", "__part")
-            .write.mode("overwrite")
-            .partitionBy("__part")
-            .parquet(out_dir)
-        )
         dfiles = self.catalog.data_files(tid)
         fid_by_path = {
             self._norm_path_str(p): int(i)
             for i, p in zip(dfiles["data_file_id"], dfiles["path"])
         }
         entries = []
-        for r in stats:
-            p = r["file_path"]
-            if p not in fid_by_path:
-                continue
-            leaf = os.path.join(
-                out_dir, f"__part={hashlib.md5(p.encode()).hexdigest()}"
+        clustered = (
+            full.withColumn("__part", F.md5("file_path"))
+            .repartition(F.col("__part"))
+            .select("file_path", "pos", "__part")
+        )
+        if self.catalog.encrypted:
+            # delete files carry their own PME keys, same as data files
+            from ducklakexl_spark import crypto
+
+            iofs.makedirs(out_dir)
+            fn = crypto.make_encrypted_writer(
+                out_dir, ["__part"], self._writer_options().get("compression")
             )
-            size = sum(
-                sz
-                for fp, sz in iofs.list_files(leaf)
-                if fp.endswith(".parquet")
+            res = clustered.mapInArrow(
+                fn, "path string, key string, part string"
+            ).collect()
+            by_md5 = {json.loads(r["part"])[0]: r for r in res}
+            for r in stats:
+                p = r["file_path"]
+                if p not in fid_by_path:
+                    continue
+                w = by_md5[hashlib.md5(p.encode()).hexdigest()]
+                entries.append(
+                    {
+                        "data_file_id": fid_by_path[p],
+                        "path": w["path"],
+                        "delete_count": int(r["cnt"]),
+                        "file_size_bytes": iofs.getsize(w["path"]),
+                        "encryption_key": w["key"],
+                    }
+                )
+        else:
+            clustered.write.mode("overwrite").partitionBy("__part").parquet(
+                out_dir
             )
-            entries.append(
-                {
-                    "data_file_id": fid_by_path[p],
-                    "path": leaf,
-                    "delete_count": int(r["cnt"]),
-                    "file_size_bytes": size,
-                }
-            )
+            for r in stats:
+                p = r["file_path"]
+                if p not in fid_by_path:
+                    continue
+                leaf = os.path.join(
+                    out_dir, f"__part={hashlib.md5(p.encode()).hexdigest()}"
+                )
+                size = sum(
+                    sz
+                    for fp, sz in iofs.list_files(leaf)
+                    if fp.endswith(".parquet")
+                )
+                entries.append(
+                    {
+                        "data_file_id": fid_by_path[p],
+                        "path": leaf,
+                        "delete_count": int(r["cnt"]),
+                        "file_size_bytes": size,
+                    }
+                )
         self.catalog.register_delete_files(tid, entries, removed, commit=commit)
         return True
 

@@ -1788,3 +1788,52 @@ def lakehouse_list_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ducklake_list_files('lf')
         """
     )
+
+
+@query(
+    "lakehouse_parquet_encryption",
+    pure=False,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    WHERE o_orderkey % 10 <> 3
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def lakehouse_parquet_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet Modular Encryption end to end (spec: ducklake_metadata
+    'encrypted' + per-file ducklake_data_file.encryption_key; the
+    reference syncs the flag at ducklakexl.py:501-505 and delegates the
+    cryptography to DuckDB — crypto.py implements it Spark-side): CTAS
+    the sf orders table into an ENCRYPTED lake (distributed mapInArrow
+    AES-GCM writes, one random 128-bit key per file), positional-DELETE
+    a slice (the delete file is encrypted too), then aggregate through
+    the decrypting scan.  The oracle computes the same result from the
+    PLAIN source parquet — matching proves the encrypt→delete→decrypt
+    cycle is lossless.  On-disk ciphertext unreadability is asserted in
+    tests/test_encryption.py."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ducklake_enc_q_")
+    lake = DuckLakeSpark(
+        spark=spark,
+        data_path=f"{tmp}/data",
+        local_catalog=f"{tmp}/catalog",
+        encrypted=True,
+    )
+    return lake.sql(
+        f"""
+        CREATE TABLE ord AS
+          SELECT * FROM read_parquet('{sf_dir}/orders.parquet');
+        DELETE FROM ord WHERE o_orderkey % 10 = 3;
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM ord
+        GROUP BY o_orderstatus
+        ORDER BY status;
+        """
+    )

@@ -1,0 +1,216 @@
+"""Encrypted-lake end-to-end: Parquet Modular Encryption wired through
+the DuckLake write/read/delete planes (spec: ducklake_metadata
+'encrypted' + ducklake_data_file/delete_file.encryption_key; the
+reference carries the flag through its sync plane at ducklakexl.py:501-505
+and delegates the cryptography to DuckDB — here crypto.py implements it
+Spark-side with distributed mapInArrow encrypt/decrypt)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from ducklakexl_spark.engine import DuckLakeSpark
+
+
+@pytest.fixture()
+def elake(spark, tmp_path):
+    return DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+        encrypted=True,
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _data_files(elake):
+    d = elake.catalog.tables["ducklake_data_file"]
+    return d[d["end_snapshot"].isna()]
+
+
+def test_encrypted_insert_read_roundtrip(elake, spark, tmp_path):
+    elake.sql("CREATE TABLE t(id INTEGER, v DOUBLE, s VARCHAR);")
+    elake.sql(
+        "INSERT INTO t VALUES (1, 1.5, 'a'), (2, 2.5, 'b'), "
+        "(3, 3.5, NULL), (4, 4.5, 'd');"
+    )
+    assert rows(elake.sql("SELECT id, v, s FROM t")) == [
+        (1, 1.5, "a"),
+        (2, 2.5, "b"),
+        (3, 3.5, None),
+        (4, 4.5, "d"),
+    ]
+    # every data file carries a per-file key, and none is plain-readable
+    files = _data_files(elake)
+    assert len(files) >= 1 and files["encryption_key"].notna().all()
+    on_disk = glob.glob(str(tmp_path / "data" / "t" / "**" / "*.parquet"),
+                        recursive=True)
+    assert on_disk
+    for p in on_disk:
+        with pytest.raises(Exception, match="[Ee]ncrypt"):
+            pq.ParquetFile(p).read()
+    # Spark's JVM reader must also be locked out
+    with pytest.raises(Exception):
+        spark.read.parquet(on_disk[0]).collect()
+
+
+def test_encrypted_keys_differ_per_file(elake):
+    elake.sql("CREATE TABLE t(id INTEGER);")
+    elake.sql("INSERT INTO t VALUES (1);")
+    elake.sql("INSERT INTO t VALUES (2);")
+    keys = list(_data_files(elake)["encryption_key"])
+    assert len(keys) >= 2 and len(set(keys)) == len(keys)
+
+
+def test_encrypted_delete_update_merge(elake):
+    elake.sql("CREATE TABLE t(id INTEGER, v DOUBLE);")
+    elake.sql("INSERT INTO t SELECT r AS id, r * 1.0 AS v FROM range(10) tbl(r);")
+    elake.sql("DELETE FROM t WHERE id IN (2, 5);")
+    assert rows(elake.sql("SELECT count(*) AS n FROM t")) == [(8,)]
+    # the positional delete file is itself encrypted
+    dels = elake.catalog.tables["ducklake_delete_file"]
+    live = dels[dels["end_snapshot"].isna()]
+    assert len(live) >= 1 and live["encryption_key"].notna().all()
+    for p in live["path"]:
+        with pytest.raises(Exception, match="[Ee]ncrypt"):
+            pq.ParquetFile(p).read()
+    elake.sql("UPDATE t SET v = -1.0 WHERE id = 7;")
+    assert rows(elake.sql("SELECT v FROM t WHERE id = 7")) == [(-1.0,)]
+    elake.sql(
+        "MERGE INTO t USING (SELECT 3 AS id, 99.0 AS v) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v);"
+    )
+    assert rows(elake.sql("SELECT v FROM t WHERE id = 3")) == [(99.0,)]
+
+
+def test_encrypted_time_travel_and_reattach(elake, spark):
+    elake.sql("CREATE TABLE t(id INTEGER);")
+    elake.sql("INSERT INTO t VALUES (1), (2);")
+    v_before = elake.catalog.current_snapshot
+    elake.sql("DELETE FROM t WHERE id = 1;")
+    assert rows(
+        elake.sql(f"SELECT count(*) AS n FROM t AT (VERSION => {v_before})")
+    ) == [(2,)]
+    # reattach from disk: flag + keys come back from the catalog store
+    lake2 = DuckLakeSpark(
+        spark=spark,
+        data_path=elake.data_path,
+        local_catalog=elake.catalog.store.path,
+    )
+    assert lake2.catalog.encrypted
+    assert rows(lake2.sql("SELECT id FROM t")) == [(2,)]
+
+
+def test_encrypted_partitioned_write_prunes(elake):
+    elake.sql("CREATE TABLE ev(ts TIMESTAMP, v INTEGER);")
+    elake.sql("ALTER TABLE ev SET PARTITIONED BY (month(ts));")
+    elake.sql(
+        "INSERT INTO ev VALUES "
+        "(TIMESTAMP '2024-01-05 00:00:00', 1), "
+        "(TIMESTAMP '2024-01-20 00:00:00', 2), "
+        "(TIMESTAMP '2024-02-05 00:00:00', 3), "
+        "(TIMESTAMP '2024-03-09 00:00:00', 4);"
+    )
+    files = _data_files(elake)
+    assert len(files) == 3  # one encrypted file per calendar month
+    assert files["encryption_key"].notna().all()
+    assert rows(
+        elake.sql(
+            "SELECT sum(v) AS s FROM ev "
+            "WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' "
+            "AND ts < TIMESTAMP '2024-03-01 00:00:00'"
+        )
+    ) == [(3,)]
+    # catalog-side pruning on the transformed bounds still fires: the
+    # February predicate resolves to exactly one of the three files
+    tid = elake.catalog.table_id("ev")
+    import datetime
+
+    pruned = elake._skip_files(
+        tid,
+        None,
+        list(files["path"]),
+        [
+            ("ts", ">=", datetime.datetime(2024, 2, 1)),
+            ("ts", "<", datetime.datetime(2024, 3, 1)),
+        ],
+    )
+    assert len(pruned) == 1
+
+
+def test_encrypted_schema_evolution(elake):
+    elake.sql("CREATE TABLE t(id INTEGER);")
+    elake.sql("INSERT INTO t VALUES (1);")
+    elake.sql("ALTER TABLE t ADD COLUMN w VARCHAR;")
+    elake.sql("INSERT INTO t VALUES (2, 'x');")
+    elake.sql("ALTER TABLE t RENAME COLUMN w TO w2;")
+    assert rows(elake.sql("SELECT id, w2 FROM t")) == [(1, None), (2, "x")]
+
+
+def test_encrypted_compaction_rewrites_encrypted(elake):
+    elake.sql("CREATE TABLE t(id INTEGER);")
+    for i in range(4):
+        elake.sql(f"INSERT INTO t VALUES ({i});")
+    assert len(_data_files(elake)) == 4
+    elake.compact("t")
+    files = _data_files(elake)
+    assert len(files) == 1 and files["encryption_key"].notna().all()
+    with pytest.raises(Exception, match="[Ee]ncrypt"):
+        pq.ParquetFile(files["path"].iloc[0]).read()
+    assert rows(elake.sql("SELECT id FROM t")) == [(0,), (1,), (2,), (3,)]
+
+
+def test_encrypted_lake_adopts_plain_files_mixed(elake, spark, tmp_path):
+    """Zero-copy add_data_files adopts PLAIN files into an encrypted
+    lake (no key recorded); scans decrypt per-file, so mixed sets read
+    correctly."""
+    import pyarrow as pa
+
+    plain = tmp_path / "adopt.parquet"
+    pq.write_table(pa.table({"id": pa.array([10, 11], pa.int32())}), str(plain))
+    elake.sql("CREATE TABLE t(id INTEGER);")
+    elake.sql("INSERT INTO t VALUES (1);")
+    elake.add_data_files("t", str(plain))
+    files = _data_files(elake)
+    assert files["encryption_key"].notna().sum() == 1  # only the insert
+    assert rows(elake.sql("SELECT id FROM t")) == [(1,), (10,), (11,)]
+
+
+def test_attach_encrypted_statement(spark, tmp_path):
+    home = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "home_data"),
+        local_catalog=str(tmp_path / "home_cat"),
+    )
+    cat = str(tmp_path / "second_cat")
+    dp = str(tmp_path / "second_data")
+    home.sql(f"ATTACH 'ducklake:{cat}' AS sec (DATA_PATH '{dp}', ENCRYPTED);")
+    home.sql("USE sec;")
+    home.sql("CREATE TABLE s(id INTEGER);")
+    home.sql("INSERT INTO s VALUES (1);")
+    sec = home._attached["sec"]
+    assert sec.catalog.encrypted
+    assert _data_files(sec)["encryption_key"].notna().all()
+    assert rows(home.sql("SELECT id FROM s")) == [(1,)]
+
+
+def test_encrypt_flag_on_existing_plain_lake_raises(spark, tmp_path):
+    DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "d"),
+        local_catalog=str(tmp_path / "c"),
+    ).sql("CREATE TABLE t(id INTEGER);")
+    with pytest.raises(ValueError, match="unencrypted"):
+        DuckLakeSpark(
+            spark=spark,
+            data_path=str(tmp_path / "d"),
+            local_catalog=str(tmp_path / "c"),
+            encrypted=True,
+        )

@@ -569,35 +569,20 @@ def test_meta_time_travel(lake):
     assert n == 1
 
 
-def test_encrypted_catalog_rejected(lake, spark, tmp_path):
-    """A catalog marked encrypted=true (or carrying per-file encryption
-    keys) must fail at ATTACH with a clear error — parquet modular
-    encryption is unsupported, and a silent read would fail confusingly
-    at first scan (reference handles the flag at ducklakexl.py:501-505)."""
+def test_encrypting_an_existing_plain_lake_rejected(lake, spark):
+    """``encrypted=True`` against an EXISTING unencrypted lake must fail
+    loudly: already-written plain files can't be retroactively protected,
+    so silently flipping the flag would promise security it can't
+    deliver.  (Fresh-lake encryption is covered by test_encryption.py.)"""
     lake.sql("CREATE TABLE et(id INTEGER);")
     lake.sql("INSERT INTO et VALUES (1);")
     cat = lake.catalog
-    meta = cat.tables["ducklake_metadata"]
-    cat.tables["ducklake_metadata"] = meta[meta["key"] != "encrypted"]
-    cat._append("ducklake_metadata", [{"key": "encrypted", "value": "true"}])
-    cat._save()
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(ValueError, match="unencrypted"):
         DuckLakeSpark(
             spark=spark,
             data_path=cat.data_path,
             local_catalog=cat.store.path,
-        )
-    # per-file key variant
-    cat.tables["ducklake_metadata"].loc[
-        cat.tables["ducklake_metadata"]["key"] == "encrypted", "value"
-    ] = "false"
-    cat.tables["ducklake_data_file"].loc[:, "encryption_key"] = "deadbeef"
-    cat._save()
-    with pytest.raises(NotImplementedError, match="encryption keys"):
-        DuckLakeSpark(
-            spark=spark,
-            data_path=cat.data_path,
-            local_catalog=cat.store.path,
+            encrypted=True,
         )
 
 
