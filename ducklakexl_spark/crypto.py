@@ -363,11 +363,16 @@ class _BatchAdapter:
 
 
 def make_encrypted_writer(
-    out_dir: str, part_cols: list[str], compression: str | None
+    out_dir: str,
+    part_cols: list[str],
+    compression: str | None,
+    fixed_key_b64: str | None = None,
 ):
     """mapInArrow task: write this partition's rows as encrypted parquet
-    under ``out_dir`` with a fresh random file key, returning one row
-    per written file: (path, key, partition values json).
+    under ``out_dir`` with a fresh random file key (or, for the
+    user-managed ``COPY TO (ENCRYPTION_CONFIG …)`` surface,
+    ``fixed_key_b64`` on every file), returning one row per written
+    file: (path, key, partition values json).
 
     With ``part_cols`` (duplicated ``__part_<c>`` columns), rows are
     grouped within the task and one file per distinct partition tuple is
@@ -426,7 +431,7 @@ def make_encrypted_writer(
                     path = os.path.join(
                         leaf, f"part-{uuid.uuid4().hex[:16]}.parquet"
                     )
-                    key = new_file_key()
+                    key = fixed_key_b64 or new_file_key()
                     props = encryption_properties(key, sub.schema.names)
                     kwargs = {}
                     if compression:

@@ -280,6 +280,13 @@ _GETVARIABLE_RE = re.compile(r"\bgetvariable\s*\(\s*'(\w+)'\s*\)", re.I)
 _PRAGMA_RE = re.compile(
     r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*'?([\w.]*)'?\s*\))?\s*$", re.I
 )
+_ADD_PARQUET_KEY_RE = re.compile(
+    r"^\s*PRAGMA\s+add_parquet_key\s*\(\s*'([^']+)'\s*,\s*'([^']*)'\s*\)\s*$",
+    re.I,
+)
+_ENCRYPTION_CONFIG_RE = re.compile(
+    r"\bENCRYPTION_CONFIG\s*\{\s*footer_key\s*:\s*'?([\w]+)'?\s*\}", re.I
+)
 _PIVOT_RE = re.compile(
     r"^\s*PIVOT\s+(.+?)\s+ON\s+([\w\"]+)"
     r"(?:\s+IN\s+\(([^)]*)\))?\s+"
@@ -484,7 +491,8 @@ _COPY_PARTITION_BY_RE = re.compile(
 )
 _READ_FILE_RE = re.compile(
     r"\bread_(parquet|csv|json|csv_auto|json_auto|ndjson|ndjson_auto)"
-    r"\s*\(\s*(\[[^\]]*\]|'[^']+')\s*\)",
+    r"\s*\(\s*(\[[^\]]*\]|'[^']+')\s*"
+    r"(?:,\s*encryption_config\s*=\s*\{\s*footer_key\s*:\s*'?(\w+)'?\s*\}\s*)?\)",
     re.I,
 )
 _COPY_FROM_RE = re.compile(
@@ -4012,6 +4020,9 @@ class DuckLakeSpark:
         self._macros: dict[str, tuple[list[str], str, bool]] = {}
         # name -> statement template ($1/$2 or ? placeholders)
         self._prepared: dict[str, str] = {}
+        # PRAGMA add_parquet_key: name -> base64 128-bit key for the
+        # user-managed COPY/read_parquet encryption surface
+        self._parquet_keys: dict[str, str] = {}
 
         # workbook sync backend (reference: _pick_client, ducklakexl.py:85-97)
         if workbook is None and excel_file is not None:
@@ -4273,6 +4284,22 @@ class DuckLakeSpark:
                 self.spark.conf.unset(key)
             else:
                 self.session_settings.pop(key, None)
+            return None
+        m = _ADD_PARQUET_KEY_RE.match(stmt)
+        if m:
+            # DuckDB's user-managed parquet-encryption key registry:
+            # PRAGMA add_parquet_key('name', '<16-byte key>') feeds
+            # COPY … (ENCRYPTION_CONFIG {footer_key: name}) and
+            # read_parquet(…, encryption_config={footer_key: name}).
+            kname, kval = m.group(1), m.group(2)
+            if len(kval.encode()) != 16:
+                raise ValueError(
+                    "add_parquet_key: only 128-bit (16-byte) keys are "
+                    f"supported; got {len(kval.encode())} bytes"
+                )
+            self._parquet_keys[kname] = base64.b64encode(
+                kval.encode()
+            ).decode()
             return None
         m = _PRAGMA_RE.match(stmt)
         if m:
@@ -6381,6 +6408,45 @@ class DuckLakeSpark:
         equal to the scan's normalized _metadata.file_path."""
         return re.sub(r"^file:/*", "/", p)
 
+    def _resolve_parquet_key(self, name: str) -> str:
+        key = self._parquet_keys.get(name)
+        if key is None:
+            raise ValueError(
+                f"no parquet key named {name!r}: register it first with "
+                "PRAGMA add_parquet_key('name', '<16-byte key>')"
+            )
+        return key
+
+    def _read_parquet_encrypted(self, paths: list[str], key_b64: str) -> DataFrame:
+        """``read_parquet(…, encryption_config={footer_key: k})``:
+        distributed decrypting read of user-encrypted files under the
+        named key; schema from the first file's (decrypted) footer."""
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from ducklakexl_spark import crypto
+
+        expanded: list[str] = []
+        for p in paths:
+            if any(ch in p for ch in "*?["):
+                import glob as _glob
+
+                expanded += sorted(_glob.glob(p))
+            elif os.path.isdir(p):
+                expanded += [
+                    fp
+                    for fp, _sz in iofs.list_files(p, recursive=True)
+                    if fp.endswith(".parquet")
+                ]
+            else:
+                expanded.append(p)
+        if not expanded:
+            raise ValueError(f"read_parquet: no files match {paths!r}")
+        schema_arrow = crypto.open_parquet(expanded[0], key_b64).schema_arrow
+        struct = from_arrow_schema(schema_arrow)
+        return self._scan_files_encrypted(
+            [(p, key_b64) for p in expanded], struct, with_pos=False
+        )
+
     def _scan_files_encrypted(
         self,
         file_keys: list[tuple[str, str | None]],
@@ -7316,7 +7382,7 @@ class DuckLakeSpark:
             df = self._select(source[1:-1])
         else:
             df = self.table_df(_unqualify(source))
-        fmt = part_cols = None
+        fmt = part_cols = enc_key = None
         if opts:
             if fm := _COPY_FORMAT_RE.search(opts):
                 fmt = fm.group(1)
@@ -7327,7 +7393,36 @@ class DuckLakeSpark:
                 part_cols = [
                     c.strip().strip('"') for c in cols.split(",") if c.strip()
                 ]
+            if em := _ENCRYPTION_CONFIG_RE.search(opts):
+                enc_key = self._resolve_parquet_key(em.group(1))
         fmt = (fmt or ("csv" if path.lower().endswith(".csv") else "parquet")).lower()
+        if enc_key is not None:
+            # DuckDB's COPY … (ENCRYPTION_CONFIG {footer_key: k}):
+            # distributed PME write under the NAMED user key (same key
+            # every file, unlike the lake plane's per-file keys).  Format
+            # note in crypto.py: pyarrow PME envelope-wraps DEKs, so the
+            # files interop with read_parquet(…, encryption_config=…)
+            # here, not with DuckDB's raw-footer-key scheme.
+            if fmt != "parquet":
+                raise ValueError(
+                    "ENCRYPTION_CONFIG is only supported with parquet"
+                )
+            from ducklakexl_spark import crypto
+
+            if part_cols:
+                raise NotImplementedError(
+                    "COPY TO: ENCRYPTION_CONFIG with PARTITION_BY is not "
+                    "supported"
+                )
+            iofs.makedirs(path)
+            fn = crypto.make_encrypted_writer(
+                path,
+                [],
+                self._writer_options().get("compression"),
+                fixed_key_b64=enc_key,
+            )
+            df.mapInArrow(fn, "path string, key string, part string").collect()
+            return None
         writer = df.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
@@ -7614,7 +7709,7 @@ class DuckLakeSpark:
         def _sub(m: re.Match) -> str:
             import hashlib
 
-            kind, arg = m.group(1).lower(), m.group(2)
+            kind, arg, enc = m.group(1).lower(), m.group(2), m.group(3)
             # DuckDB's *_auto / ndjson aliases use the same readers
             kind = {"csv_auto": "csv", "json_auto": "json",
                     "ndjson": "json", "ndjson_auto": "json"}.get(kind, kind)
@@ -7622,9 +7717,22 @@ class DuckLakeSpark:
             # md5, not hash(): Python string hashing is per-process
             # salted, so hash()-derived view names differ across runs —
             # a debugging trap for anything that logs plans
-            digest = hashlib.md5(";".join(paths).encode()).hexdigest()[:10]
+            digest = hashlib.md5(
+                (";".join(paths) + (f";enc={enc}" if enc else "")).encode()
+            ).hexdigest()[:10]
             view = f"__read_{kind}_{digest}"
-            self._read_files(kind, paths).createOrReplaceTempView(view)
+            if enc:
+                if kind != "parquet":
+                    raise ValueError(
+                        "encryption_config is only supported on "
+                        "read_parquet"
+                    )
+                df = self._read_parquet_encrypted(
+                    paths, self._resolve_parquet_key(enc)
+                )
+            else:
+                df = self._read_files(kind, paths)
+            df.createOrReplaceTempView(view)
             return f" {view} "
 
         return _READ_FILE_RE.sub(_sub, stmt)

@@ -1837,3 +1837,42 @@ def lakehouse_parquet_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY status;
         """
     )
+
+
+@query(
+    "lakehouse_copy_encrypted",
+    pure=False,
+    oracle="""
+    SELECT count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+           count(DISTINCT o_custkey) AS custs
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def lakehouse_copy_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's user-managed parquet-encryption statement surface
+    (PRAGMA add_parquet_key + COPY TO (ENCRYPTION_CONFIG {footer_key})
+    + read_parquet(…, encryption_config=…)), reachable in the reference
+    through its DuckDB dispatch (ducklakexl.py:394).  COPY the urgent
+    orders out under a named 128-bit key (distributed PME write), read
+    the ciphertext back through the decrypting read_parquet TVF, and
+    aggregate; the oracle computes the same numbers from the plain
+    source — matching proves the key-gated round trip is lossless."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ducklake_cpenc_")
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        f"""
+        PRAGMA add_parquet_key('copykey', 'urgentkey0123456');
+        COPY (SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+              WHERE o_orderpriority = '1-URGENT')
+          TO '{tmp}/urgent' (ENCRYPTION_CONFIG {{footer_key: 'copykey'}});
+        SELECT count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+               count(DISTINCT o_custkey) AS custs
+        FROM read_parquet('{tmp}/urgent/*.parquet',
+                          encryption_config={{footer_key: 'copykey'}});
+        """
+    )

@@ -214,3 +214,40 @@ def test_encrypt_flag_on_existing_plain_lake_raises(spark, tmp_path):
             local_catalog=str(tmp_path / "c"),
             encrypted=True,
         )
+
+
+def test_copy_to_encryption_config_and_read_back(spark, tmp_path):
+    """DuckDB's user-managed key surface: PRAGMA add_parquet_key →
+    COPY TO (ENCRYPTION_CONFIG {footer_key}) → read_parquet(…,
+    encryption_config=…).  Ciphertext on disk, lossless round trip,
+    unknown/short keys rejected."""
+    lake = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "d"),
+        local_catalog=str(tmp_path / "c"),
+    )
+    out = tmp_path / "out"
+    lake.sql(
+        f"""
+        PRAGMA add_parquet_key('uk', '0123456789112345');
+        COPY (SELECT r AS id, r * 3 AS v FROM range(500) t(r))
+          TO '{out}' (ENCRYPTION_CONFIG {{footer_key: 'uk'}});
+        """
+    )
+    files = glob.glob(str(out / "**" / "*.parquet"), recursive=True)
+    assert files
+    for p in files:
+        with pytest.raises(Exception, match="[Ee]ncrypt"):
+            pq.ParquetFile(p).read()
+    got = lake.sql(
+        f"SELECT count(*) AS n, sum(v) AS sv FROM read_parquet("
+        f"'{out}/*.parquet', encryption_config={{footer_key: 'uk'}})"
+    ).collect()
+    assert (got[0]["n"], got[0]["sv"]) == (500, 3 * 499 * 500 // 2)
+    with pytest.raises(ValueError, match="no parquet key"):
+        lake.sql(
+            f"SELECT * FROM read_parquet('{out}/*.parquet', "
+            f"encryption_config={{footer_key: 'missing'}})"
+        )
+    with pytest.raises(ValueError, match="16-byte"):
+        lake.sql("PRAGMA add_parquet_key('bad', 'short')")
