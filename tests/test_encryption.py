@@ -251,3 +251,43 @@ def test_copy_to_encryption_config_and_read_back(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="16-byte"):
         lake.sql("PRAGMA add_parquet_key('bad', 'short')")
+
+
+def test_encrypted_scan_distributes_across_files(elake):
+    """Scale guard: the decrypting scan fans one (path, key) row per
+    file into mapInArrow tasks — with N files the scan must occupy >1
+    partition (1000 executors decrypt 1000 files concurrently), never a
+    single driver-side loop."""
+    elake.sql("CREATE TABLE t(id INTEGER);")
+    for i in range(6):
+        elake.sql(f"INSERT INTO t VALUES ({i});")
+    df = elake.table_df("t")
+    assert df.rdd.getNumPartitions() > 1
+    assert rows(elake.sql("SELECT count(*) AS n FROM t")) == [(6,)]
+
+
+def test_encrypted_lake_with_inlining(spark, tmp_path):
+    """Data inlining stores small INSERTs as catalog rows (the catalog
+    IS the trust boundary — DuckLake keeps file keys there too), so an
+    encrypted lake with inlining mixes inlined rows with encrypted
+    files transparently; flush writes them out encrypted."""
+    lake = DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "d"),
+        local_catalog=str(tmp_path / "c"),
+        encrypted=True,
+        data_inlining_row_limit=5,
+    )
+    lake.sql("CREATE TABLE t(id INTEGER);")
+    lake.sql("INSERT INTO t VALUES (1), (2);")  # inlined, no file
+    assert len(_data_files(lake)) == 0
+    lake.sql(
+        "INSERT INTO t SELECT r AS id FROM range(100, 150) z(r);"
+    )  # over the limit -> encrypted file
+    files = _data_files(lake)
+    assert len(files) == 1 and files["encryption_key"].notna().all()
+    assert rows(lake.sql("SELECT count(*) AS n FROM t")) == [(52,)]
+    lake.flush_inlined("t")
+    files = _data_files(lake)
+    assert len(files) == 2 and files["encryption_key"].notna().all()
+    assert rows(lake.sql("SELECT count(*) AS n FROM t")) == [(52,)]
