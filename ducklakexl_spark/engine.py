@@ -714,10 +714,12 @@ def rewrite_distinct_on(stmt: str) -> str:
     """DuckDB/Postgres ``SELECT DISTINCT ON (keys) …  ORDER BY …`` →
     a row_number window: first row per key group under the query's
     ORDER BY (keys themselves when absent), which is exactly DuckDB's
-    semantics.  The outer ORDER BY is re-applied only when a LIMIT makes
-    row order semantic (it must then reference select-list columns);
-    otherwise presentation order is dropped — relational results are
-    unordered.  Outermost query only, like rewrite_qualify."""
+    semantics.  The outer ORDER BY is re-applied through helper
+    ``__ob<N>`` columns spliced into the inner select (the sort keys may
+    reference base columns the projection dropped — DuckDB resolves
+    DISTINCT ON's ORDER BY against the full FROM scope), each carrying
+    its ASC/DESC/NULLS modifiers.  Outermost query only, like
+    rewrite_qualify."""
     m = _DISTINCT_ON_RE.match(stmt)
     if not m:
         return stmt
@@ -746,18 +748,32 @@ def rewrite_distinct_on(stmt: str) -> str:
     fpos = find_top_level_keyword(core, "FROM")
     if fpos < 0:
         return stmt
-    inner = (
-        f"SELECT {core[:fpos].strip()}, row_number() OVER "
-        f"(PARTITION BY {keys} ORDER BY {win_order}) AS __rn "
-        f"{core[fpos:]}"
-    )
+    # outer-sort helpers: expr -> __ob<N> (+ preserved modifiers), so
+    # presentation order survives even when the sort keys aren't
+    # projected
+    ob_cols, ob_outer = [], []
+    if order:
+        for n, item in enumerate(split_top_level(order)):
+            mm = re.match(
+                r"^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)$",
+                item.strip(),
+                re.I | re.S,
+            )
+            expr, mods = mm.group(1).strip(), mm.group(2).strip()
+            ob_cols.append(f"{expr} AS __ob{n}")
+            ob_outer.append(f"__ob{n} {mods}".strip())
+    helper_cols = ", ".join(["row_number() OVER "
+                             f"(PARTITION BY {keys} ORDER BY {win_order}) "
+                             "AS __rn"] + ob_cols)
+    inner = f"SELECT {core[:fpos].strip()}, {helper_cols} {core[fpos:]}"
+    drop = ", ".join(["__rn"] + [f"__ob{n}" for n in range(len(ob_cols))])
     out = (
-        f"SELECT * EXCEPT(__rn) FROM ({inner}) __distinct_on "
+        f"SELECT * EXCEPT({drop}) FROM ({inner}) __distinct_on "
         f"WHERE __rn = 1"
     )
+    if ob_outer:
+        out += f" ORDER BY {', '.join(ob_outer)}"
     if lpos >= 0:
-        if order:
-            out += f" ORDER BY {order}"
         out += f" {body[lpos:].strip()}"
     return out
 
@@ -2850,6 +2866,19 @@ def rewrite_bracket_syntax(stmt: str) -> str:
                     new = f"{fn}({expr}, {lo}, ({hi}) - ({lo}) + 1)"
                 elif is_str:
                     new = f"substr({expr}, {inner}, 1)"
+                elif re.match(
+                    r"(?is)^\s*map(_from_entries|_concat)?\s*\(", expr
+                ):
+                    # DuckDB map[k] returns the match LIST-WRAPPED
+                    # ([] on a miss) — same emission as the
+                    # element_at/map_extract function forms.  Only a
+                    # syntactic map(...) operand is recognizable at the
+                    # text layer; a map-typed COLUMN subscript falls
+                    # through to list semantics (documented gap).
+                    new = (
+                        f"map_values(map_filter({expr}, "
+                        f"(__k, __v) -> __k = {inner}))"
+                    )
                 else:
                     # try_element_at: DuckDB list[i] is NULL out of
                     # bounds, and the emission must not re-match the

@@ -210,6 +210,16 @@ REGRESSION_STATEMENTS = [
     "WHERE s LIKE '100!%' ESCAPE '!' ORDER BY s",
     "SELECT s, split_part(s, '\\', 2) AS p FROM (VALUES ('a\\b'), "
     "('c:\\dir\\file')) t(s) ORDER BY s",
+    # fuzz find #7 (round 5): DISTINCT ON must keep presentation order
+    # even when the ORDER BY references base columns the projection
+    # dropped (helper __ob columns); NULLS LAST default applies
+    f"SELECT DISTINCT ON (b) k {_FROM} ORDER BY b, k",
+    f"SELECT DISTINCT ON ((j IS NULL)) k {_FROM} ORDER BY (j IS NULL), i DESC NULLS LAST, k",
+    # fuzz find #8 (round 5): map[k] subscript on a map(...) operand is
+    # LIST-wrapped like element_at/map_extract ([] on a miss)
+    f"SELECT k, map([1, 2], [i, 9])[2] AS r {_FROM} ORDER BY k",
+    f"SELECT k, map([1, 2], [i, 9])[5] AS r {_FROM} ORDER BY k",
+    f"SELECT k, map([1, 2], [i, 9])[2][1] AS r {_FROM} ORDER BY k",
 ]
 
 
@@ -496,3 +506,137 @@ def test_fuzz_qualify_parity(engines, n, key):
 def test_fuzz_regressions(engines, stmt):
     lake, con = engines
     _run_both(lake, con, stmt)
+
+
+# --------------------------------------------------------- round-5 grammars
+# new search spaces: string-function nests, HAVING over expression keys,
+# DISTINCT ON, struct/map literals, GROUPING SETS shapes
+
+_STRFN_EXPRS = st.one_of(
+    st.tuples(_str_exprs(1), st.integers(0, 8), st.sampled_from(["'.'", "'xy'", "''"])).map(
+        lambda t: f"lpad({t[0]}, {t[1]}, {t[2]})"
+    ),
+    st.tuples(_str_exprs(1), st.integers(0, 8), st.sampled_from(["'.'", "'xy'"])).map(
+        lambda t: f"rpad({t[0]}, {t[1]}, {t[2]})"
+    ),
+    st.tuples(_str_exprs(1), st.integers(-1, 3)).map(
+        lambda t: f"repeat({t[0]}, {t[1]})"
+    ),
+    st.tuples(_str_exprs(1), st.sampled_from(["' '", "'a'", "'e'"]), st.integers(1, 3)).map(
+        lambda t: f"split_part({t[0]}, {t[1]}, {t[2]})"
+    ),
+    st.tuples(_str_exprs(1), st.sampled_from(["'a'", "'A'", "'zz'", "''"])).map(
+        lambda t: f"strpos({t[0]}, {t[1]})"
+    ),
+    st.tuples(_str_exprs(1), _str_exprs(0)).map(
+        lambda t: f"contains({t[0]}, {t[1]})"
+    ),
+    st.tuples(_str_exprs(1), _str_exprs(0)).map(
+        lambda t: f"starts_with({t[0]}, {t[1]})"
+    ),
+    st.tuples(_str_exprs(1), _str_exprs(0)).map(
+        lambda t: f"ends_with({t[0]}, {t[1]})"
+    ),
+    _str_exprs(1).map(lambda e: f"ascii({e})"),
+    _str_exprs(1).map(lambda e: f"md5({e})"),
+    st.tuples(_str_exprs(1), st.sampled_from(["'a'", "'ab'", "' '"])).map(
+        lambda t: f"ltrim({t[0]}, {t[1]})"
+    ),
+    st.tuples(_str_exprs(1), st.sampled_from(["'a'", "'ab'", "' '"])).map(
+        lambda t: f"rtrim({t[0]}, {t[1]})"
+    ),
+    st.tuples(_str_exprs(1), _str_exprs(1)).map(
+        lambda t: f"greatest({t[0]}, {t[1]})"
+    ),
+    st.tuples(_str_exprs(1), st.integers(1, 3)).map(
+        lambda t: f"array_to_string(string_split({t[0]}, 'a'), '|')"
+    ),
+)
+
+
+@settings(max_examples=50, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(expr=_STRFN_EXPRS)
+def test_fuzz_string_fn_parity(engines, expr):
+    lake, con = engines
+    _run_both(lake, con, f"SELECT k, {expr} AS r {_FROM} ORDER BY k")
+
+
+_GROUP_KEYS = st.sampled_from(
+    ["b", "length(s)", "(i IS NULL)", "coalesce(j, -1) % 3", "upper(left(s, 1))"]
+)
+_HAVING = st.sampled_from([
+    "count(*) > 1", "min(k) >= 0", "sum(coalesce(i, 0)) <> 0",
+    "count(i) = count(*)", "max(k) - min(k) > 1",
+])
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(key=_GROUP_KEYS, agg=_AGGS, hav=_HAVING)
+def test_fuzz_having_parity(engines, key, agg, hav):
+    lake, con = engines
+    _run_both(
+        lake, con,
+        f"SELECT {key} AS g, {agg} AS a {_FROM} GROUP BY {key} "
+        f"HAVING {hav} ORDER BY g NULLS LAST",
+    )
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(key=st.sampled_from(["b", "(j IS NULL)", "length(s) % 2"]),
+       ob=st.sampled_from(["k", "i DESC NULLS LAST, k", "j, k"]))
+def test_fuzz_distinct_on_parity(engines, key, ob):
+    # DuckDB's DISTINCT ON keeps the first row per key under ORDER BY
+    lake, con = engines
+    _run_both(
+        lake, con,
+        f"SELECT DISTINCT ON ({key}) k {_FROM} ORDER BY {key}, {ob}",
+    )
+
+
+_STRUCT_EXPRS = st.one_of(
+    st.tuples(_int_exprs(1), _str_exprs(1)).map(
+        lambda t: f"{{'a': {t[0]}, 'b': {t[1]}}}.a"
+    ),
+    st.tuples(_int_exprs(1), _str_exprs(1)).map(
+        lambda t: f"struct_extract({{'a': {t[0]}, 'b': {t[1]}}}, 'b')"
+    ),
+    _int_exprs(1).map(
+        lambda e: f"map([1, 2], [{e}, 9])[2]"
+    ),
+    st.tuples(_int_exprs(0), _int_exprs(0)).map(
+        lambda t: f"cardinality(map([1, 2], [{t[0]}, {t[1]}]))"
+    ),
+)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(expr=_STRUCT_EXPRS)
+def test_fuzz_struct_map_parity(engines, expr):
+    lake, con = engines
+    _run_both(lake, con, f"SELECT k, {expr} AS r {_FROM} ORDER BY k")
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    shape=st.sampled_from([
+        "ROLLUP (b, length(s))",
+        "CUBE (b, (i IS NULL))",
+        "GROUPING SETS ((b), (length(s)), ())",
+        "GROUPING SETS ((b, length(s)), (b), ())",
+    ]),
+    agg=_AGGS,
+)
+def test_fuzz_grouping_sets_parity(engines, shape, agg):
+    lake, con = engines
+    keycols = "b, length(s)" if "length" in shape else "b, (i IS NULL)"
+    first = keycols.split(",")[0].strip()
+    _run_both(
+        lake, con,
+        f"SELECT {keycols}, {agg} AS a {_FROM} GROUP BY {shape} "
+        f"ORDER BY ALL NULLS LAST",
+    )
