@@ -6520,6 +6520,7 @@ class DuckLakeSpark:
         snapshot: int | None = None,
         with_position: bool = False,
         predicates: list[tuple[str, str, object]] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Snapshot-resolved scan with positional-delete application.
 
@@ -6527,6 +6528,14 @@ class DuckLakeSpark:
         against ducklake_file_column_statistics before Spark ever lists the
         files — the same pruning DuckLake does (SURVEY §4 item 2); parquet
         footer pushdown then prunes row groups within surviving files.
+
+        ``columns`` (a superset of the statement's referenced columns,
+        from _extract_scan_columns) narrows ENCRYPTED scans: Catalyst
+        can't push projections through the decrypting mapInArrow
+        barrier, so the pruning happens here by shrinking the declared
+        schema before the per-file pyarrow reads.  Plain scans ignore it
+        (the JVM reader prunes natively); tables with generated columns
+        skip it (their expressions may reference unprojected bases).
         """
         if snapshot is not None:
             live = self.catalog.tables["ducklake_snapshot"]["snapshot_id"]
@@ -6537,6 +6546,16 @@ class DuckLakeSpark:
         tid = self.catalog.table_id(name, snapshot)
         schema = self.table_schema(name, snapshot)
         files = self.catalog.data_files(tid, snapshot)
+        if (
+            columns is not None
+            and not files.empty
+            and files["encryption_key"].notna().any()
+            and not self._generated_cols(tid, schema, snapshot)
+        ):
+            keep = set(columns)
+            narrowed = [f for f in schema.fields if f.name in keep]
+            if narrowed and len(narrowed) < len(schema.fields):
+                schema = T.StructType(narrowed)
         if files.empty:
             df = self.spark.createDataFrame([], schema)
             if with_position:
@@ -6599,10 +6618,12 @@ class DuckLakeSpark:
         # columns added with a DEFAULT read that default from files
         # written BEFORE the column existed (the spec's initial_default:
         # no rewrite); rows written after keep their stored NULLs
+        scanned_names = {f.name for f in schema.fields}
         init_defaults = [
             (r.column_name, str(r.initial_default), int(r.begin_snapshot))
             for r in live_cols.itertuples()
             if pd.notna(r.initial_default)
+            and r.column_name in scanned_names
         ]
         need_pos = (not dels.empty) or with_position or bool(init_defaults)
         key_by_path = {
@@ -8582,9 +8603,10 @@ class DuckLakeSpark:
         for tname in self.catalog.table_names():
             if tname in idents:
                 preds = self._extract_scan_predicates(stmt, tname)
-                self.table_df(tname, predicates=preds).createOrReplaceTempView(
-                    tname
-                )
+                cols = self._extract_scan_columns(stmt, idents, tname)
+                self.table_df(
+                    tname, predicates=preds, columns=cols
+                ).createOrReplaceTempView(tname)
         for vname in self.catalog.view_names():
             if vname in idents:
                 # re-resolve the stored SQL at the current snapshot
@@ -8632,6 +8654,46 @@ class DuckLakeSpark:
             self._limit_pct_cache = base
             return base.limit(int(base.count() * pct))
         return self.spark.sql(stmt)
+
+    def _extract_scan_columns(
+        self, stmt: str, idents: set[str], tname: str
+    ) -> list[str] | None:
+        """The statement's referenced-column SUPERSET for ``tname``, or
+        None when a projection star makes the set unknowable.  Feeds
+        encrypted-scan column pruning (table_df ``columns``): every
+        identifier token anywhere in the statement is collected, so the
+        result can only over-include (a surplus column widens the scan;
+        a miss would be impossible without a projection star, which
+        bails).  ``count(*)`` needs no data columns and stays narrow;
+        ``SELECT *`` / ``t.*`` / ``* EXCLUDE`` / COLUMNS() bail."""
+        if re.search(r"\bCOLUMNS\s*\(", stmt, re.I):
+            return None
+        for m in re.finditer(r"\*", stmt):
+            if _inside_string_literal(stmt, m.start()):
+                continue
+            j = m.start() - 1
+            while j >= 0 and stmt[j].isspace():
+                j -= 1
+            if j < 0:
+                return None
+            c = stmt[j]
+            if c in ".,":
+                return None  # t.* or a select-list ", *"
+            if c == "(":
+                continue  # count(*) — row count, no columns needed
+            # word before the star: SELECT/DISTINCT/ALL = projection
+            k = j
+            while k >= 0 and (stmt[k].isalnum() or stmt[k] == "_"):
+                k -= 1
+            word = stmt[k + 1 : j + 1].lower()
+            if word in ("select", "distinct", "all"):
+                return None
+            # otherwise: multiplication (an operand precedes)
+        tcols = [f.name for f in self.table_schema(tname).fields]
+        wanted = [c for c in tcols if c in idents]
+        if not wanted:
+            wanted = tcols[:1]  # zero-column scans confuse Arrow
+        return wanted if len(wanted) < len(tcols) else None
 
     _PRED_LIT_RE = re.compile(
         r"^\s*([\w.]+)\s*(=|>=|<=|>|<)\s*"

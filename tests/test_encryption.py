@@ -291,3 +291,27 @@ def test_encrypted_lake_with_inlining(spark, tmp_path):
     files = _data_files(lake)
     assert len(files) == 2 and files["encryption_key"].notna().all()
     assert rows(lake.sql("SELECT count(*) AS n FROM t")) == [(52,)]
+
+
+def test_encrypted_scan_column_pruning(elake):
+    """Statement-level column pruning reaches the decrypting scan:
+    Catalyst can't push projections through mapInArrow, so the engine
+    narrows the declared schema from the statement's identifier
+    superset (_extract_scan_columns).  Stars bail to the full set."""
+    elake.sql("CREATE TABLE t(a INTEGER, b INTEGER, c VARCHAR, d DOUBLE);")
+    elake.sql("INSERT INTO t VALUES (1, 2, 'x', 0.5), (3, 4, 'y', 1.5);")
+    import ducklakexl_spark.engine as E
+
+    stmt = "SELECT a, sum(d) AS s FROM t GROUP BY a"
+    cols = elake._extract_scan_columns(stmt, E.sql_identifiers(stmt), "t")
+    assert cols == ["a", "d"]
+    star = "SELECT * FROM t"
+    assert elake._extract_scan_columns(star, E.sql_identifiers(star), "t") is None
+    cnt = "SELECT count(*) AS n FROM t"
+    assert elake._extract_scan_columns(cnt, E.sql_identifiers(cnt), "t") == ["a"]
+    mul = "SELECT a * d AS p FROM t"
+    assert elake._extract_scan_columns(mul, E.sql_identifiers(mul), "t") == ["a", "d"]
+    # narrowed execution still answers correctly; stars see every column
+    assert rows(elake.sql(stmt)) == [(1, 0.5), (3, 1.5)]
+    assert len(elake.sql("SELECT * FROM t").columns) == 4
+    assert rows(elake.sql(cnt)) == [(2,)]
