@@ -3114,6 +3114,250 @@ _FILTER_NO_WHERE_RE = re.compile(r"(\))\s*FILTER\s*\(\s*(?!WHERE\b)", re.I)
 _ABS_OP_RE = re.compile(r"@\s*\(")
 
 
+_CAST_OPEN_RE = re.compile(r"\b(cast|try_cast)\s*\(", re.I)
+_INT_CAST_TARGETS = {
+    "integer", "int", "int4", "smallint", "int2", "tinyint", "int1",
+    "signed",
+}
+_BIGINT_CAST_TARGETS = {"bigint", "int8", "long"}
+_INT_CAST_WRAPPED_RE = re.compile(
+    r"(?is)^round\s*\(\s*(cast|try_cast)\s*\("
+)
+
+
+_INTERVAL_EXPR_RE = re.compile(r"\bINTERVAL\s*\(", re.I)
+_INTERVAL_UNIT_RE = re.compile(
+    r"\s*(year|month|week|day|hour|minute|second|millisecond"
+    r"|microsecond)s?\b",
+    re.I,
+)
+
+
+def rewrite_interval_expr(stmt: str) -> str:
+    """DuckDB's expression intervals ``INTERVAL (expr) DAY`` →
+    ``(CAST(expr AS BIGINT|INT) * INTERVAL '1' DAY)`` — Spark only
+    parses literal interval quantities.  Year/month go through INT
+    (Spark's year-month interval multiplier); the rest through BIGINT.
+    Plural unit spellings singularize; week becomes 7 days."""
+    pos = 0
+    while True:
+        m = _INTERVAL_EXPR_RE.search(stmt, pos)
+        if not m:
+            return stmt
+        if _inside_string_literal(stmt, m.start()):
+            pos = m.end()
+            continue
+        open_i = m.end() - 1
+        try:
+            close_i = _matching_bracket(stmt, open_i)
+        except ValueError:
+            return stmt
+        um = _INTERVAL_UNIT_RE.match(stmt, close_i + 1)
+        if not um:
+            pos = m.end()
+            continue
+        expr = stmt[open_i + 1 : close_i]
+        unit = um.group(1).upper()
+        if unit in ("YEAR", "MONTH"):
+            new = f"(CAST({expr} AS INT) * INTERVAL '1' {unit})"
+        elif unit == "WEEK":
+            new = f"(CAST({expr} AS BIGINT) * INTERVAL '7' DAY)"
+        elif unit == "MILLISECOND":
+            new = f"(CAST({expr} AS BIGINT) * INTERVAL '0.001' SECOND)"
+        elif unit == "MICROSECOND":
+            new = (
+                f"(CAST({expr} AS BIGINT) * INTERVAL '0.000001' SECOND)"
+            )
+        else:
+            new = f"(CAST({expr} AS BIGINT) * INTERVAL '1' {unit})"
+        stmt = stmt[: m.start()] + new + stmt[um.end() :]
+        pos = m.start() + len(new)
+    return stmt
+
+
+_COLON_INT_CAST_RE = re.compile(
+    r"::\s*(integer|int4|int2|int1|int8|smallint|tinyint|bigint|signed"
+    r"|long|int)\b(?!\s*\[)",
+    re.I,
+)
+
+
+def _opener_for(s: str, close_idx: int) -> int:
+    """Index of the bracket that the one at ``close_idx`` closes
+    (forward scan, quote-aware) — the reverse of _matching_bracket."""
+    stack: list[int] = []
+    in_str: str | None = None
+    i, n = 0, len(s)
+    while i <= close_idx:
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                if in_str == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch in "([{":
+            stack.append(i)
+        elif ch in ")]}":
+            if not stack:
+                return -1
+            top = stack.pop()
+            if i == close_idx:
+                return top
+        i += 1
+    return -1
+
+
+def rewrite_int_colon_casts(stmt: str) -> str:
+    """``x::INTEGER`` → ``CAST(x AS INTEGER)`` for integer targets so
+    rewrite_int_cast_rounding sees them — Spark parses ``::`` natively
+    but truncates where DuckDB rounds.  Operand backscan covers
+    parenthesized groups, string literals, and dotted identifiers /
+    numeric literals; ``::INT[]`` array suffixes are excluded (they
+    belong to rewrite_array_type_suffix)."""
+    pos = 0
+    while True:
+        m = _COLON_INT_CAST_RE.search(stmt, pos)
+        if not m:
+            return stmt
+        if _inside_string_literal(stmt, m.start()):
+            pos = m.end()
+            continue
+        j = m.start() - 1
+        while j >= 0 and stmt[j].isspace():
+            j -= 1
+        if j < 0:
+            pos = m.end()
+            continue
+        if stmt[j] in ")]}":
+            start = _opener_for(stmt, j)
+            if start < 0:
+                pos = m.end()
+                continue
+            # include a preceding call/name: fn(...)::INT
+            k = start - 1
+            while k >= 0 and (stmt[k].isalnum() or stmt[k] in "._"):
+                k -= 1
+            start = k + 1
+        elif stmt[j] == "'":
+            k = j - 1
+            while k >= 0:
+                if stmt[k] == "'" and not (k >= 1 and stmt[k - 1] == "'"):
+                    break
+                k -= 1
+            if k < 0:
+                pos = m.end()
+                continue
+            start = k
+            # typed literals: DATE '…'::x etc. keep their keyword
+            w = k - 1
+            while w >= 0 and stmt[w].isspace():
+                w -= 1
+            e = w
+            while w >= 0 and (stmt[w].isalnum() or stmt[w] == "_"):
+                w -= 1
+            if stmt[w + 1 : e + 1].upper() in ("DATE", "TIMESTAMP", "TIME"):
+                start = w + 1
+        else:
+            k = j
+            while k >= 0 and (stmt[k].isalnum() or stmt[k] in "._"):
+                k -= 1
+            start = k + 1
+        if start > j:
+            pos = m.end()
+            continue
+        operand = stmt[start : j + 1]
+        new = f"CAST({operand} AS {m.group(1).upper()})"
+        stmt = stmt[:start] + new + stmt[m.end() :]
+        pos = start + 5
+    return stmt
+
+
+def rewrite_int_cast_rounding(stmt: str) -> str:
+    """DuckDB rounds numeric→integer casts half away from zero
+    (CAST(1.5 AS INT) = 2); Spark truncates toward zero (= 1).  Emit
+    ``CAST(round(<numeric probe>) AS T)``: the probe is DOUBLE for
+    ≤32-bit targets (exact across their whole range) and
+    DECIMAL(38,9) via try_cast for BIGINT (exact for all longs; a
+    probe overflow goes NULL where DuckDB errors — documented
+    leniency, same class as invalid-cast NULLs).  Booleans and numeric
+    strings survive the probe; round() matches DuckDB's half-away
+    ties.  The already-wrapped guard keeps the rewrite chain
+    idempotent (the sign() re-wrap lesson, VERDICT r4)."""
+    pos = 0
+    while True:
+        m = _CAST_OPEN_RE.search(stmt, pos)
+        if not m:
+            return stmt
+        if _inside_string_literal(stmt, m.start()):
+            pos = m.end()
+            continue
+        open_i = m.end() - 1
+        try:
+            close_i = _matching_bracket(stmt, open_i)
+        except ValueError:
+            return stmt
+        inner = stmt[open_i + 1 : close_i]
+        as_pos = _last_top_level_as(inner)
+        if as_pos < 0:
+            pos = m.end()
+            continue
+        expr = inner[:as_pos].strip()
+        target = inner[as_pos + 2 :].strip()
+        t = target.lower()
+        if (
+            t not in _INT_CAST_TARGETS and t not in _BIGINT_CAST_TARGETS
+        ) or _INT_CAST_WRAPPED_RE.match(expr):
+            pos = m.end()  # keep scanning inside (nested casts)
+            continue
+        kw = m.group(1)
+        if t in _BIGINT_CAST_TARGETS:
+            probe = f"try_cast({expr} AS DECIMAL(38,9))"
+        else:
+            probe = f"try_cast({expr} AS DOUBLE)"
+        new = f"{kw}(round({probe}) AS {target})"
+        stmt = stmt[: m.start()] + new + stmt[close_i + 1 :]
+        pos = m.start() + 1  # rescan: guard skips the new outer wrap
+    return stmt
+
+
+def _last_top_level_as(inner: str) -> int:
+    """Position of the last depth-0 ``AS`` keyword in a CAST body."""
+    depth = 0
+    in_str: str | None = None
+    best = -1
+    i, n = 0, len(inner)
+    while i < n:
+        ch = inner[i]
+        if in_str:
+            if ch == in_str:
+                if in_str == "'" and i + 1 < n and inner[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "aA"
+            and inner[i : i + 2].lower() == "as"
+            and (i == 0 or not (inner[i - 1].isalnum() or inner[i - 1] == "_"))
+            and (
+                i + 2 >= n
+                or not (inner[i + 2].isalnum() or inner[i + 2] == "_")
+            )
+        ):
+            best = i
+        i += 1
+    return best
+
+
 def rewrite_duck_operators(stmt: str) -> str:
     """Operator spellings Spark lacks: ``a ** b`` → ``power(a, b)``,
     ``s ^@ p`` (starts-with) → ``startswith(s, p)``, the CTE
@@ -3434,10 +3678,16 @@ def apply_expr_dialect(txt: str) -> str:
     txt = rewrite_list_comprehension(txt)
     txt = rewrite_bracket_syntax(txt)
     txt = rewrite_hex_casts(txt)
+    # user-text cast rounding BEFORE translations (whose emissions
+    # rely on Spark's truncating casts) — see the statement pipeline
+    # note
+    txt = rewrite_int_colon_casts(txt)
+    txt = rewrite_int_cast_rounding(txt)
     txt = rewrite_duckdb_functions(txt)
     txt = rewrite_ignore_nulls(txt)
     txt = rewrite_similar_to(txt)
-    return rewrite_floor_div(txt)
+    txt = rewrite_floor_div(txt)
+    return rewrite_interval_expr(txt)
 
 
 _FROM_FIRST_RE = re.compile(r"^\s*FROM\b", re.I)
@@ -8397,11 +8647,20 @@ class DuckLakeSpark:
         # renames scalar generate_series/range to sequence()
         stmt = self._rewrite_series_tvf(stmt)
         stmt = rewrite_hex_casts(stmt)
+        # DuckDB integer-cast rounding applies to USER-written text
+        # only: run BEFORE the function translations, whose emitted
+        # Spark SQL intentionally relies on Spark's truncating casts
+        # (the mad() median-index regression).  rewrite_interval_expr
+        # stays AFTER rewrite_duck_operators so the DATE±INTERVAL
+        # precast still sees the INTERVAL keyword.
+        stmt = rewrite_int_colon_casts(stmt)
+        stmt = rewrite_int_cast_rounding(stmt)
         stmt = rewrite_duckdb_functions(stmt)
         stmt = rewrite_ignore_nulls(stmt)
         stmt = rewrite_similar_to(stmt)
         stmt = rewrite_floor_div(stmt)
         stmt = rewrite_duck_operators(stmt)
+        stmt = rewrite_interval_expr(stmt)
         stmt = rewrite_null_boolean_conditions(stmt)
         stmt = rewrite_glob_operator(stmt)
         stmt = rewrite_quantified_and_factorial(stmt)

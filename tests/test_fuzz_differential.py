@@ -220,6 +220,20 @@ REGRESSION_STATEMENTS = [
     f"SELECT k, map([1, 2], [i, 9])[2] AS r {_FROM} ORDER BY k",
     f"SELECT k, map([1, 2], [i, 9])[5] AS r {_FROM} ORDER BY k",
     f"SELECT k, map([1, 2], [i, 9])[2][1] AS r {_FROM} ORDER BY k",
+    # fuzz find #9 (round 5): DuckDB rounds numeric→integer casts half
+    # away from zero; Spark truncates.  CAST and :: forms both covered.
+    "SELECT CAST(1.5 AS INTEGER) AS a, CAST(2.5 AS INTEGER) AS b, "
+    "CAST(-1.5 AS INTEGER) AS c, CAST(1.999 AS BIGINT) AS d, "
+    "1.5::INTEGER AS e, try_cast('1.5' AS INTEGER) AS f, "
+    "CAST(TRUE AS INTEGER) AS g, CAST('12' AS INTEGER) AS h, "
+    "CAST(9007199254740993 AS BIGINT) AS i2",
+    f"SELECT k, CAST((i + 0.5) AS INTEGER) AS r {_FROM} ORDER BY k",
+    f"SELECT k, (j * 1.5)::BIGINT AS r {_FROM} ORDER BY k",
+    # fuzz find #10 (round 5): expression intervals INTERVAL (expr) UNIT
+    "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (1 + 2) DAYS AS r",
+    "SELECT DATE '2024-01-31' + INTERVAL (2) MONTH AS r",
+    f"SELECT k, TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (k) HOUR AS r "
+    f"{_FROM} ORDER BY k",
 ]
 
 
@@ -618,6 +632,48 @@ _STRUCT_EXPRS = st.one_of(
 def test_fuzz_struct_map_parity(engines, expr):
     lake, con = engines
     _run_both(lake, con, f"SELECT k, {expr} AS r {_FROM} ORDER BY k")
+
+
+_CAST_TARGETS = st.sampled_from(
+    ["INTEGER", "BIGINT", "SMALLINT", "INT4", "INT8"]
+)
+_NUMERICISH = st.one_of(
+    _int_exprs(2),
+    st.tuples(_int_exprs(1), st.sampled_from(["0.5", "1.5", "2.25"])).map(
+        lambda t: f"({t[0]} + {t[1]})"
+    ),
+    st.tuples(_int_exprs(1), st.sampled_from(["1.5", "0.25"])).map(
+        lambda t: f"({t[0]} * {t[1]})"
+    ),
+)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(expr=_NUMERICISH, tgt=_CAST_TARGETS,
+       form=st.sampled_from(["cast", "colon"]))
+def test_fuzz_int_cast_parity(engines, expr, tgt, form):
+    lake, con = engines
+    e = (f"CAST({expr} AS {tgt})" if form == "cast"
+         else f"({expr})::{tgt}")
+    _run_both(lake, con, f"SELECT k, {e} AS r {_FROM} ORDER BY k")
+
+
+_INTERVAL_UNITS = st.sampled_from(
+    ["DAY", "HOUR", "MINUTE", "MONTH", "WEEK", "DAYS", "HOURS"]
+)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=_int_exprs(1), unit=_INTERVAL_UNITS)
+def test_fuzz_interval_parity(engines, n, unit):
+    lake, con = engines
+    _run_both(
+        lake, con,
+        f"SELECT k, TIMESTAMP '2024-03-15 06:30:00' + "
+        f"INTERVAL (coalesce({n}, 0) % 1000) {unit} AS r {_FROM} ORDER BY k",
+    )
 
 
 @settings(max_examples=25, deadline=None, derandomize=True,
