@@ -1210,6 +1210,10 @@ _STRFTIME_MAP = {
     "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%g": "SSS",
     "%j": "DDD", "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
     "%p": "a", "%Z": "zzz", "%G": "YYYY", "%V": "ww", "%%": "%",
+    # DuckDB's %- prefix removes zero padding; Java single letters
+    # are already unpadded
+    "%-d": "d", "%-m": "M", "%-H": "H", "%-I": "h", "%-M": "m",
+    "%-S": "s", "%-j": "D",
 }
 
 _SQL_LITERAL_RE = re.compile(r"^'((?:[^']|'')*)'$")
@@ -1223,10 +1227,12 @@ def _strftime_to_java(fmt: str) -> str:
     while i < n:
         if fmt[i] == "%" and i + 1 < n:
             code = fmt[i : i + 2]
+            if code == "%-" and i + 2 < n:
+                code = fmt[i : i + 3]
             if code not in _STRFTIME_MAP:
                 raise ValueError(f"strftime: unsupported code {code}")
             out.append(_STRFTIME_MAP[code])
-            i += 2
+            i += len(code)
         else:
             j = i
             while j < n and not (fmt[j] == "%"):
@@ -1880,6 +1886,21 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key == "regexp_extract" and len(a) == 2:
         # DuckDB's default group is 0 (whole match); Spark's is 1
         return f"regexp_extract({a[0]}, {a[1]}, 0)"
+    if (
+        key == "regexp_extract"
+        and len(a) == 3
+        and re.match(r"(?is)^array\s*\(", a[2].strip())
+    ):
+        # DuckDB's name-list form returns a STRUCT of capture groups:
+        # regexp_extract(s, pat, ['w', 'n']) → {'w': g1, 'n': g2}
+        # (the ['w','n'] literal already became array('w','n') in the
+        # bracket rewrite)
+        names = re.findall(r"'((?:[^']|'')*)'", a[2])
+        fields = ", ".join(
+            f"'{nm}', regexp_extract({a[0]}, {a[1]}, {i + 1})"
+            for i, nm in enumerate(names)
+        )
+        return f"named_struct({fields})"
     if key == "regexp_extract_all" and len(a) == 2:
         return f"regexp_extract_all({a[0]}, {a[1]}, 0)"
     if key == "regexp_replace" and len(a) in (3, 4):
@@ -3948,21 +3969,75 @@ def rewrite_floor_div(stmt: str) -> str:
         operand_before = bool(prev_sig) and (
             prev_sig.isalnum() or prev_sig in (")", "]", "'", '"', "_")
         )
-        if stmt[i : i + 2] == "!~" and operand_before:
-            out.append(" NOT RLIKE ")
+        if stmt[i : i + 4] == "!~~*" and operand_before:
+            out.append(" NOT ILIKE ")
+            prev_sig = "~"
+            i += 4
+            continue
+        if stmt[i : i + 3] == "~~*" and operand_before:
+            out.append(" ILIKE ")
+            prev_sig = "~"
+            i += 3
+            continue
+        if stmt[i : i + 3] == "!~~" and operand_before:
+            out.append(" NOT LIKE ")
+            prev_sig = "~"
+            i += 3
+            continue
+        if stmt[i : i + 2] == "~~" and operand_before:
+            out.append(" LIKE ")
             prev_sig = "~"
             i += 2
             continue
+        if stmt[i : i + 2] == "!~" and operand_before:
+            # DuckDB's ~ / !~ are FULL-match (regexp_full_match): a
+            # literal pattern gets ^(?:…)$ anchors; a non-literal RHS
+            # falls back to partial RLIKE (documented gap)
+            lit, nxt = _pattern_literal_ahead(stmt, i + 2)
+            if lit is not None:
+                out.append(f" NOT RLIKE '^(?:{lit})$'")
+                i = nxt
+            else:
+                out.append(" NOT RLIKE ")
+                i += 2
+            prev_sig = "'"
+            continue
         if ch == "~" and operand_before:
-            out.append(" RLIKE ")
-            prev_sig = "~"
-            i += 1
+            lit, nxt = _pattern_literal_ahead(stmt, i + 1)
+            if lit is not None:
+                out.append(f" RLIKE '^(?:{lit})$'")
+                i = nxt
+            else:
+                out.append(" RLIKE ")
+                i += 1
+            prev_sig = "'"
             continue
         out.append(ch)
         if not ch.isspace():
             prev_sig = ch
         i += 1
     return "".join(out)
+
+
+def _pattern_literal_ahead(stmt: str, i: int) -> tuple[str | None, int]:
+    """The string literal starting at/after ``i`` (spaces skipped), as
+    (inner text with '' escapes intact, index past the closing quote) —
+    or (None, i) when the next token isn't a literal."""
+    n = len(stmt)
+    j = i
+    while j < n and stmt[j].isspace():
+        j += 1
+    if j >= n or stmt[j] != "'":
+        return None, i
+    k = j + 1
+    while k < n:
+        if stmt[k] == "'":
+            if k + 1 < n and stmt[k + 1] == "'":
+                k += 2
+                continue
+            return stmt[j + 1 : k], k + 1
+        k += 1
+    return None, i
 
 
 def rewrite_ignore_nulls(stmt: str) -> str:

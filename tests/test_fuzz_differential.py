@@ -234,6 +234,15 @@ REGRESSION_STATEMENTS = [
     "SELECT DATE '2024-01-31' + INTERVAL (2) MONTH AS r",
     f"SELECT k, TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (k) HOUR AS r "
     f"{_FROM} ORDER BY k",
+    # fuzz find #11 (round 5): ~ / !~ are FULL regex match in DuckDB
+    # (regexp_full_match), not partial; ~~ family are the LIKE aliases
+    "SELECT 'abc' ~ 'b' AS a, 'abc' ~ 'a.*' AS b, 'abc' !~ 'x' AS c",
+    f"SELECT k {_FROM} WHERE s ~ '[A-Za-z ]+' ORDER BY k",
+    "SELECT 'abc' ~~ 'a%' AS a, 'abc' !~~ 'x%' AS b, "
+    "'ABC' ~~* 'a%' AS c, 'ABC' !~~* 'x%' AS d",
+    # fuzz find #12 (round 5): %- strftime codes strip zero padding
+    "SELECT strftime(DATE '2024-03-05', '%a %b %-d') AS r, "
+    "strftime(TIMESTAMP '2024-03-05 07:09:01', '%-H:%-M:%-S') AS r2",
 ]
 
 
