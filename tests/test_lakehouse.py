@@ -1783,13 +1783,16 @@ def test_dialect_misc_operators(lake):
     )
     # '//' inside string literals must survive untouched
     assert rows(lake.sql("SELECT 'http://x' AS u"))[0] == ("http://x",)
-    # ~ / !~ regex-match operators; unary bitwise ~ untouched
+    # ~ / !~ regex-match operators (DuckDB full-match semantics:
+    # 'abc' ~ 'b' is FALSE, 'abc' ~ 'a.c' is TRUE); unary bitwise ~
+    # untouched
     out = rows(
         lake.sql(
-            "SELECT 'abc' ~ 'b' AS m, 'abc' !~ 'z' AS nm, ~5 AS bnot"
+            "SELECT 'abc' ~ 'b' AS m, 'abc' ~ 'a.c' AS fm, "
+            "'abc' !~ 'z' AS nm, ~5 AS bnot"
         )
     )
-    assert out[0] == (True, True, -6)
+    assert out[0] == (False, True, True, -6)
 
 
 def test_prepare_execute(lake):
