@@ -2097,6 +2097,23 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key == "sign":
         # DuckDB sign() returns INTEGER; Spark signum() returns DOUBLE
         return f"CAST(sign({a[0]}) AS INT)"
+    if key == "bit_count":
+        # DuckDB counts set bits WITHIN the operand's declared width
+        # (bit_count(-4::INTEGER) = 30 — two's complement over 32 bits);
+        # Spark's bit_count always evaluates the 64-bit pattern (= 62).
+        # Mask to the runtime width via typeof().  Found by the round-5
+        # exploratory fuzz sweep.  Already-masked args are this
+        # template's own output: pass through (idempotence).
+        if "CASE typeof(" in a[0]:
+            return f"bit_count({a[0]})"
+        return (
+            f"bit_count(({a[0]}) & "
+            f"(CASE typeof({a[0]}) "
+            f"WHEN 'int' THEN CAST(4294967295 AS BIGINT) "
+            f"WHEN 'smallint' THEN CAST(65535 AS BIGINT) "
+            f"WHEN 'tinyint' THEN CAST(255 AS BIGINT) "
+            f"ELSE CAST(-1 AS BIGINT) END))"
+        )
     if key == "cbrt":
         # passthrough, documented divergence: DuckDB computes cbrt as
         # exp(ln(x)/3) and its libm differs from the JVM's by 1 ulp
@@ -2630,6 +2647,7 @@ _DUCK_FN_TEMPLATES = {
     "histogram", "sum", "avg", "min", "max", "count",
     "date_part", "datepart", "typeof", "setseed", "printf",
     "trim", "ltrim", "rtrim", "hash", "strip_accents", "sign", "cbrt",
+    "bit_count",
     "isinf", "gcd", "lcm", "greatest_common_divisor",
     "least_common_multiple", "list_select", "list_where", "list_resize",
     "regexp_full_match", "datediff", "date_trunc",
@@ -4153,6 +4171,25 @@ def rewrite_duckdb_functions(stmt: str) -> str:
                     out.append(f"sign({', '.join(args)})")
                     i = close + 1
                     continue
+                # typeof's wrapper (CASE typeof(x) WHEN 'string' THEN
+                # 'VARCHAR' … ELSE upper(typeof(x)) END) and bit_count's
+                # width mask both embed raw typeof() calls that must
+                # stay raw on a re-run of the chain — the WHEN arms
+                # compare against Spark's lower-case catalyst names
+                if key == "typeof":
+                    _rest = stmt[close + 1 :].lstrip().upper()
+                    _prev = "".join(out).rstrip().upper()
+                    if (
+                        _rest.startswith("WHEN 'STRING' THEN 'VARCHAR'")
+                        or (_prev.endswith("UPPER(")
+                            and _rest.startswith(") END"))
+                        or (_prev.endswith("& (CASE")
+                            and _rest.startswith(
+                                "WHEN 'INT' THEN CAST(4294967295"))
+                    ):
+                        out.append(f"typeof({', '.join(args)})")
+                        i = close + 1
+                        continue
                 # skewness/kurtosis emissions contain their own names
                 # (sample-statistic corrections around Spark's population
                 # forms) — pass through when already inside the wrapper

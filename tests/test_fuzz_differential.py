@@ -243,6 +243,13 @@ REGRESSION_STATEMENTS = [
     # fuzz find #12 (round 5): %- strftime codes strip zero padding
     "SELECT strftime(DATE '2024-03-05', '%a %b %-d') AS r, "
     "strftime(TIMESTAMP '2024-03-05 07:09:01', '%-H:%-M:%-S') AS r2",
+    # fuzz find #13 (round 5 sweep): bit_count counts within the
+    # operand's declared width in DuckDB (INTEGER -4 → 30), while Spark
+    # evaluates the 64-bit pattern (→ 62) — masked via typeof()
+    f"SELECT k, bit_count(coalesce(i, 0)) AS a, "
+    f"bit_count(CAST(coalesce(j, -1) AS BIGINT)) AS b, "
+    f"bit_count(CAST(coalesce(i, -2) % 100 AS SMALLINT)) AS c "
+    f"{_FROM} ORDER BY k",
 ]
 
 
