@@ -1522,7 +1522,16 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         joined = ", ".join(a)
         m = re.search(r"\bORDER\s+BY\b", joined, re.I)
         if not m:
-            return f"collect_list({joined})"
+            if re.match(r"^DISTINCT\b", joined, re.I):
+                return f"collect_list({joined})"
+            # DuckDB list()/array_agg() KEEP NULL elements (fuzz find
+            # #14: list(x) over (1, NULL) → [1, NULL]); Spark's
+            # collect_list drops them — wrap in a struct (never NULL)
+            # and unwrap after collection
+            return (
+                f"transform(collect_list(struct({joined} AS __v)), "
+                f"s -> s.__v)"
+            )
         val = joined[: m.start()].strip().rstrip(",").strip()
         keys = split_top_level(joined[m.end() :])
         dm = re.match(r"^DISTINCT\s+(.*)$", val, re.I | re.S)
@@ -2183,12 +2192,22 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key in ("date_part", "datepart") and len(a) == 2:
         part = _literal_str(a[0])
         p = part.lower() if part else None
-        # day-of-week numbering differs: DuckDB dow is Sunday=0,
-        # isodow is Monday=1; Spark date_part('dow') is Sunday=1
-        if p == "dow":
-            return f"(extract(DAYOFWEEK FROM {a[1]}) - 1)"
+        # day-of-week numbering differs: DuckDB dow/dayofweek/weekday
+        # are Sunday=0, isodow is Monday=1; Spark date_part('dow') is
+        # Sunday=1.  Spelled as pure date arithmetic (1970-01-04 was a
+        # Sunday) so the emission is a fixed point of the chain.
+        if p in ("dow", "dayofweek", "weekday"):
+            return (
+                f"pmod(datediff(CAST({a[1]} AS DATE), "
+                f"DATE '1970-01-04'), 7)"
+            )
         if p == "isodow":
             return f"extract(DAYOFWEEK_ISO FROM {a[1]})"
+        if p in ("decade", "century", "millennium", "era", "isoyear",
+                 "julian", "yearweek"):
+            # Spark's date_part lacks these fields — delegate to the
+            # standalone translations (decade(), era(), …)
+            return _duck_fn_emit(p, [a[1]])
         if p == "epoch":
             # same emission as epoch(): DuckDB returns DOUBLE seconds
             # with the fraction; unix_timestamp would truncate to BIGINT
@@ -2196,7 +2215,38 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
                 f"(unix_micros(CAST({a[1]} AS TIMESTAMP)) "
                 f"/ CAST(1000000 AS DOUBLE))"
             )
+        if p in ("second", "seconds"):
+            # DuckDB: integer seconds, fraction truncated; Spark's
+            # date_part('second') returns DECIMAL(8,6) with the
+            # fraction.  second() (Spark builtin, INT, truncating) is
+            # also rewrite-idempotent where a date_part re-emission
+            # would not be.
+            return f"CAST(second(CAST({a[1]} AS TIMESTAMP)) AS BIGINT)"
+        if p in ("microsecond", "microseconds"):
+            # DuckDB: sub-minute microseconds incl. whole seconds
+            # (10:20:30.123456 → 30123456); Spark's extract has no
+            # microsecond field.  pmod keeps pre-epoch timestamps
+            # positive (minutes align to 60 s boundaries).
+            return (
+                f"pmod(unix_micros(CAST({a[1]} AS TIMESTAMP)), "
+                f"CAST(60000000 AS BIGINT))"
+            )
+        if p in ("millisecond", "milliseconds"):
+            return (
+                f"(pmod(unix_micros(CAST({a[1]} AS TIMESTAMP)), "
+                f"CAST(60000000 AS BIGINT)) DIV 1000)"
+            )
         return f"date_part({a[0]}, {a[1]})"
+    if key == "microsecond" and len(a) == 1:
+        return (
+            f"pmod(unix_micros(CAST({a[0]} AS TIMESTAMP)), "
+            f"CAST(60000000 AS BIGINT))"
+        )
+    if key == "millisecond" and len(a) == 1:
+        return (
+            f"(pmod(unix_micros(CAST({a[0]} AS TIMESTAMP)), "
+            f"CAST(60000000 AS BIGINT)) DIV 1000)"
+        )
     if key == "typeof":
         # DuckDB spells SQL type names upper-case (VARCHAR, BIGINT);
         # Spark's typeof returns lower-case catalyst names
@@ -2318,9 +2368,13 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"weekofyear({a[0]}))"
         )
     if key in ("dayofweek", "weekday"):
-        # DuckDB numbers Sunday=0; spelled as extract so the emission
-        # cannot re-match this template
-        return f"(extract(DAYOFWEEK FROM {a[0]}) - 1)"
+        # DuckDB numbers Sunday=0; spelled as date arithmetic
+        # (1970-01-04 was a Sunday) so the emission cannot re-match
+        # this template or the extract→date_part rewrite
+        return (
+            f"pmod(datediff(CAST({a[0]} AS DATE), "
+            f"DATE '1970-01-04'), 7)"
+        )
     if key == "epoch_ns":
         return (
             f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * "
@@ -2647,7 +2701,7 @@ _DUCK_FN_TEMPLATES = {
     "histogram", "sum", "avg", "min", "max", "count",
     "date_part", "datepart", "typeof", "setseed", "printf",
     "trim", "ltrim", "rtrim", "hash", "strip_accents", "sign", "cbrt",
-    "bit_count",
+    "bit_count", "microsecond", "millisecond",
     "isinf", "gcd", "lcm", "greatest_common_divisor",
     "least_common_multiple", "list_select", "list_where", "list_resize",
     "regexp_full_match", "datediff", "date_trunc",
@@ -3057,6 +3111,113 @@ _WHERE_NULL_RE = re.compile(
     r"INTERSECT\b|EXCEPT\b|WINDOW\b|QUALIFY\b))",
     re.I,
 )
+
+
+_EXTRACT_CALL_RE = re.compile(r"\bextract\s*\(", re.I)
+# every field DuckDB's extract/date_part accepts; unknown words (e.g. a
+# UDF named extract) pass through untouched
+_EXTRACT_PARTS = {
+    "year", "month", "day", "decade", "century", "millennium", "quarter",
+    "dow", "isodow", "doy", "week", "isoyear", "era", "epoch", "second",
+    "seconds", "minute", "minutes", "hour", "hours", "millisecond",
+    "milliseconds", "microsecond", "microseconds",
+    "yearweek", "weekday", "dayofweek",
+    "dayofmonth", "dayofyear", "weekofyear", "julian", "years", "months",
+    "days",
+}
+
+
+def rewrite_extract_to_date_part(stmt: str) -> str:
+    """DuckDB treats ``EXTRACT(part FROM x)`` as sugar for
+    ``date_part('part', x)`` — route it through the same emission so
+    every field-specific translation (dow numbering, epoch typing,
+    second truncation, micro/millisecond support) applies to both
+    spellings.  Spark's native extract diverges on exactly those
+    fields (e.g. SECOND returns DECIMAL(8,6), DuckDB BIGINT)."""
+    search_from = 0
+    while True:
+        m = _EXTRACT_CALL_RE.search(stmt, search_from)
+        if not m:
+            return stmt
+        if _inside_string_literal(stmt, m.start()):
+            search_from = m.end()
+            continue
+        close = matching_paren(stmt, m.end() - 1)
+        inner = stmt[m.end() : close]
+        fi = find_top_level_keyword(inner, "FROM")
+        if fi < 0:
+            search_from = m.end()
+            continue
+        part = inner[:fi].strip().strip("'\"").lower()
+        if part not in _EXTRACT_PARTS:
+            search_from = m.end()
+            continue
+        expr = inner[fi + 4 :].strip()
+        repl = f"date_part('{part}', {expr})"
+        stmt = stmt[: m.start()] + repl + stmt[close + 1 :]
+        search_from = m.start()
+
+
+_FROM_UNNEST_SCAN_RE = re.compile(
+    r"\b(SELECT|FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|QUALIFY|"
+    r"WINDOW|ON|USING|JOIN|LATERAL|UNNEST)\b|[(),]",
+    re.I,
+)
+
+
+def rewrite_from_unnest_lateral(stmt: str) -> str:
+    """DuckDB's FROM-position ``UNNEST`` may reference columns of the
+    tables listed before it (implicit lateral correlation); Spark
+    requires the explicit ``LATERAL`` keyword.  Track the active clause
+    per paren depth and prepend LATERAL to any UNNEST table item in a
+    FROM list that doesn't already carry it (correlation-free UNNESTs
+    tolerate LATERAL, so the insertion is unconditional; idempotent
+    because an inserted LATERAL becomes the preceding token on re-run).
+    Found by the round-5 exploratory sweep (fuzz find #16)."""
+    if not re.search(r"\bUNNEST\s*\(", stmt, re.I):
+        return stmt
+    clause: list[str | None] = [None]
+    last_sig: str | None = None
+    inserts: list[int] = []
+    for m in _FROM_UNNEST_SCAN_RE.finditer(stmt):
+        if _inside_string_literal(stmt, m.start()):
+            continue
+        tok = m.group(0)
+        up = tok.upper()
+        if tok == "(":
+            clause.append(None)
+            last_sig = "("
+            continue
+        if tok == ")":
+            if len(clause) > 1:
+                clause.pop()
+            last_sig = ")"
+            continue
+        if tok == ",":
+            last_sig = ","
+            continue
+        if up in ("SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER",
+                  "LIMIT", "OFFSET", "QUALIFY", "WINDOW"):
+            clause[-1] = up
+            last_sig = up
+            continue
+        # ON/USING stay within the FROM clause: a later top-level comma
+        # returns to the table list (FROM a JOIN b ON … , UNNEST(…))
+        if up == "UNNEST":
+            nxt = m.end()
+            while nxt < len(stmt) and stmt[nxt].isspace():
+                nxt += 1
+            if (
+                nxt < len(stmt)
+                and stmt[nxt] == "("
+                and clause[-1] == "FROM"
+                and last_sig in (",", "JOIN")
+            ):
+                inserts.append(m.start())
+        last_sig = up
+    for pos in reversed(inserts):
+        stmt = stmt[:pos] + "LATERAL " + stmt[pos:]
+    return stmt
 
 
 def rewrite_null_boolean_conditions(stmt: str) -> str:
@@ -8767,6 +8928,8 @@ class DuckLakeSpark:
         # precast still sees the INTERVAL keyword.
         stmt = rewrite_int_colon_casts(stmt)
         stmt = rewrite_int_cast_rounding(stmt)
+        stmt = rewrite_from_unnest_lateral(stmt)
+        stmt = rewrite_extract_to_date_part(stmt)
         stmt = rewrite_duckdb_functions(stmt)
         stmt = rewrite_ignore_nulls(stmt)
         stmt = rewrite_similar_to(stmt)

@@ -250,6 +250,42 @@ REGRESSION_STATEMENTS = [
     f"bit_count(CAST(coalesce(j, -1) AS BIGINT)) AS b, "
     f"bit_count(CAST(coalesce(i, -2) % 100 AS SMALLINT)) AS c "
     f"{_FROM} ORDER BY k",
+    # fuzz find #14 (round 5 sweep): list()/array_agg() KEEP NULL
+    # elements in DuckDB; Spark's collect_list drops them
+    f"SELECT list_sort(list(j)) AS a, list_sort(array_agg(i)) AS b, "
+    f"list_sort(list(nullif(k, k))) AS c {_FROM}",
+    # fuzz find #15 (round 5 sweep): date_part microsecond/millisecond
+    # are sub-minute values incl. whole seconds; Spark's extract has
+    # neither field
+    "SELECT date_part('microsecond', TIMESTAMP '2023-07-04 10:20:30.123456') AS us, "
+    "date_part('milliseconds', TIMESTAMP '2023-07-04 10:20:30.123456') AS ms, "
+    "microsecond(TIMESTAMP '1960-02-29 23:59:59.5') AS pre, "
+    "millisecond(TIMESTAMP '2024-01-01 00:00:00') AS z",
+    # fuzz find #16 (round 5 sweep): FROM-position UNNEST with implicit
+    # lateral correlation — Spark needs the LATERAL keyword
+    f"SELECT k, u AS r {_FROM}, UNNEST([coalesce(i, -1), j]) AS z(u) "
+    f"ORDER BY k, r NULLS LAST",
+    f"SELECT k, u AS r FROM (VALUES (0, 7)) t(k, i) "
+    f"CROSS JOIN UNNEST([i, 2]) AS z(u) ORDER BY k, r",
+    "SELECT a.k AS ak, u AS r FROM (VALUES (1, 2)) a(k, x) "
+    "JOIN (VALUES (1, 3)) b(k2, y) ON a.k = b.k2, "
+    "UNNEST([a.x, b.y]) AS z(u) ORDER BY r",
+    # fuzz find #17 (round 5 sweep): date_part('second') is integer in
+    # DuckDB (fraction truncated), DECIMAL(8,6) in Spark; dow aliases
+    # dayofweek/weekday are Sunday=0 in DuckDB but Sunday=1 in Spark's
+    # native field; EXTRACT is sugar for date_part and must route
+    # through the same field translations (incl. fields Spark lacks:
+    # decade/century/millennium/era/isoyear/julian/yearweek)
+    "SELECT date_part('second', TIMESTAMP '2023-01-01 10:20:30.9') AS a, "
+    "extract(second FROM TIMESTAMP '2023-01-01 10:20:30.9') AS b, "
+    "extract(dayofweek FROM DATE '2024-03-05') AS c, "
+    "date_part('weekday', DATE '2024-03-03') AS d, "
+    "weekday(DATE '1969-12-31') AS e, "
+    "extract(decade FROM DATE '1994-03-05') AS f, "
+    "extract(era FROM DATE '2024-01-01') AS g, "
+    "date_part('isoyear', DATE '2021-01-01') AS h, "
+    "extract(yearweek FROM DATE '2021-01-01') AS i2, "
+    "extract(microsecond FROM TIMESTAMP '2023-07-04 10:20:30.123456') AS j2",
 ]
 
 
