@@ -2115,6 +2115,12 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         # template's own output: pass through (idempotence).
         if "CASE typeof(" in a[0]:
             return f"bit_count({a[0]})"
+        if re.search(r"\b(least|greatest)\s*\(", a[0], re.I):
+            # DuckDB's least/greatest are declared over BIGINT (an
+            # INTEGER input promotes, bit_count sees 64 bits) while
+            # Spark's keep INT — the typeof mask would follow Spark's
+            # narrower type.  Promote like DuckDB does.
+            return f"bit_count(CAST({a[0]} AS BIGINT))"
         return (
             f"bit_count(({a[0]}) & "
             f"(CASE typeof({a[0]}) "

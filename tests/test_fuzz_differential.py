@@ -250,6 +250,10 @@ REGRESSION_STATEMENTS = [
     f"bit_count(CAST(coalesce(j, -1) AS BIGINT)) AS b, "
     f"bit_count(CAST(coalesce(i, -2) % 100 AS SMALLINT)) AS c "
     f"{_FROM} ORDER BY k",
+    # …and least/greatest promote INTEGER→BIGINT in DuckDB (bit_count
+    # over them sees 64 bits even for INT inputs)
+    f"SELECT k, bit_count(coalesce(least(i, -3), 0)) AS a, "
+    f"bit_count(greatest(coalesce(j, 0), -1)) AS b {_FROM} ORDER BY k",
     # fuzz find #14 (round 5 sweep): list()/array_agg() KEEP NULL
     # elements in DuckDB; Spark's collect_list drops them
     f"SELECT list_sort(list(j)) AS a, list_sort(array_agg(i)) AS b, "
