@@ -1158,7 +1158,6 @@ _DUCK_FN_RENAME = {
     "list_max": "array_max",
     "list_zip": "arrays_zip",  # Spark names struct fields 0/1, not list_N
     "array_length": "size",
-    "generate_series": "sequence",  # scalar position (FROM handled earlier)
     # string family
     "strpos": "instr",
     "starts_with": "startswith",
@@ -1848,26 +1847,38 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         )
         pick_last = (key == "last") != desc
         return f"try_element_at({arr}, {-1 if pick_last else 1})"
-    if key == "range":
-        # DuckDB range() is END-EXCLUSIVE and EMPTY when stop <= start;
-        # Spark sequence() is inclusive and would run DESCENDING for
-        # stop-1 < start, so the empty case needs an explicit guard
+    if key in ("range", "generate_series"):
+        # Scalar-position series (the FROM-position table forms resolve
+        # earlier in _rewrite_series_tvf).  DuckDB: range() is
+        # END-EXCLUSIVE, generate_series() inclusive; BOTH return an
+        # EMPTY list when the step's sign can't reach the stop (Spark's
+        # sequence() errors or runs descending), and both type the
+        # temporal form TIMESTAMP.
+        if len(a) == 3 and re.search(r"\bINTERVAL\b", a[2], re.I):
+            lo = f"CAST({a[0]} AS TIMESTAMP)"
+            hi = f"CAST({a[1]} AS TIMESTAMP)"
+            seq = f"sequence({lo}, {hi}, {a[2]})"
+            if key == "range":
+                return f"filter({seq}, __t -> __t <> {hi})"
+            return seq
         if len(a) == 1:
-            lo, hi = "0", a[0]
+            lo, hi, step = "0", a[0], "1"
         elif len(a) == 2:
-            lo, hi = a[0], a[1]
+            lo, hi, step = a[0], a[1], "1"
         else:
-            return (
-                f"sequence({a[0]}, ({a[1]}) - CAST(sign({a[2]}) AS BIGINT), "
-                f"{a[2]})"
-            )
+            lo, hi, step = a
+        if key == "range":
+            # exclusive stop: pull the bound one step-sign inward (AS
+            # INT both keeps INT-typed series INT for element_at
+            # consumers and matches the sign() idempotence guard)
+            hi = f"({hi}) - CAST(sign({step}) AS INT)"
+        # type-matched empty array: forcing ARRAY<BIGINT> would widen
+        # the CASE result and break INT-typed consumers
+        empty = f"slice(sequence({lo}, {lo}), 1, 0)"
         return (
-            f"(CASE WHEN ({hi}) > ({lo}) "
-            f"THEN sequence({lo}, ({hi}) - 1) "
-            # type-matched empty array: forcing ARRAY<BIGINT> here would
-            # widen the CASE result and break INT-typed consumers
-            # (element_at's index argument)
-            f"ELSE slice(sequence({lo}, {lo}), 1, 0) END)"
+            f"(CASE WHEN (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) "
+            f"* CAST({step} AS DOUBLE) >= 0 "
+            f"THEN sequence({lo}, {hi}, {step}) ELSE {empty} END)"
         )
     if key == "list_sum":
         # DuckDB list_sum ignores NULLs and keeps the element type
@@ -2317,6 +2328,17 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"flatten(filter(array({', '.join(a)}), "
             f"__l -> __l IS NOT NULL))"
         )
+    if key in ("list_intersect", "array_intersect") and len(a) == 2:
+        # DuckDB: set semantics, NULLs dropped even when shared (Spark
+        # keeps a NULL present in both).  Output ORDER is engine-defined
+        # on both sides (DuckDB iterates a hash set) — compare sorted.
+        arg = a[0].lstrip()
+        if arg.startswith("filter(") and "IS NOT NULL" in arg:
+            return f"array_intersect({', '.join(a)})"
+        return (
+            f"array_intersect(filter({a[0]}, __v -> __v IS NOT NULL), "
+            f"{a[1]})"
+        )
     if key in ("list_distinct", "array_distinct"):
         # DuckDB drops NULLs (element order is engine-defined — compare
         # sorted).  Already-filtered args are this template's own
@@ -2695,7 +2717,7 @@ _DUCK_FN_TEMPLATES = {
     "str_split_regex", "regexp_split_to_array", "strftime", "strptime",
     "list_slice", "array_slice", "list_prepend", "struct_pack",
     "date_diff", "isodow", "dayname", "monthname", "log", "epoch",
-    "list_unique", "list_reverse_sort", "xor", "range", "list_sum",
+    "list_unique", "list_reverse_sort", "xor", "range", "generate_series", "list_sum",
     "list_avg", "encode", "decode", "regexp_extract",
     "regexp_extract_all", "regexp_replace", "string_agg",
     "group_concat", "listagg", "list", "array_agg",
@@ -2720,6 +2742,7 @@ _DUCK_FN_TEMPLATES = {
     "list_cosine_distance", "array_cosine_distance",
     "list_distance", "array_distance",
     # round-5 breadth batch
+    "list_intersect", "array_intersect",
     "list_cat", "array_cat", "list_concat", "list_distinct",
     "array_distinct", "array_unique", "list_grade_up", "array_grade_up",
     "element_at", "map_extract", "aggregate", "reduce", "array_reduce",
@@ -2918,7 +2941,15 @@ def rewrite_bracket_syntax(stmt: str) -> str:
             while j < n and (stmt[j].isalnum() or stmt[j] == "_"):
                 j += 1
             word = stmt[i:j]
-            if word.lower() in _SQL_KEYWORDS:
+            k2 = j
+            while k2 < n and stmt[k2].isspace():
+                k2 += 1
+            if word.lower() in _SQL_KEYWORDS and not (
+                k2 < n and stmt[k2] == "(" and word.lower() in _DUCK_FNS
+            ):
+                # keyword — except keyword-NAMED functions being called
+                # (range(1,5)[2], left(s,2)[1]: RANGE/LEFT are window
+                # frame / join keywords but here they're the primary)
                 mark = None
                 prev = "k"
             else:
@@ -2954,6 +2985,17 @@ def rewrite_bracket_syntax(stmt: str) -> str:
                 # array-only in Spark, so literals go through substr
                 is_str = (
                     re.fullmatch(r"\(*\s*'(?:[^']|'')*'\s*\)*", expr)
+                    is not None
+                    # calls of unambiguously string-valued functions
+                    # subscript CHARACTERS too (left('abcdef', 3)[2]);
+                    # column/complex operands still default to array
+                    # indexing (type unknowable from text)
+                    or re.match(
+                        r"(?is)^\(*\s*(left|right|upper|lower|trim|"
+                        r"ltrim|rtrim|substr|substring|repeat|replace|"
+                        r"initcap|lcase|ucase)\s*\(",
+                        expr,
+                    )
                     is not None
                 )
                 if cpos >= 0:
@@ -3169,6 +3211,28 @@ _FROM_UNNEST_SCAN_RE = re.compile(
     r"WINDOW|ON|USING|JOIN|LATERAL|UNNEST)\b|[(),]",
     re.I,
 )
+
+
+def _sql_clause_at(stmt: str, pos: int) -> str | None:
+    """The active top-level clause (SELECT/FROM/WHERE/…) at ``pos``,
+    tracked per paren depth — used to tell a FROM-list comma from a
+    select-list comma before rewriting table-position constructs."""
+    clause: list[str | None] = [None]
+    for m in _FROM_UNNEST_SCAN_RE.finditer(stmt, 0, pos):
+        if _inside_string_literal(stmt, m.start()):
+            continue
+        tok = m.group(0)
+        if tok == "(":
+            clause.append(None)
+        elif tok == ")":
+            if len(clause) > 1:
+                clause.pop()
+        elif tok not in (",",) and tok.upper() in (
+            "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER",
+            "LIMIT", "OFFSET", "QUALIFY", "WINDOW",
+        ):
+            clause[-1] = tok.upper()
+    return clause[-1]
 
 
 def rewrite_from_unnest_lateral(stmt: str) -> str:
@@ -8537,6 +8601,10 @@ class DuckLakeSpark:
 
         def _sub(m: re.Match) -> str:
             kw, name = m.group(1), m.group(2).lower()
+            # a comma prefix may be a SELECT-list comma (scalar-position
+            # series returning a LIST) — only rewrite FROM-list commas
+            if kw.strip() == "," and _sql_clause_at(stmt, m.start()) != "FROM":
+                return m.group(0)
             if m.group(4) is None:
                 # one-arg form: range(n) / generate_series(n) start at 0
                 a, b = 0, int(m.group(3))
@@ -8572,6 +8640,8 @@ class DuckLakeSpark:
             # either way; range() is end-exclusive (sequence() is
             # inclusive — filter the endpoint off)
             kw, name = m.group(1), m.group(2).lower()
+            if kw.strip() == "," and _sql_clause_at(stmt, m.start()) != "FROM":
+                return m.group(0)
             lo, hi, step = m.group(3), m.group(4), m.group(5)
             n = int(m.group(6)) * (-1 if step.lstrip().startswith("-") else 1)
             talias, calias = m.group(7), m.group(8)

@@ -280,6 +280,25 @@ REGRESSION_STATEMENTS = [
     # native field; EXTRACT is sugar for date_part and must route
     # through the same field translations (incl. fields Spark lacks:
     # decade/century/millennium/era/isoyear/julian/yearweek)
+    # fuzz find #18 (round 5 sweep): scalar-position range() /
+    # generate_series() return a LIST (empty when the step can't reach
+    # the stop — Spark's sequence() errors or runs descending); the
+    # FROM-rewrite must not consume a SELECT-list comma prefix; RANGE
+    # is a window keyword but range(…)[i] is a subscripted call; and
+    # string-valued function calls subscript characters
+    "SELECT generate_series(2) AS a, generate_series(-1) AS b, "
+    "generate_series(5, 1) AS c, generate_series(5, 1, -2) AS d, "
+    "range(3) AS e, range(0) AS f, range(5, 1) AS g, range(1, 7, 2) AS h",
+    "SELECT k, range(-1, 2) AS r FROM (VALUES (0), (1)) t(k) ORDER BY k",
+    "SELECT range(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY) AS r, "
+    "generate_series(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY) AS g",
+    "SELECT range(1, 5)[2] AS a, range(2, 9)[2:4] AS b, "
+    "left('abcdef', 3)[2] AS c, upper('xyz')[1] AS d",
+    # fuzz find #19 (round 5 sweep): list_intersect drops NULLs even
+    # when shared (order is engine-defined on both sides — sort)
+    "SELECT list_sort(list_intersect([7, 3], [3, 7, 2])) AS a, "
+    "list_sort(list_intersect([1, NULL, 2], [NULL, 2, 9])) AS b, "
+    "list_intersect([], [1]) AS c",
     "SELECT date_part('second', TIMESTAMP '2023-01-01 10:20:30.9') AS a, "
     "extract(second FROM TIMESTAMP '2023-01-01 10:20:30.9') AS b, "
     "extract(dayofweek FROM DATE '2024-03-05') AS c, "
