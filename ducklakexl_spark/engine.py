@@ -1390,6 +1390,51 @@ def _duck_json_structure_to_ddl(node) -> str:
     raise ValueError(f"from_json: unsupported structure node {node!r}")
 
 
+def _ordered_sort_spec(keys: list[str]) -> tuple[list[str], str]:
+    """Parse ORDER BY key specs (ASC/DESC + NULLS FIRST/LAST; DuckDB
+    defaults NULLS LAST on BOTH directions) into struct fields plus an
+    ``array_sort`` comparator body over ``__l``/``__r``.  Spark's plain
+    struct ``array_sort`` is ASC NULLS FIRST, so ordered-aggregate
+    emissions sort with this explicit comparator instead — which also
+    unlocks multi-key DESC and explicit NULLS placement (round-5 fuzz
+    family ``ordered_agg``)."""
+    fields, parts = [], []
+    for idx, kexpr in enumerate(keys):
+        t = kexpr.strip()
+        nm = re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", t, flags=re.I)
+        nulls_last = True
+        if nm:
+            nulls_last = nm.group(1).upper() == "LAST"
+            t = t[: nm.start()].rstrip()
+        desc = bool(re.search(r"\bDESC\s*$", t, re.I))
+        t = re.sub(r"\s+(ASC|DESC)\s*$", "", t, flags=re.I)
+        fields.append(f"{t} AS __k{idx}")
+        lk, rk = f"__l.__k{idx}", f"__r.__k{idx}"
+        lt, gt = ("1", "-1") if desc else ("-1", "1")
+        nl, nr = ("1", "-1") if nulls_last else ("-1", "1")
+        parts.append(
+            f"nullif(CASE WHEN {lk} IS NULL AND {rk} IS NULL THEN 0 "
+            f"WHEN {lk} IS NULL THEN {nl} WHEN {rk} IS NULL THEN {nr} "
+            f"WHEN {lk} < {rk} THEN {lt} WHEN {lk} > {rk} THEN {gt} "
+            f"ELSE 0 END, 0)"
+        )
+    return fields, f"coalesce({', '.join(parts)}, 0)"
+
+
+def _ordered_collect(val: str, keys: list[str]) -> str:
+    """``transform(array_sort(collect_list(struct(keys…, val))), .__v)``
+    with the comparator from :func:`_ordered_sort_spec` — the shared
+    shape behind every ordered aggregate (list/array_agg, multi-key
+    string_agg, first/last, any_value).  NULL values survive (they ride
+    inside never-NULL structs, matching DuckDB's NULL-keeping list())."""
+    fields, cmp_body = _ordered_sort_spec(keys)
+    return (
+        f"transform(array_sort(collect_list(struct("
+        f"{', '.join(fields)}, {val} AS __v)), "
+        f"(__l, __r) -> {cmp_body}), __s -> __s.__v)"
+    )
+
+
 def _duck_fn_emit(key: str, args: list[str]) -> str:
     """Emit the Spark SQL call for one DuckDB-dialect call site."""
     a = args
@@ -1539,7 +1584,11 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             # order; when the sort key IS the value (the only form whose
             # order is well-defined after dedup) sort the set
             bare = dm.group(1).strip()
-            k0 = re.sub(r"\s+(ASC|DESC)\s*$", "", keys[0].strip(), flags=re.I)
+            k0 = re.sub(
+                r"\s+NULLS\s+(FIRST|LAST)\s*$", "", keys[0].strip(),
+                flags=re.I,
+            )
+            k0 = re.sub(r"\s+(ASC|DESC)\s*$", "", k0, flags=re.I)
             if len(keys) != 1 or k0 != bare:
                 raise ValueError(
                     "list(DISTINCT …) supports ORDER BY the value only"
@@ -1547,16 +1596,7 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             inner = f"array_sort(collect_set({bare}))"
             desc0 = re.search(r"\bDESC\b", keys[0], re.I)
             return f"reverse({inner})" if desc0 else inner
-        desc = len(keys) == 1 and re.search(r"\bDESC\b", keys[0], re.I)
-        fields = []
-        for idx, kexpr in enumerate(keys):
-            kexpr = re.sub(r"\s+(ASC|DESC)\s*$", "", kexpr.strip(), flags=re.I)
-            fields.append(f"{kexpr} AS __k{idx}")
-        inner = (
-            f"transform(array_sort(collect_list(struct("
-            f"{', '.join(fields)}, {val} AS __v))), s -> s.__v)"
-        )
-        return f"reverse({inner})" if desc else inner
+        return _ordered_collect(val, keys)
     if key in ("string_agg", "group_concat", "listagg"):
         # DuckDB: string_agg(x, sep ORDER BY o…) — the ORDER BY rides
         # inside the argument list (and a multi-key order was comma-split
@@ -1573,23 +1613,22 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
                 re.sub(r"^\s*ORDER\s+BY\s*", "", order, flags=re.I)
             )
             if len(keys) == 1:
-                return f"listagg({', '.join(a)}) WITHIN GROUP ({order})"
+                # Spark's WITHIN GROUP accepts ASC/DESC + NULLS specs,
+                # but its ASC default is NULLS FIRST where DuckDB's is
+                # NULLS LAST — inject the DuckDB default when absent
+                k = keys[0].strip()
+                if not re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", k, re.I):
+                    k += " NULLS LAST"
+                return (
+                    f"listagg({', '.join(a)}) WITHIN GROUP (ORDER BY {k})"
+                )
             val = a[0]
             sep = a[1] if len(a) > 1 else "','"
-            desc = any(re.search(r"\bDESC\b", k, re.I) for k in keys)
-            if desc:
-                raise ValueError(
-                    "string_agg: multi-key DESC ordering is not supported"
-                )
-            fields = []
-            for idx, kexpr in enumerate(keys):
-                kexpr = re.sub(
-                    r"\s+(ASC|DESC)\s*$", "", kexpr.strip(), flags=re.I
-                )
-                fields.append(f"{kexpr} AS __k{idx}")
+            # string_agg skips NULL values like listagg — filter them
+            # off the ordered collection before joining
             return (
-                f"array_join(transform(array_sort(collect_list(struct("
-                f"{', '.join(fields)}, {val} AS __v))), s -> s.__v), {sep})"
+                f"array_join(filter({_ordered_collect(val, keys)}, "
+                f"__v -> __v IS NOT NULL), {sep})"
             )
         return f"listagg({', '.join(a)})"
     if key == "format":
@@ -1808,8 +1847,31 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"(log2(size({lst})) - aggregate({counts}, 0D, "
             f"(acc, c) -> acc + c * log2(c)) / size({lst}))"
         )
+    if key == "split_part" and len(a) == 3:
+        # DuckDB's split_part never returns NULL: NULL string or NULL
+        # index → ''; NULL separator → NO split (the whole string is
+        # part ±1, '' otherwise); '' separator splits into CHARACTERS.
+        # Spark propagates NULLs and treats '' separator as no-split —
+        # wrap the native call (which already matches the out-of-range
+        # → '' and negative-index-from-end behavior).
+        s, sep, n = a
+        return (
+            f"(CASE WHEN ({s}) IS NULL OR ({n}) IS NULL THEN '' "
+            f"WHEN ({sep}) IS NULL THEN "
+            f"(CASE WHEN ({n}) IN (1, -1) THEN ({s}) ELSE '' END) "
+            f"WHEN ({sep}) = '' THEN "
+            f"coalesce(try_element_at(split({s}, ''), CAST({n} AS INT)), '') "
+            f"ELSE split_part({s}, {sep}, {n}) END)"
+        )
     if key == "quantile_disc" and len(a) == 2:
-        return f"percentile_disc({a[1]}) WITHIN GROUP (ORDER BY {a[0]})"
+        # DuckDB's quantile_disc returns the ELEMENT at (1-based) index
+        # ceil(q*n) of the NULL-stripped sorted values, in the
+        # element's own type; Spark's percentile_disc always returns
+        # DOUBLE.  The repeated array expression collapses under
+        # Catalyst CSE (same pattern as mad()).
+        arr = f"array_sort(filter(collect_list({a[0]}), __x -> __x IS NOT NULL))"
+        idx = f"greatest(CAST(ceil(({a[1]}) * size({arr})) AS INT), 1)"
+        return f"try_element_at({arr}, {idx})"
     if key == "mad":
         # median absolute deviation via one collected sorted array; the
         # inner median expression repeats (no SQL lets), Catalyst CSE
@@ -1834,19 +1896,8 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             return f"{key}({joined})"
         val = joined[: m.start()].strip().rstrip(",").strip()
         keys = split_top_level(joined[m.end() :])
-        desc = any(re.search(r"\bDESC\b", k, re.I) for k in keys)
-        if desc and len(keys) > 1:
-            raise ValueError(f"{key}: multi-key DESC ordering unsupported")
-        fields = []
-        for idx, kexpr in enumerate(keys):
-            kexpr = re.sub(r"\s+(ASC|DESC)\s*$", "", kexpr.strip(), flags=re.I)
-            fields.append(f"{kexpr} AS __k{idx}")
-        arr = (
-            f"transform(array_sort(collect_list(struct("
-            f"{', '.join(fields)}, {val} AS __v))), s -> s.__v)"
-        )
-        pick_last = (key == "last") != desc
-        return f"try_element_at({arr}, {-1 if pick_last else 1})"
+        arr = _ordered_collect(val, keys)
+        return f"try_element_at({arr}, {-1 if key == 'last' else 1})"
     if key in ("range", "generate_series"):
         # Scalar-position series (the FROM-position table forms resolve
         # earlier in _rewrite_series_tvf).  DuckDB: range() is
@@ -2683,28 +2734,19 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"substring({s}, {eff}, "
             f"greatest({ln} - ({eff} - {pos}), 0))"
         )
-    if key == "any_value" and len(a) == 1 and re.search(
-        r"\bORDER\s+BY\b", a[0], re.I
+    if key == "any_value" and re.search(
+        r"\bORDER\s+BY\b", ", ".join(a), re.I
     ):
-        # any_value(x ORDER BY k): first NON-NULL in order (unlike
+        # any_value(x ORDER BY k…): first NON-NULL in order (unlike
         # ordered first(), which keeps NULLs) — same collect-sort-pick
-        # shape as first/last with a null filter before the pick
-        m = re.search(r"\bORDER\s+BY\b", a[0], re.I)
-        val = a[0][: m.start()].strip()
-        keys = split_top_level(a[0][m.end():])
-        if any(re.search(r"\bDESC\b", k, re.I) for k in keys) and len(keys) > 1:
-            raise ValueError("any_value: multi-key DESC ordering unsupported")
-        desc = any(re.search(r"\bDESC\b", k, re.I) for k in keys)
-        fields = []
-        for i, k in enumerate(keys):
-            k = re.sub(r"\s+(ASC|DESC)\s*$", "", k.strip(), flags=re.I)
-            fields.append(f"{k} AS __k{i}")
-        arr = (
-            f"transform(array_sort(collect_list(struct("
-            f"{', '.join(fields)}, {val} AS __v))), s -> s.__v)"
-        )
-        if desc:
-            arr = f"reverse({arr})"
+        # shape as first/last with a null filter before the pick.  The
+        # ORDER BY is searched in the REJOINED text (a multi-key order
+        # was comma-split across args).
+        joined = ", ".join(a)
+        m = re.search(r"\bORDER\s+BY\b", joined, re.I)
+        val = joined[: m.start()].strip().rstrip(",").strip()
+        keys = split_top_level(joined[m.end():])
+        arr = _ordered_collect(val, keys)
         return f"try_element_at(filter({arr}, __v -> __v IS NOT NULL), 1)"
     # template keys whose guard didn't match (e.g. Spark-style arg
     # counts) pass through under their own name
@@ -2717,7 +2759,7 @@ _DUCK_FN_TEMPLATES = {
     "str_split_regex", "regexp_split_to_array", "strftime", "strptime",
     "list_slice", "array_slice", "list_prepend", "struct_pack",
     "date_diff", "isodow", "dayname", "monthname", "log", "epoch",
-    "list_unique", "list_reverse_sort", "xor", "range", "generate_series", "list_sum",
+    "list_unique", "list_reverse_sort", "xor", "range", "generate_series", "list_sum", "split_part",
     "list_avg", "encode", "decode", "regexp_extract",
     "regexp_extract_all", "regexp_replace", "string_agg",
     "group_concat", "listagg", "list", "array_agg",
@@ -3223,7 +3265,14 @@ def _sql_clause_at(stmt: str, pos: int) -> str | None:
             continue
         tok = m.group(0)
         if tok == "(":
-            clause.append(None)
+            # a subquery paren RESETS the clause (its own SELECT/FROM
+            # will set it); a grouping/argument paren INHERITS it, so
+            # `SELECT k, (x IN (SELECT …)) AS r` still reads as a
+            # select-list position inside the wrapper
+            nxt = re.match(
+                r"\s*(SELECT|FROM|WITH|VALUES)\b", stmt[m.end():], re.I
+            )
+            clause.append(None if nxt else clause[-1])
         elif tok == ")":
             if len(clause) > 1:
                 clause.pop()
@@ -3332,6 +3381,126 @@ def rewrite_null_boolean_conditions(stmt: str) -> str:
         stmt,
     )
     return out
+
+
+_IN_SUBQ_RE = re.compile(r"\b(NOT\s+)?IN\s*\(", re.I)
+
+_LHS_BOUND_KW = frozenset({
+    "select", "where", "when", "then", "else", "end", "and", "or",
+    "not", "case", "by", "on", "from", "as", "having", "qualify",
+    "set", "values", "distinct", "all", "like", "ilike", "between",
+    "is", "in", "union", "intersect", "except", "join",
+})
+
+
+def _lhs_boundary(stmt: str, pos: int) -> int:
+    """Start index of the expression that is the left operand of the
+    ``IN`` at ``pos``: the last same-depth boundary before it.  Commas,
+    opening parens, comparison operators, and structural keywords bound
+    the operand; arithmetic/concat operators and nested paren groups
+    (function calls) belong to it."""
+    bound_at: dict[int, int] = {0: 0}
+    depth = 0
+    in_str: str | None = None
+    i, n = 0, len(stmt)
+    while i < pos:
+        ch = stmt[i]
+        if in_str:
+            if ch == in_str:
+                if in_str == "'" and i + 1 < n and stmt[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            bound_at[depth] = i + 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        if ch == ",":
+            bound_at[depth] = i + 1
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < pos and (stmt[j].isalnum() or stmt[j] == "_"):
+                j += 1
+            if stmt[i:j].lower() in _LHS_BOUND_KW:
+                bound_at[depth] = j
+            i = j
+            continue
+        if ch in "=<>!":
+            bound_at[depth] = i + 1
+        i += 1
+    return bound_at.get(depth, 0)
+
+
+def rewrite_in_subquery_3vl(stmt: str) -> str:
+    """Spark's IN-(subquery) is TWO-valued in a projected position: a
+    NULL lhs, or a miss over a NULL-bearing subquery, returns FALSE
+    where SQL 3VL (and DuckDB) give NULL (verified Spark 4.1; literal
+    IN-lists are 3VL-correct).  In SELECT-clause positions, rewrite
+
+        lhs [NOT] IN (SELECT …)
+
+    to a CASE over the native IN (decides the hit) plus an UNcorrelated
+    has-NULL/emptiness probe of the same subquery (decides FALSE vs
+    NULL on a miss).  WHERE/HAVING positions keep the native form:
+    under filtering FALSE and NULL both drop the row, and Spark's
+    null-aware anti-join is already correct there.  Scale note: the
+    subquery text is embedded twice (native IN + probe aggregate), but
+    the probe is a driver-planned scalar subquery over the same —
+    typically dimension-sized — relation, and only projected INs pay
+    it.  Round-5 fuzz family ``in_3vl``."""
+    while True:
+        found = None
+        for m in _IN_SUBQ_RE.finditer(stmt):
+            if _inside_string_literal(stmt, m.start()):
+                continue
+            open_p = stmt.index("(", m.end() - 1)
+            close = matching_paren(stmt, open_p)
+            inner = stmt[open_p + 1 : close].lstrip()
+            if not re.match(r"(?is)^(SELECT|FROM|WITH)\b", inner):
+                continue
+            if _sql_clause_at(stmt, m.start()) != "SELECT":
+                continue
+            tail = stmt[close + 1 :].lstrip()
+            if tail.startswith(
+                "THEN TRUE WHEN (SELECT max(CASE WHEN __v IS NULL"
+            ):
+                continue  # our own emission — keep the chain idempotent
+            found = (m, open_p, close)
+            break
+        if not found:
+            return stmt
+        m, open_p, close = found
+        lhs_start = _lhs_boundary(stmt, m.start())
+        lhs = stmt[lhs_start : m.start()].strip()
+        if not lhs:
+            return stmt  # unsupported operand shape — keep native form
+        sub = stmt[open_p : close + 1]
+        probe = (
+            f"(SELECT max(CASE WHEN __v IS NULL THEN 1 ELSE 0 END) "
+            f"FROM {sub} __insub(__v))"
+        )
+        expr = (
+            f"(CASE WHEN ({lhs}) IN {sub} THEN TRUE "
+            f"WHEN {probe} IS NULL THEN FALSE "
+            f"WHEN ({lhs}) IS NULL OR {probe} = 1 "
+            f"THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+        )
+        if m.group(1):
+            expr = f"(NOT {expr})"
+        stmt = stmt[:lhs_start] + expr + stmt[close + 1 :]
 
 
 def rewrite_glob_operator(stmt: str) -> str:
@@ -3626,6 +3795,197 @@ def _last_top_level_as(inner: str) -> int:
             best = i
         i += 1
     return best
+
+
+_DIV_RHS_SKIP_KW = frozenset({
+    "case", "not", "interval", "exists", "distinct", "all", "any",
+    "some",
+})
+
+
+def _operand_end(stmt: str, i: int) -> int:
+    """End index (exclusive) of the unary primary starting at or after
+    ``stmt[i]``: optional sign, then a literal / identifier chain /
+    call / paren group, plus trailing ``()``/``[]``/``.`` chains."""
+    n = len(stmt)
+    while i < n and stmt[i].isspace():
+        i += 1
+    if i < n and stmt[i] in "+-":
+        i += 1
+        while i < n and stmt[i].isspace():
+            i += 1
+    if i >= n:
+        return i
+    ch = stmt[i]
+    if ch == "'":
+        j = i + 1
+        while j < n:
+            if stmt[j] == "'":
+                if j + 1 < n and stmt[j + 1] == "'":
+                    j += 2
+                    continue
+                j += 1
+                break
+            j += 1
+        i = j
+    elif ch == "(":
+        i = matching_paren(stmt, i) + 1
+    elif ch.isdigit() or ch == ".":
+        j = i
+        while j < n and (
+            stmt[j].isdigit()
+            or stmt[j] in ".eE"
+            or (stmt[j] in "+-" and stmt[j - 1] in "eE")
+        ):
+            j += 1
+        i = j
+    elif ch.isalpha() or ch in ('_', '"'):
+        while i < n:
+            if stmt[i] == '"':
+                j = stmt.find('"', i + 1)
+                i = (j + 1) if j >= 0 else n
+            elif stmt[i].isalnum() or stmt[i] == "_":
+                while i < n and (stmt[i].isalnum() or stmt[i] == "_"):
+                    i += 1
+            else:
+                break
+            while True:
+                k = i
+                while k < n and stmt[k].isspace():
+                    k += 1
+                if k < n and stmt[k] == "(":
+                    i = matching_paren(stmt, k) + 1
+                elif k < n and stmt[k] == "[":
+                    i = _matching_bracket(stmt, k) + 1
+                else:
+                    break
+            if i < n and stmt[i] == ".":
+                i += 1
+                continue
+            break
+        # aggregate/window suffixes stay with the call they modify:
+        # max(x) OVER (…), count(*) FILTER (WHERE …), listagg(x)
+        # WITHIN GROUP (ORDER BY …), lead(x) IGNORE NULLS OVER (…)
+        while True:
+            k = i
+            while k < n and stmt[k].isspace():
+                k += 1
+            wm = re.match(
+                r"(?is)(OVER|FILTER|WITHIN\s+GROUP|IGNORE\s+NULLS|"
+                r"RESPECT\s+NULLS)\b",
+                stmt[k:],
+            )
+            if not wm:
+                break
+            kw_is_over = wm.group(1).upper() == "OVER"
+            i = k + wm.end()
+            k = i
+            while k < n and stmt[k].isspace():
+                k += 1
+            if k < n and stmt[k] == "(":
+                i = matching_paren(stmt, k) + 1
+            elif kw_is_over and k < n and (
+                stmt[k].isalpha() or stmt[k] == "_"
+            ):
+                # OVER <named window>
+                i = k
+                while i < n and (stmt[i].isalnum() or stmt[i] == "_"):
+                    i += 1
+    return i
+
+
+_DEC_LIT_CAST_RE = re.compile(
+    r"(?is)\bCAST\s*\(\s*(-?\d+\.\d+)\s+AS\s+"
+    r"(DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)"
+)
+_DEC_LIT_COLON_RE = re.compile(
+    r"(?is)(-?\d+\.\d+)\s*::\s*(DECIMAL|NUMERIC)"
+    r"\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)"
+)
+
+
+def rewrite_decimal_literal_casts(stmt: str) -> str:
+    """DuckDB TRUNCATES toward zero when casting DECIMAL → DECIMAL at a
+    smaller scale (``CAST(1.25 AS DECIMAL(8,1))`` = 1.2) while Spark
+    rounds HALF_UP (= 1.3); double/float/string sources round in both
+    engines.  A numeric literal with a dot types DECIMAL in both, so
+    the truncation is constant-folded here at rewrite time (exact
+    decimal arithmetic, idempotent — the folded literal re-quantizes to
+    itself).  Column-typed decimal sources are textually unknowable and
+    keep Spark's rounding (documented gap)."""
+    from decimal import ROUND_DOWN, Decimal
+
+    def _fold(m: re.Match) -> str:
+        if _inside_string_literal(stmt, m.start()):
+            return m.group(0)
+        lit, kw, p, s = m.group(1), m.group(2), int(m.group(3)), int(m.group(4))
+        q = Decimal(lit).quantize(
+            Decimal(1).scaleb(-s), rounding=ROUND_DOWN
+        )
+        return f"CAST({q} AS {kw}({p}, {s}))"
+
+    stmt = _DEC_LIT_CAST_RE.sub(_fold, stmt)
+    return _DEC_LIT_COLON_RE.sub(_fold, stmt)
+
+
+def rewrite_decimal_div(stmt: str) -> str:
+    """DuckDB's ``/`` ALWAYS divides as DOUBLE — including DECIMAL
+    operands (``typeof(1.5 / 2)`` is DOUBLE; ``1.5/2`` → 0.75) — while
+    Spark types decimal division DECIMAL (``0.750000``).  Wrap each
+    division's RIGHT operand in ``CAST(… AS DOUBLE)``: one double
+    operand forces double division in Spark, and int/float divisions
+    (already DOUBLE in both engines) are unchanged.  Runs on USER text
+    only (before function translations, like the int-cast-rounding
+    pass) so engine-emitted SQL keeps its intended typing.  Skips
+    ``//`` (floor division — a later pass), keyword operands (CASE,
+    INTERVAL, …), and already-wrapped RHS (idempotence)."""
+    out: list[str] = []
+    in_str: str | None = None
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if stmt[i : i + 2] == "--":
+            j = stmt.find("\n", i)
+            j = n if j < 0 else j
+            out.append(stmt[i:j])
+            i = j
+            continue
+        if ch == "/" and stmt[i + 1 : i + 2] != "/" and (
+            not out or out[-1] != "/"
+        ):
+            j = i + 1
+            while j < n and stmt[j].isspace():
+                j += 1
+            wm = re.match(r"[A-Za-z_]\w*", stmt[j:])
+            if wm and wm.group(0).lower() in _DIV_RHS_SKIP_KW:
+                out.append(ch)
+                i += 1
+                continue
+            end = _operand_end(stmt, i + 1)
+            rhs = stmt[i + 1 : end].strip()
+            if not rhs or re.fullmatch(
+                r"(?is)CAST\s*\(.*AS\s+DOUBLE\s*\)", rhs
+            ):
+                out.append(ch)
+                i += 1
+                continue
+            out.append(f"/ CAST({rhs} AS DOUBLE)")
+            i = end
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def rewrite_duck_operators(stmt: str) -> str:
@@ -4400,6 +4760,17 @@ def rewrite_duckdb_functions(stmt: str) -> str:
                     and stmt[close + 1 :].lstrip().upper().startswith("AS INT)")
                 ):
                     out.append(f"sign({', '.join(args)})")
+                    i = close + 1
+                    continue
+                # split_part's NULL-semantics wrapper embeds a raw
+                # split_part() call in its ELSE arm — pass it through on
+                # a re-run of the chain (same idempotence discipline)
+                if (
+                    key == "split_part"
+                    and "".join(out).rstrip().upper().endswith("ELSE")
+                    and stmt[close + 1 :].lstrip().upper().startswith("END)")
+                ):
+                    out.append(f"split_part({', '.join(args)})")
                     i = close + 1
                     continue
                 # typeof's wrapper (CASE typeof(x) WHEN 'string' THEN
@@ -9004,6 +9375,8 @@ class DuckLakeSpark:
         # precast still sees the INTERVAL keyword.
         stmt = rewrite_int_colon_casts(stmt)
         stmt = rewrite_int_cast_rounding(stmt)
+        stmt = rewrite_decimal_literal_casts(stmt)
+        stmt = rewrite_decimal_div(stmt)
         stmt = rewrite_from_unnest_lateral(stmt)
         stmt = rewrite_extract_to_date_part(stmt)
         stmt = rewrite_duckdb_functions(stmt)
@@ -9013,6 +9386,7 @@ class DuckLakeSpark:
         stmt = rewrite_duck_operators(stmt)
         stmt = rewrite_interval_expr(stmt)
         stmt = rewrite_null_boolean_conditions(stmt)
+        stmt = rewrite_in_subquery_3vl(stmt)
         stmt = rewrite_glob_operator(stmt)
         stmt = rewrite_quantified_and_factorial(stmt)
         stmt = rewrite_ansi_fetch_and_json_arrow(stmt)

@@ -299,6 +299,57 @@ REGRESSION_STATEMENTS = [
     "SELECT list_sort(list_intersect([7, 3], [3, 7, 2])) AS a, "
     "list_sort(list_intersect([1, NULL, 2], [NULL, 2, 9])) AS b, "
     "list_intersect([], [1]) AS c",
+    # fuzz find #20 (ordered_agg family): ordered aggregates must honor
+    # NULLS FIRST/LAST and multi-key DESC orders; DuckDB defaults
+    # NULLS LAST on BOTH directions inside aggregate ORDER BY (Spark's
+    # struct array_sort and WITHIN GROUP default NULLS FIRST on ASC)
+    "SELECT array_to_string(list(s ORDER BY j DESC NULLS LAST, k), ',') AS a, "
+    "string_agg(coalesce(s, '?'), '|' ORDER BY j DESC NULLS LAST, k) AS b, "
+    "string_agg(s, '|' ORDER BY i) AS c, "
+    "first(coalesce(s, '?') ORDER BY i NULLS LAST) AS d, "
+    "last(upper(s) ORDER BY i NULLS LAST) AS e, "
+    "first(s ORDER BY i) AS f, "
+    "any_value(i ORDER BY j DESC NULLS FIRST, k) AS g, "
+    "array_to_string(array_agg(s ORDER BY i NULLS LAST), '|') AS h "
+    "FROM (VALUES (0, 7, 3, 'alpha'), (1, -4, 2, 'Beta'), (2, 0, -5, ''), "
+    "(3, NULL, 9, 'delta'), (4, 123, NULL, ' pad '), (5, -99, 4, 'ZETA')) "
+    "t(k, i, j, s)",
+    # fuzz find #21 (in_3vl family): Spark's IN-(subquery) is 2-valued
+    # in a projected position (NULL lhs / NULL-bearing miss → FALSE,
+    # not NULL); the engine rewrites projected [NOT] IN (SELECT …) to a
+    # 3VL CASE with an uncorrelated has-NULL probe
+    "SELECT k, (i NOT IN (SELECT j FROM (VALUES (0, 3), (1, 2), (2, -5), "
+    "(3, 9)) u(k, j))) AS a, "
+    "(i IN (SELECT j FROM (VALUES (0, 3), (4, NULL)) u2(k, j))) AS b, "
+    "(i IN (SELECT j FROM (VALUES (0, 3)) u3(k, j) WHERE u3.k > 99)) AS c "
+    "FROM (VALUES (0, 3), (1, 8), (2, NULL)) t(k, i) ORDER BY k",
+    # fuzz find #22 (decimal family): DuckDB's / ALWAYS divides as
+    # DOUBLE (decimal operands included), and CAST of a DECIMAL source
+    # to a smaller-scale DECIMAL truncates toward zero where Spark
+    # rounds HALF_UP (double/string sources round in both engines)
+    "SELECT k, CAST(coalesce(k, 0) AS DECIMAL(12, 2)) / 4 AS a, "
+    "round(CAST(k AS DECIMAL(18, 4)) / 8, 2) AS b, "
+    "1.5 / 2 AS c, "
+    "CAST(1.25 AS DECIMAL(8, 3)) - CAST(1.25 AS DECIMAL(8, 1)) AS d, "
+    "1.25::DECIMAL(8, 1) AS e, CAST('1.25' AS DECIMAL(8, 1)) AS f "
+    "FROM (VALUES (0), (1), (5)) t(k) ORDER BY k",
+    # fuzz find #24 (strfn family, sweep 2): DuckDB's split_part never
+    # returns NULL — NULL string/index → '', NULL separator → no split
+    # (whole string at part ±1, '' otherwise), '' separator splits into
+    # CHARACTERS; Spark propagates NULLs and no-splits on ''
+    "SELECT split_part(substr(NULL, 4, 0), ' ', 1) AS a, "
+    "split_part('a b', NULL, 1) AS b, split_part('a b', ' ', NULL) AS c, "
+    "split_part('abc', '', 2) AS d, split_part('abc', '', -1) AS e, "
+    "split_part('a b c', ' ', -1) AS f, split_part('a b', ' ', 5) AS g, "
+    "split_part('x,y,z', ',', 2) AS h, split_part('a b', NULL, -1) AS i2",
+    # fuzz find #23 (quantile_agg family): quantile_disc returns the
+    # ELEMENT at 1-based index ceil(q*n) of the NULL-stripped sorted
+    # values in the element's own type (Spark's percentile_disc is
+    # always DOUBLE); works on strings too
+    "SELECT quantile_disc(i, 0.5) AS a, quantile_disc(k, 0.25) AS b, "
+    "quantile_disc(s, 0.5) AS c, quantile_disc(i, 0.9) AS d "
+    "FROM (VALUES (0, 7, 'alpha'), (1, -4, 'Beta'), (2, 0, ''), "
+    "(3, NULL, 'delta'), (4, 123, ' pad '), (5, -99, 'ZETA')) t(k, i, s)",
     "SELECT date_part('second', TIMESTAMP '2023-01-01 10:20:30.9') AS a, "
     "extract(second FROM TIMESTAMP '2023-01-01 10:20:30.9') AS b, "
     "extract(dayofweek FROM DATE '2024-03-05') AS c, "
