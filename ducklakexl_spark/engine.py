@@ -1847,6 +1847,19 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
             f"(log2(size({lst})) - aggregate({counts}, 0D, "
             f"(acc, c) -> acc + c * log2(c)) / size({lst}))"
         )
+    if key in ("array_to_string", "list_string_agg") and len(a) == 2:
+        # DuckDB stringifies elements of ANY type (array_to_string([1,
+        # NULL, 2], ',') → '1,2'); Spark's array_join requires
+        # ARRAY<STRING>, so cast per element (NULLs stay NULL and are
+        # skipped by array_join, matching DuckDB).  Already-cast args
+        # (our own emission) pass through for chain idempotence.
+        arg = a[0].lstrip()
+        if arg.startswith("transform(") and "CAST(__e AS STRING)" in arg:
+            return f"array_join({', '.join(a)})"
+        return (
+            f"array_join(transform({a[0]}, __e -> CAST(__e AS STRING)), "
+            f"{a[1]})"
+        )
     if key == "split_part" and len(a) == 3:
         # DuckDB's split_part never returns NULL: NULL string or NULL
         # index → ''; NULL separator → NO split (the whole string is
@@ -2260,6 +2273,26 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key in ("date_part", "datepart") and len(a) == 2:
         part = _literal_str(a[0])
         p = part.lower() if part else None
+        if re.match(r"(?is)^(age|duck_age)\s*\(", a[1].lstrip()):
+            # date_part over an INTERVAL extracts the calendar
+            # COMPONENT (date_part('day', age(…)) = the days field).
+            # age() renders DuckDB's interval text ('3 years 2 months
+            # 14 days 10:20:30.5'), so pull the component back out;
+            # absent components are 0.  Spark regexp_extract returns ''
+            # (not NULL) on a miss — nullif bridges to the 0 default.
+            comp_pats = {
+                "year": r"(-?\d+) years?", "month": r"(-?\d+) months?",
+                "day": r"(-?\d+) days?",
+                "hour": r"(-?\d+):\d{2}:\d{2}",
+                "minute": r"-?\d+:(\d{2}):\d{2}",
+                "second": r"-?\d+:\d{2}:(\d{2})",
+            }
+            base = (p or "").rstrip("s")
+            if base in comp_pats:
+                return (
+                    f"CAST(coalesce(nullif(regexp_extract({a[1]}, "
+                    f"'{comp_pats[base]}', 1), ''), '0') AS BIGINT)"
+                )
         # day-of-week numbering differs: DuckDB dow/dayofweek/weekday
         # are Sunday=0, isodow is Monday=1; Spark date_part('dow') is
         # Sunday=1.  Spelled as pure date arithmetic (1970-01-04 was a
@@ -2355,7 +2388,32 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         # DuckDB single-arg log is base-10; Spark's is natural
         return f"log10({a[0]})"
     if key == "list_reverse_sort":
+        if len(a) == 2 and re.fullmatch(
+            r"(?is)'\s*NULLS\s+FIRST\s*'", a[1].strip()
+        ):
+            return f"reverse(array_sort({a[0]}))"
         return f"sort_array({a[0]}, false)"
+    if key in ("list_sort", "array_sort") and len(a) >= 2 and re.fullmatch(
+        r"(?is)'\s*(ASC|DESC)\s*'", a[1].strip()
+    ):
+        # DuckDB's list_sort(x, 'ASC'|'DESC'[, 'NULLS FIRST'|'NULLS
+        # LAST']) — string-literal modifiers, default NULLS LAST both
+        # directions (same as its ORDER BY default).  A non-literal
+        # second argument falls through to Spark's comparator-lambda
+        # array_sort.
+        desc = "desc" in a[1].lower()
+        nulls_first = len(a) == 3 and re.fullmatch(
+            r"(?is)'\s*NULLS\s+FIRST\s*'", a[2].strip()
+        )
+        if desc:
+            return (
+                f"reverse(array_sort({a[0]}))" if nulls_first
+                else f"sort_array({a[0]}, false)"
+            )
+        return (
+            f"sort_array({a[0]})" if nulls_first
+            else f"array_sort({a[0]})"
+        )
     if key in ("list_unique", "array_unique"):
         # DuckDB counts distinct NON-NULL elements
         arg = a[0].lstrip()
@@ -2759,7 +2817,7 @@ _DUCK_FN_TEMPLATES = {
     "str_split_regex", "regexp_split_to_array", "strftime", "strptime",
     "list_slice", "array_slice", "list_prepend", "struct_pack",
     "date_diff", "isodow", "dayname", "monthname", "log", "epoch",
-    "list_unique", "list_reverse_sort", "xor", "range", "generate_series", "list_sum", "split_part",
+    "list_unique", "list_reverse_sort", "xor", "range", "generate_series", "list_sum", "split_part", "array_sort",
     "list_avg", "encode", "decode", "regexp_extract",
     "regexp_extract_all", "regexp_replace", "string_agg",
     "group_concat", "listagg", "list", "array_agg",
@@ -3541,9 +3599,15 @@ _DATE_LIT_INTERVAL_RE = re.compile(
 _CAST_DATE_INTERVAL_RE = re.compile(
     r"('(?:[^']|'')*'|[\w.]+)\s*::\s*DATE\s*([+-])\s*(?=INTERVAL\b)", re.I
 )
-# DATE 'a' - DATE 'b': DuckDB yields INTEGER days, Spark an INTERVAL
+# DATE 'a' - DATE 'b': DuckDB yields INTEGER days, Spark an INTERVAL.
+# Each operand may also be a flat paren group that STARTS with a DATE
+# literal — `(DATE '2024-03-15' + k) - (DATE '2024-01-01')` — the only
+# textually type-certain compound shape.
 _DATE_MINUS_DATE_RE = re.compile(
-    r"\bDATE\s*('(?:[^']|'')*')\s*-\s*DATE\s*('(?:[^']|'')*')", re.I
+    r"(\(\s*DATE\s*'(?:[^']|'')*'[^(),]*\)|\bDATE\s*'(?:[^']|'')*')"
+    r"\s*-\s*"
+    r"(\(\s*DATE\s*'(?:[^']|'')*'[^(),]*\)|DATE\s*'(?:[^']|'')*')",
+    re.I,
 )
 # FILTER (cond) — DuckDB allows omitting WHERE; Spark requires it.
 # Must follow an aggregate's closing paren, which distinguishes the
@@ -4052,7 +4116,9 @@ def rewrite_duck_operators(stmt: str) -> str:
         lambda m: m.group(0)
         if _inside_string_literal(_post, m.start())
         # DuckDB: DATE - DATE is INTEGER days; Spark yields an INTERVAL
-        else f"datediff(DATE {m.group(1)}, DATE {m.group(2)})",
+        # (both alternatives capture the full operand incl. the DATE
+        # keyword / parens)
+        else f"datediff({m.group(1)}, {m.group(2)})",
         stmt,
     )
     _post2 = stmt

@@ -202,7 +202,104 @@ def fam_varchar_casts() -> str:
     return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
 
 
+def fam_list_fns2() -> str:
+    base = pick("[i, j, k]", "[j, NULL, 2, j]", "[3, 1, 2]", "[k, k]")
+    e = pick(
+        f"list_position({base}, {_int_atom()})",
+        f"list_unique({base})",
+        f"flatten([{base}, [5, k]])",
+        f"list_sort({base}, 'DESC')",
+        f"list_sort({base}, 'ASC', 'NULLS FIRST')",
+        f"list_reverse_sort({base})",
+        f"list_slice({base}, 2, 3)",
+        f"list_slice({base}, -2, -1)",
+        # struct-element stringification excluded (rendering gap);
+        # scalar arrays stringify per element like DuckDB
+        f"array_to_string({base}, ',')",
+        f"len(list_zip({base}, [7, 8]))",
+        f"list_aggregate({base}, 'sum')",
+        f"list_aggregate({base}, 'min')",
+        f"len(list_distinct({base}))",
+        f"list_contains(list_append({base}, 9), 9)",
+        f"list_contains(list_prepend(0, {base}), 0)",
+    )
+    return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
+
+
+def fam_nested_case() -> str:
+    inner = pick(
+        f"CASE WHEN i IN (1, 7, {_int_atom()}) THEN 'a' WHEN j BETWEEN "
+        f"{_int_e(1)} AND {_int_e(1)} THEN 'b' ELSE 'c' END",
+        f"CASE coalesce(j, 0) WHEN 2 THEN 'two' WHEN -5 THEN 'neg' "
+        f"ELSE 'other' END",
+        f"CASE WHEN b THEN upper(s) WHEN NOT b THEN lower(s) END",
+        f"CASE WHEN i > j THEN CASE WHEN k % 2 = 0 THEN 'ee' ELSE 'eo' "
+        f"END ELSE 'le' END",
+    )
+    return f"SELECT k, {inner} AS r {fz._FROM} ORDER BY k"
+
+
+def fam_date2() -> str:
+    e = pick(
+        f"make_date(2020 + (k % 5), 1 + (k % 12), 1 + (k % 28))",
+        # bare age()/timezone() excluded: duckdb's Python client
+        # flattens INTERVAL to timedelta and renders TIMESTAMPTZ with
+        # an offset — representation, not semantics
+        "date_part('day', age(TIMESTAMP '2024-03-15 10:00:00', "
+        "TIMESTAMP '2021-01-01 00:00:00'))",
+        f"time_bucket(INTERVAL 7 DAY, DATE '2024-03-15' + k * 3)",
+        f"date_trunc('week', DATE '2024-01-01' + k * 17)",
+        f"date_trunc('quarter', DATE '2024-01-01' + k * 29)",
+        f"datepart('quarter', DATE '2024-01-01' + k * 29)",
+        f"dayofweek(DATE '2024-03-15' + k)",
+        f"weekofyear(DATE '2024-01-01' + k * 11)",
+        f"yearweek(DATE '2024-01-01' + k * 11)",
+        f"greatest(DATE '2024-01-31', DATE '2024-01-01' + k * 9)",
+        "date_diff('month', DATE '2023-01-31', DATE '2024-03-01')",
+        "date_add(DATE '2024-02-29', INTERVAL 1 YEAR)",
+        f"(DATE '2024-03-15' + k) - (DATE '2024-01-01')",
+    )
+    return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
+
+
+def fam_where_3vl() -> str:
+    cond = pick(
+        f"i IN (1, NULL, {_int_atom()})",
+        f"i NOT IN (2, NULL)",
+        f"j NOT IN (SELECT u.j {fz._FROM.replace('t(', 'u(')} WHERE u.k < 3)",
+        f"NOT (b AND i > {_int_e(1)})",
+        f"b OR j IS NULL",
+        f"(i > j) IS NULL",
+        f"(i = NULL) IS NOT DISTINCT FROM NULL",
+        f"i IS DISTINCT FROM j",
+    )
+    return f"SELECT k {fz._FROM} WHERE {cond} ORDER BY k"
+
+
+def fam_regex() -> str:
+    pat = pick("'[aeiou]+'", "'^[A-Z]'", "'a.a'", "'\\w+'", "'(a)(l)'",
+               "'z+'", "' '")
+    e = pick(
+        f"regexp_matches(s, {pat})",
+        f"regexp_extract(s, {pat})",
+        f"regexp_extract(s, '([a-z])([a-z])', 2)",
+        f"regexp_replace(s, {pat}, '_')",
+        f"regexp_replace(s, {pat}, '_', 'g')",
+        # split excludes ^-anchored patterns: RE2's Consume loop
+        # re-anchors ^ after each contiguous match ('ZETA' splits on
+        # '^[A-Z]' four times) — engine quirk, documented gap
+        f"len(regexp_split_to_array(s, {pat.replace('^', '')}))",
+        f"regexp_full_match(s, '[a-zA-Z ]*')",
+    )
+    return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
+
+
 NEW_FAMILIES = {
+    "list_fns2": fam_list_fns2,
+    "nested_case": fam_nested_case,
+    "date2": fam_date2,
+    "where_3vl": fam_where_3vl,
+    "regex": fam_regex,
     "ordered_agg": fam_ordered_agg,
     "group_all": fam_group_all,
     "in_3vl": fam_in_3vl,

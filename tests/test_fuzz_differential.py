@@ -333,6 +333,36 @@ REGRESSION_STATEMENTS = [
     "CAST(1.25 AS DECIMAL(8, 3)) - CAST(1.25 AS DECIMAL(8, 1)) AS d, "
     "1.25::DECIMAL(8, 1) AS e, CAST('1.25' AS DECIMAL(8, 1)) AS f "
     "FROM (VALUES (0), (1), (5)) t(k) ORDER BY k",
+    # fuzz find #28 (sweep 4): date_part over an INTERVAL extracts the
+    # calendar COMPONENT — age()'s rendered text is parsed back
+    # (absent components are 0)
+    "SELECT date_part('day', age(TIMESTAMP '2024-03-15 10:20:30.5', "
+    "TIMESTAMP '2021-01-01')) AS a, "
+    "date_part('year', age(TIMESTAMP '2024-03-15 10:20:30.5', "
+    "TIMESTAMP '2021-01-01')) AS b, "
+    "date_part('month', age(TIMESTAMP '2024-03-15 10:20:30.5', "
+    "TIMESTAMP '2021-01-01')) AS c, "
+    "date_part('hour', age(TIMESTAMP '2024-03-15 10:20:30.5', "
+    "TIMESTAMP '2021-01-01')) AS d, "
+    "date_part('minute', age(TIMESTAMP '2024-03-15 10:20:30.5', "
+    "TIMESTAMP '2021-01-01')) AS e, "
+    "date_part('second', age(TIMESTAMP '2024-03-15 10:20:30.5', "
+    "TIMESTAMP '2021-01-01')) AS f, "
+    "date_part('day', age(TIMESTAMP '2024-01-01 05:00:00', "
+    "TIMESTAMP '2024-01-01')) AS g",
+    # fuzz finds #25-#27 (sweep 3): list_sort's string-literal
+    # ASC/DESC + NULLS modifiers (default NULLS LAST both directions);
+    # array_to_string stringifies elements of ANY type (Spark's
+    # array_join is STRING-only); DATE-DATE integer days also for flat
+    # paren operands starting with a DATE literal
+    "SELECT k, list_sort([1, NULL, 3, 2], 'DESC') AS a, "
+    "list_sort([1, NULL, 3, 2], 'ASC', 'NULLS FIRST') AS b, "
+    "list_sort([k, NULL, 2], 'DESC', 'NULLS FIRST') AS c, "
+    "list_sort([k, 9], 'ASC') AS d, "
+    "array_to_string([1, NULL, 2], ',') AS e, "
+    "array_to_string([k, 4], '|') AS f, "
+    "(DATE '2024-03-15' + k) - (DATE '2024-01-01') AS g "
+    "FROM (VALUES (0), (1), (5)) t(k) ORDER BY k",
     # fuzz find #24 (strfn family, sweep 2): DuckDB's split_part never
     # returns NULL — NULL string/index → '', NULL separator → no split
     # (whole string at part ±1, '' otherwise), '' separator splits into
