@@ -139,6 +139,15 @@ def fam_rank_windows() -> str:
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
         f"count(*) OVER ({part}{order} RANGE BETWEEN UNBOUNDED PRECEDING "
         f"AND CURRENT ROW)",
+        # value-offset RANGE frames over a numeric sort key (peers by
+        # key distance, not row position)
+        f"sum(coalesce(j, 0)) OVER (ORDER BY coalesce(i, 0) "
+        f"RANGE BETWEEN {rng.randint(1, 5)} PRECEDING AND "
+        f"{rng.randint(0, 5)} FOLLOWING)",
+        f"count(*) OVER (ORDER BY k RANGE BETWEEN 2 PRECEDING AND "
+        f"CURRENT ROW)",
+        f"min(k) OVER (PARTITION BY b ORDER BY coalesce(j, 0) "
+        f"RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)",
     )
     return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
 
