@@ -259,15 +259,27 @@ _UPDATE_RE = re.compile(
 )
 _UPDATE_FROM_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+SET\s+(.*?)\s+"
-    r"FROM\s+(\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+WHERE\s+(.*)$",
+    r"FROM\s+(\(.*?\)|[\w.\"]+)"
+    r"(?:\s+(?:AS\s+)?(\w+)\s*(?:\(([\w\s,]*)\))?)?\s+WHERE\s+(.*)$",
     re.I | re.S,
 )
 _DELETE_USING_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
-    r"USING\s+(\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+WHERE\s+(.*)$",
+    r"USING\s+(\(.*?\)|[\w.\"]+)"
+    r"(?:\s+(?:AS\s+)?(\w+)\s*(?:\(([\w\s,]*)\))?)?\s+WHERE\s+(.*)$",
     re.I | re.S,
 )
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*$", re.I)
+
+
+def _aliased_source(src: str, salias: str | None, collist: str | None) -> str:
+    """Fold a ``(subquery) alias(col, …)`` column-alias list into the
+    source text so the downstream subquery execution sees NAMED columns
+    (``DELETE … USING (VALUES (1)) d(k) WHERE t.k = d.k``) — the DML
+    regexes capture the list as their own group."""
+    if collist and collist.strip() and src.lstrip().startswith("("):
+        return f"(SELECT * FROM {src} {salias or '__src'}({collist}))"
+    return src
 _SET_RE = re.compile(
     r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([\w.]+)\s*(?:=|TO)\s*(.+?)\s*$", re.I
 )
@@ -5888,7 +5900,11 @@ class DuckLakeSpark:
             )
         m = _DELETE_USING_RE.match(stmt)
         if m:
-            return self._delete_using(*m.groups())
+            tgt, talias, src, salias, collist, where = m.groups()
+            return self._delete_using(
+                tgt, talias, _aliased_source(src, salias, collist),
+                salias, where,
+            )
         m = _DELETE_RE.match(stmt)
         if m:
             return self._delete(_unqualify(m.group(1)), m.group(2))
@@ -5896,20 +5912,22 @@ class DuckLakeSpark:
         if m:
             # UPDATE … FROM (join update, DuckDB/Postgres) is MERGE's
             # matched-update arm: same delete-file + append commit
-            tgt, talias, set_clause, src, salias, where = m.groups()
+            tgt, talias, set_clause, src, salias, collist, where = m.groups()
             if salias is None and not src.startswith("("):
                 salias = _unqualify(src)  # bare name refs resolve as-is
             return self._merge(
-                tgt, talias, src, salias, where,
+                tgt, talias, _aliased_source(src, salias, collist),
+                salias, where,
                 f"WHEN MATCHED THEN UPDATE SET {set_clause}",
             )
         m = _DELETE_USING_RE.match(stmt)
         if m:
-            tgt, talias, src, salias, where = m.groups()
+            tgt, talias, src, salias, collist, where = m.groups()
             if salias is None and not src.startswith("("):
                 salias = _unqualify(src)
             return self._merge(
-                tgt, talias, src, salias, where,
+                tgt, talias, _aliased_source(src, salias, collist),
+                salias, where,
                 "WHEN MATCHED THEN DELETE",
             )
         m = _UPDATE_RE.match(stmt)

@@ -1473,6 +1473,31 @@ def test_delete_using_join(lake):
     assert rows(lake.sql("SELECT * FROM items;")) == [(3, "c")]
 
 
+def test_update_from_delete_using_values_collist(lake):
+    """Inline ``(VALUES …) alias(cols)`` sources — the column-alias
+    list rides its own regex group and folds into a named subquery
+    (round-5 DML state fuzz find: the lazy paren capture used to slice
+    the source unbalanced)."""
+    lake.sql("CREATE TABLE t0(k INTEGER, v INTEGER, s VARCHAR);")
+    lake.sql(
+        "INSERT INTO t0 VALUES (0, 10, 'a0'), (1, 20, 'b1'), "
+        "(2, 30, 'c2'), (3, 40, 'd3'), (5, 50, 'e5');"
+    )
+    lake.sql(
+        "UPDATE t0 SET v = t0.v + d.dv "
+        "FROM (VALUES (5, -1), (1, -5), (10, -7)) d(k, dv) "
+        "WHERE t0.k = d.k;"
+    )
+    lake.sql("DELETE FROM t0 USING (VALUES (2), (9)) d(k) WHERE t0.k = d.k;")
+    lake.sql(
+        "UPDATE t0 SET v = d.nv FROM (VALUES (0, 99)) AS d(k, nv) "
+        "WHERE t0.k = d.k;"
+    )
+    assert rows(lake.sql("SELECT k, v FROM t0 ORDER BY k;")) == [
+        (0, 99), (1, 15), (3, 40), (5, 49),
+    ]
+
+
 def test_transaction_commit_and_rollback(lake, tmp_path):
     import glob
     import os
