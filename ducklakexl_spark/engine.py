@@ -577,7 +577,7 @@ _DROP_TYPE_RE = re.compile(
 _ON_CONFLICT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\([^)]*\))?\s*"
     r"(VALUES\b.*?|SELECT\b.*?|FROM\b.*?)\s*"
-    r"ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+(.*)$",
+    r"ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+(.*)$",
     re.I | re.S,
 )
 
@@ -5852,7 +5852,20 @@ class DuckLakeSpark:
                 if col_list
                 else [f.name for f in self.table_schema(name).fields]
             )
-            keys = [k.strip().strip('"') for k in keys_txt.split(",")]
+            if keys_txt is None:
+                # bare ON CONFLICT (no target): DuckDB falls back to
+                # the table's PRIMARY KEY
+                pk_json = self.catalog.get_tag(
+                    self.catalog.table_id(name), "primary_key"
+                )
+                if not pk_json:
+                    raise ValueError(
+                        f"ON CONFLICT without a target: table {name!r} "
+                        "has no PRIMARY KEY to detect conflicts on"
+                    )
+                keys = json.loads(pk_json)
+            else:
+                keys = [k.strip().strip('"') for k in keys_txt.split(",")]
             if re.match(r"^\s*VALUES", source, re.I):
                 src = (
                     f"(SELECT * FROM ({source}) "

@@ -92,6 +92,12 @@ def _script(tbl: str) -> list[str]:
     def op_truncate() -> str:
         return f"DELETE FROM {tbl}"
 
+    def op_drop_w() -> str:
+        if not has_w[0]:
+            return op_delete()
+        has_w[0] = False
+        return f"ALTER TABLE {tbl} DROP COLUMN w"
+
     def op_update_from() -> str:
         ks = rng.sample(range(next_k[0] + 4), k=min(3, next_k[0]))
         vals = ", ".join(f"({k2}, {rng.randint(-9, 9)})" for k2 in ks)
@@ -110,8 +116,63 @@ def _script(tbl: str) -> list[str]:
 
     pool = [op_insert, op_insert, op_self_insert, op_update, op_update,
             op_delete, op_delete, op_alter, op_truncate,
-            op_update_from, op_delete_using]
+            op_update_from, op_delete_using, op_drop_w]
     for _ in range(rng.randint(6, 14)):
+        stmts.append(rng.choice(pool)())
+    return stmts
+
+
+def _pk_script(tbl: str) -> list[str]:
+    """Upsert-flavored variant: k is a PRIMARY KEY, ops are the
+    conflict-handling inserts (ON CONFLICT DO UPDATE / DO NOTHING,
+    INSERT OR REPLACE / OR IGNORE)."""
+    n_seed = rng.randint(3, 6)
+    rows = ", ".join(
+        f"({i}, {rng.randint(0, 99)}, '{rng.choice('abc')}{i}')"
+        for i in range(n_seed)
+    )
+    stmts = [
+        f"CREATE TABLE {tbl} (k INTEGER PRIMARY KEY, v INTEGER, s VARCHAR)",
+        f"INSERT INTO {tbl} VALUES {rows}",
+    ]
+
+    def keyval() -> tuple[int, int, str]:
+        return (rng.randint(0, n_seed + 4), rng.randint(0, 99),
+                rng.choice("xyz"))
+
+    def op_upsert_update() -> str:
+        k2, v2, s2 = keyval()
+        return (
+            f"INSERT INTO {tbl} VALUES ({k2}, {v2}, '{s2}{k2}') "
+            f"ON CONFLICT (k) DO UPDATE SET v = excluded.v, "
+            f"s = excluded.s"
+        )
+
+    def op_upsert_nothing() -> str:
+        k2, v2, s2 = keyval()
+        return (
+            f"INSERT INTO {tbl} VALUES ({k2}, {v2}, '{s2}{k2}') "
+            f"ON CONFLICT DO NOTHING"
+        )
+
+    def op_or_replace() -> str:
+        k2, v2, s2 = keyval()
+        return f"INSERT OR REPLACE INTO {tbl} VALUES ({k2}, {v2}, '{s2}{k2}')"
+
+    def op_or_ignore() -> str:
+        k2, v2, s2 = keyval()
+        return f"INSERT OR IGNORE INTO {tbl} VALUES ({k2}, {v2}, '{s2}{k2}')"
+
+    def op_update() -> str:
+        return (f"UPDATE {tbl} SET v = v + {rng.randint(1, 5)} "
+                f"WHERE k % {rng.randint(2, 4)} = 0")
+
+    def op_delete() -> str:
+        return f"DELETE FROM {tbl} WHERE k = {rng.randint(0, n_seed + 4)}"
+
+    pool = [op_upsert_update, op_upsert_update, op_upsert_nothing,
+            op_or_replace, op_or_ignore, op_update, op_delete]
+    for _ in range(rng.randint(5, 10)):
         stmts.append(rng.choice(pool)())
     return stmts
 
@@ -132,16 +193,25 @@ def main() -> int:
             spark=spark, data_path=f"{tmp}/d", local_catalog=f"{tmp}/c"
         )
         tbl = f"t{si}"
-        stmts = _script(tbl)
+        stmts = (_pk_script if si % 3 == 2 else _script)(tbl)
         for idx, st in enumerate(stmts):
+            eng_err = duck_err = None
             try:
                 lake.sql(st)
             except Exception as e:
-                print(f"\n=== ENGINE ERROR script {si} stmt {idx} ===\n"
-                      f"{st}\n{str(e)[:300]}\n")
+                eng_err = e
+            try:
+                con.execute(st)
+            except Exception as e:
+                duck_err = e
+            if eng_err and duck_err:
+                continue  # both reject (e.g. constraint) — parity holds
+            if eng_err or duck_err:
+                side = "ENGINE-ONLY" if eng_err else "DUCK-ONLY"
+                print(f"\n=== {side} ERROR script {si} stmt {idx} ===\n"
+                      f"{st}\n{str(eng_err or duck_err)[:300]}\n")
                 finds += 1
                 break
-            con.execute(st)
             srows = sorted(
                 tuple("NULL" if v is None else str(v) for v in r)
                 for r in lake.sql(f"SELECT * FROM {tbl}").collect()

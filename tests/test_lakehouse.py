@@ -1498,6 +1498,25 @@ def test_update_from_delete_using_values_collist(lake):
     ]
 
 
+def test_on_conflict_without_target(lake):
+    """Bare ``ON CONFLICT DO …`` (no column target) falls back to the
+    table's PRIMARY KEY, like DuckDB (round-5 DML fuzz find)."""
+    lake.sql("CREATE TABLE up(k INTEGER PRIMARY KEY, v INTEGER);")
+    lake.sql("INSERT INTO up VALUES (1, 10), (2, 20);")
+    lake.sql("INSERT INTO up VALUES (1, 99) ON CONFLICT DO NOTHING;")
+    lake.sql(
+        "INSERT INTO up VALUES (2, 77), (3, 30) "
+        "ON CONFLICT DO UPDATE SET v = excluded.v;"
+    )
+    assert rows(lake.sql("SELECT * FROM up ORDER BY k;")) == [
+        (1, 10), (2, 77), (3, 30),
+    ]
+    import pytest as _pytest
+    lake.sql("CREATE TABLE nopk(k INTEGER, v INTEGER);")
+    with _pytest.raises(ValueError, match="no.*PRIMARY KEY"):
+        lake.sql("INSERT INTO nopk VALUES (1, 1) ON CONFLICT DO NOTHING;")
+
+
 def test_transaction_commit_and_rollback(lake, tmp_path):
     import glob
     import os
