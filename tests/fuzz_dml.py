@@ -194,6 +194,7 @@ def main() -> int:
         )
         tbl = f"t{si}"
         stmts = (_pk_script if si % 3 == 2 else _script)(tbl)
+        snap_states: dict[int, list] = {}  # snapshot_id -> duck state
         for idx, st in enumerate(stmts):
             eng_err = duck_err = None
             try:
@@ -230,6 +231,29 @@ def main() -> int:
                 print(f"  engine-only: {only_s}\n  duck-only  : {only_d}")
                 finds += 1
                 break
+            snap_states[int(lake.catalog.snapshots()["snapshot_id"].max())] = drows
+        else:
+            # TIME TRAVEL replay: every recorded snapshot must
+            # reproduce the table state duckdb had at that point
+            # (exercises positional deletes + schema evolution across
+            # snapshot boundaries)
+            for sid, want in snap_states.items():
+                got = sorted(
+                    tuple("NULL" if v is None else str(v) for v in r)
+                    for r in lake.sql(
+                        f"SELECT * FROM {tbl} AT (VERSION => {sid})"
+                    ).collect()
+                )
+                if got != want:
+                    print(f"\n=== TIME-TRAVEL DIVERGENCE script {si} "
+                          f"snapshot {sid} ===\nscript:")
+                    for s2 in stmts:
+                        print(f"  {s2}")
+                    only_s = [r for r in got if r not in want][:5]
+                    only_d = [r for r in want if r not in got][:5]
+                    print(f"  engine-only: {only_s}\n  expected-only: {only_d}")
+                    finds += 1
+                    break
         if (si + 1) % 10 == 0:
             print(f"{si + 1}/{n} scripts done, {finds} finds")
     print(f"\nTOTAL: {n} scripts, {finds} finds")

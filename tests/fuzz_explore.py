@@ -372,6 +372,16 @@ def main() -> int:
                 continue
             seen.add(stmt)
             checked += 1
+            if rng.random() < 0.15 and ";" not in stmt:
+                # view-wrapped execution: stores the statement text and
+                # re-resolves it through the full dialect chain on read
+                # — idempotence and view-plane parity in one shot
+                try:
+                    lake.sql(f"CREATE OR REPLACE VIEW __fv AS {stmt}")
+                    con.execute(f"CREATE OR REPLACE VIEW __fv AS {stmt}")
+                    stmt = "SELECT * FROM __fv"
+                except Exception:
+                    pass  # either side rejecting the view form: skip wrap
             try:
                 fz._run_both(lake, con, stmt)
             except AssertionError as e:
