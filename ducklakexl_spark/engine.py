@@ -8534,17 +8534,50 @@ class DuckLakeSpark:
             )
             df.mapInArrow(fn, "path string, key string, part string").collect()
             return None
-        writer = df.write.mode("overwrite")
+        # DuckDB writes exactly ONE file at 'path' when the path names a
+        # file (COPY … TO 'out.csv'); an extension-less path keeps the
+        # executor-parallel directory-of-parts write (the scale path —
+        # coalesce(1) funnels the whole result through one task, which
+        # is only appropriate when the user asked for one file).
+        single_file = bool(
+            re.search(r"\.(csv|parquet|json)$", path, re.I)
+        ) and not part_cols
+        out_path = path + ".__parts" if single_file else path
+        writer = df.coalesce(1).write.mode("overwrite") if single_file \
+            else df.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         if fmt == "csv":
-            writer.option("header", "true").csv(path)
+            # values round-trip byte-exact: no whitespace trimming
+            # (Spark's CSV writer trims both ends by DEFAULT), and
+            # RFC-4180 "" quote doubling so DuckDB's reader agrees
+            (
+                writer.option("header", "true")
+                .option("ignoreLeadingWhiteSpace", "false")
+                .option("ignoreTrailingWhiteSpace", "false")
+                .option("escape", '"')
+                # write empty strings as quoted "" so readers (DuckDB,
+                # our own read_csv) keep them distinct from NULL
+                .option("emptyValue", '""')
+                .csv(out_path)
+            )
         elif fmt == "json":
-            writer.json(path)
+            writer.json(out_path)
         elif fmt == "parquet":
-            writer.parquet(path)
+            writer.parquet(out_path)
         else:
             raise ValueError(f"COPY TO: unsupported format {fmt!r}")
+        if single_file:
+            part = [
+                p for p, _ in iofs.list_files(out_path)
+                if p.rsplit("/", 1)[-1].startswith("part-")
+            ]
+            if len(part) != 1:  # pragma: no cover - coalesce(1) writes one
+                raise RuntimeError(
+                    f"COPY TO single file: expected 1 part, got {part}"
+                )
+            iofs.move(part[0], path)
+            iofs.rmtree(out_path)
         return None
 
     def _copy_from(self, name: str, path: str, opts: str | None) -> None:
@@ -8649,9 +8682,24 @@ class DuckLakeSpark:
                     )
             return df
         if kind == "csv":
+            # RFC-4180 parity with DuckDB's COPY: multiLine keeps
+            # quoted embedded newlines inside one record (DuckDB quotes
+            # them on write; the cost is per-file instead of per-split
+            # read parallelism — many files still fan out), and the
+            # escape char is the double-quote itself ("" doubling, not
+            # backslash).  IO fuzz finds (tests/fuzz_io.py).
             return (
                 self.spark.read.option("header", "true")
                 .option("inferSchema", "true")
+                .option("multiLine", "true")
+                .option("escape", '"')
+                # quoted "" is an EMPTY STRING, unquoted empty is NULL
+                # (DuckDB's write convention; Spark folds both to null
+                # by default).  Moving nullValue off "" is what keeps
+                # them apart — univocity returns Java-null for a truly
+                # empty unquoted field regardless of the sentinel.
+                .option("nullValue", "\\N")
+                .option("emptyValue", "")
                 .csv(paths)
             )
         return self.spark.read.json(paths)

@@ -66,6 +66,16 @@ def remove(path: str) -> None:
     fs.delete_file(rel)
 
 
+def move(src: str, dst: str) -> None:
+    """Rename/move a single file (same filesystem)."""
+    if not has_scheme(src) and not has_scheme(dst):
+        os.replace(src, dst)
+        return
+    fs, rel_src, _ = resolve(src)
+    _, rel_dst, _ = resolve(dst)
+    fs.move(rel_src, rel_dst)
+
+
 def rmtree(path: str, ignore_errors: bool = True) -> None:
     if not has_scheme(path):
         shutil.rmtree(path, ignore_errors=ignore_errors)
