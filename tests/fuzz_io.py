@@ -72,6 +72,107 @@ def _canon_rows(rows) -> list:
     return out
 
 
+def _nested_values(n: int) -> str:
+    rows = []
+    for i in range(n):
+        li = "[" + ", ".join(
+            rng.choice([str(rng.randint(-9, 9)), "NULL"])
+            for _ in range(rng.randint(0, 4))
+        ) + "]"
+        s = _NASTY[rng.randrange(len(_NASTY))].replace("'", "''")
+        st = f"{{'a': {rng.randint(-5, 5)}, 'b': '{s}'}}"
+        mp = rng.choice([
+            f"MAP(['x', 'y'], [{rng.randint(0, 9)}, NULL])",
+            "MAP([], [])",
+            f"MAP(['k{i}'], [{rng.randint(-9, 9)}])",
+        ])
+        rows.append(f"({i}, {li}, {st}, {mp})")
+    return ", ".join(rows)
+
+
+def _canon_cell(v) -> str:
+    from decimal import Decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, (float, Decimal)):
+        return f"{float(v):.6g}"
+    if isinstance(v, dict):
+        # duckdb's client returns MAP as {'key': [...], 'value': [...]}
+        # arrays — zip back into entries before canonicalizing
+        if set(v) == {"key", "value"} and isinstance(v["key"], list):
+            v = dict(zip(v["key"], v["value"]))
+        # struct (pyspark Row.asDict / duckdb dict) and map both land
+        # here — canonicalize key-sorted
+        return "{" + ", ".join(
+            f"{k}: {_canon_cell(x)}"
+            for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
+        ) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _run_nested(lake, con, ti: int) -> int:
+    """Parquet-only nested-type roundtrips (LIST / STRUCT / MAP)."""
+    import tempfile as _tf
+
+    vals = _nested_values(rng.randint(1, 6))
+    src = f"SELECT * FROM (VALUES {vals}) t(k, li, st, mp)"
+    con.execute(f"CREATE OR REPLACE TABLE nsrc AS {src}")
+
+    def canon_duck(rows):
+        return sorted(tuple(_canon_cell(v) for v in r) for r in rows)
+
+    def canon_spark(rows):
+        out = []
+        for r in rows:
+            canon = []
+            for v in r:
+                if hasattr(v, "asDict"):
+                    v = v.asDict()
+                canon.append(_canon_cell(v))
+            out.append(tuple(canon))
+        out.sort()
+        return out
+
+    want = canon_duck(con.execute("SELECT * FROM nsrc").fetchall())
+    io = _tf.mkdtemp(prefix="iofuzz_n_")
+    finds = 0
+    con.execute(f"COPY nsrc TO '{io}/n.parquet' (FORMAT PARQUET)")
+    try:
+        got = canon_spark(
+            tuple(r) for r in lake.sql(
+                f"SELECT * FROM read_parquet('{io}/n.parquet')"
+            ).collect()
+        )
+        if got != want:
+            print(f"\n=== duck-pq->engine NESTED DIVERGENCE table {ti} ===\n"
+                  f"values: {vals[:300]}\n got : {got}\n want: {want}\n")
+            finds += 1
+    except Exception as e:
+        print(f"\n=== duck-pq->engine NESTED ERROR table {ti} ===\n"
+              f"{str(e)[:250]}\nvalues: {vals[:300]}\n")
+        finds += 1
+    try:
+        lake.sql(f"COPY ({src}) TO '{io}/en.parquet' (FORMAT PARQUET)")
+        got = canon_duck(
+            con.execute(
+                f"SELECT * FROM read_parquet('{io}/en.parquet')"
+            ).fetchall()
+        )
+        if got != want:
+            print(f"\n=== engine-pq->duck NESTED DIVERGENCE table {ti} ===\n"
+                  f"values: {vals[:300]}\n got : {got}\n want: {want}\n")
+            finds += 1
+    except Exception as e:
+        print(f"\n=== engine-pq->duck NESTED ERROR table {ti} ===\n"
+              f"{str(e)[:250]}\nvalues: {vals[:300]}\n")
+        finds += 1
+    shutil.rmtree(io, ignore_errors=True)
+    return finds
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else random.randrange(1 << 30)
@@ -104,6 +205,10 @@ def main() -> int:
         con.execute(f"COPY src TO '{io}/d.parquet' (FORMAT PARQUET)")
         checks.append(("duck-pq->engine",
                        f"SELECT {sel_cols} FROM read_parquet('{io}/d.parquet')"))
+        # 5. duck json -> engine read_json
+        con.execute(f"COPY src TO '{io}/d.json' (FORMAT JSON)")
+        checks.append(("duck-json->engine",
+                       f"SELECT {sel_cols} FROM read_json('{io}/d.json')"))
         for label, q in checks:
             try:
                 got = _canon_rows(
@@ -137,6 +242,13 @@ def main() -> int:
             lake.sql(f"COPY ({src}) TO '{io}/e_pq' (FORMAT PARQUET)")
             wchecks.append(("engine-pq->duck",
                             f"SELECT {sel_cols} FROM read_parquet('{io}/e_pq/*.parquet')"))
+            lake.sql(f"COPY ({src}) TO '{io}/e.json' (FORMAT JSON)")
+            wchecks.append((
+                "engine-json->duck",
+                f"SELECT {sel_cols} FROM read_json('{io}/e.json', "
+                f"columns={{'k': 'BIGINT', 'v': 'BIGINT', "
+                f"'d': 'DOUBLE', 's': 'VARCHAR'}})",
+            ))
         except Exception as e:
             print(f"\n=== engine COPY ERROR table {ti} ===\n{str(e)[:250]}\n"
                   f"values: {vals[:300]}\n")
@@ -154,6 +266,7 @@ def main() -> int:
                       f"values: {vals[:300]}\n got : {got}\n want: {want}\n")
                 finds += 1
         shutil.rmtree(io, ignore_errors=True)
+        finds += _run_nested(lake, con, ti)
         if (ti + 1) % 5 == 0:
             print(f"{ti + 1}/{n} tables done, {finds} finds")
     print(f"\nTOTAL: {n} tables, {finds} finds")
