@@ -504,9 +504,79 @@ _COPY_PARTITION_BY_RE = re.compile(
 _READ_FILE_RE = re.compile(
     r"\bread_(parquet|csv|json|csv_auto|json_auto|ndjson|ndjson_auto)"
     r"\s*\(\s*(\[[^\]]*\]|'[^']+')\s*"
-    r"(?:,\s*encryption_config\s*=\s*\{\s*footer_key\s*:\s*'?(\w+)'?\s*\}\s*)?\)",
+    r"((?:,\s*(?:[^(){}',]|'[^']*'|\([^()]*\)|\{[^{}]*\})+)*)\)",
     re.I,
 )
+
+
+def _parse_tvf_options(tail: str) -> dict[str, str]:
+    """``key = value`` pairs from a read_* TVF's option tail — split on
+    top-level commas tracking quotes AND braces (``columns={'a':
+    'INT', …}`` carries commas inside ``{}``, which the general
+    split_top_level doesn't guard)."""
+    parts, buf, depth = [], [], 0
+    in_str = False
+    for ch in tail:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            buf.append(ch)
+            continue
+        if ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    opts: dict[str, str] = {}
+    for p in parts:
+        p = p.strip()
+        if not p:
+            continue
+        k, eq, v = p.partition("=")
+        if not eq:
+            raise ValueError(f"read_*: malformed option {p!r}")
+        opts[k.strip().lower()] = v.strip()
+    return opts
+
+
+def _tvf_columns_schema(spec: str) -> "T.StructType":
+    """``columns={'name': 'TYPE', …}`` → explicit Spark schema."""
+    body = spec.strip()
+    if not (body.startswith("{") and body.endswith("}")):
+        raise ValueError(f"read_*: malformed columns spec {spec!r}")
+    fields = []
+    # split entries on top-level commas, then 'name': 'TYPE'
+    entries, buf, in_str = [], [], False
+    for ch in body[1:-1]:
+        if ch == "'":
+            in_str = not in_str
+        if ch == "," and not in_str:
+            entries.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    entries.append("".join(buf))
+    for e in entries:
+        e = e.strip()
+        if not e:
+            continue
+        name, _, typ = e.partition(":")
+        fields.append(
+            T.StructField(
+                name.strip().strip("'\""),
+                ducklake_type_to_spark(typ.strip().strip("'\"")),
+            )
+        )
+    return T.StructType(fields)
 _COPY_FROM_RE = re.compile(
     r"^\s*COPY\s+([\w.\"]+)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*$",
     re.I | re.S,
@@ -8551,7 +8621,7 @@ class DuckLakeSpark:
             # values round-trip byte-exact: no whitespace trimming
             # (Spark's CSV writer trims both ends by DEFAULT), and
             # RFC-4180 "" quote doubling so DuckDB's reader agrees
-            (
+            w = (
                 writer.option("header", "true")
                 .option("ignoreLeadingWhiteSpace", "false")
                 .option("ignoreTrailingWhiteSpace", "false")
@@ -8559,8 +8629,37 @@ class DuckLakeSpark:
                 # write empty strings as quoted "" so readers (DuckDB,
                 # our own read_csv) keep them distinct from NULL
                 .option("emptyValue", '""')
-                .csv(out_path)
             )
+            # DuckDB COPY csv options (DELIMITER '|', HEADER false,
+            # NULL 'NA', QUOTE/ESCAPE, DATEFORMAT) map onto the writer
+            for om in re.finditer(
+                r"(?i)\b(DELIMITER|SEPARATOR|SEP|QUOTE|ESCAPE|NULLSTR|"
+                r"DATEFORMAT|TIMESTAMPFORMAT|HEADER|NULL)\b"
+                r"\s*('(?:[^']|'')*'|true|false|1|0)?",
+                opts or "",
+            ):
+                key, val = om.group(1).lower(), om.group(2)
+                if val and val.startswith("'"):
+                    val = val[1:-1].replace("''", "'")
+                if key == "header":
+                    w = w.option(
+                        "header",
+                        "false" if (val or "true").lower()
+                        in ("false", "0") else "true",
+                    )
+                elif key in ("delimiter", "separator", "sep"):
+                    if val:
+                        w = w.option("sep", val)
+                elif key in ("null", "nullstr"):
+                    if val is not None:
+                        w = w.option("nullValue", val)
+                elif val is not None:
+                    w = w.option(
+                        {"dateformat": "dateFormat",
+                         "timestampformat": "timestampFormat"}.get(key, key),
+                        val,
+                    )
+            w.csv(out_path)
         elif fmt == "json":
             writer.json(out_path)
         elif fmt == "parquet":
@@ -8621,10 +8720,34 @@ class DuckLakeSpark:
 
     # --------------------------------------------------------------- SELECT
 
-    def _read_files(self, kind: str, paths: list[str]) -> DataFrame:
+    # read_csv named options → Spark reader options (value transforms
+    # applied in _read_files); silently-ignorable knobs have no Spark
+    # meaning (we always auto-detect, compression is by extension)
+    _CSV_OPT_MAP = {
+        "delim": "sep", "sep": "sep", "quote": "quote",
+        "escape": "escape", "nullstr": "nullValue", "header": "header",
+        "dateformat": "dateFormat", "timestampformat": "timestampFormat",
+        "decimal_separator": None, "new_line": None,
+    }
+    _TVF_IGNORED = {
+        "auto_detect", "sample_size", "compression", "parallel",
+        "max_line_size", "normalize_names", "union_by_name",
+        "hive_partitioning", "format",
+    }
+
+    def _read_files(
+        self, kind: str, paths: list[str],
+        opts: dict[str, str] | None = None,
+    ) -> DataFrame:
         """Built-in Spark reader for the read_* TVFs and COPY FROM.
         Paths may be globs — Spark's file index expands them, exactly
-        like DuckDB's read_parquet('dir/*.parquet')."""
+        like DuckDB's read_parquet('dir/*.parquet').  ``opts`` carries
+        DuckDB-style named TVF options (``delim='|'``, ``header=false``,
+        ``columns={'a': 'INTEGER'}``, ``nullstr='NA'``,
+        ``all_varchar=true``, ``ignore_errors=true``; JSON:
+        ``format='array'``) mapped onto the Spark reader — unknown
+        options raise rather than silently changing results."""
+        opts = dict(opts or {})
         if kind == "parquet":
             # runtime-settable; the driver may hand us a vanilla session
             # and the fixture parquet carries TIMESTAMP(NANOS) columns
@@ -8688,7 +8811,7 @@ class DuckLakeSpark:
             # read parallelism — many files still fan out), and the
             # escape char is the double-quote itself ("" doubling, not
             # backslash).  IO fuzz finds (tests/fuzz_io.py).
-            return (
+            r = (
                 self.spark.read.option("header", "true")
                 .option("inferSchema", "true")
                 .option("multiLine", "true")
@@ -8700,9 +8823,45 @@ class DuckLakeSpark:
                 # empty unquoted field regardless of the sentinel.
                 .option("nullValue", "\\N")
                 .option("emptyValue", "")
-                .csv(paths)
             )
-        return self.spark.read.json(paths)
+            for k, v in opts.items():
+                if k in self._TVF_IGNORED or self._CSV_OPT_MAP.get(k, k) is None:
+                    continue
+                if k == "columns":
+                    r = r.schema(_tvf_columns_schema(v)).option(
+                        "inferSchema", "false"
+                    )
+                elif k == "all_varchar":
+                    if v.strip().lower() in ("true", "1"):
+                        r = r.option("inferSchema", "false")
+                elif k == "ignore_errors":
+                    if v.strip().lower() in ("true", "1"):
+                        r = r.option("mode", "DROPMALFORMED")
+                elif k in self._CSV_OPT_MAP:
+                    val = v.strip()
+                    if val.startswith("'") and val.endswith("'"):
+                        val = val[1:-1].replace("''", "'")
+                    r = r.option(self._CSV_OPT_MAP[k], val)
+                else:
+                    raise ValueError(f"read_csv: unsupported option {k!r}")
+            return r.csv(paths)
+        r = self.spark.read
+        for k, v in opts.items():
+            if k in self._TVF_IGNORED and k != "format":
+                continue
+            if k == "columns":
+                r = r.schema(_tvf_columns_schema(v))
+            elif k == "format":
+                # 'array' = one JSON array per file; the default
+                # newline_delimited is Spark's native mode
+                if v.strip().strip("'").lower() == "array":
+                    r = r.option("multiLine", "true")
+            elif k == "ignore_errors":
+                if v.strip().lower() in ("true", "1"):
+                    r = r.option("mode", "DROPMALFORMED")
+            else:
+                raise ValueError(f"read_json: unsupported option {k!r}")
+        return r.json(paths)
 
     _META_SUBQUERY_RE = re.compile(
         r"\(\s*(DESCRIBE|SUMMARIZE|SHOW)\b", re.I
@@ -8868,16 +9027,30 @@ class DuckLakeSpark:
         def _sub(m: re.Match) -> str:
             import hashlib
 
-            kind, arg, enc = m.group(1).lower(), m.group(2), m.group(3)
+            kind, arg, tail = m.group(1).lower(), m.group(2), m.group(3)
             # DuckDB's *_auto / ndjson aliases use the same readers
             kind = {"csv_auto": "csv", "json_auto": "json",
                     "ndjson": "json", "ndjson_auto": "json"}.get(kind, kind)
             paths = re.findall(r"'([^']+)'", arg)
+            opts = _parse_tvf_options(tail) if tail and tail.strip(", ") \
+                else {}
+            enc = None
+            if "encryption_config" in opts:
+                em = re.match(
+                    r"\{\s*footer_key\s*:\s*'?(\w+)'?\s*\}",
+                    opts.pop("encryption_config"),
+                )
+                if not em:
+                    raise ValueError("malformed encryption_config")
+                enc = em.group(1)
             # md5, not hash(): Python string hashing is per-process
             # salted, so hash()-derived view names differ across runs —
             # a debugging trap for anything that logs plans
             digest = hashlib.md5(
-                (";".join(paths) + (f";enc={enc}" if enc else "")).encode()
+                (";".join(paths)
+                 + (f";enc={enc}" if enc else "")
+                 + (f";opts={sorted(opts.items())}" if opts else "")
+                 ).encode()
             ).hexdigest()[:10]
             view = f"__read_{kind}_{digest}"
             if enc:
@@ -8886,11 +9059,20 @@ class DuckLakeSpark:
                         "encryption_config is only supported on "
                         "read_parquet"
                     )
+                if opts:
+                    raise ValueError(
+                        "encryption_config cannot combine with other "
+                        "read options"
+                    )
                 df = self._read_parquet_encrypted(
                     paths, self._resolve_parquet_key(enc)
                 )
             else:
-                df = self._read_files(kind, paths)
+                if kind == "parquet" and opts:
+                    raise ValueError(
+                        f"read_parquet: unsupported options {sorted(opts)}"
+                    )
+                df = self._read_files(kind, paths, opts)
             df.createOrReplaceTempView(view)
             return f" {view} "
 

@@ -303,7 +303,65 @@ def fam_regex() -> str:
     return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
 
 
+_UREL = ("(VALUES (0, 5, 2), (1, NULL, 7), (2, -3, NULL), (3, 8, 1), "
+         "(4, 0, 4)) u(k, i, j)")
+
+
+def fam_correlated_subq() -> str:
+    inner = pick(
+        f"(SELECT max(u.j) FROM {_UREL} WHERE u.k < t.k)",
+        f"(SELECT count(*) FROM {_UREL} WHERE u.j > t.j)",
+        f"(SELECT min(u.i) FROM {_UREL} WHERE u.k % 2 = t.k % 2)",
+        f"(SELECT sum(u.i) FROM {_UREL} WHERE u.k <= t.k)",
+        f"EXISTS (SELECT 1 FROM {_UREL} WHERE u.i = t.i)",
+        f"NOT EXISTS (SELECT 1 FROM {_UREL} WHERE u.j = t.j AND u.k < 3)",
+    )
+    out = pick("SELECT", "WHERE")
+    if out == "SELECT":
+        return f"SELECT k, {inner} AS r {fz._FROM} ORDER BY k"
+    cond = inner if "EXISTS" in inner else f"coalesce({inner}, -99) > j"
+    return f"SELECT k {fz._FROM} WHERE {cond} ORDER BY k"
+
+
+def fam_cte_chain() -> str:
+    cond = pick("i IS NOT NULL", "coalesce(j, 0) > -2", "k < 5", "b")
+    agg = pick("sum(coalesce(a.i, 0))", "count(*)", "min(a.k)")
+    final = pick(
+        "SELECT a.k, b.i2 FROM a JOIN b ON a.k = b.k ORDER BY a.k",
+        f"SELECT {agg} AS r FROM a LEFT JOIN b ON a.k = b.k",
+        "SELECT b.i2 FROM b WHERE b.i2 > (SELECT avg(coalesce(i, 0)) "
+        "FROM a) ORDER BY b.i2, b.k",
+    )
+    return (
+        f"WITH a AS (SELECT k, i, j, b {fz._FROM} WHERE {cond}), "
+        f"b AS (SELECT k, coalesce(i, 0) + 1 AS i2 FROM a "
+        f"WHERE k % {rng.randint(2, 3)} = 0) "
+        + final
+    )
+
+
+def fam_three_join() -> str:
+    j1 = pick("JOIN", "LEFT JOIN", "INNER JOIN")
+    j2 = pick("JOIN", "LEFT JOIN", "FULL JOIN")
+    vrel = ("(VALUES (0, 'p'), (2, 'q'), (4, 'r'), (6, NULL)) v(k, tag)")
+    proj = pick(
+        "t.k, u.i, v.tag",
+        "t.k, coalesce(u.j, -1) AS uj, coalesce(v.tag, '?') AS vt",
+        "count(*) AS n",
+    )
+    tail = "" if proj == "count(*) AS n" else " ORDER BY 1 NULLS LAST, 2 NULLS LAST, 3 NULLS LAST"
+    return (
+        f"SELECT {proj} FROM (VALUES (0, 7, 3), (1, -4, 2), (2, 0, -5), "
+        f"(3, NULL, 9), (4, 123, NULL), (5, -99, 4)) t(k, i, j) "
+        f"{j1} {_UREL} ON t.k = u.k "
+        f"{j2} {vrel} ON u.k = v.k{tail}"
+    )
+
+
 NEW_FAMILIES = {
+    "correlated_subq": fam_correlated_subq,
+    "cte_chain": fam_cte_chain,
+    "three_join": fam_three_join,
     "list_fns2": fam_list_fns2,
     "nested_case": fam_nested_case,
     "date2": fam_date2,

@@ -1498,6 +1498,36 @@ def test_update_from_delete_using_values_collist(lake):
     ]
 
 
+def test_read_csv_named_options(lake, tmp_path):
+    """DuckDB-style named TVF options: delim/header/nullstr/columns/
+    all_varchar on read_csv, format='array' on read_json, DELIMITER/
+    HEADER/NULL on COPY TO; unknown options raise loudly."""
+    import pytest as _pytest
+
+    p = f"{tmp_path}/p.csv"
+    open(p, "w").write("1|NA|x\n2|7|NA\n")
+    got = rows(lake.sql(
+        f"SELECT * FROM read_csv('{p}', delim='|', header=false, "
+        "nullstr='NA', columns={'a': 'INTEGER', 'b': 'INTEGER', "
+        "'c': 'VARCHAR'}) ORDER BY a;"
+    ))
+    assert got == [(1, None, "x"), (2, 7, None)]
+    j = f"{tmp_path}/arr.json"
+    open(j, "w").write('[{"a": 1}, {"a": 2}]')
+    assert rows(lake.sql(
+        f"SELECT a FROM read_json('{j}', format='array') ORDER BY a;"
+    )) == [(1,), (2,)]
+    out = f"{tmp_path}/o.csv"
+    lake.sql(
+        "COPY (SELECT 1 AS k, 'a|b' AS s UNION ALL SELECT 2, NULL) "
+        f"TO '{out}' (FORMAT CSV, DELIMITER '|', HEADER false, "
+        "NULL 'NA');"
+    )
+    assert open(out).read() == '1|"a|b"\n2|NA\n'
+    with _pytest.raises(ValueError, match="unsupported option"):
+        lake.sql(f"SELECT * FROM read_csv('{p}', bogus=1);")
+
+
 def test_csv_roundtrip_fidelity(lake, tmp_path):
     """CSV interop parity (round-5 IO fuzz finds): quoted embedded
     newlines stay one record (multiLine), whitespace survives both
