@@ -8698,7 +8698,22 @@ class DuckLakeSpark:
                 else "json" if low.endswith((".json", ".ndjson"))
                 else "parquet"
             )
-        df = self._read_files(fmt.lower(), [path])
+        # COPY (FORMAT CSV, DELIMITER '|', HEADER false, NULL 'NA', …)
+        # reader options route through the same map as read_csv's named
+        # options (keyword COPY grammar → key=value dict)
+        tvf_opts: dict[str, str] = {}
+        if opts:
+            for om in re.finditer(
+                r"(?i)\b(DELIMITER|SEPARATOR|SEP|QUOTE|ESCAPE|NULLSTR|"
+                r"DATEFORMAT|TIMESTAMPFORMAT|HEADER|NULL)\b"
+                r"\s*('(?:[^']|'')*'|true|false|1|0)?",
+                opts,
+            ):
+                key, val = om.group(1).lower(), om.group(2)
+                key = {"delimiter": "delim", "separator": "delim",
+                       "sep": "delim", "null": "nullstr"}.get(key, key)
+                tvf_opts[key] = val if val is not None else "true"
+        df = self._read_files(fmt.lower(), [path], tvf_opts)
         schema = self.table_schema(name)
         if {f.name for f in schema.fields} <= set(df.columns):
             sel = [

@@ -197,10 +197,26 @@ def main() -> int:
 
         io = tempfile.mkdtemp(prefix="iofuzz_")
         checks = []
-        # 1. duck csv -> engine read_csv
-        con.execute(f"COPY src TO '{io}/d.csv' (HEADER, DELIMITER ',')")
+        # 1. duck csv -> engine read_csv — sometimes under non-default
+        # writer options the reader must mirror (delim/nullstr/header)
+        delim = rng.choice([",", "|", ";", "\t"])
+        nullstr = rng.choice(["", "NA", "\\N"])
+        hdr = rng.random() < 0.8
+        dopts = f"HEADER {str(hdr).lower()}, DELIMITER '{delim}'"
+        ropts = f", delim='{delim}', header={str(hdr).lower()}"
+        if nullstr:
+            # FORCE_QUOTE keeps empty strings quoted ("") under a
+            # custom nullstr — Spark's univocity reader cannot give ''
+            # for an UNQUOTED empty field (parser nullValue and
+            # converter nullValue are one option); documented gap
+            dopts += f", NULL '{nullstr}', FORCE_QUOTE *"
+            ropts += f", nullstr='{nullstr}'"
+        if not hdr:
+            ropts += (", columns={'k': 'BIGINT', 'v': 'BIGINT', "
+                      "'d': 'DOUBLE', 's': 'VARCHAR'}")
+        con.execute(f"COPY src TO '{io}/d.csv' ({dopts})")
         checks.append(("duck-csv->engine",
-                       f"SELECT {sel_cols} FROM read_csv('{io}/d.csv')"))
+                       f"SELECT {sel_cols} FROM read_csv('{io}/d.csv'{ropts})"))
         # 3. duck parquet -> engine read_parquet
         con.execute(f"COPY src TO '{io}/d.parquet' (FORMAT PARQUET)")
         checks.append(("duck-pq->engine",

@@ -1526,6 +1526,15 @@ def test_read_csv_named_options(lake, tmp_path):
     assert open(out).read() == '1|"a|b"\n2|NA\n'
     with _pytest.raises(ValueError, match="unsupported option"):
         lake.sql(f"SELECT * FROM read_csv('{p}', bogus=1);")
+    # COPY FROM routes the same option map into the reader
+    lake.sql("CREATE TABLE imp(a INTEGER, b INTEGER, c VARCHAR);")
+    lake.sql(
+        f"COPY imp FROM '{p}' (FORMAT CSV, DELIMITER '|', HEADER false, "
+        "NULL 'NA');"
+    )
+    assert rows(lake.sql("SELECT * FROM imp ORDER BY a;")) == [
+        (1, None, "x"), (2, 7, None),
+    ]
 
 
 def test_csv_roundtrip_fidelity(lake, tmp_path):
