@@ -8563,6 +8563,15 @@ class DuckLakeSpark:
             df = self._select(source[1:-1])
         else:
             df = self.table_df(_unqualify(source))
+        if any(isinstance(f.dataType, T.NullType) for f in df.schema.fields):
+            # an all-NULL (VOID) column — Spark's CSV/parquet sinks
+            # reject the type; DuckDB types a bare NULL INTEGER and
+            # writes it, so do the same (round-5 IO fuzz find)
+            df = df.select(*[
+                F.col(f.name).cast("int").alias(f.name)
+                if isinstance(f.dataType, T.NullType) else F.col(f.name)
+                for f in df.schema.fields
+            ])
         fmt = part_cols = enc_key = None
         if opts:
             if fm := _COPY_FORMAT_RE.search(opts):

@@ -430,7 +430,8 @@ def main() -> int:
                 continue
             seen.add(stmt)
             checked += 1
-            if rng.random() < 0.15 and ";" not in stmt:
+            wrap = rng.random()
+            if wrap < 0.15 and ";" not in stmt:
                 # view-wrapped execution: stores the statement text and
                 # re-resolves it through the full dialect chain on read
                 # — idempotence and view-plane parity in one shot
@@ -440,6 +441,32 @@ def main() -> int:
                     stmt = "SELECT * FROM __fv"
                 except Exception:
                     pass  # either side rejecting the view form: skip wrap
+            elif wrap < 0.25 and ";" not in stmt:
+                # table-macro-wrapped: lazy-template expansion re-enters
+                # the chain at call time (DuckDB CREATE MACRO … AS TABLE)
+                try:
+                    lake.sql("DROP MACRO TABLE IF EXISTS __fm")
+                except Exception:
+                    pass
+                try:
+                    con.execute("DROP MACRO TABLE IF EXISTS __fm")
+                except Exception:
+                    pass
+                try:
+                    lake.sql(f"CREATE MACRO __fm() AS TABLE ({stmt})")
+                    con.execute(f"CREATE MACRO __fm() AS TABLE ({stmt})")
+                    stmt = "SELECT * FROM __fm()"
+                except Exception:
+                    pass  # either side rejecting the macro form: skip
+            elif wrap < 0.32 and ";" not in stmt:
+                # prepared-statement wrap: the stored text re-enters the
+                # chain at EXECUTE time
+                try:
+                    lake.sql(f"PREPARE __fp AS {stmt}")
+                    con.execute(f"PREPARE __fp AS {stmt}")
+                    stmt = "EXECUTE __fp"
+                except Exception:
+                    pass
             try:
                 fz._run_both(lake, con, stmt)
             except AssertionError as e:

@@ -1526,6 +1526,13 @@ def test_read_csv_named_options(lake, tmp_path):
     assert open(out).read() == '1|"a|b"\n2|NA\n'
     with _pytest.raises(ValueError, match="unsupported option"):
         lake.sql(f"SELECT * FROM read_csv('{p}', bogus=1);")
+    # an all-NULL (VOID) projection column is writable (DuckDB types a
+    # bare NULL INTEGER; Spark's sinks reject VOID — cast on COPY)
+    void_out = f"{tmp_path}/void.csv"
+    lake.sql(f"COPY (SELECT 1 AS k, NULL AS v) TO '{void_out}';")
+    assert rows(lake.sql(f"SELECT * FROM read_csv('{void_out}');")) == [
+        (1, None),
+    ]
     # COPY FROM routes the same option map into the reader
     lake.sql("CREATE TABLE imp(a INTEGER, b INTEGER, c VARCHAR);")
     lake.sql(
