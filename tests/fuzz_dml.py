@@ -205,6 +205,17 @@ def main() -> int:
                 con.execute(st)
             except Exception as e:
                 duck_err = e
+            # occasionally COMPACT mid-script (engine-only maintenance —
+            # a no-op relationally): the state compare AND the end-of-
+            # script time-travel replay must both survive file rewrites
+            if rng.random() < 0.12 and not eng_err and not duck_err:
+                try:
+                    lake.sql(f"CALL merge_adjacent_files('{tbl}')")
+                except Exception as e:
+                    print(f"\n=== COMPACT ERROR script {si} stmt {idx} ===\n"
+                          f"{str(e)[:250]}\n")
+                    finds += 1
+                    break
             if eng_err and duck_err:
                 continue  # both reject (e.g. constraint) — parity holds
             if eng_err or duck_err:
