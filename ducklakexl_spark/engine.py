@@ -3070,7 +3070,9 @@ def _top_level_colon(s: str) -> int:
     return -1
 
 
-def rewrite_bracket_syntax(stmt: str) -> str:
+def rewrite_bracket_syntax(
+    stmt: str, map_cols: frozenset[str] | None = None
+) -> str:
     """DuckDB bracket syntax → Spark SQL:
 
     - ``[e1, e2, …]`` list literal → ``array(e1, e2, …)``
@@ -3082,7 +3084,14 @@ def rewrite_bracket_syntax(stmt: str) -> str:
     A bracket is INDEXING when the previous significant token is an
     identifier / ``)`` / ``]`` / string literal (chained through ``.``),
     and a LITERAL otherwise (after keywords, operators, commas, or at
-    expression start).  Quote/comment-aware; recursive."""
+    expression start).  Quote/comment-aware; recursive.
+
+    ``map_cols`` carries the MAP-typed column names of every table the
+    statement references (resolved by the engine from the catalog
+    before this text pass): a subscript whose operand's final
+    identifier is one of them takes DuckDB's map semantics — the match
+    LIST-WRAPPED, ``[]`` on a miss — same emission as a syntactic
+    ``map(...)[k]``."""
     out: list[str] = []
     mark: int | None = None  # out-index where the current primary expr begins
     prev = ""  # last significant char class: 'w' word, '.', ')', "'", etc.
@@ -3143,7 +3152,7 @@ def rewrite_bracket_syntax(stmt: str) -> str:
             continue
         if ch == "(":
             close = _matching_bracket(stmt, i)
-            inner = rewrite_bracket_syntax(stmt[i + 1 : close])
+            inner = rewrite_bracket_syntax(stmt[i + 1 : close], map_cols)
             if prev not in ("w",):  # not a function call → new primary
                 mark = len(out)
             out.append("(" + inner + ")")
@@ -3152,7 +3161,9 @@ def rewrite_bracket_syntax(stmt: str) -> str:
             continue
         if ch == "[":
             close = _matching_bracket(stmt, i)
-            inner = rewrite_bracket_syntax(stmt[i + 1 : close]).strip()
+            inner = rewrite_bracket_syntax(
+                stmt[i + 1 : close], map_cols
+            ).strip()
             indexing = prev in ("w", ")", "]", "'") and mark is not None
             if indexing and not inner:
                 # DDL array-type suffix (INT[]) — leave untouched
@@ -3191,13 +3202,22 @@ def rewrite_bracket_syntax(stmt: str) -> str:
                     new = f"substr({expr}, {inner}, 1)"
                 elif re.match(
                     r"(?is)^\s*map(_from_entries|_concat)?\s*\(", expr
+                ) or (
+                    map_cols
+                    and (
+                        _ident_m := re.search(
+                            r'([A-Za-z_]\w*|"[^"]+")\s*$', expr
+                        )
+                    )
+                    and _ident_m.group(1).strip('"').lower() in map_cols
                 ):
                     # DuckDB map[k] returns the match LIST-WRAPPED
                     # ([] on a miss) — same emission as the
-                    # element_at/map_extract function forms.  Only a
+                    # element_at/map_extract function forms.  A
                     # syntactic map(...) operand is recognizable at the
-                    # text layer; a map-typed COLUMN subscript falls
-                    # through to list semantics (documented gap).
+                    # text layer; a map-typed COLUMN operand resolves
+                    # through ``map_cols`` (the engine passes the MAP
+                    # column names of every referenced table).
                     new = (
                         f"map_values(map_filter({expr}, "
                         f"(__k, __v) -> __k = {inner}))"
@@ -3219,7 +3239,7 @@ def rewrite_bracket_syntax(stmt: str) -> str:
             continue
         if ch == "{":
             close = _matching_bracket(stmt, i)
-            inner = rewrite_bracket_syntax(stmt[i + 1 : close])
+            inner = rewrite_bracket_syntax(stmt[i + 1 : close], map_cols)
             pairs = _split_bracket_args(inner)
             # MAP {'k': v, …} → map('k', v, …); bare {…} → named_struct
             as_map = (
@@ -6564,6 +6584,30 @@ class DuckLakeSpark:
             ]
         )
 
+    def _map_column_names(self, stmt: str) -> frozenset[str] | None:
+        """MAP-typed column names of every catalog table the statement
+        references — the resolve-before-rewrite input that lets the
+        bracket pass give ``m[k]`` on a map COLUMN DuckDB's
+        list-wrapped semantics (a purely textual pass can only
+        recognize syntactic ``map(...)`` operands).  None when no
+        referenced table has a map column (the common case — the
+        rewrite then stays zero-cost)."""
+        ids = {s.lower() for s in sql_identifiers(stmt)}
+        found: set[str] = set()
+        for tbl in self.catalog.table_names():
+            if tbl.lower() not in ids:
+                continue
+            try:
+                schema = self.table_schema(tbl)
+            except Exception:
+                continue
+            found.update(
+                f.name.lower()
+                for f in schema.fields
+                if isinstance(f.dataType, T.MapType)
+            )
+        return frozenset(found) or None
+
     def _insert(
         self,
         name: str,
@@ -9575,9 +9619,11 @@ class DuckLakeSpark:
         register the result as a view and splice it back in.
 
         Scope (like rewrite_qualify): one ASOF join per statement, both
-        sides aliased, equality conjuncts plus ONE backward inequality
-        (``l.ts >= r.ts`` / ``>``); carried right columns must not
-        collide with left columns — alias them in the subqueries."""
+        sides aliased, equality conjuncts plus ONE inequality — backward
+        (``l.ts >= r.ts`` / ``>``: latest earlier right row) or forward
+        (``l.ts <= r.ts`` / ``<``: earliest later right row); carried
+        right columns must not collide with left columns — alias them in
+        the subqueries."""
         pos = find_top_level_keyword(stmt, "ASOF")
         if pos < 0:
             return stmt
@@ -9599,7 +9645,8 @@ class DuckLakeSpark:
         cond_end = tail_keyword_pos(stmt, onpos + 2)
         cond = stmt[onpos + 2 : cond_end]
         eqs: list[tuple[str, str]] = []
-        ineq: tuple[str, str, bool] | None = None  # (left_ts, right_ts, strict)
+        # (left_ts, right_ts, strict, direction)
+        ineq: tuple[str, str, bool, str] | None = None
         for conj in split_top_level_kw(cond, "AND"):
             cm = re.fullmatch(
                 r"\s*(\w+)\.(\w+)\s*(=|>=|<=|>|<)\s*(\w+)\.(\w+)\s*",
@@ -9619,17 +9666,19 @@ class DuckLakeSpark:
                 raise ValueError(f"ASOF JOIN conjunct aliases: {conj.strip()!r}")
             if op == "=":
                 eqs.append((c1, c2))
-            elif op in (">=", ">"):
+            else:
                 if ineq is not None:
                     raise NotImplementedError("multiple ASOF inequalities")
-                ineq = (c1, c2, op == ">")
-            else:
-                raise NotImplementedError(
-                    "forward (<=) ASOF JOIN not supported through sql() text"
+                # l.ts >= r.ts → latest earlier right row (backward);
+                # l.ts <= r.ts → earliest later right row (forward,
+                # DuckDB's other ASOF direction)
+                ineq = (
+                    c1, c2, op in (">", "<"),
+                    "backward" if op in (">=", ">") else "forward",
                 )
         if ineq is None:
             raise ValueError("ASOF JOIN requires an inequality condition")
-        left_ts, right_ts, strict = ineq
+        left_ts, right_ts, strict, direction = ineq
         ldf, rdf = self._rel_df(lrel), self._rel_df(rrel)
         for lk, rk in eqs:
             if lk != rk:
@@ -9654,6 +9703,7 @@ class DuckLakeSpark:
             right_cols=right_cols,
             how=how,
             strict=strict,
+            direction=direction,
         )
         view = "__asof_join_result"
         out.createOrReplaceTempView(view)
@@ -9795,7 +9845,9 @@ class DuckLakeSpark:
         stmt = rewrite_trailing_commas(stmt)
         stmt = rewrite_list_comprehension(stmt)
         stmt = rewrite_array_type_suffix(stmt)
-        stmt = rewrite_bracket_syntax(stmt)
+        stmt = rewrite_bracket_syntax(
+            stmt, self._map_column_names(stmt) if "[" in stmt else None
+        )
         # FROM-position series TVFs must resolve before the dialect pass
         # renames scalar generate_series/range to sequence()
         stmt = self._rewrite_series_tvf(stmt)

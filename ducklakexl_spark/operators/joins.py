@@ -27,24 +27,32 @@ def asof_join(
     right_cols: list[str],
     how: str = "left",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.right_ts <= left.left_ts`` (``<`` when ``strict``) within the
-    same ``on`` key(s).  ``how='inner'`` drops left rows with no match
-    (DuckDB's plain ``ASOF JOIN``); ``'left'`` keeps them NULL-padded.
+    same ``on`` key(s); ``direction='forward'`` flips the comparison —
+    the EARLIEST right row with ``right_ts >= left_ts`` (``>`` when
+    strict).  ``how='inner'`` drops left rows with no match (DuckDB's
+    plain ``ASOF JOIN``); ``'left'`` keeps them NULL-padded.
 
     Implementation: tag and union both sides, sort per key by (ts,
     side-priority), carry the right side's values forward with
-    ``last(..., ignorenulls=True)``, keep left rows.  Exactly one shuffle
+    ``last(..., ignorenulls=True)`` (forward direction: ``first`` over
+    the mirrored following-frame), keep left rows.  Exactly one shuffle
     on the key — never a range cross-product, and skew on the key is
     AQE-handled like any other sort."""
     keys = [on] if isinstance(on, str) else list(on)
+    forward = direction == "forward"
     lt = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
         "__side", F.lit(1)
     )
-    # inclusive match: right rows sort BEFORE left rows at equal ts (side 0)
-    # strict match: right rows sort AFTER left rows at equal ts (side 2),
-    # so an equal-ts right row is invisible to the carry-forward window.
+    # Backward: inclusive match sorts right rows BEFORE left at equal ts
+    # (side 0) so the preceding-frame carry sees them; strict sorts them
+    # AFTER (side 2), invisible.  Forward mirrors: the frame FOLLOWS the
+    # current row, so inclusive needs right AFTER left (side 2), strict
+    # right BEFORE (side 0).
+    right_side = (0 if strict else 2) if forward else (2 if strict else 0)
     rt = (
         right.withColumn("__m", F.lit(1))
         .select(
@@ -52,19 +60,28 @@ def asof_join(
             F.col(right_ts).cast("timestamp").alias("__ts"),
             *[F.col(c).alias(f"__r_{c}") for c in [*right_cols, "__m"]],
         )
-        .withColumn("__side", F.lit(2 if strict else 0))
+        .withColumn("__side", F.lit(right_side))
     )
     merged = lt.unionByName(rt, allowMissingColumns=True)
     carry = [*right_cols, "__m"]
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__side"))
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+    if forward:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__side"))
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        pick = F.first
+    else:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__side"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        pick = F.last
     carried = merged.select(
         "*",
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
             for c in carry
         ],
     )

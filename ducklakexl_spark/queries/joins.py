@@ -50,6 +50,42 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_forward",
+    oracle="""
+    SELECT c.event_id,
+           c.user_id,
+           round(c.value, 2)  AS click_value,
+           round(p.value, 2)  AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward (``<=``) as-of join: for every click, the value of the
+    same user's EARLIEST purchase at or after the click.  Same
+    union + carry plan as the backward direction, mirrored — a
+    following-frame ``first`` instead of a preceding-frame ``last``
+    (operators/joins.py:asof_join direction='forward'), one shuffle on
+    user_id, no range cross-product.  VERDICT r5 task 4."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_value"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value"), 2).alias("click_value"),
+        F.round(F.col("purchase_value"), 2).alias("next_purchase_value"),
+    )
+
+
+@query(
     "positional_region_nation",
     oracle="""
     SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name

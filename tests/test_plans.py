@@ -435,3 +435,12 @@ def test_ivfpq_no_joins_before_topk(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_forward_union_window_no_bnlj(spark):
+    """Forward ASOF (VERDICT r5 task 4) keeps the union + carry plan:
+    one shuffle on the key, never a nested-loop range product."""
+    plan = executed_plan(spark, "asof_forward")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

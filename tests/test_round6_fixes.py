@@ -119,6 +119,56 @@ def test_correlated_in_subquery_detector():
     )
 
 
+# ------------------------------------------------- VERDICT r5 task 4
+def test_forward_asof_through_sql_text(lake):
+    lake.sql("CREATE TABLE al(ts INTEGER, k INTEGER)")
+    lake.sql("INSERT INTO al VALUES (1,1),(5,1),(9,1),(2,2)")
+    lake.sql("CREATE TABLE ar(ts INTEGER, k INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO ar VALUES (2,1,'a'),(6,1,'b'),(2,2,'c')")
+    out = [
+        tuple(r)
+        for r in lake.sql(
+            "SELECT l.ts AS lts, r.v AS v FROM al l ASOF LEFT JOIN ar r"
+            " ON l.k = r.k AND l.ts <= r.ts ORDER BY lts"
+        ).collect()
+    ]
+    assert out == [(1, "a"), (2, "c"), (5, "b"), (9, None)]
+    # strict forward, inner: equal-ts right row invisible
+    out2 = [
+        tuple(r)
+        for r in lake.sql(
+            "SELECT l.ts AS lts, r.v AS v FROM al l ASOF JOIN ar r"
+            " ON l.k = r.k AND l.ts < r.ts ORDER BY lts"
+        ).collect()
+    ]
+    assert out2 == [(1, "a"), (5, "b")]
+
+
+# ------------------------------------------------- VERDICT r5 task 3
+def test_map_column_subscript_list_wraps(lake):
+    """``m[k]`` on a MAP-typed COLUMN takes DuckDB's list-wrapped
+    semantics ([v] on hit, [] on miss) — previously only syntactic
+    ``map(...)[k]`` did (the r5 documented gap, engine.py)."""
+    lake.sql(
+        "CREATE TABLE mtab AS SELECT map(['a','b'], [1, 2]) AS m, 1 AS id"
+    )
+    out = rows(lake.sql("SELECT m['a'] AS v, m['z'] AS miss FROM mtab"))
+    assert out == [(([1]), [])] or out == [([1], [])]
+    # DuckDB 1.0 parity (literal and column agree)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE mtab AS SELECT map(['a','b'],[1,2]) m, 1 id")
+    ref = con.execute("SELECT m['a'] AS v, m['z'] AS miss FROM mtab").fetchall()
+    assert [tuple(r) for r in ref] == [([1], [])]
+    # alias-qualified operand and expression contexts
+    out2 = rows(
+        lake.sql("SELECT t.m['b'] AS v FROM mtab t WHERE t.m['a'] = [1]")
+    )
+    assert out2 == [([2],)]
+    # array columns keep element semantics
+    lake.sql("CREATE TABLE atab AS SELECT array(10, 20) AS arr")
+    assert rows(lake.sql("SELECT arr[1] AS v FROM atab")) == [(10,)]
+
+
 def test_correlated_projected_in_keeps_native_form(lake):
     """A correlated IN in a projected position must still PLAN (the 3VL
     probe rewrite would make Spark's decorrelation reject it)."""
