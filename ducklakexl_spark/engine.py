@@ -1070,11 +1070,125 @@ def _inside_string_literal(stmt: str, pos: int) -> bool:
 
 
 _GROUPS_FRAME_RE = re.compile(
-    r"\bGROUPS\s+(BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+CURRENT\s+ROW"
-    r"|BETWEEN\s+CURRENT\s+ROW\s+AND\s+UNBOUNDED\s+FOLLOWING"
+    # every digit-less frame: with only UNBOUNDED/CURRENT bounds,
+    # GROUPS coincides with RANGE outright (RANGE bounds at CURRENT ROW
+    # span the whole peer group by definition)
+    r"\bGROUPS\s+(BETWEEN\s+(?:UNBOUNDED\s+PRECEDING|CURRENT\s+ROW)\s+"
+    r"AND\s+(?:UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW)"
     r"|UNBOUNDED\s+PRECEDING)\b",
     re.I,
 )
+
+
+_GROUPS_BOUND = (
+    r"(?:UNBOUNDED\s+(?:PRECEDING|FOLLOWING)|CURRENT\s+ROW|"
+    r"\d+\s+(?:PRECEDING|FOLLOWING))"
+)
+_GROUPS_OFFSET_RE = re.compile(
+    rf"\bGROUPS\s+(?:BETWEEN\s+({_GROUPS_BOUND})\s+AND\s+"
+    rf"({_GROUPS_BOUND})|(\d+\s+PRECEDING))",
+    re.I,
+)
+_SIMPLE_REL_RE = re.compile(
+    r"^\s*([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*(?:\bWHERE\b.*)?$",
+    re.I | re.S,
+)
+
+
+def rewrite_groups_offset_frames(stmt: str) -> str:
+    """DuckDB ``GROUPS`` frames WITH numeric group offsets (``GROUPS
+    BETWEEN 2 PRECEDING AND 1 FOLLOWING``): offsets count peer GROUPS,
+    which Spark's ROWS/RANGE cannot express directly.  General rewrite
+    (VERDICT r5 task 8): materialize the running group index —
+    ``dense_rank()`` over the window's own partition/order — in a
+    derived table, then reframe as ``RANGE`` over that dense integer
+    (offsets over a dense group index ARE group offsets; CURRENT
+    ROW/UNBOUNDED bounds carry over unchanged since peers share one
+    index).  Scope: plain SELECT (no top-level GROUP BY/HAVING —
+    windows over aggregated rows would need the subquery to aggregate
+    first); EXCLUDE combined with a GROUPS offset still raises."""
+    if not _GROUPS_OFFSET_RE.search(stmt):
+        return stmt
+    fpos = find_top_level_keyword(stmt, "FROM")
+    specs: list[tuple[int, int, str]] = []  # (open, close, inner)
+    for m in re.finditer(r"\bOVER\s*\(", stmt, re.I):
+        if _inside_string_literal(stmt, m.start()):
+            continue
+        open_p = m.end() - 1
+        close = matching_paren(stmt, open_p)
+        specs.append((open_p, close, stmt[open_p + 1 : close]))
+    grp_keys: dict[tuple[str, str], str] = {}
+    edits: list[tuple[int, int, str]] = []
+    for open_p, close, spec in specs:
+        fm = _GROUPS_OFFSET_RE.search(spec)
+        if not fm or not re.search(r"\d", fm.group(0)):
+            continue
+        if re.search(r"\bEXCLUDE\b", spec, re.I):
+            raise ValueError(
+                "GROUPS offset frames with EXCLUDE are not supported"
+            )
+        pm = re.search(r"\bPARTITION\s+BY\b", spec, re.I)
+        om = re.search(r"\bORDER\s+BY\b", spec, re.I)
+        if not om:
+            raise ValueError("GROUPS frame requires an ORDER BY")
+        part = spec[pm.start() : om.start()].strip() if pm else ""
+        order = spec[om.end() : fm.start()].strip().rstrip(",")
+        key = (re.sub(r"\s+", " ", part).lower(),
+               re.sub(r"\s+", " ", order).lower())
+        if key not in grp_keys:
+            grp_keys[key] = (f"__grp{len(grp_keys) + 1}", part, order)
+        col = grp_keys[key][0]
+        if fm.group(3):  # shorthand "GROUPS n PRECEDING"
+            lo, hi = fm.group(3), "CURRENT ROW"
+        else:
+            lo, hi = fm.group(1), fm.group(2)
+        new_spec = (
+            (part + " " if part else "")
+            + f"ORDER BY {col} RANGE BETWEEN {lo} AND {hi}"
+        )
+        edits.append((open_p + 1, close, new_spec))
+    if not edits:
+        return stmt
+    if fpos < 0:
+        raise ValueError(
+            "GROUPS frames with group offsets need a FROM clause"
+        )
+    for open_p, close, new_spec in sorted(edits, reverse=True):
+        stmt = stmt[:open_p] + new_spec + stmt[close:]
+    # re-locate FROM: the spec edits shifted every offset after them
+    fpos = find_top_level_keyword(stmt, "FROM")
+    for kw in ("GROUP", "HAVING"):
+        p = find_top_level_keyword(stmt, kw, fpos)
+        if p >= 0:
+            raise ValueError(
+                "GROUPS frames with group offsets are not supported "
+                "over aggregated (GROUP BY/HAVING) queries"
+            )
+    # split the outer tail (ORDER BY / LIMIT apply to the final result)
+    tail_candidates = [
+        p
+        for p in (
+            find_top_level_keyword(stmt, k, fpos) for k in ("ORDER", "LIMIT")
+        )
+        if p >= 0
+    ]
+    cut = min(tail_candidates) if tail_candidates else len(stmt)
+    head, inner_src, outer_tail = stmt[:fpos], stmt[fpos + 4 : cut], stmt[cut:]
+    rel_m = _SIMPLE_REL_RE.match(inner_src)
+    sub_alias = (
+        (rel_m.group(2) or rel_m.group(1).rsplit(".", 1)[-1])
+        if rel_m
+        else "__groups_src"
+    )
+    grp_exprs = ", ".join(
+        f"DENSE_RANK() OVER ({(part + ' ') if part else ''}"
+        f"ORDER BY {order}) AS {col}"
+        for col, part, order in grp_keys.values()
+    )
+    return (
+        f"{head} FROM (SELECT *, {grp_exprs} FROM {inner_src.strip()}) "
+        f"{sub_alias} {outer_tail}"
+    )
 
 
 def rewrite_groups_frame(stmt: str) -> str:
@@ -1082,8 +1196,9 @@ def rewrite_groups_frame(stmt: str) -> str:
     with RANGE: unbounded-to-current (RANGE includes the current row's
     peer group by definition, which is exactly what GROUPS means there)
     and the mirror current-to-unbounded.  Offset GROUPS frames (``2
-    PRECEDING``) count peer GROUPS, which RANGE cannot express without a
-    dense_rank pre-pass — those raise rather than silently mis-frame."""
+    PRECEDING``) count peer GROUPS — the dense_rank pre-pass
+    (rewrite_groups_offset_frames) handles supported shapes first; any
+    residual raises rather than silently mis-frames."""
     out = _GROUPS_FRAME_RE.sub(
         lambda m: m.group(0)
         if _inside_string_literal(stmt, m.start())
@@ -5616,11 +5731,30 @@ class DuckLakeSpark:
         m = re.match(r"^\s*EXPORT\s+DATABASE\s+'([^']+)'", stmt, re.I)
         if m:
             # DuckDB's EXPORT DATABASE: every table as parquet plus a
-            # schema.sql replay script (CREATE TABLE + COPY FROM) —
-            # the portable dump/restore pair
+            # schema.sql replay script (CREATE TABLE/SEQUENCE/MACRO/VIEW
+            # + COPY FROM) — the portable dump/restore pair
             outdir = m.group(1)
             os.makedirs(outdir, exist_ok=True)
             lines = []
+            # sequences first (a table DEFAULT may call nextval);
+            # exported at their CURRENT next value so restored inserts
+            # continue, not restart
+            tags = self.catalog.live("ducklake_tag")
+            for r in tags[tags["key"].str.startswith("sequence:")].itertuples():
+                st = json.loads(r.value)
+                if st is None:  # dropped
+                    continue
+                lines.append(
+                    f"CREATE SEQUENCE {r.key.split(':', 1)[1]} "
+                    f"START {st['next']} INCREMENT {st['increment']};"
+                )
+            for name, (params, body, is_table) in self._macros.items():
+                lines.append(
+                    f"CREATE MACRO {name}({', '.join(params)}) AS "
+                    + ("TABLE " if is_table else "")
+                    + body
+                    + ";"
+                )
             for t in self.catalog.table_names():
                 path = os.path.join(outdir, f"{t}.parquet")
                 self.table_df(t).write.mode("overwrite").parquet(path)
@@ -5632,6 +5766,10 @@ class DuckLakeSpark:
                 )
                 lines.append(f"CREATE TABLE {t}({coldefs});")
                 lines.append(f"COPY {t} FROM '{path}' (FORMAT PARQUET);")
+            for v in self.catalog.view_names():
+                lines.append(
+                    f"CREATE VIEW {v} AS {self.catalog.view_sql(v)};"
+                )
             iofs.write_text(
                 os.path.join(outdir, "schema.sql"), "\n".join(lines) + "\n"
             )
@@ -9895,6 +10033,7 @@ class DuckLakeSpark:
         stmt = self._rewrite_positional_text(stmt)
         stmt = rewrite_qualify(stmt)
         stmt = rewrite_window_exclude(stmt)
+        stmt = rewrite_groups_offset_frames(stmt)
         stmt = rewrite_groups_frame(stmt)
         stmt = rewrite_using_sample(stmt)
         stmt = rewrite_order_by_null_defaults(stmt)

@@ -82,13 +82,16 @@ def test_groups_frame_rewrites_and_offsets_raise(compat):
         "PRECEDING AND CURRENT ROW) AS s FROM (VALUES (1),(1),(2)) t(x)"
     ).collect()
     assert sorted((r["x"], r["s"]) for r in rows) == [(1, 2), (1, 2), (2, 4)]
-    import pytest as _pt
-
-    with _pt.raises(ValueError, match="GROUPS frames"):
-        lake.sql(
-            "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING "
-            "AND CURRENT ROW) FROM (VALUES (1)) t(x)"
-        )
+    # offset GROUPS frames execute since round 6 (dense_rank group-index
+    # rewrite, engine.rewrite_groups_offset_frames); full differential
+    # coverage in tests/test_round6_fixes.py::test_groups_offset_frames
+    rows2 = lake.sql(
+        "SELECT x, sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING "
+        "AND CURRENT ROW) AS s FROM (VALUES (1),(1),(2),(4)) t(x)"
+    ).collect()
+    assert sorted((r["x"], r["s"]) for r in rows2) == [
+        (1, 2), (1, 2), (2, 4), (4, 6),
+    ]
 
 
 def test_second_dialect_batch(compat):
