@@ -128,14 +128,20 @@ class DuckLakeCatalog:
         reads one column of one small parquet; the save itself is the
         atomic directory swap.  (Single-writer-at-a-time per store —
         the same model DuckLake gets from its catalog database's
-        transactions; a loser refresh()es and retries.)"""
-        disk = self.store.peek_snapshot()
-        if disk is not None and disk != self._base_snapshot:
-            raise ConcurrentWriteError(
-                f"catalog store advanced to snapshot {disk} (this writer "
-                f"is at {self._base_snapshot}): refresh() and retry"
-            )
-        self.store.save(self.tables)
+        transactions; a loser refresh()es and retries.)  The store's
+        commit_lock makes the check-then-save pair atomic — without it
+        two same-base writers racing through this window could both
+        save, silently dropping one commit (thread-fuzz find,
+        tests/fuzz_concurrency.py)."""
+        with self.store.commit_lock():
+            disk = self.store.peek_snapshot()
+            if disk is not None and disk != self._base_snapshot:
+                raise ConcurrentWriteError(
+                    f"catalog store advanced to snapshot {disk} (this "
+                    f"writer is at {self._base_snapshot}): refresh() and "
+                    "retry"
+                )
+            self.store.save(self.tables)
         self._base_snapshot = self.current_snapshot
 
     # -- low-level helpers --------------------------------------------------

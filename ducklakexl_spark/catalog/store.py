@@ -13,9 +13,11 @@ envelope), and the data plane reads them to resolve file lists.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
+import time
 
 import pandas as pd
 import pyarrow as pa
@@ -82,6 +84,47 @@ class CatalogStore:
             if os.path.isdir(self.path):
                 os.rmdir(self.path)  # empty dir from __init__'s makedirs
             os.rename(backup, self.path)
+
+    @contextlib.contextmanager
+    def commit_lock(self, timeout: float = 30.0):
+        """Mutual exclusion for the optimistic check-then-save pair.
+
+        peek_snapshot() → save() is check-then-act; without a lock, two
+        writers at the same base snapshot can interleave between the
+        check and the rename and BOTH succeed — one commit silently
+        lost (found by tests/fuzz_concurrency.py with real threads).
+        An O_EXCL lockfile serializes the critical section across
+        processes and threads on the same store; a lock older than
+        ``timeout`` is presumed crashed and broken.  Contention is
+        per-COMMIT (milliseconds), not per-row, so this adds nothing
+        to the data plane."""
+        lock = self.path + ".lock"
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.monotonic() - os.path.getmtime(lock) > timeout:
+                        os.unlink(lock)  # stale holder — break the lock
+                        continue
+                except FileNotFoundError:
+                    continue  # released between open and stat — retry now
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"catalog commit lock {lock!r} held too long"
+                    )
+                time.sleep(0.005)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     def exists(self) -> bool:
         self._recover()

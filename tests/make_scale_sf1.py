@@ -1,0 +1,115 @@
+"""Deterministic 10x expansion of /root/testdata/sf0.1 → scale_sf1/
+(~6M-row lineitem), the round-6 scale-stress corpus (VERDICT r5 task 1).
+
+Facts (lineitem, orders, events, documents, embeddings) replicate 10x
+with key shifts that preserve referential integrity; dimensions stay
+dim-sized (that IS the realistic shape at scale — facts grow, dims
+don't).  Injected skew:
+
+- events.user_id: in copies 1-9, 30% of rows remap to hot user 42
+  (deterministic on event_id) — ~27% of all events on one key, the
+  shape AQE skew-join / salting has to absorb.
+- lineitem.l_orderkey: in copies 1-9, 5% of rows attach to hot order 1
+  (the matching orders row exists in copy 0), so orderkey joins and
+  aggs see a ~4.5% single-key hot spot.
+
+Copy 0 is byte-identical to sf0.1, so request-sized anchors
+(vec_id < 10 query vectors, doc_id probes) keep their meaning.
+Everything is a pure function of the source rows — rerunning
+regenerates identical files (no RNG, no clock).
+
+Usage: python tests/make_scale_sf1.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+SHIFT = 10_000_000  # per-copy key shift, far above any sf0.1 key
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scale_sf1",
+    )
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+
+    def gen(table: str, select: str) -> None:
+        dst = os.path.join(out, f"{table}.parquet")
+        con.execute(
+            f"COPY ({select}) TO '{dst}' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    # dimensions: unchanged
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        gen(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+
+    gen(
+        "orders",
+        f"""
+        SELECT o_orderkey + g.i * {SHIFT} AS o_orderkey,
+               o_custkey, o_orderstatus,
+               -- hash-keyed sub-cent perturbation: duplication would
+               -- otherwise make every price a 10-way tie and
+               -- arg_max/arg_min nondeterministic in BOTH engines; a
+               -- LINEAR epsilon is no fix (key-grid deltas land exactly
+               -- on the 0.01 price grid) — a hashed one has no grid
+               o_totalprice
+                 + (hash(o_orderkey + g.i * {SHIFT}) % 9999991) * 1e-9
+                 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM read_parquet('{SRC}/orders.parquet'), range(10) g(i)
+        """,
+    )
+    gen(
+        "lineitem",
+        f"""
+        SELECT CASE WHEN g.i > 0 AND l_orderkey % 20 = 0 THEN 1
+                    ELSE l_orderkey + g.i * {SHIFT} END AS l_orderkey,
+               l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag,
+               l_linestatus, l_shipdate
+        FROM read_parquet('{SRC}/lineitem.parquet'), range(10) g(i)
+        """,
+    )
+    gen(
+        "events",
+        f"""
+        SELECT event_id + g.i * {SHIFT} AS event_id, ts,
+               CASE WHEN g.i > 0 AND event_id % 10 < 3 THEN 42
+                    ELSE user_id END AS user_id,
+               event_type, value, props
+        FROM read_parquet('{SRC}/events.parquet'), range(10) g(i)
+        """,
+    )
+    gen(
+        "documents",
+        f"""
+        SELECT doc_id + g.i * {SHIFT} AS doc_id, text, lang, source,
+               n_chars
+        FROM read_parquet('{SRC}/documents.parquet'), range(10) g(i)
+        """,
+    )
+    gen(
+        "embeddings",
+        f"""
+        SELECT vec_id + g.i * {SHIFT} AS vec_id, embedding, label
+        FROM read_parquet('{SRC}/embeddings.parquet'), range(10) g(i)
+        """,
+    )
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
