@@ -3207,6 +3207,8 @@ def rewrite_bracket_syntax(
     identifier is one of them takes DuckDB's map semantics — the match
     LIST-WRAPPED, ``[]`` on a miss — same emission as a syntactic
     ``map(...)[k]``."""
+    if "[" not in stmt and "{" not in stmt:
+        return stmt
     out: list[str] = []
     mark: int | None = None  # out-index where the current primary expr begins
     prev = ""  # last significant char class: 'w' word, '.', ')', "'", etc.
@@ -4265,6 +4267,8 @@ def rewrite_decimal_div(stmt: str) -> str:
     pass) so engine-emitted SQL keeps its intended typing.  Skips
     ``//`` (floor division — a later pass), keyword operands (CASE,
     INTERVAL, …), and already-wrapped RHS (idempotence)."""
+    if "/" not in stmt:
+        return stmt
     out: list[str] = []
     in_str: str | None = None
     i, n = 0, len(stmt)
@@ -4330,7 +4334,7 @@ def rewrite_duck_operators(stmt: str) -> str:
     it), and ``DATE 'lit' ± INTERVAL`` (DuckDB types the sum TIMESTAMP,
     Spark keeps DATE for month intervals — pre-cast the literal)."""
     search_from = 0
-    while True:
+    while "**" in stmt[search_from:]:
         m = _POW_OP_RE.search(stmt, search_from)
         if not m:
             break
@@ -4883,6 +4887,8 @@ def rewrite_floor_div(stmt: str) -> str:
     (both truncate toward zero on integers), binary ``~`` / ``!~`` regex
     match → ``RLIKE`` / ``NOT RLIKE`` (unary bitwise ``~`` — no operand
     on the left — is left alone).  Quote/comment-aware."""
+    if "//" not in stmt and "~" not in stmt:  # no trigger chars at all
+        return stmt
     out: list[str] = []
     in_str: str | None = None
     prev_sig = ""  # last significant char — '' at start
