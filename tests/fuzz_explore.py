@@ -358,7 +358,28 @@ def fam_three_join() -> str:
     )
 
 
+def fam_map_subscript() -> str:
+    """Map-typed COLUMN subscripts (round-6: resolve-before-rewrite via
+    catalog types) — hit/miss keys, alias-qualified operands, chained
+    [k][1], element_at parity, WHERE-position use.  Runs against the
+    ``__mt`` fixture table created in main()."""
+    key = pick("'a'", "'b'", "'zz'", "'k1'", "'k3'")
+    alias = pick("", "t2.")
+    frm = "FROM __mt t2" if alias else "FROM __mt"
+    return pick(
+        f"SELECT id, {alias}m[{key}] AS r {frm} ORDER BY id",
+        f"SELECT id, {alias}m[{key}][1] AS r {frm} ORDER BY id",
+        f"SELECT id, element_at({alias}m, {key}) AS r {frm} ORDER BY id",
+        f"SELECT id {frm} WHERE {alias}m[{key}] = [id] ORDER BY id",
+        f"SELECT id, coalesce({alias}m[{key}][1], -1) AS r {frm} "
+        f"ORDER BY id",
+        f"SELECT id, {alias}m['k' || CAST(id AS VARCHAR)][1] AS r {frm} "
+        f"ORDER BY id",
+    )
+
+
 NEW_FAMILIES = {
+    "map_subscript": fam_map_subscript,
     "correlated_subq": fam_correlated_subq,
     "cte_chain": fam_cte_chain,
     "three_join": fam_three_join,
@@ -393,6 +414,14 @@ def main() -> int:
         spark=spark, data_path=f"{tmp}/d", local_catalog=f"{tmp}/c"
     )
     con = duckdb.connect()
+    # map-column fixture for fam_map_subscript (same text both engines)
+    _mt_sql = (
+        "CREATE TABLE __mt AS SELECT i AS id, "
+        "map(['a', 'b', 'k' || CAST(i AS VARCHAR)], [i, i * 2, i * 3]) "
+        "AS m FROM range(6) t(i)"
+    )
+    lake.sql(_mt_sql)
+    con.execute(_mt_sql)
 
     def draw(strategy):
         # hypothesis strategies support .example(); randomize via its

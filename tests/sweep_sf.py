@@ -59,10 +59,25 @@ def main() -> int:
         if not n.startswith(("lakehouse_", "stream_"))
     ]
     todo = [n for n in names if n not in done]
+    # SWEEP_SKIP: quadratic-by-design correctness audits (all-pairs
+    # n-gram Jaccard and its dependents) are intractable past sf0.1 —
+    # 50k docs = 1.25e9 set-Jaccard pairs on BOTH engines.  They stay
+    # out of the bench for the same reason (bench.py HEADLINE note);
+    # a skip line documents the exclusion in the sweep artifact.
+    skips = {
+        s.strip()
+        for s in os.environ.get("SWEEP_SKIP", "").split(",")
+        if s.strip()
+    }
     print(f"{len(done)} done, {len(todo)} to go", flush=True)
     fails = 0
     with open(state, "a") as out:
         for n in todo:
+            if n in skips:
+                out.write(f"{n} SKIP(quadratic-by-design at this SF)\n")
+                out.flush()
+                print(n, "SKIP", flush=True)
+                continue
             try:
                 from tests.compare import compare
 
