@@ -230,9 +230,13 @@ def supplier_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH framed AS (
       SELECT event_type, value,
-             count(*)            OVER w AS n,
-             sum(value)          OVER w AS s1,
-             sum(value * value)  OVER w AS s2
+             count(*) OVER w AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                  AS DOUBLE) AS s1,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) OVER w
+                  AS DOUBLE) AS s2
       FROM events
       WINDOW w AS (
         PARTITION BY event_type ORDER BY ts, event_id
@@ -276,12 +280,21 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-19, -1)
     )
+    # DECIMAL sufficient stats: double sums depend on addition ORDER
+    # (DuckDB's window aggregation trees vs Spark's incremental frames
+    # differ by an ulp), and a z at the |z|>3 boundary then counts on
+    # one engine only — the sf1 sweep caught exactly one such row in
+    # 198k.  Decimal window sums are EXACT in both engines, so z is
+    # bit-identical at any scale; the doubles return only after the
+    # (identical) exact sums.
+    dv = F.col("value").cast("decimal(18,6)")
     framed = ev.select(
         "event_type",
         "value",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("value").over(w).alias("s1"),
-        F.sum(F.col("value") * F.col("value")).over(w).alias("s2"),
+        F.sum(dv).over(w).cast("double").alias("s1"),
+        F.sum((dv * dv).cast("decimal(38,12)")).over(w)
+        .cast("double").alias("s2"),
     ).filter(F.col("n") >= 10)
     # z computed AFTER the n >= 10 filter so the n=0 leading rows never
     # reach the divisions (ANSI mode raises on x/0); greatest(.., 0)

@@ -679,7 +679,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_native",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
@@ -687,8 +687,12 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
+      -- the cumsum MUST replay the same total order the brk pass used:
+      -- with duplicate timestamps (sf1's replicated corpus) an
+      -- ORDER BY ts-only ROWS frame permutes tied rows and assigns
+      -- wrong session ids (round-6 sf1 sweep find)
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )
