@@ -325,7 +325,7 @@ def events_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -345,8 +345,10 @@ def events_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING native session windows (30-min gap) driven to
     completion, verified against the relational gaps-and-islands
-    formulation in DuckDB: a session breaks exactly when the gap is
-    >= 30 min (session_window's [ts, ts+gap) end is exclusive).  The
+    formulation in DuckDB: a session breaks only when the gap EXCEEDS
+    30 min — an exactly-gap-apart pair still merges, in streaming and
+    batch alike (verified empirically round 6; the previous ``>=``
+    oracle was a latent boundary bug no fixture pair triggered).  The
     strongest cross-engine check a stateful streaming operator can get."""
     import os
     import tempfile
