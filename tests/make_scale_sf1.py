@@ -77,7 +77,15 @@ def main() -> None:
         f"""
         SELECT CASE WHEN g.i > 0 AND l_orderkey % 20 = 0 THEN 1
                     ELSE l_orderkey + g.i * {SHIFT} END AS l_orderkey,
-               l_partkey, l_suppkey, l_linenumber, l_quantity,
+               -- hot-order rows also collapse onto 50 partkeys: the
+               -- orderkey hot spot stays ~270k rows (the AQE skew
+               -- target), but the co-purchase graph sees a 50-part
+               -- clique, not a 20k-part one (triangle counting on a
+               -- 20k-clique is ~1e12 triangles — no engine finishes)
+               CASE WHEN g.i > 0 AND l_orderkey % 20 = 0
+                    THEN 1 + l_partkey % 50
+                    ELSE l_partkey END AS l_partkey,
+               l_suppkey, l_linenumber, l_quantity,
                l_extendedprice, l_discount, l_tax, l_returnflag,
                l_linestatus, l_shipdate
         FROM read_parquet('{SRC}/lineitem.parquet'), range(10) g(i)
