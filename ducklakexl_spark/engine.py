@@ -302,12 +302,14 @@ _ENCRYPTION_CONFIG_RE = re.compile(
 _PIVOT_RE = re.compile(
     r"^\s*PIVOT\s+(.+?)\s+ON\s+([\w\"]+)"
     r"(?:\s+IN\s+\(([^)]*)\))?\s+"
-    r"USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
+    r"USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*$",
     re.I | re.S,
 )
 _UNPIVOT_RE = re.compile(
     r"^\s*UNPIVOT\s+(.+?)\s+ON\s+(.+?)\s+"
-    r"INTO\s+NAME\s+([\w\"]+)\s+VALUE\s+([\w\"]+)\s*$",
+    r"INTO\s+NAME\s+([\w\"]+)\s+VALUE\s+([\w\"]+)"
+    r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*$",
     re.I | re.S,
 )
 _COMMENT_RE = re.compile(
@@ -2456,15 +2458,14 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
     if key in ("date_trunc", "datetrunc") and len(a) == 2:
         part = _literal_str(a[0])
         p = part.lower() if part else None
-        # DuckDB keeps DATE inputs DATE for day-or-coarser units; Spark's
-        # date_trunc always returns TIMESTAMP.  Only a literal DATE
-        # operand is provably a date here — wider inference would need
-        # the schema.
-        if (
-            p in ("day", "week", "month", "quarter", "year", "decade",
-                  "century", "millennium")
-            and re.match(r"^DATE\s*'", a[1].strip(), re.I)
-        ):
+        # DuckDB's date_trunc returns DATE for day-or-coarser units on
+        # ANY input (DATE or TIMESTAMP — typeof-verified on 1.0);
+        # Spark's always returns TIMESTAMP.  Cast for every literal
+        # day-or-coarser part (non-literal parts are unknowable at
+        # rewrite time and keep Spark's type).  Round-6 interval2 fuzz
+        # find — previously only literal-DATE operands were cast.
+        if p in ("day", "week", "month", "quarter", "year", "decade",
+                 "century", "millennium"):
             return f"CAST(date_trunc({a[0]}, {a[1]}) AS DATE)"
         return f"date_trunc({a[0]}, {a[1]})"
     if key in ("date_part", "datepart") and len(a) == 2:
@@ -3185,15 +3186,107 @@ def _top_level_colon(s: str) -> int:
     return -1
 
 
+def _split_top_level_concat(s: str) -> list[str]:
+    """Split on depth-0 ``||`` outside quotes (string/list concat)."""
+    parts: list[str] = []
+    depth, start = 0, 0
+    in_str: str | None = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "|" and s[i : i + 2] == "||" and depth == 0:
+            parts.append(s[start:i])
+            i += 2
+            start = i
+            continue
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def _expr_is_stringy(expr: str, str_cols: frozenset[str] | None) -> bool:
+    """True when a subscript operand is VARCHAR-typed by resolution:
+    a bare/qualified column in ``str_cols``, or a top-level ``||``
+    concat with a string-literal (or string-column) operand."""
+    e = expr.strip()
+    while e.startswith("(") and _matching_bracket(e, 0) == len(e) - 1:
+        e = e[1:-1].strip()
+    parts = _split_top_level_concat(e)
+    if len(parts) > 1:
+        for p in parts:
+            p = p.strip()
+            if re.fullmatch(r"'(?:[^']|'')*'", p):
+                return True
+            if str_cols and _expr_is_stringy(p, str_cols):
+                return True
+        return False
+    if str_cols:
+        m = re.fullmatch(r'(?:\w+\.)*(\w+|"[^"]+")', e)
+        if m and m.group(1).strip('"').lower() in str_cols:
+            return True
+    return False
+
+
+def _slice_emission(expr: str, lo: str, hi: str, is_str: bool) -> str:
+    """DuckDB slice semantics (uniform strings/lists, verified
+    exhaustively against DuckDB 1.0): 1-based INCLUSIVE bounds;
+    ``lo`` empty/0 → 1, negative → n+lo+1 clamped to ≥ 1; ``hi``
+    empty → n, negative → n+hi+1, positive → min(hi, n); empty result
+    when lo' > hi'."""
+    size = f"length({expr})" if is_str else f"size({expr})"
+    if not lo:
+        L = "1"
+    elif re.fullmatch(r"\d+", lo):
+        L = str(max(int(lo), 1))
+    else:
+        L = (
+            f"greatest(CASE WHEN ({lo}) < 0 THEN {size} + ({lo}) + 1 "
+            f"ELSE ({lo}) END, 1)"
+        )
+    if not hi:
+        H = size
+    elif re.fullmatch(r"\d+", hi):
+        H = f"least({hi}, {size})"
+    else:
+        H = (
+            f"CASE WHEN ({hi}) < 0 THEN {size} + ({hi}) + 1 "
+            f"ELSE least(({hi}), {size}) END"
+        )
+    fn = "substr" if is_str else "slice"
+    core = f"{fn}({expr}, {L}, greatest(({H}) - ({L}) + 1, 0))"
+    # a NULL bound yields NULL in DuckDB; Spark's greatest() SKIPS
+    # nulls, so non-literal bounds need an explicit propagation guard
+    guards = [
+        b for b in (lo, hi) if b and not re.fullmatch(r"-?\d+", b)
+    ]
+    if guards:
+        cond = " OR ".join(f"({g}) IS NULL" for g in guards)
+        return f"(CASE WHEN {cond} THEN NULL ELSE {core} END)"
+    return core
+
+
 def rewrite_bracket_syntax(
-    stmt: str, map_cols: frozenset[str] | None = None
+    stmt: str,
+    map_cols: frozenset[str] | None = None,
+    str_cols: frozenset[str] | None = None,
 ) -> str:
     """DuckDB bracket syntax → Spark SQL:
 
     - ``[e1, e2, …]`` list literal → ``array(e1, e2, …)``
     - ``expr[i]`` (1-based, like DuckDB) → ``try_element_at(expr, i)``
-    - ``expr[a:b]`` (1-based inclusive) → ``slice(expr, a, b-a+1)``
-      (open ends default to 1 / size(expr))
+      (index 0 → NULL via a nullif guard; strings go through substr
+      with DuckDB's 0 → '' rule)
+    - ``expr[a:b]`` (1-based inclusive, open/0/negative/out-of-range
+      bounds per DuckDB — see _slice_emission)
     - ``{'k': v, …}`` struct literal → ``named_struct('k', v, …)``
 
     A bracket is INDEXING when the previous significant token is an
@@ -3201,12 +3294,11 @@ def rewrite_bracket_syntax(
     and a LITERAL otherwise (after keywords, operators, commas, or at
     expression start).  Quote/comment-aware; recursive.
 
-    ``map_cols`` carries the MAP-typed column names of every table the
-    statement references (resolved by the engine from the catalog
-    before this text pass): a subscript whose operand's final
-    identifier is one of them takes DuckDB's map semantics — the match
-    LIST-WRAPPED, ``[]`` on a miss — same emission as a syntactic
-    ``map(...)[k]``."""
+    ``map_cols`` / ``str_cols`` carry the MAP- and VARCHAR-typed column
+    names of every table the statement references (resolved by the
+    engine from the catalog before this text pass): a subscript whose
+    operand resolves MAP takes DuckDB's list-wrapped map semantics,
+    one that resolves VARCHAR subscripts CHARACTERS."""
     if "[" not in stmt and "{" not in stmt:
         return stmt
     out: list[str] = []
@@ -3269,7 +3361,9 @@ def rewrite_bracket_syntax(
             continue
         if ch == "(":
             close = _matching_bracket(stmt, i)
-            inner = rewrite_bracket_syntax(stmt[i + 1 : close], map_cols)
+            inner = rewrite_bracket_syntax(
+                stmt[i + 1 : close], map_cols, str_cols
+            )
             if prev not in ("w",):  # not a function call → new primary
                 mark = len(out)
             out.append("(" + inner + ")")
@@ -3279,7 +3373,7 @@ def rewrite_bracket_syntax(
         if ch == "[":
             close = _matching_bracket(stmt, i)
             inner = rewrite_bracket_syntax(
-                stmt[i + 1 : close], map_cols
+                stmt[i + 1 : close], map_cols, str_cols
             ).strip()
             indexing = prev in ("w", ")", "]", "'") and mark is not None
             if indexing and not inner:
@@ -3307,16 +3401,26 @@ def rewrite_bracket_syntax(
                         expr,
                     )
                     is not None
+                    or _expr_is_stringy(expr, str_cols)
                 )
                 if cpos >= 0:
-                    lo = inner[:cpos].strip() or "1"
-                    hi = inner[cpos + 1 :].strip() or (
-                        f"length({expr})" if is_str else f"size({expr})"
-                    )
-                    fn = "substr" if is_str else "slice"
-                    new = f"{fn}({expr}, {lo}, ({hi}) - ({lo}) + 1)"
+                    lo = inner[:cpos].strip()
+                    hi = inner[cpos + 1 :].strip()
+                    new = _slice_emission(expr, lo, hi, is_str)
                 elif is_str:
-                    new = f"substr({expr}, {inner}, 1)"
+                    # DuckDB 'abcdef'[0] is '' (not the first char);
+                    # negative indexes count from the end — substr
+                    # agrees on those
+                    if re.fullmatch(r"\d+", inner):
+                        new = (
+                            "''" if inner == "0"
+                            else f"substr({expr}, {inner}, 1)"
+                        )
+                    else:
+                        new = (
+                            f"CASE WHEN ({inner}) = 0 THEN '' "
+                            f"ELSE substr({expr}, {inner}, 1) END"
+                        )
                 elif re.match(
                     r"(?is)^\s*map(_from_entries|_concat)?\s*\(", expr
                 ) or (
@@ -3342,8 +3446,17 @@ def rewrite_bracket_syntax(
                 else:
                     # try_element_at: DuckDB list[i] is NULL out of
                     # bounds, and the emission must not re-match the
-                    # element_at (map-extract) dialect template
-                    new = f"try_element_at({expr}, {inner})"
+                    # element_at (map-extract) dialect template.
+                    # Index 0: DuckDB yields NULL; Spark's
+                    # try_element_at RAISES on 0 — nullif routes it to
+                    # a NULL index (→ NULL result)
+                    if re.fullmatch(r"\d+", inner) and inner != "0":
+                        new = f"try_element_at({expr}, {inner})"
+                    else:
+                        new = (
+                            f"try_element_at({expr}, "
+                            f"nullif(({inner}), 0))"
+                        )
                 mark = len(out)
                 out.append(new)
                 prev = ")"
@@ -3356,7 +3469,9 @@ def rewrite_bracket_syntax(
             continue
         if ch == "{":
             close = _matching_bracket(stmt, i)
-            inner = rewrite_bracket_syntax(stmt[i + 1 : close], map_cols)
+            inner = rewrite_bracket_syntax(
+                stmt[i + 1 : close], map_cols, str_cols
+            )
             pairs = _split_bracket_args(inner)
             # MAP {'k': v, …} → map('k', v, …); bare {…} → named_struct
             as_map = (
@@ -6373,13 +6488,21 @@ class DuckLakeSpark:
         m = _SUMMARIZE_RE.match(stmt)
         if m:
             return self._summarize(m.group(1))
+        return self._select_statement(stmt)
+
+    def _select_statement(self, stmt: str) -> DataFrame:
+        """SELECT-like statements that are not plain selects — the
+        PIVOT / UNPIVOT statement forms — then the ordinary select
+        path.  Shared by sql() dispatch AND view re-resolution, so a
+        view stored over a PIVOT statement resolves correctly
+        (round-6 pivot fuzz find)."""
         m = _PIVOT_RE.match(stmt)
         if m:
             # DuckDB's PIVOT statement → Spark's native pivot: value
             # discovery is one distinct scan (skipped when IN (…) pins
             # the values), then a pivoted hash aggregation (partial
             # map-side, one shuffle on the group key)
-            src, on, in_vals, using, group = m.groups()
+            src, on, in_vals, using, group, order, limit = m.groups()
             src = src.strip()
             on = on.strip('"')
             df = (
@@ -6403,13 +6526,33 @@ class DuckLakeSpark:
                 values = [
                     v.strip().strip("'\"") for v in split_top_level(in_vals)
                 ]
-                return piv.pivot(on, values).agg(F.expr(using))
-            return piv.pivot(on).agg(F.expr(using))
+                out = piv.pivot(on, values).agg(F.expr(using))
+            else:
+                out = piv.pivot(on).agg(F.expr(using))
+            if re.match(r"(?is)^\s*count(_if)?\s*\(", using):
+                # DuckDB fills absent (group, pivot-value) cells with
+                # the aggregate's EMPTY-INPUT value — 0 for the count
+                # family, where Spark's pivot leaves NULL
+                out = out.select(*[
+                    out[c] if c in gb
+                    else F.coalesce(out[c], F.lit(0)).alias(c)
+                    for c in out.columns
+                ])
+            if order or limit:
+                # trailing ORDER BY / LIMIT re-enter the full select
+                # path so ordinals and null-ordering defaults apply
+                view = "__pivot_result"
+                out.createOrReplaceTempView(view)
+                tail = (f" ORDER BY {order}" if order else "") + (
+                    f" LIMIT {limit}" if limit else ""
+                )
+                return self._select(f"SELECT * FROM {view}{tail}")
+            return out
         m = _UNPIVOT_RE.match(stmt)
         if m:
             # DuckDB's UNPIVOT statement → Spark's native unpivot (a
             # per-row expand, no shuffle)
-            src, on, nname, vname = m.groups()
+            src, on, nname, vname, order, limit = m.groups()
             src = src.strip()
             df = (
                 self._select(src[1:-1])
@@ -6418,9 +6561,21 @@ class DuckLakeSpark:
             )
             vals = [c.strip().strip('"') for c in split_top_level(on)]
             ids = [c for c in df.columns if c not in vals]
-            return df.unpivot(
+            out = df.unpivot(
                 ids, vals, nname.strip('"'), vname.strip('"')
             )
+            # DuckDB UNPIVOT excludes NULL cells by default (same as
+            # SQL-standard UNPIVOT's EXCLUDE NULLS); Spark's DataFrame
+            # unpivot keeps them (round-6 pivot fuzz find)
+            out = out.filter(F.col(vname.strip('"')).isNotNull())
+            if order or limit:
+                view = "__unpivot_result"
+                out.createOrReplaceTempView(view)
+                tail = (f" ORDER BY {order}" if order else "") + (
+                    f" LIMIT {limit}" if limit else ""
+                )
+                return self._select(f"SELECT * FROM {view}{tail}")
+            return out
         return self._select(stmt)
 
     def _summarize(self, target: str) -> DataFrame:
@@ -6728,16 +6883,19 @@ class DuckLakeSpark:
             ]
         )
 
-    def _map_column_names(self, stmt: str) -> frozenset[str] | None:
-        """MAP-typed column names of every catalog table the statement
-        references — the resolve-before-rewrite input that lets the
-        bracket pass give ``m[k]`` on a map COLUMN DuckDB's
-        list-wrapped semantics (a purely textual pass can only
-        recognize syntactic ``map(...)`` operands).  None when no
-        referenced table has a map column (the common case — the
-        rewrite then stays zero-cost)."""
+    def _bracket_column_sets(
+        self, stmt: str
+    ) -> tuple[frozenset[str] | None, frozenset[str] | None]:
+        """(MAP-typed, VARCHAR-typed) column names of every catalog
+        table the statement references — the resolve-before-rewrite
+        input that lets the bracket pass give ``m[k]`` on a map COLUMN
+        DuckDB's list-wrapped semantics and ``s[2]``/``s[1:3]`` on a
+        string COLUMN character semantics (a purely textual pass can
+        only recognize syntactic ``map(...)``/literal operands).
+        Each set is None when empty (the common fast path)."""
         ids = {s.lower() for s in sql_identifiers(stmt)}
-        found: set[str] = set()
+        maps: set[str] = set()
+        strs: set[str] = set()
         for tbl in self.catalog.table_names():
             if tbl.lower() not in ids:
                 continue
@@ -6745,12 +6903,12 @@ class DuckLakeSpark:
                 schema = self.table_schema(tbl)
             except Exception:
                 continue
-            found.update(
-                f.name.lower()
-                for f in schema.fields
-                if isinstance(f.dataType, T.MapType)
-            )
-        return frozenset(found) or None
+            for f in schema.fields:
+                if isinstance(f.dataType, T.MapType):
+                    maps.add(f.name.lower())
+                elif isinstance(f.dataType, T.StringType):
+                    strs.add(f.name.lower())
+        return frozenset(maps) or None, frozenset(strs) or None
 
     def _insert(
         self,
@@ -9964,6 +10122,22 @@ class DuckLakeSpark:
         if '"' in stmt:
             stmt = rewrite_double_quoted_identifiers(stmt)
         stmt = self._expand_macros(stmt)
+        # parenthesized PIVOT/UNPIVOT statement forms in relation
+        # position — `FROM (PIVOT … )`, table macros expanding to one —
+        # materialize as temp views the surrounding select can scan
+        # (the statement-level dispatch only sees them at top level)
+        if re.search(r"\(\s*(?:UN)?PIVOT\b", stmt, re.I):
+            counter = 0
+            while True:
+                pm = re.search(r"\(\s*(?:UN)?PIVOT\b", stmt, re.I)
+                if not pm or _inside_string_literal(stmt, pm.start()):
+                    break
+                close = matching_paren(stmt, pm.start())
+                inner = stmt[pm.start() + 1 : close].strip()
+                view = f"__pivot_sub_{counter}"
+                counter += 1
+                self._select_statement(inner).createOrReplaceTempView(view)
+                stmt = stmt[: pm.start()] + f" {view} " + stmt[close + 1 :]
         if _WITH_RECURSIVE_RE.match(stmt):
             return self._exec_recursive_cte(stmt)
         # DuckDB's leading-FROM sugar: bare `FROM t [WHERE …]` == SELECT *,
@@ -9990,7 +10164,8 @@ class DuckLakeSpark:
         stmt = rewrite_list_comprehension(stmt)
         stmt = rewrite_array_type_suffix(stmt)
         stmt = rewrite_bracket_syntax(
-            stmt, self._map_column_names(stmt) if "[" in stmt else None
+            stmt, *(self._bracket_column_sets(stmt) if "[" in stmt
+                    else (None, None))
         )
         # FROM-position series TVFs must resolve before the dialect pass
         # renames scalar generate_series/range to sequence()
@@ -10224,10 +10399,11 @@ class DuckLakeSpark:
         for vname in self.catalog.view_names():
             if vname in idents:
                 # re-resolve the stored SQL at the current snapshot
-                # (recursive: views over views/tables)
-                self._select(self.catalog.view_sql(vname)).createOrReplaceTempView(
-                    vname
-                )
+                # (recursive: views over views/tables; _select_statement
+                # so PIVOT/UNPIVOT statement-form views resolve too)
+                self._select_statement(
+                    self.catalog.view_sql(vname)
+                ).createOrReplaceTempView(vname)
         # DuckDB percentage LIMIT (``LIMIT 40%``): strip the clause,
         # size it from the result's row count (truncating, DuckDB
         # semantics: LIMIT 30% of 5 rows → 1), re-apply as .limit() —

@@ -378,8 +378,78 @@ def fam_map_subscript() -> str:
     )
 
 
+def fam_slices() -> str:
+    """String/list bracket slices with randomized bounds — negatives,
+    open ends, zero, out-of-range, both-open — over literals,
+    list expressions, and CATALOG string columns (``__st``; a VALUES
+    alias column's type is unresolvable at the text layer — the
+    documented boundary of the catalog-driven str_cols resolution)."""
+    def bound():
+        return pick("", "1", "2", "3", "-1", "-2", "0", "9",
+                    str(rng.randint(-4, 7)))
+
+    lo, hi = bound(), bound()
+    base = pick("'abcdef'", "[i, j, k, 4]", "[k]",
+                "list_sort([j, k, i])", "__ST", "__STCAT")
+    if base == "__ST":
+        # catalog string column: resolved via str_cols
+        return (
+            f"SELECT id, sv[{lo}:{hi}] AS r FROM __st ORDER BY id"
+        )
+    if base == "__STCAT":
+        return (
+            f"SELECT id, ('ab' || sv)[{lo}:{hi}] AS r FROM __st "
+            f"ORDER BY id"
+        )
+    e = f"{base}[{lo}:{hi}]"
+    if rng.random() < 0.3:
+        e = f"upper({e})" if base.startswith("'") else f"len({e})"
+    return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
+
+
+def fam_pivot() -> str:
+    """PIVOT / UNPIVOT statement forms over a VALUES-derived relation
+    (ORDER BY pins row order — a bare PIVOT's output order is
+    engine-internal on both sides)."""
+    agg = pick("sum(i)", "count(*)", "min(j)", "max(i)", "count(i)")
+    if rng.random() < 0.6:
+        return (
+            f"PIVOT (SELECT s, i, j {fz._FROM}) ON s USING {agg} "
+            f"GROUP BY j ORDER BY j NULLS LAST"
+        )
+    return (
+        f"UNPIVOT (SELECT k, i, j {fz._FROM} WHERE k <= "
+        f"{rng.randint(1, 4)}) "
+        f"ON i, j INTO NAME which VALUE v ORDER BY k, which"
+    )
+
+
+def fam_interval2() -> str:
+    """Interval/date arithmetic breadth: scaled intervals, mixed units,
+    to_days/to_hours composition, epoch round-trips."""
+    n = rng.randint(-40, 90)
+    unit = pick("DAY", "HOUR", "MINUTE", "MONTH", "SECOND")
+    d = pick("DATE '1994-03-05'", "TIMESTAMP '1997-06-30 11:22:33'",
+             "DATE '2000-02-29'")
+    e = pick(
+        f"{d} + INTERVAL {n} {unit}",
+        f"{d} - INTERVAL {n} {unit}",
+        f"CAST({d} + INTERVAL (k) DAY AS DATE)",
+        f"date_trunc('{pick('day', 'month', 'week', 'hour')}', "
+        f"{d} + INTERVAL {n} {unit})",
+        f"datediff('day', DATE '1994-01-01', {d} + INTERVAL (i) DAY)",
+        f"extract({pick('year', 'month', 'dow', 'doy', 'hour')} FROM "
+        f"{d} + INTERVAL {n} {unit})",
+        f"to_days(CAST(greatest(i, 0) + 1 AS INTEGER)) + {d}",
+    )
+    return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
+
+
 NEW_FAMILIES = {
     "map_subscript": fam_map_subscript,
+    "slices": fam_slices,
+    "pivot": fam_pivot,
+    "interval2": fam_interval2,
     "correlated_subq": fam_correlated_subq,
     "cte_chain": fam_cte_chain,
     "three_join": fam_three_join,
@@ -422,6 +492,14 @@ def main() -> int:
     )
     lake.sql(_mt_sql)
     con.execute(_mt_sql)
+    # string-column fixture for fam_slices
+    _st_sql = (
+        "CREATE TABLE __st AS SELECT i AS id, "
+        "CASE WHEN i = 0 THEN '' ELSE repeat('xy', i) || 'z' END AS sv "
+        "FROM range(5) t(i)"
+    )
+    lake.sql(_st_sql)
+    con.execute(_st_sql)
 
     def draw(strategy):
         # hypothesis strategies support .example(); randomize via its

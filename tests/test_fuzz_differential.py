@@ -155,6 +155,29 @@ _EXPR = st.one_of(
 # divergences found by exploratory fuzzing get PINNED here (and fixed in
 # the engine) so they can never regress silently
 REGRESSION_STATEMENTS = [
+    # round-6 finds #29-#33: slice/subscript bound normalization
+    # (DuckDB 1-based inclusive, 0 → 1, negatives from end, clamps,
+    # NULL propagation), string[0] → '', list[0] → NULL, date_trunc's
+    # DATE return type on TIMESTAMP inputs, UNPIVOT NULL-cell drop,
+    # PIVOT count-family zero fill
+    f"SELECT k, ([10, 20, 30, 40])[0:-2] AS r {_FROM} ORDER BY k",
+    f"SELECT k, ([10, 20, 30, 40])[-2:9] AS r {_FROM} ORDER BY k",
+    f"SELECT k, ([10, 20, 30, 40])[9:] AS r {_FROM} ORDER BY k",
+    f"SELECT k, 'abcdef'[-9:3] AS r {_FROM} ORDER BY k",
+    f"SELECT k, 'abcdef'[4:2] AS r {_FROM} ORDER BY k",
+    f"SELECT k, upper('abcdef'[2:-2]) AS r {_FROM} ORDER BY k",
+    f"SELECT k, 'abcdef'[0] AS r {_FROM} ORDER BY k",
+    f"SELECT k, ([10, 20])[0] AS r {_FROM} ORDER BY k",
+    f"SELECT k, ([10, 20, 30])[j:] AS r {_FROM} ORDER BY k",
+    f"SELECT k, ([10, 20, 30])[1:j] AS r {_FROM} ORDER BY k",
+    f"SELECT k, date_trunc('week', TIMESTAMP '1997-06-30 11:22:33')"
+    f" AS r {_FROM} ORDER BY k",
+    f"SELECT k, date_trunc('month', TIMESTAMP '1997-06-30 01:02:03')"
+    f" AS r {_FROM} ORDER BY k",
+    f"UNPIVOT (SELECT k, i, j {_FROM} WHERE k <= 4) ON i, j"
+    f" INTO NAME which VALUE v ORDER BY k, which",
+    f"PIVOT (SELECT s, i, j {_FROM}) ON s USING count(*) GROUP BY j"
+    f" ORDER BY j NULLS LAST",
     # sign() re-wrap class (ADVICE r4): rewrite output must be stable
     # under composition
     f"SELECT k, (CASE WHEN (i % j) IS NULL THEN -1 ELSE (i // j) END) AS r {_FROM} ORDER BY k",
