@@ -1742,11 +1742,20 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         if p not in ("year", "quarter", "month", "week", "day", "hour",
                      "minute", "second", "millisecond", "microsecond"):
             raise ValueError(f"date_diff: unsupported part {part!r}")
-        return (
-            f"timestampdiff({p.upper()}, "
-            f"date_trunc('{p.upper()}', CAST({a[1]} AS TIMESTAMP)), "
-            f"date_trunc('{p.upper()}', CAST({a[2]} AS TIMESTAMP)))"
-        )
+
+        def _t(x: str) -> str:
+            # truncate-to-part in CHAIN-STABLE spellings: a day-or-
+            # coarser date_trunc would be rewritten to its DATE-
+            # returning form on re-entry (idempotence); emit that form
+            # directly (timestampdiff coerces DATE back fine)
+            base = f"CAST({x} AS TIMESTAMP)"
+            if p == "day":
+                return f"CAST({base} AS DATE)"
+            if p in ("week", "month", "quarter", "year"):
+                return f"trunc({base}, '{p}')"
+            return f"date_trunc('{p.upper()}', {base})"
+
+        return f"timestampdiff({p.upper()}, {_t(a[1])}, {_t(a[2])})"
     if key == "epoch":
         # DuckDB epoch() returns DOUBLE seconds (fraction preserved);
         # divide by a DOUBLE so Spark doesn't type the result DECIMAL
@@ -2460,13 +2469,23 @@ def _duck_fn_emit(key: str, args: list[str]) -> str:
         p = part.lower() if part else None
         # DuckDB's date_trunc returns DATE for day-or-coarser units on
         # ANY input (DATE or TIMESTAMP — typeof-verified on 1.0);
-        # Spark's always returns TIMESTAMP.  Cast for every literal
-        # day-or-coarser part (non-literal parts are unknowable at
-        # rewrite time and keep Spark's type).  Round-6 interval2 fuzz
-        # find — previously only literal-DATE operands were cast.
-        if p in ("day", "week", "month", "quarter", "year", "decade",
-                 "century", "millennium"):
-            return f"CAST(date_trunc({a[0]}, {a[1]}) AS DATE)"
+        # Spark's always returns TIMESTAMP.  Round-6 interval2 fuzz
+        # find — previously only literal-DATE operands were handled.
+        # Emissions deliberately avoid the date_trunc spelling so the
+        # chain can't re-wrap them (idempotence): Spark's trunc()
+        # already RETURNS DATE for week..year; day is a plain date
+        # cast; decade/century/millennium anchor with make_date
+        # (DuckDB 1.0 floors to year/N*N — 1997 → 1990/1900/1000).
+        if p == "day":
+            return f"CAST(({a[1]}) AS DATE)"
+        if p in ("week", "month", "quarter", "year"):
+            return f"trunc({a[1]}, '{p}')"
+        if p in ("decade", "century", "millennium"):
+            span = {"decade": 10, "century": 100, "millennium": 1000}[p]
+            return (
+                f"make_date(CAST(FLOOR(year({a[1]}) / {span}) * {span} "
+                f"AS INT), 1, 1)"
+            )
         return f"date_trunc({a[0]}, {a[1]})"
     if key in ("date_part", "datepart") and len(a) == 2:
         part = _literal_str(a[0])
