@@ -10426,15 +10426,19 @@ class DuckLakeSpark:
         # DuckDB percentage LIMIT (``LIMIT 40%``): strip the clause,
         # size it from the result's row count (truncating, DuckDB
         # semantics: LIMIT 30% of 5 rows → 1), re-apply as .limit() —
-        # order-preserving on a sorted result.  Only a TOP-LEVEL clause
-        # is rewritten; one inside a subquery would be silently hoisted
-        # to the outermost level, so raise instead.  The base result is
-        # persisted so the input is scanned ONCE (count + limit both
-        # read the materialized blocks, not a re-execution); the
+        # order-preserving on a sorted result.  A clause inside a
+        # SUBQUERY materializes that subquery first (innermost-first
+        # loop): execute it minus the clause, persist + count + limit,
+        # register as a temp view, splice the view back — round-6
+        # closes the r5 documented gap (it used to raise).  The base
+        # result is persisted so the input is scanned ONCE; the
         # previous call's cache is released to bound residency.
-        pm = re.search(r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*%", stmt, re.I)
-        if pm and not _inside_string_literal(stmt, pm.start()):
-            depth = 0
+        pct_views = 0
+        while True:
+            pm = re.search(r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*%", stmt, re.I)
+            if not pm or _inside_string_literal(stmt, pm.start()):
+                break
+            opens: list[int] = []
             in_str: str | None = None
             for idx in range(pm.start()):
                 c = stmt[idx]
@@ -10444,24 +10448,42 @@ class DuckLakeSpark:
                 elif c in ("'", '"'):
                     in_str = c
                 elif c == "(":
-                    depth += 1
+                    opens.append(idx)
                 elif c == ")":
-                    depth -= 1
-            if depth != 0:
-                raise NotImplementedError(
-                    "percentage LIMIT inside a subquery is not supported"
-                )
+                    if opens:
+                        opens.pop()
             pct = float(pm.group(1)) / 100.0
-            base = self.spark.sql(stmt[: pm.start()] + stmt[pm.end():])
-            prev = getattr(self, "_limit_pct_cache", None)
-            if prev is not None:
-                try:
-                    prev.unpersist()
-                except Exception:
-                    pass
-            base = base.persist()
-            self._limit_pct_cache = base
-            return base.limit(int(base.count() * pct))
+            if not opens:
+                # top level — the final result
+                base = self.spark.sql(stmt[: pm.start()] + stmt[pm.end():])
+                prev = getattr(self, "_limit_pct_cache", None)
+                if prev is not None:
+                    try:
+                        prev.unpersist()
+                    except Exception:
+                        pass
+                base = base.persist()
+                self._limit_pct_cache = base
+                return base.limit(int(base.count() * pct))
+            op = opens[-1]
+            close = matching_paren(stmt, op)
+            inner = stmt[op + 1 : close]
+            ipm = re.search(r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*%", inner, re.I)
+            in_off = pm.start() - (op + 1)
+            if ipm is None or ipm.start() != in_off:
+                raise NotImplementedError(
+                    "nested percentage LIMITs are not supported"
+                )
+            ibase = self.spark.sql(
+                inner[: ipm.start()] + inner[ipm.end():]
+            ).persist()
+            lim = ibase.limit(int(ibase.count() * pct))
+            view = f"__pct_limit_{pct_views}"
+            pct_views += 1
+            lim.createOrReplaceTempView(view)
+            stmt = (
+                stmt[:op] + f"(SELECT * FROM {view})" + stmt[close + 1 :]
+            )
         return self.spark.sql(stmt)
 
     def _extract_scan_columns(

@@ -1363,15 +1363,17 @@ def test_attached_name_in_string_literal_survives(lake, tmp_path):
     assert rows(out) == [("olake.tt is great", 1)]
 
 
-def test_limit_pct_subquery_raises(lake):
-    """LIMIT n% inside a subquery would be silently hoisted to the
-    outermost level by the text rewrite — raise instead."""
+def test_limit_pct_subquery(lake):
+    """LIMIT n% inside a subquery materializes the subquery
+    innermost-first (round 6; it used to raise).  Full DuckDB
+    differential in test_round6_fixes."""
     lake.sql("CREATE TABLE lp(id INTEGER);")
     lake.sql("INSERT INTO lp VALUES (1), (2), (3), (4), (5);")
-    with pytest.raises(NotImplementedError, match="percentage LIMIT"):
+    assert rows(
         lake.sql(
             "SELECT * FROM (SELECT id FROM lp ORDER BY id LIMIT 40%) t"
         )
+    ) == [(1,), (2,)]
     # top-level still works, with DuckDB's truncation semantics
     assert rows(
         lake.sql("SELECT id FROM lp ORDER BY id LIMIT 30%")

@@ -290,6 +290,31 @@ def test_map_column_subscript_list_wraps(lake):
     assert rows(lake.sql("SELECT arr[1] AS v FROM atab")) == [(10,)]
 
 
+def test_percentage_limit_in_subquery(lake):
+    """r5 documented gap #4: percentage LIMIT inside a subquery now
+    materializes the subquery (innermost-first) instead of raising."""
+    lake.sql("CREATE TABLE pl6(x INTEGER)")
+    lake.sql(
+        "INSERT INTO pl6 VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pl6(x INT); INSERT INTO pl6 VALUES "
+        "(1),(2),(3),(4),(5),(6),(7),(8),(9),(10)"
+    )
+    for q in [
+        "SELECT count(*) AS n FROM (SELECT x FROM pl6 ORDER BY x"
+        " LIMIT 30%) t",
+        "SELECT sum(x) AS s FROM (SELECT x FROM pl6 ORDER BY x"
+        " LIMIT 50%) t",
+        "SELECT max(t.x) AS m FROM (SELECT x FROM pl6 ORDER BY x DESC"
+        " LIMIT 40%) t",
+    ]:
+        assert rows(lake.sql(q)) == [
+            tuple(r) for r in con.execute(q).fetchall()
+        ], q
+
+
 # ------------------------------------------------- VERDICT r5 task 9
 def test_export_import_views_macros_sequences(lake, spark, tmp_path):
     """EXPORT DATABASE carries views, macros and sequences (at their
