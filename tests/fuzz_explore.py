@@ -445,7 +445,27 @@ def fam_interval2() -> str:
     return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
 
 
+def fam_structs() -> str:
+    """Struct literals, nested field access, struct_extract/pack, and
+    struct-in-list compositions."""
+    inner = pick("{'c': j, 'd': s}", "{'c': [i, j]}", "{'c': i + 1}")
+    lit = f"{{'a': i, 'b': {inner}}}"
+    e = pick(
+        f"({lit}).a",
+        f"({lit}).b.c",
+        f"struct_extract({lit}, 'a')",
+        f"struct_extract(struct_extract({lit}, 'b'), 'c')",
+        f"struct_pack(x := i, y := j).x",
+        f"struct_pack(x := i, y := j).y",
+        f"([{lit}, {lit}])[1].a",
+        f"({lit}).b.c" if "[i, j]" not in inner else
+        f"(({lit}).b.c)[1]",
+    )
+    return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
+
+
 NEW_FAMILIES = {
+    "structs": fam_structs,
     "map_subscript": fam_map_subscript,
     "slices": fam_slices,
     "pivot": fam_pivot,
