@@ -5473,14 +5473,20 @@ class DuckLakeSpark:
         # SET VARIABLE name = expr / getvariable('name') user variables
         self.sql_variables: dict[str, object] = {}
         # CREATE TYPE … AS ENUM registry: enum columns store as VARCHAR
-        # plus an auto-CHECK over the declared values (DuckDB's enum is
-        # a constrained string at the SQL surface; declaration-order
-        # comparisons are not reproduced).  Persisted in
-        # ducklake_metadata so a reopened lake still resolves the type.
+        # plus an auto-CHECK over the declared values.  ORDERING
+        # (ORDER BY / min / max) follows the DEFINITION order via
+        # _rewrite_enum_order; direct comparisons against string
+        # literals stay lexical (DuckDB 1.0's own observed behavior
+        # for enum-vs-varchar).  Persisted in ducklake_metadata so a
+        # reopened lake still resolves the type; ``enumcol:tbl.col``
+        # rows record which columns carry which enum.
         self._enums: dict[str, list[str]] = {}
+        self._enum_cols: dict[str, str] = {}  # "tbl.col" -> enum name
         for r in self.catalog.tables["ducklake_metadata"].itertuples():
             if str(r.key).startswith("enum:"):
                 self._enums[str(r.key)[5:]] = json.loads(r.value)
+            elif str(r.key).startswith("enumcol:") and r.value is not None:
+                self._enum_cols[str(r.key)[8:]] = str(r.value)
         # DuckLake data inlining: INSERTs of <= N rows become catalog
         # rows instead of parquet files (0 = off, the spec default);
         # ``SET ducklake.data_inlining_row_limit = N`` overrides at
@@ -6815,6 +6821,13 @@ class DuckLakeSpark:
         if if_not_exists and name in self.catalog.table_names():
             return None
         cols, checks, pks, gens = self._parse_columns(body)
+        # stale enum-column records from a previous table of this name
+        # must not leak ordinal semantics onto the new columns
+        for stale in [
+            k for k in self._enum_cols if k.startswith(name.lower() + ".")
+        ]:
+            self._enum_cols.pop(stale, None)
+            self.catalog.set_metadata(f"enumcol:{stale}", None)
         if self._enums:
             resolved = []
             for c in cols:
@@ -6824,6 +6837,14 @@ class DuckLakeSpark:
                     # backticks: double quotes are string literals to
                     # Spark's parser, which the CHECK F.expr goes through
                     checks.append(f"`{c[0]}` IN ({vals})")
+                    # remember the column's ENUM identity: ordering
+                    # semantics (ORDER BY / min / max) follow the
+                    # DEFINITION order, not lexical — the storage type
+                    # is VARCHAR, so this registry is the only record
+                    self.catalog.set_metadata(
+                        f"enumcol:{name.lower()}.{c[0].lower()}", base
+                    )
+                    self._enum_cols[f"{name.lower()}.{c[0].lower()}"] = base
                     c = (c[0], "VARCHAR", c[2], c[3])
                 resolved.append(c)
             cols = resolved
@@ -6928,6 +6949,121 @@ class DuckLakeSpark:
                 elif isinstance(f.dataType, T.StringType):
                     strs.add(f.name.lower())
         return frozenset(maps) or None, frozenset(strs) or None
+
+    def _enum_order_values(self, stmt: str) -> dict[str, list[str]]:
+        """column name (lower) → declared enum values, for enum-typed
+        columns of every table the statement references.  Input to
+        _rewrite_enum_order; empty when no enum columns are in play
+        (the universal fast path)."""
+        if not self._enum_cols:
+            return {}
+        ids = {s.lower() for s in sql_identifiers(stmt)}
+        out: dict[str, list[str]] = {}
+        for key, ename in self._enum_cols.items():
+            tbl, col = key.split(".", 1)
+            if tbl in ids and ename in self._enums:
+                out[col] = self._enums[ename]
+        return out
+
+    _ORDER_CLAUSE_STOP = frozenset(
+        "limit offset fetch rows range groups window union intersect "
+        "except having qualify".split()
+    )
+
+    def _rewrite_enum_order(self, stmt: str) -> str:
+        """DuckDB enums order by DEFINITION order, not lexically —
+        the engine stores them as VARCHAR (+ CHECK), so ORDER BY keys
+        and min/max aggregates over enum columns rewrite to ordinal
+        form: ``array_position(<declared values>, col)`` as the sort
+        key; ``element_at(values, min/max(ordinal))`` as the
+        aggregate.  Direct comparisons stay lexical (DuckDB 1.0's own
+        enum-vs-varchar behavior, verified).  Emissions don't re-match
+        (idempotent under chain re-entry)."""
+        emap = self._enum_order_values(stmt)
+        if not emap:
+            return stmt
+
+        def _arr(vals: list[str]) -> str:
+            return "array(" + ", ".join(_sql_str(v) for v in vals) + ")"
+
+        def _mm(m: re.Match) -> str:
+            fn, col = m.group(1).lower(), m.group(2)
+            vals = emap.get(col.split(".")[-1].lower())
+            if not vals or _inside_string_literal(stmt, m.start()):
+                return m.group(0)
+            a = _arr(vals)
+            return (
+                f"try_element_at({a}, CAST({fn}("
+                f"array_position({a}, {col})) AS INT))"
+            )
+
+        stmt = re.sub(
+            r"\b(min|max)\s*\(\s*([A-Za-z_][\w.]*)\s*\)", _mm, stmt,
+            flags=re.I,
+        )
+        # ORDER BY keys (top-level clauses and OVER specs alike)
+        pos = 0
+        while True:
+            om = re.search(r"\bORDER\s+BY\b", stmt[pos:], re.I)
+            if not om:
+                return stmt
+            start = pos + om.end()
+            if _inside_string_literal(stmt, pos + om.start()):
+                pos += om.end()
+                continue
+            i, n = start, len(stmt)
+            depth = 0
+            in_str: str | None = None
+            while i < n:
+                c = stmt[i]
+                if in_str:
+                    if c == in_str:
+                        in_str = None
+                elif c in ("'", '"'):
+                    in_str = c
+                elif c in "([{":
+                    depth += 1
+                elif c in ")]}":
+                    if depth == 0:
+                        break  # closing the enclosing OVER/subquery
+                    depth -= 1
+                elif depth == 0 and (c.isalpha() or c == "_"):
+                    j = i
+                    while j < n and (stmt[j].isalnum() or stmt[j] == "_"):
+                        j += 1
+                    if stmt[i:j].lower() in self._ORDER_CLAUSE_STOP:
+                        break
+                    i = j
+                    continue
+                i += 1
+            segment = stmt[start:i]
+            keys = split_top_level(segment)
+            new_keys = []
+            for k in keys:
+                km = re.match(
+                    r"(\s*)([A-Za-z_][\w.]*)"
+                    r"((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+"
+                    r"(?:FIRST|LAST))?\s*)$",
+                    k,
+                    re.I,
+                )
+                vals = (
+                    emap.get(km.group(2).split(".")[-1].lower())
+                    if km
+                    else None
+                )
+                if km and vals:
+                    new_keys.append(
+                        f"{km.group(1)}array_position({_arr(vals)}, "
+                        f"{km.group(2)}){km.group(3)}"
+                    )
+                else:
+                    new_keys.append(k)
+            # split_top_level strips key whitespace — rebuild with
+            # explicit separators so "ORDER BY" keeps its space
+            new_seg = " " + ", ".join(k.strip() for k in new_keys) + " "
+            stmt = stmt[:start] + new_seg + stmt[i:]
+            pos = start + len(new_seg)
 
     def _insert(
         self,
@@ -10433,6 +10569,8 @@ class DuckLakeSpark:
         # closes the r5 documented gap (it used to raise).  The base
         # result is persisted so the input is scanned ONCE; the
         # previous call's cache is released to bound residency.
+        if self._enum_cols:
+            stmt = self._rewrite_enum_order(stmt)
         pct_views = 0
         while True:
             pm = re.search(r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*%", stmt, re.I)

@@ -290,6 +290,45 @@ def test_map_column_subscript_list_wraps(lake):
     assert rows(lake.sql("SELECT arr[1] AS v FROM atab")) == [(10,)]
 
 
+def test_enum_definition_order(lake, spark, tmp_path):
+    """DuckDB enums order by DEFINITION order (ORDER BY, min/max) even
+    though the engine stores them as VARCHAR — ordinal rewrite via the
+    persisted enumcol registry.  Direct comparisons stay lexical
+    (DuckDB 1.0's own enum-vs-varchar behavior, verified live)."""
+    from ducklakexl_spark.engine import DuckLakeSpark
+
+    con = duckdb.connect()
+    for s in [
+        "CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')",
+        "CREATE TABLE emt(id INTEGER, m mood)",
+        "INSERT INTO emt VALUES (1, 'happy'), (2, 'sad'), (3, 'ok'),"
+        " (4, NULL)",
+    ]:
+        lake.sql(s)
+        con.execute(s)
+    for q in [
+        "SELECT id, m FROM emt ORDER BY m",
+        "SELECT id, m FROM emt ORDER BY m DESC, id",
+        "SELECT min(m) AS lo, max(m) AS hi FROM emt",
+        "SELECT m, count(*) AS c FROM emt GROUP BY m ORDER BY m",
+        "SELECT id, row_number() OVER (ORDER BY m, id) AS rn FROM emt"
+        " ORDER BY id",
+        "SELECT id, m FROM emt ORDER BY m NULLS FIRST, id LIMIT 2",
+    ]:
+        assert [tuple(r) for r in lake.sql(q).collect()] == [
+            tuple(r) for r in con.execute(q).fetchall()
+        ], q
+    # the registry persists across a reopen
+    lake2 = DuckLakeSpark(
+        spark=spark,
+        data_path=lake.data_path,
+        local_catalog=lake.catalog.store.path,
+    )
+    assert [tuple(r) for r in lake2.sql(
+        "SELECT min(m) AS lo FROM emt"
+    ).collect()] == [("sad",)]
+
+
 def test_percentage_limit_in_subquery(lake):
     """r5 documented gap #4: percentage LIMIT inside a subquery now
     materializes the subquery (innermost-first) instead of raising."""
