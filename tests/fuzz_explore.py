@@ -464,7 +464,27 @@ def fam_structs() -> str:
     return f"SELECT k, {e} AS r {fz._FROM} ORDER BY k"
 
 
+def fam_enum() -> str:
+    """Enum definition-order semantics over the ``__et`` fixture:
+    ORDER BY, min/max, grouping, windows, IN-lists, casts."""
+    lit = pick("'red'", "'green'", "'blue'", "'violet'")
+    return pick(
+        "SELECT id, c FROM __et ORDER BY c, id",
+        "SELECT id, c FROM __et ORDER BY c DESC, id",
+        f"SELECT min(c) AS lo, max(c) AS hi FROM __et",
+        f"SELECT c, count(*) AS n FROM __et GROUP BY c ORDER BY c",
+        f"SELECT id FROM __et WHERE c = {lit} ORDER BY id",
+        f"SELECT id FROM __et WHERE c IN ({lit}, 'red') ORDER BY id",
+        "SELECT id, rank() OVER (ORDER BY c, id) AS rk FROM __et"
+        " ORDER BY id",
+        "SELECT id, CAST(c AS VARCHAR) AS cv FROM __et ORDER BY id",
+        f"SELECT max(c) AS m FROM __et WHERE id % "
+        f"{rng.randint(2, 4)} = 0",
+    )
+
+
 NEW_FAMILIES = {
+    "enum": fam_enum,
     "structs": fam_structs,
     "map_subscript": fam_map_subscript,
     "slices": fam_slices,
@@ -520,6 +540,16 @@ def main() -> int:
     )
     lake.sql(_st_sql)
     con.execute(_st_sql)
+    # enum fixture for fam_enum (values deliberately NOT in lexical
+    # order so definition-order divergences surface)
+    for _sql in (
+        "CREATE TYPE rgb AS ENUM ('red', 'green', 'blue', 'violet')",
+        "CREATE TABLE __et(id INTEGER, c rgb)",
+        "INSERT INTO __et VALUES (1,'blue'), (2,'red'), (3,'violet'),"
+        " (4,'green'), (5,'red'), (6,NULL)",
+    ):
+        lake.sql(_sql)
+        con.execute(_sql)
 
     def draw(strategy):
         # hypothesis strategies support .example(); randomize via its
