@@ -6978,7 +6978,11 @@ class DuckLakeSpark:
         key; ``element_at(values, min/max(ordinal))`` as the
         aggregate.  Direct comparisons stay lexical (DuckDB 1.0's own
         enum-vs-varchar behavior, verified).  Emissions don't re-match
-        (idempotent under chain re-entry)."""
+        (idempotent under chain re-entry).  Resolution is by COLUMN
+        NAME across the statement's referenced tables — an
+        alias-qualified column that shares its name with another
+        table's enum column would also take ordinal ordering
+        (text-layer limit, same class as the bracket resolver's)."""
         emap = self._enum_order_values(stmt)
         if not emap:
             return stmt

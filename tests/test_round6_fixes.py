@@ -290,6 +290,33 @@ def test_map_column_subscript_list_wraps(lake):
     assert rows(lake.sql("SELECT arr[1] AS v FROM atab")) == [(10,)]
 
 
+def test_slice_semantics_exhaustive(lake):
+    """Every slice bound combo (open/0/1/2/4/9/-1/-2/-9) over a string
+    literal, a list literal, and a catalog STRING column, live against
+    DuckDB — the full semantics table the round-6 normalization was
+    built from."""
+    lake.sql("CREATE TABLE sx(sv VARCHAR)")
+    lake.sql("INSERT INTO sx VALUES ('abcdef')")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sx(sv VARCHAR); INSERT INTO sx VALUES"
+                " ('abcdef')")
+    bounds = ["", "0", "1", "2", "4", "9", "-1", "-2", "-9"]
+    for lo in bounds:
+        for hi in bounds:
+            for base in ("'abcdef'", "([10,20,30,40])", "sv"):
+                q = f"SELECT {base}[{lo}:{hi}] AS r FROM sx"
+                s = [tuple(r) for r in lake.sql(q).collect()]
+                d = con.execute(q).fetchall()
+                assert s == d, (q, s, d)
+    # single subscripts incl. 0 and negatives
+    for i in ("0", "1", "4", "9", "-1", "-9"):
+        for base in ("'abcdef'", "([10,20,30,40])", "sv"):
+            q = f"SELECT {base}[{i}] AS r FROM sx"
+            s = [tuple(r) for r in lake.sql(q).collect()]
+            d = con.execute(q).fetchall()
+            assert s == d, (q, s, d)
+
+
 def test_enum_definition_order(lake, spark, tmp_path):
     """DuckDB enums order by DEFINITION order (ORDER BY, min/max) even
     though the engine stores them as VARCHAR — ordinal rewrite via the
