@@ -3548,12 +3548,21 @@ _NE_ALL_RE = re.compile(r"(?:!=|<>)\s*ALL\s*\(", re.I)
 _FACTORIAL_RE = re.compile(r"\b(\d+)\s*!(?![=~])")
 
 
+_QUANT_OP_RE = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ANY|SOME|ALL)\s*\(", re.I
+)
+
+
 def rewrite_quantified_and_factorial(stmt: str) -> str:
-    """Quantified comparisons Spark lacks, rewritten to their IN
-    equivalents: ``x = ANY (sub)`` → ``x IN (sub)``, ``x <> ALL (sub)`` →
-    ``x NOT IN (sub)`` (other operators with ANY/ALL raise).  Also the
-    postfix factorial on integer literals (``5!`` → ``factorial(5)``;
-    ``!=`` and ``!~`` guarded).  Quote-parity-aware."""
+    """Quantified comparisons Spark lacks.  Subquery operands go to
+    their IN equivalents: ``x = ANY (sub)`` → ``x IN (sub)``,
+    ``x <> ALL (sub)`` → ``x NOT IN (sub)`` (other operators with a
+    SUBQUERY raise).  LIST operands (DuckDB also quantifies over
+    lists: ``3 = ANY([1,2,3])``) rewrite to array HOFs —
+    ``exists(arr, __e -> x OP __e)`` for ANY/SOME, ``forall`` for ALL
+    — any comparison operator.  Also the postfix factorial on integer
+    literals (``5!`` → ``factorial(5)``; ``!=``/``!~`` guarded).
+    Quote-parity-aware."""
     def sub_guarded(rx, repl, s):
         return rx.sub(
             lambda m: m.group(0)
@@ -3562,15 +3571,44 @@ def rewrite_quantified_and_factorial(stmt: str) -> str:
             s,
         )
 
-    stmt = sub_guarded(_EQ_ANY_RE, lambda m: "IN (", stmt)
-    stmt = sub_guarded(_NE_ALL_RE, lambda m: "NOT IN (", stmt)
-    leftover = re.search(
-        r"[<>=!]+\s*(?:ANY|SOME|ALL)\s*\(", stmt, re.I
-    )
-    if leftover and not _inside_string_literal(stmt, leftover.start()):
-        raise ValueError(
-            "only = ANY and <> ALL quantified comparisons are supported"
-        )
+    while True:
+        hit = None
+        for m in _QUANT_OP_RE.finditer(stmt):
+            if not _inside_string_literal(stmt, m.start()):
+                hit = m
+                break
+        if hit is None:
+            break
+        op, quant = hit.group(1), hit.group(2).upper()
+        open_p = hit.end() - 1
+        close = matching_paren(stmt, open_p)
+        inner = stmt[open_p + 1 : close].strip()
+        if re.match(r"(?is)^(SELECT|WITH|FROM)\b", inner):
+            if quant in ("ANY", "SOME") and op == "=":
+                stmt = stmt[: hit.start()] + "IN (" + stmt[open_p + 1 :]
+            elif quant == "ALL" and op in ("<>", "!="):
+                stmt = (
+                    stmt[: hit.start()] + "NOT IN (" + stmt[open_p + 1 :]
+                )
+            else:
+                raise ValueError(
+                    "only = ANY and <> ALL subquery comparisons are "
+                    "supported"
+                )
+            continue
+        # list operand: element-wise HOF over the array expression
+        lhs_start = _lhs_boundary(stmt, hit.start())
+        lhs = stmt[lhs_start : hit.start()].strip()
+        if not lhs:
+            raise ValueError(
+                f"quantified comparison without a left operand: "
+                f"{stmt[hit.start():close + 1][:60]!r}"
+            )
+        fn = "exists" if quant in ("ANY", "SOME") else "forall"
+        # leading space: lhs_start can sit flush against a keyword
+        # (SELECT/WHERE) — bare concatenation would fuse identifiers
+        emission = f" {fn}(({inner}), __e -> ({lhs}) {op} __e)"
+        stmt = stmt[:lhs_start] + emission + stmt[close + 1 :]
     return sub_guarded(
         _FACTORIAL_RE, lambda m: f"factorial({m.group(1)})", stmt
     )
@@ -3986,6 +4024,17 @@ _STARTS_OP_RE = re.compile(
     r"('(?:[^']|'')*'|[\w.\"]+)\s*\^@\s*('(?:[^']|'')*'|[\w.\"]+)"
 )
 _CTE_MATERIALIZED_RE = re.compile(r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", re.I)
+_COLLATE_PRIMARY = (
+    r"(?:[\w.]+\s*)?\((?:[^()]|\([^()]*\))*\)|'(?:[^']|'')*'|[\w.]+"
+)
+_COLLATE_CMP_RE = re.compile(
+    rf"({_COLLATE_PRIMARY})\s+COLLATE\s+NOCASE\s*"
+    rf"(=|<>|!=|<=|>=|<|>|LIKE)\s*({_COLLATE_PRIMARY})",
+    re.I,
+)
+_COLLATE_KEY_RE = re.compile(
+    rf"({_COLLATE_PRIMARY})\s+COLLATE\s+NOCASE", re.I
+)
 _LIKE_ESCAPE_RE = re.compile(
     r"LIKE\s+('(?:[^']|'')*')\s+ESCAPE\s+'(.)'", re.I
 )
@@ -4489,6 +4538,27 @@ def rewrite_duck_operators(stmt: str) -> str:
         else f"startswith({m.group(1)}, {m.group(2)})",
         stmt,
     )
+    if re.search(r"\bCOLLATE\s+NOCASE\b", stmt, re.I):
+        # DuckDB NOCASE collation: comparisons become case-insensitive
+        # (BOTH sides fold — the collation governs the comparison, not
+        # just its annotated operand); a bare collated sort/group key
+        # folds alone.  Value-position COLLATE keeps the original text
+        # in DuckDB — that exotic shape isn't reproduced (lower() in a
+        # projection would change the value).
+        _pre_c = stmt
+        stmt = _COLLATE_CMP_RE.sub(
+            lambda m: m.group(0)
+            if _inside_string_literal(_pre_c, m.start())
+            else f"lower({m.group(1)}) {m.group(2)} lower({m.group(3)})",
+            stmt,
+        )
+        _pre_k = stmt
+        stmt = _COLLATE_KEY_RE.sub(
+            lambda m: m.group(0)
+            if _inside_string_literal(_pre_k, m.start())
+            else f"lower({m.group(1)})",
+            stmt,
+        )
     _pre_mat = stmt
     stmt = _CTE_MATERIALIZED_RE.sub(
         lambda m: m.group(0)

@@ -178,6 +178,15 @@ REGRESSION_STATEMENTS = [
     f" INTO NAME which VALUE v ORDER BY k, which",
     f"PIVOT (SELECT s, i, j {_FROM}) ON s USING count(*) GROUP BY j"
     f" ORDER BY j NULLS LAST",
+    # finds #34-#35: quantified comparisons over LIST operands (any
+    # operator, exists/forall HOFs) and NOCASE collation (comparison
+    # folds BOTH sides; sort keys fold alone)
+    f"SELECT k, (i > ANY([1, 5])) AS r {_FROM} ORDER BY k",
+    f"SELECT k, (j <= ALL([2, 9])) AS r {_FROM} ORDER BY k",
+    f"SELECT k, (k = ANY([0, 2, 4])) AS r {_FROM} ORDER BY k",
+    f"SELECT k, ('abc' COLLATE NOCASE = 'ABC') AS r {_FROM} ORDER BY k",
+    f"SELECT k, s FROM (VALUES (1, 'b'), (2, 'A'), (3, 'C')) t(k, s)"
+    f" ORDER BY s COLLATE NOCASE",
     # sign() re-wrap class (ADVICE r4): rewrite output must be stable
     # under composition
     f"SELECT k, (CASE WHEN (i % j) IS NULL THEN -1 ELSE (i // j) END) AS r {_FROM} ORDER BY k",
