@@ -1333,6 +1333,7 @@ _DUCK_FN_RENAME = {
     "list_filter": "filter",
     "list_distinct": "array_distinct",
     "list_value": "array",
+    "array_value": "array",  # DuckDB's fixed-size ARRAY constructor
     "list_pack": "array",
     "list_append": "array_append",
     # try_element_at: DuckDB list_extract is NULL out of bounds, and
