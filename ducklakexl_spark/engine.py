@@ -8851,10 +8851,37 @@ class DuckLakeSpark:
             preds = self._conjunct_predicates(where, cols, (name, None))
         live = self.table_df(name, with_position=True, predicates=preds)
         hits = live.filter(where) if where else live
+        # tuple form: SET (a, b) = (v1, v2) → a = v1, b = v2
+        tm = re.match(r"\s*\(([^()=]*)\)\s*=\s*\((.*)\)\s*$", set_clause, re.S)
+        if tm:
+            if re.match(r"(?is)^\s*SELECT\b", tm.group(2)):
+                raise NotImplementedError(
+                    "UPDATE SET (…) = (SELECT …) is not supported"
+                )
+            tcols = [c.strip() for c in tm.group(1).split(",")]
+            tvals = split_top_level(tm.group(2))
+            if len(tcols) != len(tvals):
+                raise ValueError(
+                    f"UPDATE SET tuple arity mismatch: {len(tcols)} "
+                    f"columns, {len(tvals)} values"
+                )
+            set_clause = ", ".join(
+                f"{c} = {v}" for c, v in zip(tcols, tvals)
+            )
+        # field-name resolution is case-insensitive, and an assignment
+        # to a non-existent column raises LOUDLY — the old exact-case
+        # dict lookup made both a silent no-op (round-6 probe find)
+        by_lower = {f.name.lower(): f.name for f in schema.fields}
         assignments = {}
         for part in split_top_level(set_clause):
             col, expr = part.split("=", 1)
-            assignments[col.strip().strip('"')] = expr.strip()
+            key = col.strip().strip('"')
+            actual = by_lower.get(key.lower())
+            if actual is None:
+                raise ValueError(
+                    f"UPDATE {name}: no column named {key!r}"
+                )
+            assignments[actual] = expr.strip()
         gen_names = {
             c
             for c, _x, _t in self._generated_cols(

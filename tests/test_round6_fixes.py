@@ -423,3 +423,19 @@ def test_correlated_projected_in_keeps_native_form(lake):
         )
     )
     assert out == [(1, True), (2, False)]
+
+
+def test_update_tuple_set_and_case(lake):
+    """SET (a, b) = (v1, v2) tuple form; case-insensitive column
+    resolution; unknown columns raise LOUDLY (all three were silent
+    no-ops before — round-6 probe find)."""
+    import pytest as _pt
+
+    lake.sql("CREATE TABLE u6(x INTEGER, y VARCHAR)")
+    lake.sql("INSERT INTO u6 VALUES (1, 'a')")
+    lake.sql("UPDATE u6 SET (x, y) = (9, 'z') WHERE x = 1")
+    assert rows(lake.sql("SELECT * FROM u6")) == [(9, "z")]
+    lake.sql("UPDATE u6 SET X = x + 1")
+    assert rows(lake.sql("SELECT * FROM u6")) == [(10, "z")]
+    with _pt.raises(ValueError, match="no column named"):
+        lake.sql("UPDATE u6 SET nope = 1")
