@@ -108,7 +108,10 @@ class CatalogStore:
                 break
             except FileExistsError:
                 try:
-                    if time.monotonic() - os.path.getmtime(lock) > timeout:
+                    # wall clock here, NOT monotonic: getmtime is epoch
+                    # seconds, monotonic is seconds-since-boot — mixing
+                    # them makes the staleness test always false
+                    if time.time() - os.path.getmtime(lock) > timeout:
                         os.unlink(lock)  # stale holder — break the lock
                         continue
                 except FileNotFoundError:

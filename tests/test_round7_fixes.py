@@ -1,0 +1,174 @@
+"""Round-7 regression tests for the r6 ADVICE findings plus the
+VERDICT r6 dialect tasks (RHS NOCASE, commit-lock staleness clock,
+GROUPS-offset star leak, windowed enum min/max, nested percentage
+LIMITs, unaliased ASOF through sql())."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import duckdb
+import pytest
+
+from ducklakexl_spark.engine import DuckLakeSpark
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return DuckLakeSpark(
+        spark=spark,
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "catalog"),
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------- ADVICE r6 #1
+def test_nocase_collate_on_rhs_folds_both_sides(lake):
+    """`a = b COLLATE NOCASE` (collation annotated on the RIGHT
+    operand) must fold BOTH sides — previously only the RHS folded via
+    the bare-key pass, silently returning false for 'ABC' = 'abc'."""
+    lake.sql("CREATE TABLE nct(s VARCHAR, t VARCHAR)")
+    lake.sql(
+        "INSERT INTO nct VALUES ('ABC','abc'), ('x','y'), ('Mix','mIX')"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE nct(s VARCHAR, t VARCHAR); INSERT INTO nct "
+        "VALUES ('ABC','abc'), ('x','y'), ('Mix','mIX')"
+    )
+    for q in [
+        "SELECT s, (s = t COLLATE NOCASE) AS eq FROM nct ORDER BY s",
+        "SELECT s FROM nct WHERE s = t COLLATE NOCASE ORDER BY s",
+        "SELECT s, (s COLLATE NOCASE = t) AS eq FROM nct ORDER BY s",
+        "SELECT count(*) AS n FROM nct WHERE 'ABC' = 'abc' COLLATE NOCASE",
+    ]:
+        assert rows(lake.sql(q)) == sorted(
+            tuple(r) for r in con.execute(q).fetchall()
+        ), q
+
+
+# ---------------------------------------------------------- ADVICE r6 #2
+def test_commit_lock_stale_holder_is_broken(lake, tmp_path):
+    """A lockfile whose mtime is older than the timeout is presumed
+    crashed and broken — the staleness test must compare wall-clock
+    mtime against wall-clock now (it used time.monotonic(), which is
+    seconds-since-boot, so recovery could never fire)."""
+    store = lake.catalog.store
+    lock = store.path + ".lock"
+    with open(lock, "w") as f:
+        f.write("99999")
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    t0 = time.time()
+    with store.commit_lock(timeout=5.0):
+        pass
+    # must have broken the stale lock immediately, not waited out 5s
+    assert time.time() - t0 < 2.0
+    assert not os.path.exists(lock)
+
+
+# ---------------------------------------------------------- ADVICE r6 #3
+def test_groups_offset_frame_with_bare_star(lake):
+    """`SELECT *, agg OVER (... GROUPS n PRECEDING)` must not leak the
+    helper __grpN dense-rank column into the result."""
+    lake.sql("CREATE TABLE gsb(k INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO gsb VALUES (1,10),(1,20),(2,30),(3,40)")
+    df = lake.sql(
+        "SELECT *, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s"
+        " FROM gsb ORDER BY k, v"
+    )
+    assert df.columns == ["k", "v", "s"]
+    # GROUPS 1 PRECEDING: current peer group + one preceding group
+    assert [tuple(r) for r in df.collect()] == [
+        (1, 10, 30),
+        (1, 20, 30),
+        (2, 30, 60),
+        (3, 40, 70),
+    ]
+    # qualified star over the (aliased) source relation too
+    df2 = lake.sql(
+        "SELECT gsb.*, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s"
+        " FROM gsb ORDER BY k, v"
+    )
+    assert df2.columns == ["k", "v", "s"]
+
+
+# ---------------------------------------------------------- ADVICE r6 #4
+def test_enum_min_max_over_window(lake):
+    """min/max of an enum column UNDER a window spec keeps the OVER
+    attached to the aggregate (try_element_at is not a window fn)."""
+    lake.sql("CREATE TYPE mood7 AS ENUM ('sad','ok','happy')")
+    lake.sql("CREATE TABLE emw(g INTEGER, m mood7)")
+    lake.sql(
+        "INSERT INTO emw VALUES (1,'happy'),(1,'sad'),(2,'ok'),(2,'happy')"
+    )
+    df = lake.sql(
+        "SELECT g, m, min(m) OVER (PARTITION BY g) AS lo,"
+        " max(m) OVER (PARTITION BY g) AS hi FROM emw ORDER BY g, m"
+    )
+    got = [tuple(r) for r in df.collect()]
+    # ORDER BY m is declaration order too: sad < ok < happy
+    assert got == [
+        (1, "sad", "sad", "happy"),
+        (1, "happy", "sad", "happy"),
+        (2, "ok", "ok", "happy"),
+        (2, "happy", "ok", "happy"),
+    ]
+    # plain (non-window) aggregate still works alongside
+    assert rows(lake.sql("SELECT min(m) AS lo, max(m) AS hi FROM emw")) == [
+        ("sad", "happy")
+    ]
+
+
+# --------------------------------------------------- VERDICT r6 task 6
+def test_nested_percentage_limits(lake):
+    """Percentage LIMITs at two nesting depths (innermost-first
+    materialization lifts the single-level restriction)."""
+    lake.sql("CREATE TABLE npl(x INTEGER)")
+    lake.sql(
+        "INSERT INTO npl SELECT * FROM range(1, 21)"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE npl(x INT); INSERT INTO npl "
+        "SELECT * FROM range(1, 21)"
+    )
+    for q in [
+        # depth 2: inner 50% of 20 = 10 rows, then 50% of 10 = 5
+        "SELECT count(*) AS n FROM (SELECT x FROM "
+        "(SELECT x FROM npl ORDER BY x LIMIT 50%) ti ORDER BY x"
+        " LIMIT 50%) t",
+        "SELECT sum(x) AS s FROM (SELECT x FROM "
+        "(SELECT x FROM npl ORDER BY x LIMIT 50%) ti ORDER BY x"
+        " LIMIT 50%) t",
+        # depth 2 with an outer top-level percentage too
+        "SELECT x FROM (SELECT x FROM npl ORDER BY x LIMIT 50%) t"
+        " ORDER BY x LIMIT 30%",
+    ]:
+        assert rows(lake.sql(q)) == sorted(
+            tuple(r) for r in con.execute(q).fetchall()
+        ), q
+
+
+def test_percentage_limit_inner_cache_released(lake):
+    """The inner-subquery persists are tracked and released on the
+    next percentage-LIMIT statement (ADVICE r6 #5 leak)."""
+    lake.sql("CREATE TABLE plr(x INTEGER)")
+    lake.sql("INSERT INTO plr VALUES (1),(2),(3),(4)")
+    lake.sql(
+        "SELECT count(*) AS n FROM (SELECT x FROM plr ORDER BY x"
+        " LIMIT 50%) t"
+    ).collect()
+    held = list(getattr(lake, "_limit_pct_inner", []))
+    assert len(held) == 1 and held[0].is_cached
+    lake.sql(
+        "SELECT count(*) AS n FROM (SELECT x FROM plr ORDER BY x"
+        " LIMIT 25%) t"
+    ).collect()
+    assert not held[0].is_cached  # previous statement's persist freed
+    assert len(lake._limit_pct_inner) == 1
