@@ -697,6 +697,53 @@ def split_rel_alias(seg: str) -> tuple[str, str | None]:
     return rel, alias
 
 
+_REL_ALIAS_STOP = frozenset(
+    "where group order limit having qualify window union intersect except "
+    "offset fetch join on using left right full inner outer cross semi "
+    "anti asof positional lateral natural values set returning when then "
+    "else end and or not as tablesample sample at for".split()
+)
+
+
+def stmt_alias_tables(stmt: str) -> dict[str, str]:
+    """alias (lower) → table name (lower) bindings visible in the
+    statement's FROM/JOIN text, with each bare table name also bound to
+    itself.  Subquery/VALUES aliases are NOT bound (their columns are
+    not catalog columns — text-layer resolution for those falls back to
+    the bare-name union, documented).  Parsing is best-effort: an alias
+    this scan misses simply keeps the bare-name fallback, it never
+    mis-binds."""
+    out: dict[str, str] = {}
+
+    def _bind(tbl: str, alias: str | None) -> None:
+        t = tbl.rsplit(".", 1)[-1].lower()
+        a = (alias or "").lower()
+        if a and a not in _REL_ALIAS_STOP:
+            out[a] = t
+        out.setdefault(t, t)
+
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?",
+        stmt,
+        re.I,
+    ):
+        if _inside_string_literal(stmt, m.start()):
+            continue
+        _bind(m.group(1), m.group(2))
+        # comma-separated FROM items: ``FROM t1 a, t2 b``
+        pos = m.end()
+        while True:
+            cm = re.match(
+                r"\s*,\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?",
+                stmt[pos:],
+            )
+            if not cm:
+                break
+            _bind(cm.group(1), cm.group(2))
+            pos += cm.end()
+    return out
+
+
 def split_top_level_kw(s: str, kw: str) -> list[str]:
     """Split ``s`` on top-level occurrences of the keyword ``kw``."""
     parts, start = [], 0
@@ -3275,7 +3322,37 @@ def _split_top_level_concat(s: str) -> list[str]:
     return parts
 
 
-def _expr_is_stringy(expr: str, str_cols: frozenset[str] | None) -> bool:
+def _col_in_set(
+    qual: str | None,
+    name: str,
+    cols: frozenset[str] | None,
+    quals: frozenset[str] | None,
+) -> bool:
+    """Scope-aware membership for text-layer column-type resolution:
+    ``cols`` carries bare names (only where unambiguous across the
+    statement's referenced tables) plus ``alias.col`` qualified
+    entries; ``quals`` is the set of alias/table names the statement
+    scanner bound.  A qualified reference whose qualifier IS a known
+    alias resolves strictly through its own table's entries — no
+    bare-name fallback (VERDICT r6 task 5); an unknown qualifier
+    (subquery alias, struct path) keeps the bare-name fallback."""
+    if not cols:
+        return False
+    name = name.lower()
+    if qual:
+        q = qual.lower()
+        if f"{q}.{name}" in cols:
+            return True
+        if quals and q in quals:
+            return False
+    return name in cols
+
+
+def _expr_is_stringy(
+    expr: str,
+    str_cols: frozenset[str] | None,
+    quals: frozenset[str] | None = None,
+) -> bool:
     """True when a subscript operand is VARCHAR-typed by resolution:
     a bare/qualified column in ``str_cols``, or a top-level ``||``
     concat with a string-literal (or string-column) operand."""
@@ -3288,12 +3365,14 @@ def _expr_is_stringy(expr: str, str_cols: frozenset[str] | None) -> bool:
             p = p.strip()
             if re.fullmatch(r"'(?:[^']|'')*'", p):
                 return True
-            if str_cols and _expr_is_stringy(p, str_cols):
+            if str_cols and _expr_is_stringy(p, str_cols, quals):
                 return True
         return False
     if str_cols:
-        m = re.fullmatch(r'(?:\w+\.)*(\w+|"[^"]+")', e)
-        if m and m.group(1).strip('"').lower() in str_cols:
+        m = re.fullmatch(r'(?:(?:\w+\.)*(\w+)\.)?(\w+|"[^"]+")', e)
+        if m and _col_in_set(
+            m.group(1), m.group(2).strip('"'), str_cols, quals
+        ):
             return True
     return False
 
@@ -3340,6 +3419,7 @@ def rewrite_bracket_syntax(
     stmt: str,
     map_cols: frozenset[str] | None = None,
     str_cols: frozenset[str] | None = None,
+    quals: frozenset[str] | None = None,
 ) -> str:
     """DuckDB bracket syntax → Spark SQL:
 
@@ -3360,7 +3440,11 @@ def rewrite_bracket_syntax(
     names of every table the statement references (resolved by the
     engine from the catalog before this text pass): a subscript whose
     operand resolves MAP takes DuckDB's list-wrapped map semantics,
-    one that resolves VARCHAR subscripts CHARACTERS."""
+    one that resolves VARCHAR subscripts CHARACTERS.  ``quals`` is
+    the set of alias/table names the engine's FROM/JOIN scan bound —
+    a qualified operand whose qualifier is a known alias resolves
+    strictly through that table's own entries (scope-correct), with
+    the bare-name union as fallback only for unknown qualifiers."""
     if "[" not in stmt and "{" not in stmt:
         return stmt
     out: list[str] = []
@@ -3424,7 +3508,7 @@ def rewrite_bracket_syntax(
         if ch == "(":
             close = _matching_bracket(stmt, i)
             inner = rewrite_bracket_syntax(
-                stmt[i + 1 : close], map_cols, str_cols
+                stmt[i + 1 : close], map_cols, str_cols, quals
             )
             if prev not in ("w",):  # not a function call → new primary
                 mark = len(out)
@@ -3435,7 +3519,7 @@ def rewrite_bracket_syntax(
         if ch == "[":
             close = _matching_bracket(stmt, i)
             inner = rewrite_bracket_syntax(
-                stmt[i + 1 : close], map_cols, str_cols
+                stmt[i + 1 : close], map_cols, str_cols, quals
             ).strip()
             indexing = prev in ("w", ")", "]", "'") and mark is not None
             if indexing and not inner:
@@ -3463,7 +3547,7 @@ def rewrite_bracket_syntax(
                         expr,
                     )
                     is not None
-                    or _expr_is_stringy(expr, str_cols)
+                    or _expr_is_stringy(expr, str_cols, quals)
                 )
                 if cpos >= 0:
                     lo = inner[:cpos].strip()
@@ -3489,10 +3573,16 @@ def rewrite_bracket_syntax(
                     map_cols
                     and (
                         _ident_m := re.search(
+                            r'(?:(\w+)\s*\.\s*)?'
                             r'([A-Za-z_]\w*|"[^"]+")\s*$', expr
                         )
                     )
-                    and _ident_m.group(1).strip('"').lower() in map_cols
+                    and _col_in_set(
+                        _ident_m.group(1),
+                        _ident_m.group(2).strip('"'),
+                        map_cols,
+                        quals,
+                    )
                 ):
                     # DuckDB map[k] returns the match LIST-WRAPPED
                     # ([] on a miss) — same emission as the
@@ -3532,7 +3622,7 @@ def rewrite_bracket_syntax(
         if ch == "{":
             close = _matching_bracket(stmt, i)
             inner = rewrite_bracket_syntax(
-                stmt[i + 1 : close], map_cols, str_cols
+                stmt[i + 1 : close], map_cols, str_cols, quals
             )
             pairs = _split_bracket_args(inner)
             # MAP {'k': v, …} → map('k', v, …); bare {…} → named_struct
@@ -7053,45 +7143,119 @@ class DuckLakeSpark:
 
     def _bracket_column_sets(
         self, stmt: str
-    ) -> tuple[frozenset[str] | None, frozenset[str] | None]:
-        """(MAP-typed, VARCHAR-typed) column names of every catalog
-        table the statement references — the resolve-before-rewrite
-        input that lets the bracket pass give ``m[k]`` on a map COLUMN
-        DuckDB's list-wrapped semantics and ``s[2]``/``s[1:3]`` on a
-        string COLUMN character semantics (a purely textual pass can
-        only recognize syntactic ``map(...)``/literal operands).
-        Each set is None when empty (the common fast path)."""
+    ) -> tuple[
+        frozenset[str] | None, frozenset[str] | None, frozenset[str] | None
+    ]:
+        """(MAP-typed, VARCHAR-typed, known-qualifiers) for every
+        catalog table the statement references — the
+        resolve-before-rewrite input that lets the bracket pass give
+        ``m[k]`` on a map COLUMN DuckDB's list-wrapped semantics and
+        ``s[2]``/``s[1:3]`` on a string COLUMN character semantics (a
+        purely textual pass can only recognize syntactic
+        ``map(...)``/literal operands).
+
+        Scope-correct (VERDICT r6 task 5): the sets carry qualified
+        ``alias.col`` entries for every alias the FROM/JOIN scan bound,
+        and a BARE name only when its classification is consistent
+        across all referenced tables that have the column — so an
+        alias-qualified column sharing a name with another table's
+        map/string column takes its OWN table's semantics.  Each set is
+        None when empty (the common fast path)."""
         ids = {s.lower() for s in sql_identifiers(stmt)}
+        alias_map = stmt_alias_tables(stmt)
+        catalog_tables = {t.lower(): t for t in self.catalog.table_names()}
+        referenced: dict[str, list[str]] = {}  # tbl_lower -> aliases
+        for a, t in alias_map.items():
+            if t in catalog_tables:
+                referenced.setdefault(t, []).append(a)
+        for t in catalog_tables:
+            if t in ids:
+                referenced.setdefault(t, []).append(t)
         maps: set[str] = set()
         strs: set[str] = set()
-        for tbl in self.catalog.table_names():
-            if tbl.lower() not in ids:
-                continue
+        # bare-name classification across referenced tables:
+        # col -> set of 'map'/'str'/'other'
+        classes: dict[str, set[str]] = {}
+        for tbl, aliases in referenced.items():
             try:
-                schema = self.table_schema(tbl)
+                schema = self.table_schema(catalog_tables[tbl])
             except Exception:
                 continue
             for f in schema.fields:
+                c = f.name.lower()
                 if isinstance(f.dataType, T.MapType):
-                    maps.add(f.name.lower())
+                    cls = "map"
                 elif isinstance(f.dataType, T.StringType):
-                    strs.add(f.name.lower())
-        return frozenset(maps) or None, frozenset(strs) or None
+                    cls = "str"
+                else:
+                    cls = "other"
+                classes.setdefault(c, set()).add(cls)
+                tgt = maps if cls == "map" else strs if cls == "str" else None
+                if tgt is not None:
+                    for a in set(aliases) | {tbl}:
+                        tgt.add(f"{a}.{c}")
+        for c, cl in classes.items():
+            if cl == {"map"}:
+                maps.add(c)
+            elif cl == {"str"}:
+                strs.add(c)
+        return (
+            frozenset(maps) or None,
+            frozenset(strs) or None,
+            frozenset(alias_map) or None,
+        )
 
-    def _enum_order_values(self, stmt: str) -> dict[str, list[str]]:
-        """column name (lower) → declared enum values, for enum-typed
-        columns of every table the statement references.  Input to
-        _rewrite_enum_order; empty when no enum columns are in play
-        (the universal fast path)."""
+    def _enum_order_values(
+        self, stmt: str
+    ) -> tuple[dict[str, list[str]], frozenset[str]]:
+        """(column ref (lower) → declared enum values, known
+        qualifiers) for enum-typed columns of every table the statement
+        references.  The map carries qualified ``alias.col`` keys for
+        every alias the FROM/JOIN scan bound, and a BARE key only when
+        no other referenced table has a same-named non-enum (or
+        different-enum) column — scope-correct resolution, VERDICT r6
+        task 5.  Empty when no enum columns are in play (the universal
+        fast path)."""
         if not self._enum_cols:
-            return {}
+            return {}, frozenset()
         ids = {s.lower() for s in sql_identifiers(stmt)}
+        alias_map = stmt_alias_tables(stmt)
         out: dict[str, list[str]] = {}
+        bare: dict[str, list[str] | None] = {}  # None = conflicted
+        referenced: set[str] = set()
         for key, ename in self._enum_cols.items():
             tbl, col = key.split(".", 1)
-            if tbl in ids and ename in self._enums:
-                out[col] = self._enums[ename]
-        return out
+            aliases = {a for a, t in alias_map.items() if t == tbl}
+            if tbl in ids:
+                aliases.add(tbl)
+            if not aliases or ename not in self._enums:
+                continue
+            referenced.add(tbl)
+            vals = self._enums[ename]
+            for a in aliases:
+                out[f"{a}.{col}"] = vals
+            if col in bare and bare[col] != vals:
+                bare[col] = None
+            else:
+                bare[col] = vals
+        # a same-named NON-enum column in any other referenced table
+        # also conflicts the bare key
+        if bare:
+            for tbl in set(alias_map.values()) | (
+                ids & {t.lower() for t in self.catalog.table_names()}
+            ):
+                try:
+                    schema = self.table_schema(tbl)
+                except Exception:
+                    continue
+                for f in schema.fields:
+                    c = f.name.lower()
+                    if c in bare and f"{tbl}.{c}" not in self._enum_cols:
+                        bare[c] = None
+        for col, vals in bare.items():
+            if vals is not None:
+                out.setdefault(col, vals)
+        return out, frozenset(alias_map)
 
     _ORDER_CLAUSE_STOP = frozenset(
         "limit offset fetch rows range groups window union intersect "
@@ -7106,14 +7270,27 @@ class DuckLakeSpark:
         key; ``element_at(values, min/max(ordinal))`` as the
         aggregate.  Direct comparisons stay lexical (DuckDB 1.0's own
         enum-vs-varchar behavior, verified).  Emissions don't re-match
-        (idempotent under chain re-entry).  Resolution is by COLUMN
-        NAME across the statement's referenced tables — an
-        alias-qualified column that shares its name with another
-        table's enum column would also take ordinal ordering
-        (text-layer limit, same class as the bracket resolver's)."""
-        emap = self._enum_order_values(stmt)
+        (idempotent under chain re-entry).  Resolution is SCOPE-AWARE:
+        alias-qualified columns bind to their own table's type via the
+        FROM/JOIN alias scan; bare names resolve only when consistent
+        across the referenced tables (VERDICT r6 task 5).  Columns of
+        unresolvable scopes (VALUES aliases, subquery outputs) keep
+        the bare-name fallback."""
+        emap, known_quals = self._enum_order_values(stmt)
         if not emap:
             return stmt
+
+        def _vals_of(colref: str) -> list[str] | None:
+            c = colref.lower().strip('"')
+            v = emap.get(c)
+            if v is not None:
+                return v
+            if "." in c:
+                q, b = c.rsplit(".", 1)
+                if q in known_quals:
+                    return None  # known scope — its table has no such enum
+                return emap.get(b)
+            return None
 
         def _arr(vals: list[str]) -> str:
             return "array(" + ", ".join(_sql_str(v) for v in vals) + ")"
@@ -7132,7 +7309,7 @@ class DuckLakeSpark:
             wm = _win_mm_re.search(stmt, pos0)
             if not wm:
                 break
-            vals = emap.get(wm.group(2).split(".")[-1].lower())
+            vals = _vals_of(wm.group(2))
             if not vals or _inside_string_literal(stmt, wm.start()):
                 pos0 = wm.end()
                 continue
@@ -7149,7 +7326,7 @@ class DuckLakeSpark:
 
         def _mm(m: re.Match) -> str:
             fn, col = m.group(1).lower(), m.group(2)
-            vals = emap.get(col.split(".")[-1].lower())
+            vals = _vals_of(col)
             if not vals or _inside_string_literal(stmt, m.start()):
                 return m.group(0)
             a = _arr(vals)
@@ -7208,11 +7385,7 @@ class DuckLakeSpark:
                     k,
                     re.I,
                 )
-                vals = (
-                    emap.get(km.group(2).split(".")[-1].lower())
-                    if km
-                    else None
-                )
+                vals = _vals_of(km.group(2)) if km else None
                 if km and vals:
                     new_keys.append(
                         f"{km.group(1)}array_position({_arr(vals)}, "
@@ -10517,7 +10690,7 @@ class DuckLakeSpark:
         stmt = rewrite_array_type_suffix(stmt)
         stmt = rewrite_bracket_syntax(
             stmt, *(self._bracket_column_sets(stmt) if "[" in stmt
-                    else (None, None))
+                    else (None, None, None))
         )
         # FROM-position series TVFs must resolve before the dialect pass
         # renames scalar generate_series/range to sequence()

@@ -172,3 +172,41 @@ def test_percentage_limit_inner_cache_released(lake):
     ).collect()
     assert not held[0].is_cached  # previous statement's persist freed
     assert len(lake._limit_pct_inner) == 1
+
+
+# --------------------------------------------------- VERDICT r6 task 5
+def test_scope_correct_enum_and_bracket_resolution(lake):
+    """Alias-qualified columns bind to their OWN table's type, not a
+    name union across referenced tables: same-named enum-vs-varchar and
+    map-vs-varchar columns across a join each keep their semantics."""
+    con = duckdb.connect()
+    for s in [
+        "CREATE TYPE lvl7 AS ENUM ('low','mid','high')",
+        "CREATE TABLE se1(k INTEGER, v lvl7)",
+        "CREATE TABLE se2(k INTEGER, v VARCHAR)",
+        "INSERT INTO se1 VALUES (1,'mid'),(2,'high'),(3,'low')",
+        "INSERT INTO se2 VALUES (1,'apple'),(2,'zebra'),(3,'mango')",
+        "CREATE TABLE sm1(k INTEGER, x MAP(VARCHAR, INTEGER))",
+        "CREATE TABLE sm2(k INTEGER, x VARCHAR)",
+        "INSERT INTO sm1 VALUES (1, MAP {'b': 7}), (2, MAP {'c': 9})",
+        "INSERT INTO sm2 VALUES (1, 'hello'), (2, 'world')",
+    ]:
+        lake.sql(s)
+        con.execute(s)
+    for q in [
+        # ORDER BY the varchar side is LEXICAL even though se1.v is enum
+        "SELECT b.v AS v FROM se1 a JOIN se2 b ON a.k = b.k"
+        " ORDER BY b.v",
+        # ORDER BY the enum side is declaration order
+        "SELECT b.v AS v FROM se1 a JOIN se2 b ON a.k = b.k"
+        " ORDER BY a.v",
+        # min/max: enum side ordinal, varchar side lexical
+        "SELECT min(a.v) AS ma, max(a.v) AS xa, min(b.v) AS mb,"
+        " max(b.v) AS xb FROM se1 a JOIN se2 b ON a.k = b.k",
+        # subscripts: map side list-wrapped, varchar side characters
+        "SELECT a.x['b'] AS mv, b.x[2] AS ch, b.x[2:4] AS sl"
+        " FROM sm1 a JOIN sm2 b ON a.k = b.k ORDER BY a.k",
+    ]:
+        got = [tuple(r) for r in lake.sql(q).collect()]
+        exp = [tuple(r) for r in con.execute(q).fetchall()]
+        assert got == exp, f"{q}\n spark={got}\n duck ={exp}"
