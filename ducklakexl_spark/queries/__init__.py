@@ -113,6 +113,63 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+# Size gate for broadcast hints on dims that grow linearly with scale
+# (VERDICT r6 watch item 1): an explicit F.broadcast() hint FORCES the
+# broadcast at any SF — it overrides AQE demotion and
+# autoBroadcastJoinThreshold — so customer/part/supplier hints that are
+# correct at every tested SF would become multi-GB driver broadcasts at
+# a true 100x.  ``broadcast_if_small`` applies the hint only while the
+# dim's on-disk parquet stays under the cap (64 MiB compressed ≈ a few
+# hundred MB in memory — safely broadcastable); past it the hint is
+# dropped and AQE's runtime stats decide.  Genuinely bounded sides
+# (nation, region, 1-row aggregates, centroid sets) keep unconditional
+# hints.
+BROADCAST_CAP_BYTES = 64 * 1024 * 1024
+_SIZE_CACHE: dict[str, int] = {}
+
+
+def _path_bytes(path: str) -> int:
+    import os
+
+    cached = _SIZE_CACHE.get(path)
+    if cached is not None:
+        return cached
+    total = 0
+    if os.path.isfile(path):
+        total = os.path.getsize(path)
+    else:
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    _SIZE_CACHE[path] = total
+    return total
+
+
+def broadcast_if_small(df: DataFrame, sf_dir: str, base_table: str) -> DataFrame:
+    """Broadcast-hint ``df`` only while ``base_table``'s parquet under
+    ``sf_dir`` is under BROADCAST_CAP_BYTES.  ``base_table`` is the
+    table the frame derives from (a filter/projection/bounded-join of a
+    base can only shrink it, so the base's size is a sound upper
+    bound); when the base outgrows the cap the hint drops and AQE
+    decides from runtime stats instead."""
+    if _path_bytes(f"{sf_dir}/{base_table}.parquet") <= BROADCAST_CAP_BYTES:
+        from pyspark.sql.functions import broadcast
+
+        return broadcast(df)
+    return df
+
+
+def load_dim(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """load() with a size-gated broadcast hint — the default way to
+    bring in a dimension table for a join."""
+    return broadcast_if_small(load(spark, sf_dir, table), sf_dir, table)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register the fixture tables as temp views for SQL-form queries."""
     for t in tables:

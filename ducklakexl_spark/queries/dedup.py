@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducklakexl_spark.queries import load, query
+from ducklakexl_spark.queries import broadcast_if_small, load, query
 
 N_MINHASH = 8  # 4 bands x 2 rows -> ~0.5 jaccard threshold knee
 N_BANDS = 4
@@ -674,7 +674,11 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id") == F.col("doc_id")
     )
     return (
-        d.join(F.broadcast(labels), d.doc_id == labels.l_doc, "left")
+        d.join(
+            broadcast_if_small(labels, sf_dir, "documents"),
+            d.doc_id == labels.l_doc,
+            "left",
+        )
         .agg(
             F.count(F.lit(1)).alias("n_before"),
             F.count(F.when(keep, 1)).alias("n_after"),

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducklakexl_spark.queries import load, query
+from ducklakexl_spark.queries import broadcast_if_small, load, query
 
 # ---------------------------------------------------------------------------
 # Flagship / TPC-H-style analytical queries
@@ -93,7 +93,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # customer is the small side — broadcast it into the orders join.
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(broadcast_if_small(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             "l_orderkey",
@@ -142,7 +142,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            broadcast_if_small(supp, sf_dir, "supplier"),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)

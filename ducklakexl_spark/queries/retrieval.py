@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ducklakexl_spark.queries import load, query
+from ducklakexl_spark.queries import broadcast_if_small, load, query
 from ducklakexl_spark.queries.dedup import word_ngrams_col
 
 # alpha word tokens of the lowercased text — the tokenizer every query
@@ -96,13 +96,13 @@ def text_contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = grams.filter("is_eval").select("gram").distinct()
     hits = (
         grams.filter(~F.col("is_eval"))
-        .join(F.broadcast(eval_grams), "gram")
+        .join(broadcast_if_small(eval_grams, sf_dir, "documents"), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("hit_cnt"))
     )
     return (
         toks.filter(~F.col("is_eval"))
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(broadcast_if_small(hits, sf_dir, "documents"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("hit_cnt", F.lit(0)).cast("long").alias("n_overlap"),
@@ -154,7 +154,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(broadcast_if_small(dfreq, sf_dir, "documents"), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

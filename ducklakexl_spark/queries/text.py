@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ducklakexl_spark.queries import load, query
+from ducklakexl_spark.queries import broadcast_if_small, load, query
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -531,7 +531,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
-        tok.join(F.broadcast(freq), "w")
+        tok.join(broadcast_if_small(freq, sf_dir, "documents"), "w")
         .join(F.broadcast(total))
         .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
     )
@@ -708,7 +708,7 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
     per_doc = (
-        tok.join(F.broadcast(freq), "w")
+        tok.join(broadcast_if_small(freq, sf_dir, "documents"), "w")
         .join(F.broadcast(total))
         .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
         .groupBy("doc_id")
@@ -1007,8 +1007,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("w1").alias("nv"))
     )
     scored = (
-        big.join(F.broadcast(bc), ["w1", "w2"])
-        .join(F.broadcast(uc), "w1")
+        big.join(broadcast_if_small(bc, sf_dir, "documents"), ["w1", "w2"])
+        .join(broadcast_if_small(uc, sf_dir, "documents"), "w1")
         .join(F.broadcast(v))
         .select(
             "doc_id",

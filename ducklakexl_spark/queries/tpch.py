@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducklakexl_spark.queries import load, query
+from ducklakexl_spark.queries import broadcast_if_small, load, query
 
 
 @query(
@@ -93,9 +93,9 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(broadcast_if_small(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -143,8 +143,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+        .join(broadcast_if_small(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -182,7 +182,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -227,7 +227,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(broadcast_if_small(supp, sf_dir, "supplier"), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -256,8 +256,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-row fact join at all.  (The previous semi-join shape
     re-scanned lineitem and SMJ'd twice across the skewed key — 5x
     slower on the sf1 hot-order corpus.)  At 100 TB the aggregated
-    side stays orders-sized; if it outgrows broadcast, AQE falls back
-    to a shuffle join on the already-reduced relation."""
+    side stays orders-bounded; the broadcast hint is SIZE-GATED on the
+    orders table (an explicit hint would otherwise override AQE
+    demotion), so past the cap the hint drops and AQE plans the join
+    from the reduced relation's runtime stats."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -267,8 +269,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(broadcast_if_small(big, sf_dir, "orders"), orders.o_orderkey == big.l_orderkey)
+        .join(broadcast_if_small(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -321,7 +323,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -416,10 +418,10 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+        .join(broadcast_if_small(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(
             F.broadcast(region),
@@ -502,7 +504,7 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
     )
     return (
-        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        ps.join(broadcast_if_small(part, sf_dir, "part"), ps.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -534,7 +536,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(avg_q, li.l_partkey == avg_q.avg_partkey)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -636,7 +638,11 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     cost_eu = cost.join(
-        F.broadcast(supp_eu.select("s_suppkey", "s_acctbal", "s_name", "n_name")),
+        broadcast_if_small(
+            supp_eu.select("s_suppkey", "s_acctbal", "s_name", "n_name"),
+            sf_dir,
+            "supplier",
+        ),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
     floor = cost_eu.groupBy(F.col("l_partkey").alias("fp")).agg(
@@ -649,7 +655,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("fp"))
             & (F.col("unit_cost") == F.col("floor_cost")),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast_if_small(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
     )
 
@@ -684,11 +690,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         load(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
+            broadcast_if_small(
                 load(spark, sf_dir, "supplier").join(
                     F.broadcast(nation),
                     F.col("s_nationkey") == F.col("n_nationkey"),
-                )
+                ),
+                sf_dir,
+                "supplier",
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
@@ -787,7 +795,8 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey")
+        broadcast_if_small(blue, sf_dir, "part"),
+        F.col("l_partkey") == F.col("p_partkey"),
     )
     recent = (
         li.filter(
@@ -879,11 +888,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .join(
-            F.broadcast(
+            broadcast_if_small(
                 load(spark, sf_dir, "supplier").join(
                     F.broadcast(nation),
                     F.col("s_nationkey") == F.col("n_nationkey"),
-                )
+                ),
+                sf_dir,
+                "supplier",
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
