@@ -1,24 +1,32 @@
-"""Deterministic 10x expansion of /root/testdata/sf0.1 → scale_sf1/
-(~6M-row lineitem), the round-6 scale-stress corpus (VERDICT r5 task 1).
+"""Deterministic Nx expansion of /root/testdata/sf0.1 → scale_sf1/ or
+scale_sf10/ — the scale-stress corpora (VERDICT r5 task 1, r6 task 1).
 
-Facts (lineitem, orders, events, documents, embeddings) replicate 10x
+Facts (lineitem, orders, events, documents, embeddings) replicate Nx
 with key shifts that preserve referential integrity; dimensions stay
 dim-sized (that IS the realistic shape at scale — facts grow, dims
-don't).  Injected skew:
+don't).  Injected skew (identical shape at every N):
 
-- events.user_id: in copies 1-9, 30% of rows remap to hot user 42
-  (deterministic on event_id) — ~27% of all events on one key, the
-  shape AQE skew-join / salting has to absorb.
-- lineitem.l_orderkey: in copies 1-9, 5% of rows attach to hot order 1
-  (the matching orders row exists in copy 0), so orderkey joins and
-  aggs see a ~4.5% single-key hot spot.
+- events.user_id: in copies 1..N-1, 30% of rows remap to hot user 42
+  (deterministic on event_id) — ~(30*(N-1)/N)% of all events on one
+  key, the shape AQE skew-join / salting has to absorb.
+- lineitem.l_orderkey: in copies 1..N-1, 5% of rows attach to hot
+  order 1 (the matching orders row exists in copy 0), so orderkey
+  joins and aggs see a ~5% single-key hot spot.
 
 Copy 0 is byte-identical to sf0.1, so request-sized anchors
 (vec_id < 10 query vectors, doc_id probes) keep their meaning.
-Everything is a pure function of the source rows — rerunning
-regenerates identical files (no RNG, no clock).
+Documents: copies within the same decade (g.i // 10) share identical
+text, copies in different decades get a ' vK' suffix — duplicate
+CLUSTERS stay size ≤10 at every N (real web dup-cluster size does not
+grow with corpus size), so banded-LSH bucket fan-out stays bounded
+while the corpus grows Nx.  At N=10 every copy is in decade 0, which
+reproduces the round-6 sf1 corpus byte-for-byte.  Everything is a pure
+function of the source rows — rerunning regenerates identical files
+(no RNG, no clock).
 
-Usage: python tests/make_scale_sf1.py [out_dir]
+Usage: python tests/make_scale_sf1.py [out_dir] [copies]
+  copies=10 (default) → sf1 (~6M-row lineitem)
+  copies=100          → sf10 (~60M-row lineitem)
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "scale_sf1",
     )
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
@@ -69,7 +78,7 @@ def main() -> None:
                  + (hash(o_orderkey + g.i * {SHIFT}) % 9999991) * 1e-9
                  AS o_totalprice,
                o_orderdate, o_orderpriority
-        FROM read_parquet('{SRC}/orders.parquet'), range(10) g(i)
+        FROM read_parquet('{SRC}/orders.parquet'), range({copies}) g(i)
         """,
     )
     gen(
@@ -88,7 +97,7 @@ def main() -> None:
                l_suppkey, l_linenumber, l_quantity,
                l_extendedprice, l_discount, l_tax, l_returnflag,
                l_linestatus, l_shipdate
-        FROM read_parquet('{SRC}/lineitem.parquet'), range(10) g(i)
+        FROM read_parquet('{SRC}/lineitem.parquet'), range({copies}) g(i)
         """,
     )
     gen(
@@ -98,22 +107,30 @@ def main() -> None:
                CASE WHEN g.i > 0 AND event_id % 10 < 3 THEN 42
                     ELSE user_id END AS user_id,
                event_type, value, props
-        FROM read_parquet('{SRC}/events.parquet'), range(10) g(i)
+        FROM read_parquet('{SRC}/events.parquet'), range({copies}) g(i)
         """,
     )
     gen(
         "documents",
         f"""
-        SELECT doc_id + g.i * {SHIFT} AS doc_id, text, lang, source,
-               n_chars
-        FROM read_parquet('{SRC}/documents.parquet'), range(10) g(i)
+        -- decade-suffix keeps duplicate clusters at size ≤10 at any N
+        -- (see module docstring); n_chars tracks the suffixed text so
+        -- the column stays consistent with length(text)
+        SELECT doc_id + g.i * {SHIFT} AS doc_id,
+               CASE WHEN g.i // 10 = 0 THEN text
+                    ELSE text || ' v' || (g.i // 10) END AS text,
+               lang, source,
+               CASE WHEN g.i // 10 = 0 THEN n_chars
+                    ELSE n_chars + 2 + length((g.i // 10)::VARCHAR)
+               END AS n_chars
+        FROM read_parquet('{SRC}/documents.parquet'), range({copies}) g(i)
         """,
     )
     gen(
         "embeddings",
         f"""
         SELECT vec_id + g.i * {SHIFT} AS vec_id, embedding, label
-        FROM read_parquet('{SRC}/embeddings.parquet'), range(10) g(i)
+        FROM read_parquet('{SRC}/embeddings.parquet'), range({copies}) g(i)
         """,
     )
     print(f"wrote {out}")

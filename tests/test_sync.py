@@ -399,6 +399,54 @@ def test_push_is_changed_tables_only(tmp_path):
     assert "table" in writes and "column" in writes and "snapshot" in writes
 
 
+def test_push_sheet_counts_per_statement(spark, tmp_path, monkeypatch):
+    """Workbook-plane scale pin (reference README.md:160-163 delta-push
+    TODO as implemented behavior): bootstrap pushes ALL 19 catalog
+    sheets; each subsequent DML statement rewrites EXACTLY the sheets
+    whose catalog tables it touched — 5 for CREATE TABLE, 5 for INSERT —
+    never the full set.  On the OneDrive backend each sheet write is an
+    HTTP round-trip, so this IS the per-statement cost model."""
+    from ducklakexl_spark.sync.excel import CsvWorkbook
+
+    writes: list[str] = []
+    orig = CsvWorkbook.write_sheet
+
+    def spy(self, name, header, rows):
+        writes.append(name)
+        return orig(self, name, header, rows)
+
+    monkeypatch.setattr(CsvWorkbook, "write_sheet", spy)
+
+    lake = DuckLakeSpark(
+        spark=spark,
+        excel_file=str(tmp_path / "wb.csvdir"),
+        data_path=str(tmp_path / "data"),
+        local_catalog=str(tmp_path / "cat"),
+    )
+    assert sorted(writes) == sorted(
+        sheet_name(t) for t in CATALOG_SCHEMAS
+    ), "bootstrap must project every catalog table out"
+    assert len(writes) == 19
+
+    writes.clear()
+    lake.sql("CREATE TABLE t(id INTEGER, val VARCHAR)")
+    assert sorted(writes) == [
+        "column", "snapshot", "snapshot_changes", "table", "table_stats",
+    ]
+
+    writes.clear()
+    lake.sql("INSERT INTO t VALUES (1,'a'),(2,'b')")
+    assert sorted(writes) == [
+        "data_file", "file_column_statistics",
+        "snapshot", "snapshot_changes", "table_stats",
+    ]
+
+    # no-op statement: zero sheet writes
+    writes.clear()
+    lake.sql("SELECT * FROM t").collect()
+    assert writes == []
+
+
 def test_onedrive_workbook_under_running_loop():
     """Jupyter parity (reference ducklakexl.py:68-71 + README
     nest_asyncio note): when the CALLING thread already runs an asyncio
