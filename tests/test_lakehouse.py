@@ -2689,3 +2689,46 @@ def test_division_by_zero_is_null(lake):
     assert rows(
         lake.sql("SELECT 1 / 0 AS a, 1.5 / 0 AS b, 1 // 0 AS c, 1 % 0 AS d")
     ) == [(None, None, None, None)]
+
+
+def test_merge_clustered_layout_prunes_files(lake):
+    """Change-proportional MERGE (VERDICT r6 task 2): on a table
+    clustered by the merge key (compact(sort_by=...)), the catalog-level
+    stats prune makes a 1-row MERGE's match scan list AT MOST 2 files —
+    the '1-row MERGE on 100 TB reads one file' claim, pinned."""
+    lake.sql(
+        "CREATE TABLE big AS SELECT CAST(r AS BIGINT) AS k, r * 2 AS v "
+        "FROM range(100000) t(r)"
+    )
+    out = lake.compact("big", sort_by=["k"], target_file_bytes=100_000)
+    assert out["files_after"] >= 4, "layout must be multi-file for the pin"
+    lake.sql(
+        "MERGE INTO big USING (SELECT CAST(7 AS BIGINT) AS k) s ON big.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = 999"
+    )
+    assert lake.last_match_scan_files is not None
+    assert lake.last_match_scan_files <= 2, (
+        f"match scan listed {lake.last_match_scan_files} of "
+        f"{out['files_after']} files — pruning did not engage"
+    )
+    assert rows(lake.sql("SELECT v FROM big WHERE k = 7")) == [(999,)]
+    # neighbours untouched
+    assert rows(lake.sql("SELECT v FROM big WHERE k IN (6, 8)")) == [
+        (12,), (16,)
+    ]
+
+
+def test_join_delete_clustered_layout_prunes_files(lake):
+    """DELETE ... USING gets the same catalog-level source-bounds prune
+    as MERGE's match branch."""
+    lake.sql(
+        "CREATE TABLE tgt AS SELECT CAST(r AS BIGINT) AS k, r * 2 AS v "
+        "FROM range(100000) t(r)"
+    )
+    lake.compact("tgt", sort_by=["k"], target_file_bytes=100_000)
+    lake.sql("CREATE TABLE hits(k BIGINT)")
+    lake.sql("INSERT INTO hits VALUES (41), (42)")
+    lake.sql("DELETE FROM tgt USING hits WHERE tgt.k = hits.k")
+    assert lake._last_scan_file_count <= 2
+    assert rows(lake.sql("SELECT count(*) AS n FROM tgt")) == [(99998,)]
+    assert rows(lake.sql("SELECT count(*) AS n FROM tgt WHERE k IN (41,42)")) == [(0,)]
