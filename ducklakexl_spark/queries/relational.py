@@ -34,12 +34,17 @@ from ducklakexl_spark.queries import broadcast_if_small, load, query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)            AS sum_base_price,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)          AS sum_disc_price,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                     * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)               AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4)                                             AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / count(*), 6)                                             AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2000-12-01'
@@ -47,19 +52,30 @@ from ducklakexl_spark.queries import broadcast_if_small, load, query
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DECIMAL sufficient stats (sf10 scale discipline): prices are on
+    # the cent grid and discount/tax on a 0.01 grid, so the decimal
+    # casts are rounding-unambiguous in every engine, products/sums are
+    # EXACT integers underneath, and the result is identical at any
+    # scale and any reduce order.  Quantities are integer-valued
+    # doubles (< 2^53), already order-exact.  Averages divide the exact
+    # decimal sum as double so both engines do the same IEEE division.
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = ep * (F.lit(1) - disc)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(ep), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price * (F.lit(1) + tax)), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(ep).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -69,7 +85,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS revenue,
            CAST(o_orderdate AS DATE)                          AS orderdate,
            o_orderpriority
     FROM customer
@@ -102,7 +119,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ), 2
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
@@ -115,7 +135,8 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_region_revenue",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -150,7 +171,10 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ), 2
             ).alias("revenue")
         )
     )
@@ -160,7 +184,8 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -184,7 +209,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ), 2
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -417,19 +445,28 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) FILTER (WHERE o_orderstatus = 'F')              AS n_finished,
            count(*) FILTER (WHERE o_orderstatus = 'O')              AS n_open,
-           round(sum(o_totalprice) FILTER (WHERE o_totalprice > 50000), 2)
-                                                                    AS big_spend
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_totalprice > 50000), 2)            AS big_spend
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DECIMAL sufficient stats: a double sum over 15M+ rows (~1e12) is
+    # reduce-order-dependent past the 2nd decimal; summing exact cents
+    # makes the result identical at every scale (sf10 sweep find)
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
         F.round(
-            F.sum(F.when(F.col("o_totalprice") > 50000, F.col("o_totalprice"))), 2
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") > 50000,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            ),
+            2,
         ).alias("big_spend"),
     )
 
@@ -490,19 +527,20 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            grouping(l_returnflag) AS g_flag,
            grouping(l_linestatus) AS g_status,
-           round(sum(l_extendedprice), 2) AS total
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS total
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-cents sum — see agg_filter_clause (sf10 scale discipline)
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                grouping(l_returnflag) AS g_flag,
                grouping(l_linestatus) AS g_status,
-               round(sum(l_extendedprice), 2) AS total
+               round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS total
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -717,7 +755,8 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cte_top_nations",
     oracle="""
     WITH nation_rev AS (
-      SELECT c_nationkey, round(sum(o_totalprice), 2) AS rev
+      SELECT c_nationkey,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_nationkey
     )
@@ -733,7 +772,8 @@ def cte_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH nation_rev AS (
-          SELECT c_nationkey, round(sum(o_totalprice), 2) AS rev
+          SELECT c_nationkey,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
           FROM cte_orders JOIN cte_customer ON o_custkey = c_custkey
           GROUP BY c_nationkey
         )
@@ -806,7 +846,8 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot_metrics",
     oracle="""
     SELECT o_orderstatus, metric, round(val, 2) AS val FROM (
-      SELECT o_orderstatus, 'total' AS metric, sum(o_totalprice) AS val
+      SELECT o_orderstatus, 'total' AS metric,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val
       FROM orders GROUP BY o_orderstatus
       UNION ALL
       SELECT o_orderstatus, 'maximum' AS metric, max(o_totalprice) AS val
@@ -819,7 +860,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.sum("o_totalprice").alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
             F.max("o_totalprice").alias("maximum"),
         )
     )
@@ -904,7 +945,8 @@ def percentile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_deterministic",
     oracle="""
-    SELECT count(*) AS n, round(sum(o_totalprice), 2) AS sampled_spend
+    SELECT count(*) AS n,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS sampled_spend
     FROM orders
     WHERE o_orderkey % 10 = 3
     """,
@@ -917,7 +959,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 10 == 3)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sampled_spend"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias("sampled_spend"),
         )
     )
 

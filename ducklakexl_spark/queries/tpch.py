@@ -25,7 +25,8 @@ from ducklakexl_spark.queries import broadcast_if_small, load, query
 @query(
     "q06_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(4,2))), 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01'
       AND l_shipdate <  DATE '1997-01-01'
@@ -45,9 +46,12 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ), 2
+            ).alias("revenue")
         )
     )
 
@@ -59,7 +63,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT n1.n_name AS supp_nation,
                  n2.n_name AS cust_nation,
                  CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
-                 l_extendedprice * (1 - l_discount) AS volume
+                 CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
           FROM supplier
           JOIN lineitem ON s_suppkey = l_suppkey
           JOIN orders   ON o_orderkey = l_orderkey
@@ -108,7 +112,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum("volume"), 2).alias("revenue"))
@@ -121,7 +125,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
     FROM (SELECT n_name AS nation,
                  CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-                 l_extendedprice * (1 - l_discount) AS amount
+                 CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amount
           FROM part
           JOIN lineitem ON p_partkey = l_partkey
           JOIN supplier ON s_suppkey = l_suppkey
@@ -152,7 +156,10 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("amount"),
         )
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
@@ -199,7 +206,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey
@@ -219,7 +226,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2).alias(
             "total_revenue"
         )
     )
@@ -285,7 +292,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_discounted_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -326,7 +333,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2).alias(
                 "revenue"
             )
         )
@@ -376,7 +383,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
                  / sum(volume), 6) AS mkt_share
     FROM (SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-                 l_extendedprice * (1 - l_discount) AS volume,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
                  n2.n_name AS nation
           FROM part
           JOIN lineitem ON p_partkey = l_partkey

@@ -70,12 +70,19 @@ def main() -> None:
         SELECT o_orderkey + g.i * {SHIFT} AS o_orderkey,
                o_custkey, o_orderstatus,
                -- hash-keyed sub-cent perturbation: duplication would
-               -- otherwise make every price a 10-way tie and
+               -- otherwise make every price an N-way tie and
                -- arg_max/arg_min nondeterministic in BOTH engines; a
                -- LINEAR epsilon is no fix (key-grid deltas land exactly
-               -- on the 0.01 price grid) — a hashed one has no grid
+               -- on the 0.01 price grid) — a hashed one has no grid.
+               -- Modulus 4999999 (not 9999991) keeps δ < 0.005 with a
+               -- ≥2e-9 margin from the half-cent boundary, so
+               -- double→DECIMAL(x,2) casts round identically in every
+               -- engine (at the boundary, DuckDB's scaled-multiply
+               -- rounding and Spark's exact BigDecimal conversion can
+               -- disagree within ~2e-11) — required by the sf10
+               -- DECIMAL-sufficient-stats aggregates
                o_totalprice
-                 + (hash(o_orderkey + g.i * {SHIFT}) % 9999991) * 1e-9
+                 + (hash(o_orderkey + g.i * {SHIFT}) % 4999999) * 1e-9
                  AS o_totalprice,
                o_orderdate, o_orderpriority
         FROM read_parquet('{SRC}/orders.parquet'), range({copies}) g(i)
