@@ -23,8 +23,10 @@ files, stats collection from parquet footers).
 from __future__ import annotations
 
 import base64
+import bisect
 import datetime as _dt
 import decimal as _decimal
+import functools
 import hashlib
 import json
 import os
@@ -925,6 +927,8 @@ def rewrite_qualify(stmt: str) -> str:
     are in scope — DuckDB's own scope for those shapes.  Applies to the
     outermost query only (the fixture surface; nested QUALIFY would
     need a recursive parser)."""
+    if "qualify" not in stmt.lower():
+        return stmt
     qpos = find_top_level_keyword(stmt, "QUALIFY")
     if qpos < 0:
         return stmt
@@ -975,6 +979,9 @@ _OB_CLAUSE_TOKENS = {
 }
 
 
+_PAREN_QUOTE_RE = re.compile(r"""[()'"]""")
+
+
 def rewrite_order_by_null_defaults(stmt: str) -> str:
     """DuckDB's default null ordering is NULLS LAST for both ASC and
     DESC; Spark defaults to NULLS FIRST on ASC.  With NULL sort keys
@@ -988,35 +995,54 @@ def rewrite_order_by_null_defaults(stmt: str) -> str:
     if not _ORDER_BY_RE.search(stmt):
         return stmt
 
-    def containing_token(pos: int) -> str | None:
-        """Word immediately before the unclosed '(' containing pos
-        (None when at statement top level)."""
-        stack: list[int] = []
-        in_str: str | None = None
-        i = 0
-        while i < pos:
-            c = stmt[i]
-            if in_str:
-                if c == in_str:
-                    in_str = None
-            elif c in ("'", '"'):
-                in_str = c
-            elif c == "(":
-                stack.append(i)
-            elif c == ")":
-                if stack:
-                    stack.pop()
-            i += 1
+    matches = [
+        m
+        for m in _ORDER_BY_RE.finditer(stmt)
+        if not _inside_string_literal(stmt, m.start())
+    ]
+    if not matches:
+        return stmt
+    # ONE forward scan computes every match's containing-paren token
+    # (tokenize-once discipline — was an O(pos) rescan per ORDER BY:
+    # word immediately before the unclosed '(' containing the match,
+    # None at statement top level)
+    tok_at: dict[int, str | None] = {}
+    mi = 0
+    stack: list[int] = []
+    in_str: str | None = None
+
+    def _record(pos: int) -> None:
         if not stack:
-            return None
-        m = re.search(r"(\w+)\s*$", stmt[: stack[-1]])
-        return m.group(1).upper() if m else ""
+            tok_at[pos] = None
+        else:
+            wm = re.search(r"(\w+)\s*$", stmt[: stack[-1]])
+            tok_at[pos] = wm.group(1).upper() if wm else ""
+
+    # event-driven: only paren/quote chars advance the state (an ORDER
+    # BY match can never collide with one, so records happen strictly
+    # between events)
+    for em in _PAREN_QUOTE_RE.finditer(stmt, 0, matches[-1].start() + 1):
+        p = em.start()
+        while mi < len(matches) and matches[mi].start() <= p:
+            _record(matches[mi].start())
+            mi += 1
+        c = em.group(0)
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            stack.append(p)
+        elif stack:
+            stack.pop()
+    while mi < len(matches):
+        _record(matches[mi].start())
+        mi += 1
 
     out = stmt
-    for m in reversed(list(_ORDER_BY_RE.finditer(stmt))):
-        if _inside_string_literal(stmt, m.start()):
-            continue
-        tok = containing_token(m.start())
+    for m in reversed(matches):
+        tok = tok_at[m.start()]
         if tok is not None and tok not in _OB_CLAUSE_TOKENS and tok != "":
             continue  # function-call argument list (ordered aggregate)
         # span of the sort-key list
@@ -1111,11 +1137,36 @@ _WINDOW_EXCLUDE_RE = re.compile(
 )
 
 
+# one alternation matching every '…' literal (with '' escapes), "…"
+# quoted identifier, -- line comment, and /* */ block comment —
+# unterminated forms run to end-of-text
+_LITERAL_SPAN_RE = re.compile(
+    r"'(?:[^']|'')*'?|\"[^\"]*\"?|--[^\n]*|/\*.*?(?:\*/|$)", re.S
+)
+
+
+@functools.lru_cache(maxsize=512)
+def _literal_spans(stmt: str) -> tuple:
+    """Tokenize-once infrastructure: ONE C-speed regex scan per distinct
+    statement text produces the sorted inclusive (start, end) spans of
+    every string literal, quoted identifier, and comment.  Every rewrite
+    pass's in-literal test then costs a bisect instead of a fresh quote
+    scan; the lru_cache makes the scan free for the (common) passes that
+    don't mutate the text."""
+    return tuple(
+        (m.start(), m.end() - 1) for m in _LITERAL_SPAN_RE.finditer(stmt)
+    )
+
+
 def _inside_string_literal(stmt: str, pos: int) -> bool:
-    """Quote-parity check: an odd number of single quotes before ``pos``
-    means the position sits inside a '…' literal ('' escapes flip parity
-    twice, so they cancel)."""
-    return stmt.count("'", 0, pos) % 2 == 1
+    """True when ``pos`` sits inside a '…' literal, a "…" quoted
+    identifier, or a comment — bisect over the memoized span map (one
+    scan per distinct text, see _literal_spans)."""
+    spans = _literal_spans(stmt)
+    k = bisect.bisect_right(spans, (pos, len(stmt) + 1)) - 1
+    # start EXCLUSIVE: a match anchored at the opening quote of its own
+    # string-literal operand (quote-parity semantics) is not "inside"
+    return k >= 0 and spans[k][0] < pos <= spans[k][1]
 
 
 _GROUPS_FRAME_RE = re.compile(
@@ -1323,6 +1374,8 @@ def rewrite_window_exclude(stmt: str) -> str:
     stripped; EXCLUDE GROUP/TIES (peer exclusion) and non-subtractable
     aggregates (min/max/...) raise rather than mis-answer.  Inline OVER
     specs only — a named WINDOW clause carrying EXCLUDE also raises."""
+    if "exclude" not in stmt.lower():
+        return stmt
     while True:
         target = None
         for m in re.finditer(r"\bOVER\s*\(", stmt, re.I):
@@ -4065,6 +4118,9 @@ def _subquery_has_outer_refs(inner: str) -> bool:
     return False
 
 
+_IN_SUBQ_SEL_GATE_RE = re.compile(r"\bIN\s*\(\s*(?:SELECT|FROM|WITH)\b", re.I)
+
+
 def rewrite_in_subquery_3vl(stmt: str) -> str:
     """Spark's IN-(subquery) is TWO-valued in a projected position: a
     NULL lhs, or a miss over a NULL-bearing subquery, returns FALSE
@@ -4086,6 +4142,8 @@ def rewrite_in_subquery_3vl(stmt: str) -> str:
     correlated scalar subquery under a derived table, a shape Spark's
     decorrelation rejects at plan time.  Round-5 fuzz family
     ``in_3vl``."""
+    if not _IN_SUBQ_SEL_GATE_RE.search(stmt):
+        return stmt
     while True:
         found = None
         for m in _IN_SUBQ_RE.finditer(stmt):
@@ -4625,7 +4683,7 @@ def rewrite_decimal_div(stmt: str) -> str:
             i = j
             continue
         if ch == "/" and stmt[i + 1 : i + 2] != "/" and (
-            not out or out[-1] != "/"
+            not out or not out[-1].endswith("/")
         ):
             j = i + 1
             while j < n and stmt[j].isspace():
@@ -4646,9 +4704,19 @@ def rewrite_decimal_div(stmt: str) -> str:
             out.append(f"/ CAST({rhs} AS DOUBLE)")
             i = end
             continue
-        out.append(ch)
-        i += 1
+        # bulk-skip a run of chars that can't open a literal/comment or
+        # be a division (tokenize-once discipline: was per-char)
+        rm = _DIV_SKIP_RUN_RE.match(stmt, i)
+        if rm:
+            out.append(rm.group(0))
+            i = rm.end()
+        else:
+            out.append(ch)
+            i += 1
     return "".join(out)
+
+
+_DIV_SKIP_RUN_RE = re.compile(r"[^'\"/-]+")
 
 
 def rewrite_duck_operators(stmt: str) -> str:
@@ -4673,13 +4741,17 @@ def rewrite_duck_operators(stmt: str) -> str:
             + stmt[m.end() :]
         )
         search_from = m.start()
-    stmt = _STARTS_OP_RE.sub(
-        lambda m: m.group(0)
-        if _inside_string_literal(stmt, m.start())
-        else f"startswith({m.group(1)}, {m.group(2)})",
-        stmt,
-    )
-    if re.search(r"\bCOLLATE\s+NOCASE\b", stmt, re.I):
+    if "^@" in stmt:
+        stmt = _STARTS_OP_RE.sub(
+            lambda m: m.group(0)
+            if _inside_string_literal(stmt, m.start())
+            else f"startswith({m.group(1)}, {m.group(2)})",
+            stmt,
+        )
+    # substring gates: each section's regex scan only runs when its
+    # anchor keyword appears at all (one memchr beats a regex pass)
+    low = stmt.lower()
+    if "collate" in low and re.search(r"\bCOLLATE\s+NOCASE\b", stmt, re.I):
         # DuckDB NOCASE collation: comparisons become case-insensitive
         # (BOTH sides fold — the collation governs the comparison, not
         # just its annotated operand); a bare collated sort/group key
@@ -4707,13 +4779,14 @@ def rewrite_duck_operators(stmt: str) -> str:
             else f"lower({m.group(1)})",
             stmt,
         )
-    _pre_mat = stmt
-    stmt = _CTE_MATERIALIZED_RE.sub(
-        lambda m: m.group(0)
-        if _inside_string_literal(_pre_mat, m.start())
-        else "AS (",
-        stmt,
-    )
+    if "materialized" in low:
+        _pre_mat = stmt
+        stmt = _CTE_MATERIALIZED_RE.sub(
+            lambda m: m.group(0)
+            if _inside_string_literal(_pre_mat, m.start())
+            else "AS (",
+            stmt,
+        )
     # LIKE … ESCAPE '\': backslash is Spark's DEFAULT escape char and
     # the parser rejects the '\' literal under escapedStringLiterals —
     # drop the clause.  Other single-char escapes convert the pattern to
@@ -4737,38 +4810,45 @@ def rewrite_duck_operators(stmt: str) -> str:
             i += 1
         return f"LIKE '{''.join(converted)}'"
 
-    stmt = _LIKE_ESCAPE_RE.sub(_esc, stmt)
-    _post = stmt
-    stmt = _DATE_MINUS_DATE_RE.sub(
-        lambda m: m.group(0)
-        if _inside_string_literal(_post, m.start())
-        # DuckDB: DATE - DATE is INTEGER days; Spark yields an INTERVAL
-        # (both alternatives capture the full operand incl. the DATE
-        # keyword / parens)
-        else f"datediff({m.group(1)}, {m.group(2)})",
-        stmt,
-    )
-    _post2 = stmt
-    stmt = _CAST_DATE_INTERVAL_RE.sub(
-        lambda m: m.group(0)
-        if _inside_string_literal(_post2, m.start())
-        else f"CAST({m.group(1)}::DATE AS TIMESTAMP) {m.group(2)} ",
-        stmt,
-    )
-    _post3 = stmt
-    stmt = _FILTER_NO_WHERE_RE.sub(
-        lambda m: m.group(0)
-        if _inside_string_literal(_post3, m.start())
-        else f"{m.group(1)} FILTER (WHERE ",
-        stmt,
-    )
-    _post4 = stmt
-    stmt = _ABS_OP_RE.sub(
-        lambda m: m.group(0)
-        if _inside_string_literal(_post4, m.start())
-        else "abs(",
-        stmt,
-    )
+    if "escape" in low:
+        stmt = _LIKE_ESCAPE_RE.sub(_esc, stmt)
+    if "date" in low:
+        _post = stmt
+        stmt = _DATE_MINUS_DATE_RE.sub(
+            lambda m: m.group(0)
+            if _inside_string_literal(_post, m.start())
+            # DuckDB: DATE - DATE is INTEGER days; Spark yields an
+            # INTERVAL (both alternatives capture the full operand
+            # incl. the DATE keyword / parens)
+            else f"datediff({m.group(1)}, {m.group(2)})",
+            stmt,
+        )
+    if "interval" in low:
+        _post2 = stmt
+        stmt = _CAST_DATE_INTERVAL_RE.sub(
+            lambda m: m.group(0)
+            if _inside_string_literal(_post2, m.start())
+            else f"CAST({m.group(1)}::DATE AS TIMESTAMP) {m.group(2)} ",
+            stmt,
+        )
+    if "filter" in low:
+        _post3 = stmt
+        stmt = _FILTER_NO_WHERE_RE.sub(
+            lambda m: m.group(0)
+            if _inside_string_literal(_post3, m.start())
+            else f"{m.group(1)} FILTER (WHERE ",
+            stmt,
+        )
+    if "@" in stmt:
+        _post4 = stmt
+        stmt = _ABS_OP_RE.sub(
+            lambda m: m.group(0)
+            if _inside_string_literal(_post4, m.start())
+            else "abs(",
+            stmt,
+        )
+    if "interval" not in low:
+        return stmt
     return _DATE_LIT_INTERVAL_RE.sub(
         lambda m: f"CAST(DATE {m.group(1)} AS TIMESTAMP) {m.group(2)} ",
         stmt,
@@ -4904,43 +4984,27 @@ _TRAILING_KW = frozenset(
 )
 
 
+_TRAILING_COMMA_RE = re.compile(
+    r",(?=\s*(?:$|[)\]}]|(?:from|where|group|order|having|limit|offset"
+    r"|window|qualify|union|except|intersect)\b))",
+    re.I,
+)
+
+
 def rewrite_trailing_commas(stmt: str) -> str:
     """DuckDB tolerates trailing commas (``SELECT a, b, FROM t``, list
     literals ``[1, 2,]``); Spark raises.  Drop a comma whose next token
     is a closing bracket, a clause keyword, or end-of-statement —
-    positions where a comma is never valid SQL anyway."""
-    out: list[str] = []
-    i, n = 0, len(stmt)
-    in_str: str | None = None
-    while i < n:
-        ch = stmt[i]
-        if in_str:
-            out.append(ch)
-            if ch == in_str:
-                if in_str == "'" and i + 1 < n and stmt[i + 1] == "'":
-                    out.append("'")
-                    i += 1
-                else:
-                    in_str = None
-        elif ch in ("'", '"'):
-            in_str = ch
-            out.append(ch)
-        elif ch == ",":
-            j = i + 1
-            while j < n and stmt[j].isspace():
-                j += 1
-            if j >= n or stmt[j] in ")]}":
-                i += 1
-                continue
-            wm = re.match(r"[A-Za-z_][A-Za-z_0-9]*", stmt[j:])
-            if wm and wm.group(0).lower() in _TRAILING_KW:
-                i += 1
-                continue
-            out.append(ch)
-        else:
-            out.append(ch)
-        i += 1
-    return "".join(out)
+    positions where a comma is never valid SQL anyway.  One C-speed
+    regex scan; the (rare) matches check the memoized literal spans."""
+    if "," not in stmt:
+        return stmt
+    return _TRAILING_COMMA_RE.sub(
+        lambda m: m.group(0)
+        if _inside_string_literal(stmt, m.start())
+        else "",
+        stmt,
+    )
 
 
 def rewrite_list_comprehension(stmt: str) -> str:
@@ -5316,11 +5380,25 @@ def rewrite_floor_div(stmt: str) -> str:
                 i += 1
             prev_sig = "'"
             continue
+        # bulk-skip a run with no quote/comment/operator starters,
+        # keeping prev_sig = last non-space char of the run
+        rm = _FDIV_SKIP_RUN_RE.match(stmt, i)
+        if rm:
+            run = rm.group(0)
+            out.append(run)
+            run_sig = run.rstrip()
+            if run_sig:
+                prev_sig = run_sig[-1]
+            i = rm.end()
+            continue
         out.append(ch)
         if not ch.isspace():
             prev_sig = ch
         i += 1
     return "".join(out)
+
+
+_FDIV_SKIP_RUN_RE = re.compile(r"[^'\"/!~-]+")
 
 
 def _pattern_literal_ahead(stmt: str, i: int) -> tuple[str | None, int]:
@@ -5396,51 +5474,50 @@ def rewrite_hex_casts(stmt: str) -> str:
         pos = m.end()
 
 
+_FN_TOKEN_RE = re.compile(
+    r"'(?:[^']|'')*'?|\"[^\"]*\"?|--[^\n]*|[A-Za-z_][A-Za-z0-9_]*"
+)
+
+
 def rewrite_duckdb_functions(stmt: str) -> str:
     """Translate DuckDB-dialect function calls in a statement to Spark
     SQL builtins so reference users' SQL runs verbatim.  Quote- and
     comment-aware; recurses into argument lists; unknown names pass
-    through untouched (Spark raises its own resolution error)."""
+    through untouched (Spark raises its own resolution error).
+
+    Single-pass C-speed token search (string literal | quoted ident |
+    line comment | identifier); only identifier tokens pay Python-level
+    handling, and inter-token text is appended in whole slices."""
     out: list[str] = []
-    i, n = 0, len(stmt)
-    while i < n:
-        ch = stmt[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if stmt[j] == "'":
-                    if j + 1 < n and stmt[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(stmt[i : j + 1])
-            i = j + 1
+    n = len(stmt)
+    pos = 0
+    while True:
+        tm = _FN_TOKEN_RE.search(stmt, pos)
+        if tm is None:
+            out.append(stmt[pos:])
+            break
+        i = tm.start()
+        if i > pos:
+            out.append(stmt[pos:i])
+        tok = tm.group(0)
+        if not (tok[0].isalpha() or tok[0] == "_"):
+            # string / quoted identifier / comment: emit verbatim
+            out.append(tok)
+            pos = tm.end()
             continue
-        if ch == '"':
-            j = stmt.find('"', i + 1)
-            j = n - 1 if j < 0 else j
-            out.append(stmt[i : j + 1])
-            i = j + 1
-            continue
-        if stmt[i : i + 2] == "--":
-            j = stmt.find("\n", i)
-            j = n if j < 0 else j
-            out.append(stmt[i:j])
-            i = j
-            continue
-        if ch.isalpha() or ch == "_":
-            j = i
-            while j < n and (stmt[j].isalnum() or stmt[j] == "_"):
-                j += 1
-            word = stmt[i:j]
-            k = j
-            while k < n and stmt[k].isspace():
-                k += 1
-            key = word.lower()
-            # a qualified name (x.epoch) is a column access, not a call
-            qualified = i > 0 and stmt[i - 1] == "."
-            if k < n and stmt[k] == "(" and key in _DUCK_FNS and not qualified:
+        j = tm.end()
+        word = tok
+        k = j
+        while k < n and stmt[k].isspace():
+            k += 1
+        key = word.lower()
+        # a qualified name (x.epoch) is a column access, not a call; a
+        # non-ASCII identifier head char means this ASCII token is the
+        # TAIL of a longer word, never a call site
+        qualified = i > 0 and (
+            stmt[i - 1] == "." or stmt[i - 1].isalnum()
+        )
+        if k < n and stmt[k] == "(" and key in _DUCK_FNS and not qualified:
                 close = matching_paren(stmt, k)
                 inner = rewrite_duckdb_functions(stmt[k + 1 : close])
                 args = [s.strip() for s in split_top_level(inner) if s.strip()]
@@ -5455,7 +5532,7 @@ def rewrite_duckdb_functions(stmt: str) -> str:
                     and stmt[close + 1 :].lstrip().upper().startswith("AS INT)")
                 ):
                     out.append(f"sign({', '.join(args)})")
-                    i = close + 1
+                    pos = close + 1
                     continue
                 # split_part's NULL-semantics wrapper embeds a raw
                 # split_part() call in its ELSE arm — pass it through on
@@ -5466,7 +5543,7 @@ def rewrite_duckdb_functions(stmt: str) -> str:
                     and stmt[close + 1 :].lstrip().upper().startswith("END)")
                 ):
                     out.append(f"split_part({', '.join(args)})")
-                    i = close + 1
+                    pos = close + 1
                     continue
                 # typeof's wrapper (CASE typeof(x) WHEN 'string' THEN
                 # 'VARCHAR' … ELSE upper(typeof(x)) END) and bit_count's
@@ -5485,7 +5562,7 @@ def rewrite_duckdb_functions(stmt: str) -> str:
                                 "WHEN 'INT' THEN CAST(4294967295"))
                     ):
                         out.append(f"typeof({', '.join(args)})")
-                        i = close + 1
+                        pos = close + 1
                         continue
                 # skewness/kurtosis emissions contain their own names
                 # (sample-statistic corrections around Spark's population
@@ -5499,24 +5576,21 @@ def rewrite_duckdb_functions(stmt: str) -> str:
                     )
                 ):
                     out.append(f"{key}({', '.join(args)})")
-                    i = close + 1
+                    pos = close + 1
                     continue
                 out.append(_duck_fn_emit(key, args))
-                i = close + 1
+                pos = close + 1
                 continue
-            if (
-                key in _DUCK_TYPE_ALIASES
-                and not qualified
-                and not (k < n and stmt[k] == "(")
-            ):
-                out.append(_DUCK_TYPE_ALIASES[key])
-                i = j
-                continue
-            out.append(word)
-            i = j
+        if (
+            key in _DUCK_TYPE_ALIASES
+            and not qualified
+            and not (k < n and stmt[k] == "(")
+        ):
+            out.append(_DUCK_TYPE_ALIASES[key])
+            pos = j
             continue
-        out.append(ch)
-        i += 1
+        out.append(word)
+        pos = j
     return "".join(out)
 
 
