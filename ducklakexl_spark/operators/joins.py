@@ -65,12 +65,19 @@ def asof_join(
     merged = lt.unionByName(rt, allowMissingColumns=True)
     carry = [*right_cols, "__m"]
     if forward:
+        # mirrored GROWING frame: order DESC and carry with last() over
+        # [unboundedPreceding, 0].  Spark evaluates growing frames
+        # incrementally (O(n) per partition) but re-scans shrinking
+        # [current, unboundedFollowing] frames per row (O(n^2)) — on a
+        # skewed key (sf10's 3M-row hot user) the naive forward frame
+        # never finishes.  At equal ts, DESC on __side keeps the same
+        # inclusive/strict visibility as the ASC formulation.
         w = (
             W.partitionBy(*keys)
-            .orderBy(F.col("__ts"), F.col("__side"))
-            .rowsBetween(0, W.unboundedFollowing)
+            .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+            .rowsBetween(W.unboundedPreceding, 0)
         )
-        pick = F.first
+        pick = F.last
     else:
         w = (
             W.partitionBy(*keys)
