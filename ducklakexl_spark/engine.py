@@ -142,6 +142,12 @@ _TYPE_MAP: list[tuple[re.Pattern, object]] = [
     (re.compile(r"^(REAL|FLOAT4|FLOAT)$", re.I), T.FloatType()),
     (re.compile(r"^(BOOLEAN|BOOL|LOGICAL)$", re.I), T.BooleanType()),
     (re.compile(r"^DATE$", re.I), T.DateType()),
+    # TIME columns are logical TimeType in-memory; Spark has no
+    # parquet TIME writer, so the lake stores them as ISO strings
+    # (lexicographic order == temporal order, so min/max file stats
+    # still prune) and the scan casts back — see _write_files /
+    # table_df
+    (re.compile(r"^TIME(\(\d+\))?$", re.I), T.TimeType()),
     (re.compile(r"^TIMESTAMP(TZ)?(\(\d+\))?$", re.I), T.TimestampType()),
     (re.compile(r"^BLOB|^BYTEA|^BINARY", re.I), T.BinaryType()),
 ]
@@ -5646,6 +5652,8 @@ def _inline_encode_value(v, dt: T.DataType):
         }
     if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
         return v.isoformat()
+    if isinstance(dt, T.TimeType):
+        return v.isoformat()
     if isinstance(dt, T.DecimalType):
         return str(v)
     if isinstance(dt, T.BinaryType):
@@ -5674,6 +5682,8 @@ def _inline_decode_value(v, dt: T.DataType):
         return _dt.date.fromisoformat(v)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return _dt.datetime.fromisoformat(v)
+    if isinstance(dt, T.TimeType):
+        return _dt.time.fromisoformat(v)
     if isinstance(dt, T.DecimalType):
         return _decimal.Decimal(v)
     if isinstance(dt, T.BinaryType):
@@ -5762,6 +5772,13 @@ class DuckLakeSpark:
         )
         self.current_db = ducklake_name
         self.session_settings: dict[str, str] = {}
+        # Spark 4.1 gates TIME behind a conf: literals/comparisons work
+        # without it, but CAST(string AS TIME) — which the scan path
+        # needs to rebuild stored TIME columns — raises unless enabled
+        try:
+            self.spark.conf.set("spark.sql.timeType.enabled", "true")
+        except Exception:  # pragma: no cover - older/newer Spark
+            pass
         # scan instrumentation: files surviving the last catalog-level
         # prune in table_df, and the file count MERGE's match scan read
         # (pinned by tests — the change-proportional-commit evidence)
@@ -8010,6 +8027,11 @@ class DuckLakeSpark:
         file reads, no hive-partition schema reconstruction) while the
         directory layout clusters rows and the per-file partition values
         land in ducklake_file_partition_value for catalog-side pruning."""
+        # TIME columns: parquet-side physical type is an ISO string
+        # (Spark cannot write TimeType to parquet); scans cast back
+        for f_ in df.schema.fields:
+            if isinstance(f_.dataType, T.TimeType):
+                df = df.withColumn(f_.name, F.col(f_.name).cast("string"))
         out_dir = os.path.join(
             self.data_path, name, f"insert-{uuid.uuid4().hex[:12]}"
         )
@@ -8716,6 +8738,26 @@ class DuckLakeSpark:
             read_struct = T.StructType(read_fields)
         else:
             read_struct = schema
+        # TIME columns are stored as ISO strings (see _write_files):
+        # read them as strings, cast back to TimeType below
+        time_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, T.TimeType)
+        ]
+        if time_cols:
+            read_struct = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        T.StringType()
+                        if isinstance(f.dataType, T.TimeType)
+                        else f.dataType,
+                        f.nullable,
+                    )
+                    for f in read_struct.fields
+                ]
+            )
         reader = self.spark.read.schema(read_struct)
 
         # columns added with a DEFAULT read that default from files
@@ -8768,6 +8810,8 @@ class DuckLakeSpark:
                 df = df.select(*sel, "__file", "__pos")
             else:
                 df = df.select(*sel)
+        for c in time_cols:
+            df = df.withColumn(c, F.col(c).cast("time(6)"))
         if init_defaults:
             dtype_by_name = {f.name: f.dataType for f in schema.fields}
             fmeta = self.spark.createDataFrame(
@@ -11418,6 +11462,7 @@ def _spark_type_to_ducklake(dt: T.DataType) -> str:
         T.FloatType(): "FLOAT",
         T.BooleanType(): "BOOLEAN",
         T.DateType(): "DATE",
+        T.TimeType(): "TIME",
         T.TimestampType(): "TIMESTAMP",
         T.BinaryType(): "BLOB",
     }
@@ -11425,6 +11470,8 @@ def _spark_type_to_ducklake(dt: T.DataType) -> str:
         return f"DECIMAL({dt.precision},{dt.scale})"
     if isinstance(dt, T.TimestampNTZType):
         return "TIMESTAMP"
+    if isinstance(dt, T.TimeType):
+        return "TIME"
     if isinstance(dt, T.ArrayType):
         return f"{_spark_type_to_ducklake(dt.elementType)}[]"
     if isinstance(dt, T.MapType):

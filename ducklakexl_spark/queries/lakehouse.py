@@ -1876,3 +1876,33 @@ def lakehouse_copy_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
                           encryption_config={{footer_key: 'copykey'}});
         """
     )
+
+
+@query(
+    "lakehouse_time_roundtrip",
+    pure=False,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, TIME '05:06:07'), (2, TIME '23:59:59.999999'),
+      (4, TIME '13:45:09.5')
+    ) t(id, t)
+    """,
+)
+def lakehouse_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-typed column DDL/DML flow (round-7): CREATE with a TIME
+    column, INSERT literals (incl. sub-second and NULL), UPDATE, DELETE
+    of the NULL row, filtered SELECT.  Logical TimeType in-memory;
+    the lake stores ISO strings in parquet (Spark has no parquet TIME
+    writer) and the scan casts back — order-preserving, so file-stat
+    pruning still works."""
+    lake = _fresh_lake(spark)
+    return lake.sql(
+        """
+        CREATE TABLE times7(id INTEGER, t TIME);
+        INSERT INTO times7 VALUES (1, TIME '01:02:03'),
+          (2, TIME '23:59:59.999999'), (3, NULL), (4, TIME '13:45:09.5');
+        UPDATE times7 SET t = TIME '05:06:07' WHERE id = 1;
+        DELETE FROM times7 WHERE t IS NULL;
+        SELECT id, t FROM times7;
+        """
+    )

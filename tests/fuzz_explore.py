@@ -483,7 +483,84 @@ def fam_enum() -> str:
     )
 
 
+def fam_time_type() -> str:
+    """TIME-typed columns over the ``__tt`` fixture (round-7 feature:
+    logical TimeType, string-physical parquet): ordering, comparisons,
+    grouping, min/max, casts, null handling."""
+    lit = pick("TIME '01:02:03'", "TIME '12:00:00'",
+               "TIME '23:59:59.999999'", "TIME '00:00:00'",
+               "TIME '13:45:09.5'")
+    return pick(
+        "SELECT id, t FROM __tt ORDER BY t NULLS LAST, id",
+        "SELECT id, t FROM __tt ORDER BY t DESC NULLS LAST, id",
+        f"SELECT id FROM __tt WHERE t > {lit} ORDER BY id",
+        f"SELECT id FROM __tt WHERE t <= {lit} ORDER BY id",
+        f"SELECT id FROM __tt WHERE t = {lit} ORDER BY id",
+        f"SELECT id FROM __tt WHERE t BETWEEN TIME '01:00:00' AND {lit}"
+        " ORDER BY id",
+        "SELECT min(t) AS lo, max(t) AS hi FROM __tt",
+        "SELECT count(t) AS n, count(*) AS total FROM __tt",
+        "SELECT id, CAST(t AS VARCHAR) AS s FROM __tt ORDER BY id",
+        f"SELECT id, coalesce(t, {lit}) AS t2 FROM __tt ORDER BY id",
+        f"SELECT id, t IS NULL AS miss FROM __tt ORDER BY id",
+        f"SELECT t, count(*) AS n FROM __tt GROUP BY t ORDER BY t NULLS LAST",
+        f"SELECT id, nullif(t, {lit}) AS t2 FROM __tt ORDER BY id",
+        "SELECT id, greatest(t, TIME '06:00:00') AS g FROM __tt"
+        " WHERE t IS NOT NULL ORDER BY id",
+        "SELECT id, least(t, TIME '06:00:00') AS g FROM __tt"
+        " WHERE t IS NOT NULL ORDER BY id",
+    )
+
+
+def fam_collate_pos() -> str:
+    """COLLATE NOCASE in every position DuckDB accepts it: either
+    comparison operand, ORDER BY keys (with direction), GROUP BY keys,
+    and combined with functions."""
+    op = pick("=", "<>", "<", ">", "<=", ">=")
+    lit = pick("'alpha'", "'ALPHA'", "'Beta Gamma'", "'beta gamma'", "s")
+    return pick(
+        f"SELECT k, (s {op} {lit} COLLATE NOCASE) AS r {fz._FROM} ORDER BY k",
+        f"SELECT k, (s COLLATE NOCASE {op} {lit}) AS r {fz._FROM} ORDER BY k",
+        f"SELECT k FROM ({fz._FROM[5:]}) t2 WHERE s {op} {lit} COLLATE NOCASE"
+        " ORDER BY k",
+        f"SELECT k, s {fz._FROM} ORDER BY s COLLATE NOCASE, k",
+        f"SELECT k, s {fz._FROM} ORDER BY s COLLATE NOCASE DESC, k",
+        f"SELECT upper(s) AS u, count(*) AS n {fz._FROM}"
+        " GROUP BY upper(s) ORDER BY u",
+        f"SELECT k, (trim(s) = {lit} COLLATE NOCASE) AS r {fz._FROM}"
+        " ORDER BY k",
+    )
+
+
+def fam_lateral_depth() -> str:
+    """Chained correlated LATERALs (depth 2-3): each stage references
+    the previous one and/or the base relation; with scalar exprs and
+    aggregates inside the lateral subquery."""
+    e1 = _int_e(1)
+    return pick(
+        f"SELECT t.k, l1.x FROM (SELECT * {fz._FROM}) t,"
+        f" LATERAL (SELECT t.i + 1 AS x) l1 ORDER BY t.k",
+        f"SELECT t.k, l2.y FROM (SELECT * {fz._FROM}) t,"
+        " LATERAL (SELECT t.i + 1 AS x) l1,"
+        " LATERAL (SELECT l1.x * 2 AS y) l2 ORDER BY t.k",
+        f"SELECT t.k, l3.z FROM (SELECT * {fz._FROM}) t,"
+        " LATERAL (SELECT t.i + t.j AS x) l1,"
+        " LATERAL (SELECT l1.x - t.i AS y) l2,"
+        " LATERAL (SELECT l2.y * l1.x AS z) l3 ORDER BY t.k",
+        f"SELECT t.k, l1.x, l2.y FROM (SELECT * {fz._FROM}) t,"
+        f" LATERAL (SELECT coalesce(t.i, 0) + {e1} AS x) l1,"
+        " LATERAL (SELECT CASE WHEN l1.x > 2 THEN l1.x ELSE -l1.x END AS y)"
+        " l2 ORDER BY t.k",
+        f"SELECT t.k, l2.y FROM (SELECT * {fz._FROM}) t,"
+        " LATERAL (SELECT t.s || '!' AS x) l1,"
+        " LATERAL (SELECT length(l1.x) + t.i AS y) l2 ORDER BY t.k",
+    )
+
+
 NEW_FAMILIES = {
+    "time_type": fam_time_type,
+    "collate_pos": fam_collate_pos,
+    "lateral_depth": fam_lateral_depth,
     "enum": fam_enum,
     "structs": fam_structs,
     "map_subscript": fam_map_subscript,
@@ -547,6 +624,18 @@ def main() -> int:
         "CREATE TABLE __et(id INTEGER, c rgb)",
         "INSERT INTO __et VALUES (1,'blue'), (2,'red'), (3,'violet'),"
         " (4,'green'), (5,'red'), (6,NULL)",
+    ):
+        lake.sql(_sql)
+        con.execute(_sql)
+
+    # TIME fixture for fam_time_type (values off the second grid,
+    # a NULL, and a duplicate for grouping)
+    for _sql in (
+        "CREATE TABLE __tt(id INTEGER, t TIME)",
+        "INSERT INTO __tt VALUES (1, TIME '01:02:03'),"
+        " (2, TIME '23:59:59.999999'), (3, NULL),"
+        " (4, TIME '13:45:09.5'), (5, TIME '01:02:03'),"
+        " (6, TIME '00:00:00')",
     ):
         lake.sql(_sql)
         con.execute(_sql)

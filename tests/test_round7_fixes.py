@@ -210,3 +210,73 @@ def test_scope_correct_enum_and_bracket_resolution(lake):
         got = [tuple(r) for r in lake.sql(q).collect()]
         exp = [tuple(r) for r in con.execute(q).fetchall()]
         assert got == exp, f"{q}\n spark={got}\n duck ={exp}"
+
+
+def test_time_columns_end_to_end(lake):
+    """TIME-typed columns (round-7 feature): logical TimeType in-memory,
+    ISO-string physical parquet (Spark has no parquet TIME writer),
+    scan casts back.  Covers file-backed and inlined rows, filtering,
+    min/max, UPDATE, and VARCHAR casts — differential fuzz family
+    ``time_type`` (0 finds at seed 424242)."""
+    import datetime as dt
+
+    lake.sql("CREATE TABLE tt7(id INTEGER, t TIME)")
+    lake.sql(
+        "INSERT INTO tt7 VALUES (1, TIME '01:02:03'),"
+        " (2, TIME '23:59:59.999999'), (3, NULL), (4, TIME '13:45:09.5')"
+    )
+    assert rows(lake.sql("SELECT id, t FROM tt7 WHERE t > TIME '02:00:00'")) == [
+        (2, dt.time(23, 59, 59, 999999)),
+        (4, dt.time(13, 45, 9, 500000)),
+    ]
+    assert rows(lake.sql("SELECT min(t) AS lo, max(t) AS hi FROM tt7")) == [
+        (dt.time(1, 2, 3), dt.time(23, 59, 59, 999999))
+    ]
+    lake.sql("UPDATE tt7 SET t = TIME '05:06:07' WHERE id = 1")
+    assert rows(
+        lake.sql("SELECT CAST(t AS VARCHAR) AS s FROM tt7 WHERE id = 1")
+    ) == [("05:06:07",)]
+    # catalog type round-trips
+    assert rows(
+        lake.sql("SELECT column_name, column_type FROM (DESCRIBE tt7) "
+                 "WHERE column_name = 't'")
+    ) == [("t", "TIME")]
+
+
+def test_collate_nocase_positions(lake):
+    """COLLATE NOCASE in comparison (either side), ORDER BY, and
+    combined with functions — fuzz family ``collate_pos`` (0 finds)."""
+    lake.sql("CREATE TABLE nct7(k INTEGER, s VARCHAR)")
+    lake.sql(
+        "INSERT INTO nct7 VALUES (1,'alpha'), (2,'ALPHA'), (3,'Beta')"
+    )
+    assert rows(
+        lake.sql("SELECT k FROM nct7 WHERE s = 'Alpha' COLLATE NOCASE")
+    ) == [(1,), (2,)]
+    assert rows(
+        lake.sql("SELECT k FROM nct7 WHERE s COLLATE NOCASE = 'beta'")
+    ) == [(3,)]
+    assert rows(
+        lake.sql("SELECT k, (trim(s) = 'alpha' COLLATE NOCASE) AS r "
+                 "FROM nct7")
+    ) == [(1, True), (2, True), (3, False)]
+    got = [
+        tuple(r)
+        for r in lake.sql(
+            "SELECT s FROM nct7 ORDER BY s COLLATE NOCASE, k"
+        ).collect()
+    ]
+    assert got == [("alpha",), ("ALPHA",), ("Beta",)]
+
+
+def test_lateral_depth_chain(lake):
+    """Depth-3 chained correlated LATERALs, each referencing earlier
+    stages and the base relation — fuzz family ``lateral_depth``
+    (0 finds)."""
+    out = lake.sql(
+        "SELECT t.i, l3.z FROM range(3) t(i),"
+        " LATERAL (SELECT t.i + 1 AS x) l1,"
+        " LATERAL (SELECT l1.x * 2 AS y) l2,"
+        " LATERAL (SELECT l2.y - t.i AS z) l3 ORDER BY 1"
+    )
+    assert [tuple(r) for r in out.collect()] == [(0, 2), (1, 3), (2, 4)]
