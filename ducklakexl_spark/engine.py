@@ -9597,8 +9597,13 @@ class DuckLakeSpark:
                 ]
             )
             # materialize BEFORE the delete registers: the scan these rows
-            # came from must not see the new delete file
-            new_rows = new_rows.localCheckpoint(eager=True)
+            # came from must not see the new delete file.  UPDATE arms
+            # derive from the already-checkpointed `touched` frames, so
+            # only INSERT arms (which re-scan the live table through the
+            # anti-join) need the extra materialization — an UPDATE-only
+            # 1-row MERGE saves one Spark job
+            if notm_cl:
+                new_rows = new_rows.localCheckpoint(eager=True)
 
         n_new = 0
         if new_rows is not None:

@@ -58,6 +58,13 @@ def main() -> int:
         for n in sorted(qmod.ORACLES)
         if not n.startswith(("lakehouse_", "stream_"))
     ]
+    # SWEEP_SLICE=k/m: process only every m-th name starting at k-1 —
+    # lets two+ processes split one sweep across disjoint subsets
+    # (each with its own state file; concatenate for the artifact)
+    slice_spec = os.environ.get("SWEEP_SLICE", "")
+    if slice_spec:
+        k, m = (int(x) for x in slice_spec.split("/"))
+        names = [n for i, n in enumerate(names) if i % m == k - 1]
     todo = [n for n in names if n not in done]
     # SWEEP_SKIP: quadratic-by-design correctness audits (all-pairs
     # n-gram Jaccard and its dependents) are intractable past sf0.1 —
