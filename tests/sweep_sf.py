@@ -48,6 +48,16 @@ def main() -> int:
         .getOrCreate()
     )
     con = duckdb.connect()
+    # cap the in-process oracle's memory: at sf10 the shingle/list
+    # pipelines otherwise balloon to DuckDB's default 80%-of-RAM and,
+    # with two sweep slices + two Spark drivers on one box, the kernel
+    # OOM-kills a JVM mid-chunk
+    con.execute(
+        "SET memory_limit = '"
+        + os.environ.get("SWEEP_DUCK_MEM", "18GB")
+        + "'"
+    )
+    con.execute("SET threads TO 8")
     for t in qmod.TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
