@@ -120,15 +120,33 @@ def main() -> None:
     gen(
         "documents",
         f"""
-        -- decade-suffix keeps duplicate clusters at size ≤10 at any N
-        -- (see module docstring); n_chars tracks the suffixed text so
-        -- the column stays consistent with length(text)
+        -- per-decade text variant keeps NEAR-dup clusters at size ≤10
+        -- at any N: copies within a decade (g.i // 10) are identical,
+        -- but different decades tag every 3rd token, so every 3-gram
+        -- shingle contains a changed token and cross-decade Jaccard
+        -- drops to ~0 (a mere suffix left all N copies at Jaccard≈0.99
+        -- and banded LSH correctly — but uselessly for a bounded-shape
+        -- corpus — emitted C(N,2) pairs per source doc).  n_chars is
+        -- recomputed from the variant text.
         SELECT doc_id + g.i * {SHIFT} AS doc_id,
                CASE WHEN g.i // 10 = 0 THEN text
-                    ELSE text || ' v' || (g.i // 10) END AS text,
+                    ELSE array_to_string(
+                           list_transform(
+                             string_split_regex(trim(text), '\\s+'),
+                             (t, ix) -> CASE WHEN ix % 3 = 0
+                                        THEN t || '~' || (g.i // 10)
+                                        ELSE t END),
+                           ' ')
+               END AS text,
                lang, source,
                CASE WHEN g.i // 10 = 0 THEN n_chars
-                    ELSE n_chars + 2 + length((g.i // 10)::VARCHAR)
+                    ELSE length(array_to_string(
+                           list_transform(
+                             string_split_regex(trim(text), '\\s+'),
+                             (t, ix) -> CASE WHEN ix % 3 = 0
+                                        THEN t || '~' || (g.i // 10)
+                                        ELSE t END),
+                           ' '))
                END AS n_chars
         FROM read_parquet('{SRC}/documents.parquet'), range({copies}) g(i)
         """,
