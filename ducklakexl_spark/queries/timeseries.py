@@ -228,16 +228,18 @@ def supplier_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_anomaly_zscore",
     oracle="""
-    WITH framed AS (
-      SELECT event_type, value,
-             count(*) OVER w AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
-                  AS DOUBLE) AS s1,
-             CAST(sum(CAST(CAST(value AS DECIMAL(18,6))
-                           * CAST(value AS DECIMAL(18,6))
-                           AS DECIMAL(38,12))) OVER w
-                  AS DOUBLE) AS s2
+    WITH q_t AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 1048576.0) AS BIGINT) AS q
       FROM events
+    ),
+    framed AS (
+      SELECT event_type, q / 1048576.0 AS value,
+             count(*) OVER w AS n,
+             CAST(sum(q) OVER w AS DOUBLE) / 1048576.0 AS s1,
+             CAST(sum(CAST(q AS DECIMAL(19,0)) * q) OVER w AS DOUBLE)
+               / (1048576.0 * 1048576.0) AS s2
+      FROM q_t
       WINDOW w AS (
         PARTITION BY event_type ORDER BY ts, event_id
         ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING
@@ -287,14 +289,24 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 198k.  Decimal window sums are EXACT in both engines, so z is
     # bit-identical at any scale; the doubles return only after the
     # (identical) exact sums.
-    dv = F.col("value").cast("decimal(18,6)")
-    framed = ev.select(
+    # Quantize by an EXACT power-of-two scale: value * 2^20 never
+    # rounds in IEEE and floor() is engine-identical, unlike a
+    # double->DECIMAL cast, whose half-even boundary at 0.5e-6 resolves
+    # differently per engine for arbitrary (non-grid) doubles — the
+    # sf10 sweep caught ~2 such rows in 10M, each polluting 19 frames.
+    # Sums of the BIGINT quanta (squares in DECIMAL(38,0) — q^2 ~ 1e18
+    # overflows BIGINT over a frame) are exact in both engines.
+    q = F.floor(F.col("value") * 1048576.0).cast("long")
+    ev_q = ev.select("event_type", "ts", "event_id", q.alias("q"))
+    framed = ev_q.select(
         "event_type",
-        "value",
+        (F.col("q") / 1048576.0).alias("value"),
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(dv).over(w).cast("double").alias("s1"),
-        F.sum((dv * dv).cast("decimal(38,12)")).over(w)
-        .cast("double").alias("s2"),
+        (F.sum("q").over(w).cast("double") / 1048576.0).alias("s1"),
+        (
+            F.sum(F.col("q").cast("decimal(19,0)") * F.col("q")).over(w)
+            .cast("double") / (1048576.0 * 1048576.0)
+        ).alias("s2"),
     ).filter(F.col("n") >= 10)
     # z computed AFTER the n >= 10 filter so the n=0 leading rows never
     # reach the divisions (ANSI mode raises on x/0); greatest(.., 0)
