@@ -87,9 +87,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangles",
     oracle="""
-    WITH e0 AS (
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     )
     SELECT 'n_nodes' AS metric,
