@@ -154,7 +154,20 @@ def main() -> None:
     gen(
         "embeddings",
         f"""
-        SELECT vec_id + g.i * {SHIFT} AS vec_id, embedding, label
+        -- per-decade sign-flip on a hashed half of the dimensions:
+        -- copies within a decade stay identical (exact-dup clusters of
+        -- 10), but cross-decade cosine drops to ~0, so vector near-dup
+        -- cluster size stays bounded at any N (same discipline as the
+        -- documents' per-decade token tag — identical replication made
+        -- every ANN/near-dup bucket grow as C(N,2))
+        SELECT vec_id + g.i * {SHIFT} AS vec_id,
+               CASE WHEN g.i // 10 = 0 THEN embedding
+                    ELSE list_transform(embedding,
+                           (x, d) -> CASE WHEN hash(d + (g.i // 10) * 1009)
+                                               % 2 = 0
+                                     THEN -x ELSE x END)
+               END AS embedding,
+               label
         FROM read_parquet('{SRC}/embeddings.parquet'), range({copies}) g(i)
         """,
     )
