@@ -461,9 +461,13 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * y).alias("syy"),
         F.sum(x * y).alias("sxy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # the combine products (n*syy, sy*sy ~ 4e22 at sf10) overflow
+    # BIGINT; DuckDB silently widens to HUGEINT, Spark needs the exact
+    # 128-bit arithmetic spelled as DECIMAL(38,0)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    dxx = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    dyy = dec("n") * dec("syy") - dec("sy") * dec("sy")
     slope = num.cast("double") / dxx / 100
     return s.select(
         "event_type",
