@@ -54,6 +54,16 @@ def _cost_tier(name: str) -> int:
 # sim_ivf_topk, dedup_minhash_lsh), ordered cheap-first.  Everything
 # after slot 50 keeps the old tier-then-name order.
 _CURATED_FIRST = [
+    # representation canaries FIRST (VERDICT-r7 task 3): two tiny
+    # queries emitting identical values typed DOUBLE vs every decimal
+    # storage class (9,2 / 18,2 / 29,2 / 38,2), type-aligned on both
+    # sides, so CORRECTNESS_r08 reveals empirically whether the driver's
+    # value hash accepts decimal output representations at all (see
+    # queries/canaries.py).  They displace 2 second-representatives of
+    # already-covered families (sim_lsh_buckets, dedup_exact — sim and
+    # dedup each keep one window slot via sim_ivf_topk /
+    # dedup_minhash_lsh).
+    "repr_canary_double", "repr_canary_decimal",
     # tier-0 scalar/relational singles
     "scalar_misc_funcs", "math_funcs", "string_funcs", "date_funcs",
     "case_coalesce_nullif", "cast_try_cast", "struct_ops", "array_funcs",
@@ -69,7 +79,7 @@ _CURATED_FIRST = [
     # TPC-H representatives
     "q01_pricing_summary", "q03_shipping_priority",
     # pipeline-operator representatives
-    "dedup_exact", "dedup_minhash_lsh", "sim_lsh_buckets",
+    "dedup_minhash_lsh",
     "text_quality_score", "retrieval_rrf_fusion", "sketch_hll_distinct",
     "ml_auc_quality", "stats_welch_ttest", "robust_stats_mad",
     "drift_psi", "graph_pagerank", "er_blocked_match", "udf_text_scores",

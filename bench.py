@@ -21,6 +21,13 @@ Headline set = the scale-representative queries (scans, joins, aggs,
 windows, dedup-LSH, similarity) — intentionally excluding the
 quadratic-by-design correctness baselines (dedup_ngram_jaccard,
 dedup_simhash pairing, sim_near_dup_pairs at full width).
+
+Caveat (ADVICE r7): dedup_* queries share a per-session persisted
+shingle/signature index (the deliberate model of a written per-corpus
+artifact — see queries/dedup.py).  The index is built by whichever dedup
+query runs FIRST, so only that query's cold time includes the index
+build; later dedup cold times measure a warm-index plan.  The warm pass
+(the headline) is unaffected.
 """
 
 from __future__ import annotations

@@ -143,13 +143,24 @@ _TYPE_MAP: list[tuple[re.Pattern, object]] = [
     (re.compile(r"^(BOOLEAN|BOOL|LOGICAL)$", re.I), T.BooleanType()),
     (re.compile(r"^DATE$", re.I), T.DateType()),
     # TIME columns are logical TimeType in-memory; Spark has no
-    # parquet TIME writer, so the lake stores them as ISO strings
-    # (lexicographic order == temporal order, so min/max file stats
-    # still prune) and the scan casts back — see _write_files /
-    # table_df
+    # parquet TIME writer, so the lake stores them as ISO strings and
+    # the scan casts back — see _write_files / table_df.  TIME columns
+    # do NOT participate in file skipping: the predicate extractor only
+    # recognizes DATE/TIMESTAMP literals and _prune_by_source_bounds
+    # excludes datetime.time bounds.  (If TIME pruning is ever wired
+    # up, first normalize the two write paths to one fixed-width
+    # fractional-second format — inline encode uses Python isoformat
+    # '13:45:09.500000' while _write_files uses Spark's cast
+    # '13:45:09.5', which compare unequal lexicographically.)
     (re.compile(r"^TIME(\(\d+\))?$", re.I), T.TimeType()),
     (re.compile(r"^TIMESTAMP(TZ)?(\(\d+\))?$", re.I), T.TimestampType()),
     (re.compile(r"^BLOB|^BYTEA|^BINARY", re.I), T.BinaryType()),
+    # JSON columns (duckdb json extension type): stored as strings —
+    # Spark has no JSON column type and every json_* function takes the
+    # document text.  The CATALOG keeps the declared "JSON" tag, which is
+    # what lets the `->` arrow disambiguate from lambda syntax on column
+    # operands (see _json_column_set / rewrite_ansi_fetch_and_json_arrow).
+    (re.compile(r"^JSON$", re.I), T.StringType()),
 ]
 _DECIMAL_RE = re.compile(r"^(DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", re.I)
 
@@ -749,6 +760,88 @@ def stmt_alias_tables(stmt: str) -> dict[str, str]:
                 break
             _bind(cm.group(1), cm.group(2))
             pos += cm.end()
+    return out
+
+
+_VALUES_ALIAS_RE = re.compile(
+    r"\)\s*(?:AS\s+)?([A-Za-z_]\w*)\s*\(\s*([\w\s,\"]+?)\s*\)", re.I
+)
+
+
+def values_alias_column_classes(stmt: str) -> dict[str, str]:
+    """``alias.col`` (lower) → 'str' | 'map' for every ``(VALUES …)
+    v(c1, …)`` derived table in the statement, classified by ANALYZING
+    THE VALUES LITERALS (VERDICT r7 task 9 — closes the documented
+    text-layer boundary where VALUES-alias columns were type-unresolvable
+    and string/map subscripts took default semantics).  A column
+    classifies 'str' when every non-NULL literal is a string literal,
+    'map' when every non-NULL literal is a MAP constructor; anything
+    mixed/other is omitted (default semantics, same as before).  Only
+    whole-row tuples are analyzed — best-effort: a shape this scan
+    misses keeps the old fallback, it never mis-binds."""
+    out: dict[str, str] = {}
+    pos = 0
+    up = stmt.upper()
+    while True:
+        v = up.find("VALUES", pos)
+        if v < 0:
+            break
+        pos = v + 6
+        if _inside_string_literal(stmt, v):
+            continue
+        if v > 0 and (stmt[v - 1].isalnum() or stmt[v - 1] == "_"):
+            continue
+        # the derived table opens with a paren just before VALUES
+        j = v - 1
+        while j >= 0 and stmt[j].isspace():
+            j -= 1
+        if j < 0 or stmt[j] != "(":
+            continue
+        try:
+            close = _matching_bracket(stmt, j)
+        except ValueError:
+            continue
+        am = _VALUES_ALIAS_RE.match(stmt, close)
+        if not am:
+            continue
+        alias = am.group(1).lower()
+        cols = [
+            c.strip().strip('"').lower()
+            for c in am.group(2).split(",")
+            if c.strip()
+        ]
+        rows = split_top_level(stmt[v + 6 : close])
+        classes: list[set[str]] = [set() for _ in cols]
+        for row in rows:
+            row = row.strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                classes = []  # unparseable shape: classify nothing
+                break
+            vals = split_top_level(row[1:-1])
+            if len(vals) != len(cols):
+                classes = []
+                break
+            for i, val in enumerate(vals):
+                t = val.strip()
+                tl = t.upper()
+                if tl == "NULL":
+                    continue
+                if t.startswith("'") or (
+                    # rewrite_quote_escapes runs before this pass and
+                    # re-emits quote-bearing literals as ('…'||chr(39)…)
+                    # concat chains — still a string literal
+                    t.startswith("(")
+                    and "||" in t
+                    and re.match(r"^\(\s*(?:'|chr\()", t, re.I)
+                ):
+                    classes[i].add("str")
+                elif tl.startswith("MAP"):
+                    classes[i].add("map")
+                else:
+                    classes[i].add("other")
+        for i, cls in enumerate(classes):
+            if i < len(cols) and len(cls) == 1 and cls != {"other"}:
+                out[f"{alias}.{cols[i]}"] = next(iter(cls))
     return out
 
 
@@ -4659,6 +4752,11 @@ def rewrite_decimal_div(stmt: str) -> str:
         return stmt
     out: list[str] = []
     in_str: str | None = None
+    # 'previous appended token was a bare /': inspecting out[-1] is
+    # wrong when the previous chunk is a block comment — in `a/*c*// 2`
+    # the real division after `*/` would read as the tail of `//`.
+    # Only the explicit append sites below ever emit a lone '/'.
+    prev_slash = False
     i, n = 0, len(stmt)
     while i < n:
         ch = stmt[i]
@@ -4670,6 +4768,7 @@ def rewrite_decimal_div(stmt: str) -> str:
             continue
         if ch in ("'", '"'):
             in_str = ch
+            prev_slash = False
             out.append(ch)
             i += 1
             continue
@@ -4678,6 +4777,7 @@ def rewrite_decimal_div(stmt: str) -> str:
             j = n if j < 0 else j
             out.append(stmt[i:j])
             i = j
+            prev_slash = False
             continue
         if stmt[i : i + 2] == "/*":
             # skip /* … */ spans whole: comment text scanned as code
@@ -4687,16 +4787,16 @@ def rewrite_decimal_div(stmt: str) -> str:
             j = n if j < 0 else j + 2
             out.append(stmt[i:j])
             i = j
+            prev_slash = False
             continue
-        if ch == "/" and stmt[i + 1 : i + 2] != "/" and (
-            not out or not out[-1].endswith("/")
-        ):
+        if ch == "/" and stmt[i + 1 : i + 2] != "/" and not prev_slash:
             j = i + 1
             while j < n and stmt[j].isspace():
                 j += 1
             wm = re.match(r"[A-Za-z_]\w*", stmt[j:])
             if wm and wm.group(0).lower() in _DIV_RHS_SKIP_KW:
                 out.append(ch)
+                prev_slash = True
                 i += 1
                 continue
             end = _operand_end(stmt, i + 1)
@@ -4705,9 +4805,11 @@ def rewrite_decimal_div(stmt: str) -> str:
                 r"(?is)CAST\s*\(.*AS\s+DOUBLE\s*\)", rhs
             ):
                 out.append(ch)
+                prev_slash = True
                 i += 1
                 continue
             out.append(f"/ CAST({rhs} AS DOUBLE)")
+            prev_slash = False
             i = end
             continue
         # bulk-skip a run of chars that can't open a literal/comment or
@@ -4716,8 +4818,10 @@ def rewrite_decimal_div(stmt: str) -> str:
         if rm:
             out.append(rm.group(0))
             i = rm.end()
+            prev_slash = False
         else:
             out.append(ch)
+            prev_slash = ch == "/"
             i += 1
     return "".join(out)
 
@@ -4900,21 +5004,83 @@ def _json_primary_start(stmt: str, end: int) -> int:
     return k + 1
 
 
-def rewrite_ansi_fetch_and_json_arrow(stmt: str) -> str:
+_LAMBDA_HOFS = frozenset(
+    # DuckDB + Spark higher-order functions whose direct argument may be
+    # a lambda — in THAT position a bare identifier before `->` is the
+    # lambda parameter even when it shadows a string-typed column
+    # (verified live: duckdb parses `list_transform([5], j -> 1)` as a
+    # lambda with a VARCHAR column `j` in scope)
+    "list_transform transform apply list_apply list_filter filter "
+    "list_reduce reduce list_where exists forall aggregate zip_with "
+    "map_filter transform_keys transform_values array_sort list_sort "
+    "map_zip_with".split()
+)
+
+
+def _lambda_param_position(stmt: str, start: int) -> bool:
+    """True when the expression starting at ``start`` sits in the direct
+    argument position of a lambda-accepting higher-order function — the
+    one context where ``ident -> body`` is a lambda, not a JSON arrow."""
+    j = start - 1
+    while j >= 0 and stmt[j].isspace():
+        j -= 1
+    if j < 0 or stmt[j] not in "(,":
+        return False
+    # walk left to the opening paren of the enclosing call, then read
+    # the function name before it
+    depth = 0
+    while j >= 0:
+        ch = stmt[j]
+        if ch in ")]([" and _inside_string_literal(stmt, j):
+            j -= 1
+            continue
+        if ch in ")]":
+            depth += 1
+        elif ch in "([":
+            if depth == 0:
+                break
+            depth -= 1
+        j -= 1
+    if j < 0 or stmt[j] != "(":
+        return False
+    k = j - 1
+    while k >= 0 and (stmt[k].isalnum() or stmt[k] == "_"):
+        k -= 1
+    return stmt[k + 1 : j].lower() in _LAMBDA_HOFS
+
+
+def _json_arrow_path(arg: str) -> str:
+    """JSONPath literal for one arrow argument: integers index arrays,
+    ``'$…'`` strings are used verbatim (DuckDB path-extraction form),
+    anything else is a key."""
+    if arg.isdigit():
+        return f"'$[{arg}]'"
+    body = arg[1:-1]
+    if body.startswith("$"):
+        return f"'{body}'"
+    return f"'$.{body}'"
+
+
+def rewrite_ansi_fetch_and_json_arrow(
+    stmt: str, json_cols: frozenset[str] | None = None
+) -> str:
     """ANSI ``OFFSET n ROWS FETCH NEXT m ROWS ONLY`` → ``LIMIT m OFFSET
-    n``, and the JSON text-extraction operator ``expr ->> 'k'`` /
-    ``expr ->> i`` → ``get_json_object(expr, '$.k' / '$[i]')``.  The
-    ``->`` (JSON-typed) arrow is deliberately NOT rewritten: it is
-    textually ambiguous with lambda syntax (``x -> 1``); use ->> or
-    json_extract.  Left operands: identifier chains, string literals, or
-    a parenthesized expression."""
+    n``, and the JSON extraction arrows: ``expr ->> 'k'`` / ``expr ->>
+    i`` → ``get_json_object(expr, '$.k' / '$[i]')`` and the JSON-typed
+    ``expr -> 'k'`` → ``to_json(try_variant_get(try_parse_json(expr),
+    path))``.  ``->`` shares its token with lambda syntax (``x -> 1``),
+    so it only fires when the LEFT operand is provably JSON — by syntax
+    (::JSON cast chain, json function call, JSON-looking string literal)
+    or by catalog type (``json_cols``: scope-resolved column refs whose
+    DECLARED type is JSON, supplied by DuckLakeSpark._json_column_set).
+    A lambda whose parameter shadows a JSON column name AND whose body
+    is a bare literal (``transform(a, j -> 1)`` with a JSON column
+    ``j``) would misfire — the same ambiguity DuckDB resolves in favor
+    of extraction, so behavior matches the reference engine.  Left
+    operands: identifier chains, string literals, or a parenthesized
+    expression."""
     stmt = _ANSI_FETCH_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", stmt)
     stmt = _ANSI_FETCH_ONLY_RE.sub(lambda m: f"LIMIT {m.group(1)}", stmt)
-    # single-arrow ``expr -> 'k'`` (JSON-typed extraction).  Lambda
-    # syntax shares the token, so only rewrite when the LEFT operand is
-    # provably JSON: an explicit ::JSON cast (stripped — Spark's
-    # get_json_object takes the string), a json function call, or a
-    # string literal that looks like a JSON document.
     search_from = 0
     while True:
         m = _JSON_SINGLE_ARROW_RE.search(stmt, search_from)
@@ -4944,12 +5110,22 @@ def rewrite_ansi_fetch_and_json_arrow(stmt: str) -> str:
                                 "to_json(", "json(", "try_parse_json(",
                                 "try_variant_get("))
             or re.match(r"^'\s*[\[{]", olow) is not None
+            or (
+                json_cols is not None
+                and olow.replace('"', "").strip() in json_cols
+                # a bare identifier in the direct argument position of a
+                # lambda HOF is the lambda PARAMETER even when it shadows
+                # a string-typed column (duckdb-verified precedence)
+                and not (
+                    "." not in olow
+                    and _lambda_param_position(stmt, start)
+                )
+            )
         )
         if not looks_json:
             search_from = m.end()
             continue
-        arg = m.group(1)
-        path = f"'$[{arg}]'" if arg.isdigit() else f"'$.{arg[1:-1]}'"
+        path = _json_arrow_path(m.group(1))
         stmt = (
             stmt[:start]
             + f"to_json(try_variant_get(try_parse_json({operand}), "
@@ -4974,8 +5150,7 @@ def rewrite_ansi_fetch_and_json_arrow(stmt: str) -> str:
         while start >= 2 and stmt[start - 2 : start] == "::":
             start = _json_primary_start(stmt, start - 3)
         operand = stmt[start : i + 1]
-        arg = m.group(1)
-        path = f"'$[{arg}]'" if arg.isdigit() else f"'$.{arg[1:-1]}'"
+        path = _json_arrow_path(m.group(1))
         stmt = (
             stmt[:start]
             + f"get_json_object({operand}, {path})"
@@ -7290,16 +7465,92 @@ class DuckLakeSpark:
                 if tgt is not None:
                     for a in set(aliases) | {tbl}:
                         tgt.add(f"{a}.{c}")
+        # VALUES-alias columns classify from their literals (r8): the
+        # qualified ref always binds; the bare name joins the
+        # cross-relation consistency vote like any catalog column
+        vcls = values_alias_column_classes(stmt)
+        for ref, cls in vcls.items():
+            (maps if cls == "map" else strs).add(ref)
+            classes.setdefault(ref.split(".", 1)[1], set()).add(cls)
         for c, cl in classes.items():
             if cl == {"map"}:
                 maps.add(c)
             elif cl == {"str"}:
                 strs.add(c)
+        known_quals = set(alias_map) | {
+            r.split(".", 1)[0] for r in vcls
+        }
         return (
             frozenset(maps) or None,
             frozenset(strs) or None,
-            frozenset(alias_map) or None,
+            frozenset(known_quals) or None,
         )
+
+    _ARROW_OPERAND_TYPE_RE = re.compile(
+        r"^(JSON|VARCHAR|TEXT|STRING|CHAR|BPCHAR)(\(\d+\))?$", re.I
+    )
+
+    def _json_column_set(self, stmt: str) -> frozenset[str] | None:
+        """Column refs (lower) on which a ``->`` arrow means JSON
+        extraction, for every table the statement references — the
+        resolve-before-rewrite input that closes SURVEY §8.12's "`->`
+        deliberately not rewritten" gap (the operator is textually
+        ambiguous with lambda syntax, so a purely syntactic pass could
+        only accept ::JSON casts / json fn calls / JSON-looking
+        literals).  DuckDB implicitly casts VARCHAR to JSON for the
+        arrow operators (verified live: ``varchar_col -> 'k'``
+        extracts), so the set carries every JSON- and VARCHAR-family
+        declared column; Spark's schema can't distinguish them anyway
+        (JSON maps to StringType), so resolution reads the catalog's
+        declared type strings.  Scope rules mirror _bracket_column_sets:
+        qualified ``alias.col`` entries always; a BARE name only when
+        every referenced table that has the column declares it a string
+        type."""
+        ids = {s.lower() for s in sql_identifiers(stmt)}
+        alias_map = stmt_alias_tables(stmt)
+        catalog_tables = {t.lower(): t for t in self.catalog.table_names()}
+        referenced: dict[str, list[str]] = {}
+        for a, t in alias_map.items():
+            if t in catalog_tables:
+                referenced.setdefault(t, []).append(a)
+        for t in catalog_tables:
+            if t in ids:
+                referenced.setdefault(t, []).append(t)
+        out: set[str] = set()
+        bare: dict[str, bool] = {}  # col -> consistently string-typed
+        for tbl, aliases in referenced.items():
+            try:
+                tid = self.catalog.table_id(catalog_tables[tbl])
+                cols = self.catalog.columns(tid)
+            except Exception:
+                continue
+            for r in cols.itertuples():
+                c = r.column_name.lower()
+                is_str = bool(
+                    self._ARROW_OPERAND_TYPE_RE.match(
+                        str(r.column_type).strip()
+                    )
+                )
+                if is_str:
+                    for a in set(aliases) | {tbl}:
+                        out.add(f"{a}.{c}")
+                if c in bare:
+                    bare[c] = bare[c] and is_str
+                else:
+                    bare[c] = is_str
+        # VALUES-alias columns classified 'str' from their literals also
+        # take the arrow (duckdb: VARCHAR implicitly casts to JSON)
+        for ref, cls in values_alias_column_classes(stmt).items():
+            is_str = cls == "str"
+            if is_str:
+                out.add(ref)
+            c = ref.split(".", 1)[1]
+            if c in bare:
+                bare[c] = bare[c] and is_str
+            else:
+                bare[c] = is_str
+        out.update(c for c, ok in bare.items() if ok)
+        return frozenset(out) or None
 
     def _enum_order_values(
         self, stmt: str
@@ -9362,8 +9613,24 @@ class DuckLakeSpark:
                 return pruned.filter(F.lit(False)), []  # empty source
             pruned = pruned.filter(F.col(tm_).between(F.lit(lo), F.lit(hi)))
             # catalog-level predicates only for types _skip_files compares
-            # exactly (Decimal etc. keep the frame-level BETWEEN only)
-            if isinstance(lo, (int, float, str, _dt.datetime, _dt.date)) \
+            # exactly (Decimal etc. keep the frame-level BETWEEN only).
+            # Timestamp bounds: collect() renders TimestampType as a
+            # NAIVE datetime in the *driver OS* timezone (not the UTC
+            # session tz), while _skip_files tz_localizes naive values to
+            # UTC before comparing with the footer stats' UTC instants —
+            # on a non-UTC box the prune window would shift by the UTC
+            # offset and silently skip files containing matched rows.
+            # fromtimestamp() is fold-aware since Python 3.6, so
+            # astimezone() recovers the exact UTC instant; the
+            # frame-level BETWEEN above needs no fix (F.lit() applies the
+            # symmetric OS-local conversion).
+            if isinstance(lo, _dt.datetime):
+                lo = lo.astimezone(_dt.timezone.utc).replace(tzinfo=None) \
+                    if lo.tzinfo is None else lo.astimezone(_dt.timezone.utc)
+                hi = hi.astimezone(_dt.timezone.utc).replace(tzinfo=None) \
+                    if hi.tzinfo is None else hi.astimezone(_dt.timezone.utc)
+                preds += [(tm_, ">=", lo), (tm_, "<=", hi)]
+            elif isinstance(lo, (int, float, str, _dt.date)) \
                     and not isinstance(lo, bool):
                 preds += [(tm_, ">=", lo), (tm_, "<=", hi)]
         return pruned, preds
@@ -10885,7 +11152,10 @@ class DuckLakeSpark:
         stmt = rewrite_in_subquery_3vl(stmt)
         stmt = rewrite_glob_operator(stmt)
         stmt = rewrite_quantified_and_factorial(stmt)
-        stmt = rewrite_ansi_fetch_and_json_arrow(stmt)
+        stmt = rewrite_ansi_fetch_and_json_arrow(
+            stmt,
+            self._json_column_set(stmt) if "->" in stmt else None,
+        )
         stmt = re.sub(
             r"\bversion\s*\(\s*\)", f"'spark-{self.spark.version}'", stmt,
             flags=re.I,

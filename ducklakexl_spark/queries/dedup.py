@@ -294,6 +294,33 @@ _SIG_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 )
 
 
+def _evict_other_sf_dirs(spark: SparkSession, sf_dir: str) -> None:
+    """Cap the dedup index to ONE sf_dir per session: crossing to a new
+    corpus unpersists the old index (both tables together — the
+    signature plan references the shingle table).  Without this, executor
+    storage memory grows unbounded across sf_dirs in one session (ADVICE
+    r7), and the multi-SF sweep/bench harnesses would stack sf0.01+sf0.1+
+    sf1 indexes.  Within one sf_dir nothing changes — the persist is the
+    deliberate model of a written per-corpus-snapshot artifact."""
+    for cache in (_SHINGLE_CACHE, _SIG_CACHE):
+        per_session = cache.get(spark)
+        if not per_session:
+            continue
+        for other in [k for k in per_session if k != sf_dir]:
+            per_session.pop(other).unpersist()
+
+
+def invalidate_dedup_index(spark: SparkSession) -> None:
+    """Drop every cached shingle/signature table for ``spark`` (e.g.
+    after regenerating a documents fixture mid-session — the cache keys
+    on sf_dir only and would otherwise serve stale results)."""
+    for cache in (_SHINGLE_CACHE, _SIG_CACHE):
+        per_session = cache.pop(spark, None)
+        if per_session:
+            for df in per_session.values():
+                df.unpersist()
+
+
 def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, h) rows where ``h`` is the 60-bit portable hash of
     a word 3-gram shingle — the row-oriented twin of ``shingles_col``.
@@ -307,6 +334,7 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature groupBy, and the verify intersection all key on the long —
     at 100 TB that's an 8-byte shuffle key instead of a ~30-byte string,
     and long equi-joins beat string equi-joins."""
+    _evict_other_sf_dirs(spark, sf_dir)
     per_session = _SHINGLE_CACHE.setdefault(spark, {})
     cached = per_session.get(sf_dir)
     if cached is not None:
@@ -346,6 +374,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature + shingle count (doc_id, mh0..mhN,
     n_sh) — persisted per session like the shingle table (one tiny
     row per doc; used by the band explode AND the size lookup)."""
+    _evict_other_sf_dirs(spark, sf_dir)
     per_session = _SIG_CACHE.setdefault(spark, {})
     cached = per_session.get(sf_dir)
     if cached is not None:

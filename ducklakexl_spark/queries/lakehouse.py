@@ -88,7 +88,7 @@ def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure=False,
     oracle="""
     SELECT * FROM (VALUES
-      (1, 'A', 20.0), (2, 'B', 40.0)
+      (1, 'A', CAST(20.0 AS DOUBLE)), (2, 'B', CAST(40.0 AS DOUBLE))
     ) t(id, val, n)
     """,
 )
@@ -656,7 +656,7 @@ def lakehouse_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure=False,
     oracle="""
     SELECT * FROM (VALUES
-      (3, 'b', 30.0), (4, 'b', 40.0)
+      (3, 'b', CAST(30.0 AS DOUBLE)), (4, 'b', CAST(40.0 AS DOUBLE))
     ) t(id, grp, v)
     """,
 )
@@ -680,7 +680,7 @@ def lakehouse_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure=False,
     oracle="""
     SELECT * FROM (VALUES
-      (3, 3, 2, 9.0)
+      (3, 3, 2, CAST(9.0 AS DOUBLE))
     ) t(files_total, months, files_after_prune, march_sum)
     """,
 )
@@ -1553,9 +1553,9 @@ def lakehouse_vector_fn_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure=False,
     oracle="""
     SELECT * FROM (VALUES
-      (1, CAST(100 AS BIGINT), CAST(101 AS BIGINT), 0.5),
-      (2, CAST(20 AS BIGINT),  CAST(22 AS BIGINT),  1.0),
-      (5, CAST(50 AS BIGINT),  CAST(55 AS BIGINT),  2.5)
+      (1, CAST(100 AS BIGINT), CAST(101 AS BIGINT), CAST(0.5 AS DOUBLE)),
+      (2, CAST(20 AS BIGINT),  CAST(22 AS BIGINT),  CAST(1.0 AS DOUBLE)),
+      (5, CAST(50 AS BIGINT),  CAST(55 AS BIGINT),  CAST(2.5 AS DOUBLE))
     ) t(a, b, total, half)
     """,
 )
@@ -1719,7 +1719,7 @@ def lakehouse_writer_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure=False,
     oracle="""
     SELECT * FROM (VALUES
-      ('one', 5.0), ('two', 2.5)
+      ('one', CAST(5.0 AS DOUBLE)), ('two', CAST(2.5 AS DOUBLE))
     ) t(label, total)
     """,
 )

@@ -34,12 +34,15 @@ from ducklakexl_spark.queries import broadcast_if_small, load, query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)            AS sum_base_price,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)          AS sum_disc_price,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                     * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)               AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE)                                                  AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE)                                                  AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                AS DOUBLE)                                                  AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  / count(*), 4)                                             AS avg_price,
@@ -59,6 +62,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale and any reduce order.  Quantities are integer-valued
     # doubles (< 2^53), already order-exact.  Averages divide the exact
     # decimal sum as double so both engines do the same IEEE division.
+    # OUTPUT CONTRACT (round-8, VERDICT-r7 task 1): the decimal math
+    # stays INTERNAL; the final rounded aggregates are cast to DOUBLE on
+    # both sides.  Spark's round(sum(decimal)) is DECIMAL(29,2) while
+    # DuckDB's is DECIMAL(38,2), and downstream representations of the
+    # same value drift (Decimal('x.30') vs 'x.3') — the r6-green DOUBLE
+    # contract is representation-stable and the exact-cents sum casts to
+    # one deterministic double.
     li = load(spark, sf_dir, "lineitem")
     ep = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -70,9 +80,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(ep), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (F.lit(1) + tax)), 2).alias("sum_charge"),
+            F.round(F.sum(ep), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (F.lit(1) + tax)), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.sum(ep).cast("double") / n, 4).alias("avg_price"),
             F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
@@ -85,8 +95,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE)                                    AS revenue,
            CAST(o_orderdate AS DATE)                          AS orderdate,
            o_orderpriority
     FROM customer
@@ -123,7 +134,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
                 ), 2
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -135,8 +146,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_region_revenue",
     oracle="""
     SELECT n_name,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -175,7 +187,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
                 ), 2
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -184,8 +196,9 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -213,7 +226,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
                 ), 2
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -445,8 +458,9 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) FILTER (WHERE o_orderstatus = 'F')              AS n_finished,
            count(*) FILTER (WHERE o_orderstatus = 'O')              AS n_open,
-           round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                 FILTER (WHERE o_totalprice > 50000), 2)            AS big_spend
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FILTER (WHERE o_totalprice > 50000), 2)
+                AS DOUBLE)                                          AS big_spend
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -467,7 +481,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
             2,
-        ).alias("big_spend"),
+        ).cast("double").alias("big_spend"),
     )
 
 
@@ -527,7 +541,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            grouping(l_returnflag) AS g_flag,
            grouping(l_linestatus) AS g_status,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS total
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -540,7 +554,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                grouping(l_returnflag) AS g_flag,
                grouping(l_linestatus) AS g_status,
-               round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS total
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -946,7 +960,7 @@ def percentile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_deterministic",
     oracle="""
     SELECT count(*) AS n,
-           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS sampled_spend
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sampled_spend
     FROM orders
     WHERE o_orderkey % 10 = 3
     """,
@@ -959,7 +973,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 10 == 3)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias("sampled_spend"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("sampled_spend"),
         )
     )
 

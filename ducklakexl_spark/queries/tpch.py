@@ -25,8 +25,8 @@ from ducklakexl_spark.queries import broadcast_if_small, load, query
 @query(
     "q06_forecast_revenue",
     oracle="""
-    SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * CAST(l_discount AS DECIMAL(4,2))), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01'
       AND l_shipdate <  DATE '1997-01-01'
@@ -51,7 +51,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * F.col("l_discount").cast("decimal(4,2)")
                 ), 2
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -59,7 +59,8 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q07_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
     FROM (SELECT n1.n_name AS supp_nation,
                  n2.n_name AS cust_nation,
                  CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -115,14 +116,14 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
     )
 
 
 @query(
     "q09_product_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (SELECT n_name AS nation,
                  CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
                  CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amount
@@ -162,7 +163,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
     )
 
 
@@ -206,7 +207,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS total_revenue
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey
@@ -226,9 +227,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2).alias(
-            "total_revenue"
-        )
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2)
+        .cast("double")
+        .alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -292,7 +293,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_discounted_revenue",
     oracle="""
-    SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -333,9 +334,9 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2).alias(
-                "revenue"
-            )
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2)
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -380,8 +381,8 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM (SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
                  CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
                  n2.n_name AS nation
@@ -437,7 +438,12 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+    # exact-cents volume (see q01): decimal sums are reduce-order-exact;
+    # the final ratio divides the two exact sums as doubles on both sides.
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    ).alias("volume")
     return (
         joined.select(
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -451,8 +457,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(
                         F.lit(0)
                     )
-                )
-                / F.sum("volume"),
+                ).cast("double")
+                / F.sum("volume").cast("double"),
                 6,
             ).alias("mkt_share")
         )

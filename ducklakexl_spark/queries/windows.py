@@ -803,9 +803,9 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure=False,
     oracle="""
     SELECT * FROM (VALUES
-      (1.0, CAST(30 AS BIGINT), CAST(1035 AS BIGINT)),
-      (2.0, CAST(25 AS BIGINT), CAST(675 AS BIGINT)),
-      (3.0, CAST(5 AS BIGINT),  CAST(60 AS BIGINT))
+      (CAST(1.0 AS DOUBLE), CAST(30 AS BIGINT), CAST(1035 AS BIGINT)),
+      (CAST(2.0 AS DOUBLE), CAST(25 AS BIGINT), CAST(675 AS BIGINT)),
+      (CAST(3.0 AS DOUBLE), CAST(5 AS BIGINT),  CAST(60 AS BIGINT))
     ) t(v, n, key_sum)
     """,
 )

@@ -20,9 +20,13 @@ text, copies in different decades get a ' vK' suffix — duplicate
 CLUSTERS stay size ≤10 at every N (real web dup-cluster size does not
 grow with corpus size), so banded-LSH bucket fan-out stays bounded
 while the corpus grows Nx.  At N=10 every copy is in decade 0, which
-reproduces the round-6 sf1 corpus byte-for-byte.  Everything is a pure
-function of the source rows — rerunning regenerates identical files
-(no RNG, no clock).
+reproduces the round-6 sf1 documents/embeddings byte-for-byte; orders
+does NOT reproduce round 6 — the o_totalprice sub-cent perturbation
+modulus changed 9999991 -> 4999999 in round 7 (half-cent-boundary
+safety for the double->DECIMAL casts), and the round-7+ sf1/sf10
+SWEEP/BENCH artifacts were regenerated against the new corpus.
+Everything is a pure function of the source rows — rerunning
+regenerates identical files (no RNG, no clock).
 
 Usage: python tests/make_scale_sf1.py [out_dir] [copies]
   copies=10 (default) → sf1 (~6M-row lineitem)

@@ -653,7 +653,7 @@ def test_catalog_prune_scales_to_a_million_files(lake):
     # suite runs this alongside 32 Spark worker threads — a wall-clock
     # assert under CPU contention otherwise flakes (seen at >10 s once
     # while 600 oracle-parity tests ran concurrently); the headline
-    # number is the solo measurement, documented in SURVEY §8.5.
+    # number is the solo measurement, documented in SURVEY §8.1.
     assert elapsed < 25.0, f"million-file prune took {elapsed:.1f}s"
 
 
