@@ -1906,3 +1906,40 @@ def lakehouse_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, t FROM times7;
         """
     )
+
+
+_JSON_ARROW_BODY = """
+    CREATE TABLE jdocs(id INTEGER, j JSON, raw VARCHAR);
+    INSERT INTO jdocs VALUES
+      (1, '{"user": {"name": "ada", "score": 7}, "tags": ["a", "b"]}',
+          '{"k": 1}'),
+      (2, '{"user": {"name": "bob", "score": 9}, "tags": []}',
+          '{"k": 2}'),
+      (3, NULL, NULL);
+    SELECT id,
+           j->'user'->>'name'                         AS uname,
+           CAST(j->'user'->>'score' AS INTEGER)       AS score,
+           j->'tags'->0                               AS tag0,
+           j->'$.user.score'                          AS jscore,
+           raw->>'k'                                  AS rk,
+           list_transform([1, 2], x -> x * 10)        AS lambda_ok
+    FROM jdocs ORDER BY id;
+"""
+
+
+@query(
+    "lakehouse_json_arrow",
+    pure=False,
+    oracle=_JSON_ARROW_BODY,
+)
+def lakehouse_json_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON `->` / `->>` arrows through sql() text on CATALOG-TYPED
+    columns (round-8, closes SURVEY §8.12's documented gap): the engine
+    runs the ORACLE'S OWN SQL verbatim — a JSON column end-to-end
+    (CREATE/INSERT/scan), chained `->`, `->` on a VARCHAR column
+    (DuckDB's implicit cast), array-index and `$`-path arguments, and a
+    lambda in the same statement (arrow/lambda disambiguation is by
+    catalog-resolved operand type + HOF argument position; see
+    engine._json_column_set / _lambda_param_position)."""
+    lake = _fresh_lake(spark)
+    return lake.sql(_JSON_ARROW_BODY)

@@ -57,6 +57,9 @@ _DUCK_FAMILY = {
     "UINTEGER": "int", "UBIGINT": "int",
     "FLOAT": "float", "DOUBLE": "float", "REAL": "float",
     "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+    # Spark has no JSON type — the engine models JSON columns as strings
+    # (catalog keeps the declared tag); values compare as document text
+    "JSON": "str",
     "TIMESTAMP": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
     "TIMESTAMP_NS": "timestamp", "TIMESTAMP_MS": "timestamp",
     "TIMESTAMP_S": "timestamp",

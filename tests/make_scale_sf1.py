@@ -53,6 +53,18 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
+    if copies > 100:
+        # at copies=1000 (sf100, 600M-row lineitem) duckdb's
+        # order-preserving COPY buffers the whole result in RAM (~100GB
+        # observed, 0 bytes written) before OOM; dropping insertion
+        # order lets COPY stream.  Row order inside the parquet then
+        # depends on thread scheduling — fine for this corpus: every
+        # consumer (sweep compare, bench, the queries themselves) is
+        # order-insensitive, and no sf100 query joins POSITIONALLY on a
+        # fact table.  Gated above 100 so sf1/sf10 stay byte-reproducible
+        # against the committed r6/r7 artifacts.
+        con.execute("SET preserve_insertion_order = false")
+        con.execute("SET memory_limit = '48GB'")
 
     def gen(table: str, select: str) -> None:
         dst = os.path.join(out, f"{table}.parquet")
