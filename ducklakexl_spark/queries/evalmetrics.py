@@ -388,7 +388,8 @@ _FOLD_SQL = f"CAST({_hash_pct_sql('user_id')} % 5 AS BIGINT)"
     SELECT fold,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
     FROM tagged GROUP BY fold
     """,
 )
@@ -406,7 +407,10 @@ def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("user_id").cast("long").alias("n_users"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact-cents sum (see agg_having): 20M-row folds at sf100
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

@@ -157,7 +157,8 @@ def join_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.band,
            count(*)                 AS n,
-           round(sum(e.value), 2)   AS total_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                                    AS total_value
     FROM events e
     JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band
@@ -183,5 +184,8 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # exact-cents sum (see agg_having): up-to-100M-row bands at sf100
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
     )

@@ -411,19 +411,27 @@ def join_theta_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS spend
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 15
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-cents sum (see q01): at sf100 each custkey group holds ~10k
+    # orders and the double-sum reduce-order ulp started crossing
+    # round()'s half-cent boundaries (sf100 sweep find); decimal sums
+    # are reduce-order-exact, the final output casts to DOUBLE on both
+    # sides (the r8 output contract)
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("spend"),
         )
         .filter(F.col("n_orders") >= 15)
     )
@@ -1036,7 +1044,9 @@ def percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_copartition_reuse",
     oracle="""
     WITH totals AS (
-      SELECT user_id, round(sum(value), 4) AS total_value
+      SELECT user_id,
+             CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS total_value
       FROM events GROUP BY user_id
     ),
     diversity AS (
@@ -1058,8 +1068,12 @@ def join_copartition_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale AQE further converts the join to broadcast; at cluster scale
     the same plan runs as a shuffle-free SortMergeJoin."""
     e = load(spark, sf_dir, "events")
+    # exact-cents sum (see agg_having): the hot user's 30%-of-events
+    # group makes a raw double sum reduce-order-sensitive at sf100
     totals = e.groupBy("user_id").agg(
-        F.round(F.sum("value"), 4).alias("total_value")
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 4)
+        .cast("double")
+        .alias("total_value")
     )
     diversity = e.groupBy("user_id").agg(
         F.countDistinct("event_type").alias("n_types")

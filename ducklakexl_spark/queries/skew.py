@@ -17,7 +17,8 @@ from ducklakexl_spark.queries import load, query
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT)  AS n,
-           round(sum(value), 2)      AS total_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2)
+                AS DOUBLE)           AS total_value,
            round(max(value), 2)      AS max_value
     FROM events
     GROUP BY event_type
@@ -34,7 +35,10 @@ def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs={
             "n": F.count(F.lit(1)),
-            "total_value": F.sum("value"),
+            # exact-cents sum: value is 2-decimal by construction; at
+            # sf100 a 20M-row hot group's double-sum reduce-order ulp
+            # crosses round()'s half-cent boundaries (see agg_having)
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)")),
             "max_value": (F.max("value"), "max"),
         },
         n_salts=16,
@@ -42,7 +46,7 @@ def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round("total_value", 2).alias("total_value"),
+        F.round("total_value", 2).cast("double").alias("total_value"),
         F.round("max_value", 2).alias("max_value"),
     )
 

@@ -25,7 +25,8 @@ from ducklakexl_spark.queries import load, query
     oracle="""
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             round(sum(value), 6) AS v
+             CAST(round(sum(CAST(value AS DECIMAL(18,2))), 6) AS DOUBLE)
+               AS v
       FROM events WHERE user_id % 10 = 0
       GROUP BY 1, 2
     ),
@@ -65,7 +66,12 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    ).agg(
+        # exact-cents sum (see agg_having): reduce-order-stable at sf100
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 6)
+        .cast("double")
+        .alias("v")
+    )
     span = hourly.groupBy("user_id").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
