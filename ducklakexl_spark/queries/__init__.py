@@ -24,6 +24,35 @@ TABLES = (
     "documents embeddings".split()
 )
 
+# every @query(pure=True) plan-memo dict registers here so long-lived
+# harness sessions can release them: an executed DataFrame held by the
+# memo PINS its JVM Dataset, whose shuffle dependencies the
+# ContextCleaner therefore never collects — a full-registry sweep at
+# sf100 accumulated 30+ GB of blockmgr shuffle files per session and
+# filled the disk (round-8 find).  Executing the registry in one
+# session is exactly the 100 TB usage pattern, so the release hook is
+# part of the operator surface, not test plumbing.
+_PLAN_CACHES: list[dict] = []
+
+
+def clear_plan_caches(spark: SparkSession | None = None) -> None:
+    """Drop every memoized query plan (and table handle): python-side
+    references die, the py4j proxies release the JVM Datasets, and the
+    next JVM GC lets Spark's ContextCleaner delete their shuffle files.
+    Call between queries in long-lived full-registry harnesses; pass
+    ``spark`` to also nudge the JVM GC immediately."""
+    import gc
+
+    for cache in _PLAN_CACHES:
+        cache.clear()
+    _LOAD_CACHE.clear()
+    gc.collect()
+    if spark is not None:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
 
 def query(name: str, oracle: str | None = None, pure: bool = True):
     """Decorator registering a query (and optionally its DuckDB oracle).
@@ -42,6 +71,7 @@ def query(name: str, oracle: str | None = None, pure: bool = True):
     def deco(fn):
         if pure:
             cache: dict[tuple[int, str], DataFrame] = {}
+            _PLAN_CACHES.append(cache)
 
             @functools.wraps(fn)
             def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:

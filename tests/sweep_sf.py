@@ -118,6 +118,11 @@ def main() -> int:
                     return 1
             out.write(f"{n} {status}\n")
             out.flush()
+            # release the memoized plan: a held DataFrame pins its JVM
+            # Dataset and the ContextCleaner then never deletes its
+            # shuffle files — at sf100 a full sweep accumulated 30+ GB
+            # of blockmgr spill per session and filled the disk
+            qmod.clear_plan_caches(spark)
             print(n, status, flush=True)
     print(f"sweep chunk complete, {fails} failures", flush=True)
     return 0
