@@ -38,8 +38,13 @@ def main() -> int:
 
     qmod.load_all()
     spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SWEEP_CPUS', '16')}]"
+        )
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SWEEP_CPUS", "16"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # the default 1g driver heap OOM-kills the JVM on the heavier
