@@ -317,9 +317,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m4 AS (
       SELECT event_type, hod, n,
-             (sm * 10000) // (n * 1000000) AS mean4,
-             (sum(sm) OVER (PARTITION BY event_type) * 10000)
-               // (sum(n) OVER (PARTITION BY event_type) * 1000000)
+             -- (sm*1e4)//(n*1e6) == sm//(n*100) exactly (common 1e4
+             -- factor cancels in floor division); the unreduced form
+             -- overflowed BIGINT at sf100 (tsm*10000 ~ 1e19 > 2^63)
+             sm // (n * 100) AS mean4,
+             sum(sm) OVER (PARTITION BY event_type)
+               // (sum(n) OVER (PARTITION BY event_type) * 100)
                AS tmean4
       FROM hod
     )
@@ -356,8 +359,10 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hod",
         "n",
-        F.expr("(sm * 10000) DIV (n * 1000000)").alias("mean4"),
-        F.expr("(tsm * 10000) DIV (tn * 1000000)").alias("tmean4"),
+        # reduced form: the 1e4 factor cancels exactly in floor
+        # division; (tsm * 10000) overflowed BIGINT at sf100
+        F.expr("sm DIV (n * 100)").alias("mean4"),
+        F.expr("tsm DIV (tn * 100)").alias("tmean4"),
     )
     return m4.select(
         "event_type",
