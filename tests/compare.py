@@ -204,8 +204,13 @@ def compare(df, con, oracle_sql, name="query", strict=True, check_types=True):
     res = con.sql(oracle_sql)
     if check_types:
         schema_types_compare(df, res, name=name)
-    s_cols, s_rows = spark_rows(df, strict)
+    # execute the ORACLE side first: duckdb's temp-spill files are freed
+    # at fetchall, so the Spark side's shuffle spill then reuses that
+    # disk — running Spark first leaves its shuffle files on disk while
+    # duckdb spills the same pipeline, and the PEAK is the sum of both
+    # engines' scratch (observed: sf100 dedup filled the disk)
     d_cols, d_rows = _duck_rel_rows(res, strict)
+    s_cols, s_rows = spark_rows(df, strict)
     assert s_cols == d_cols, (
         f"{name}: column mismatch\n spark={s_cols}\n duck ={d_cols}"
     )
