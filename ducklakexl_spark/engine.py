@@ -835,7 +835,10 @@ def values_alias_column_classes(stmt: str) -> dict[str, str]:
                     and re.match(r"^\(\s*(?:'|chr\()", t, re.I)
                 ):
                     classes[i].add("str")
-                elif tl.startswith("MAP"):
+                elif re.match(r"MAP\s*[{(]", tl):
+                    # only a MAP constructor (MAP {…} / MAP(…)) — a
+                    # map_*() function call (e.g. map_keys) returns a
+                    # LIST and must keep default semantics (ADVICE r8)
                     classes[i].add("map")
                 else:
                     classes[i].add("other")
@@ -5025,6 +5028,13 @@ def _lambda_param_position(stmt: str, start: int) -> bool:
     while j >= 0 and stmt[j].isspace():
         j -= 1
     if j < 0 or stmt[j] not in "(,":
+        return False
+    if stmt[j] == "(":
+        # FIRST argument of the call (or a bare grouping paren): the
+        # lambda always comes after the collection argument in every
+        # HOF above, so a single-bare-ident `j -> …` in argument 1 is
+        # a JSON arrow, not a lambda (ADVICE r8: list_filter(j->'arr',
+        # x -> x > 1) must rewrite the first arrow)
         return False
     # walk left to the opening paren of the enclosing call, then read
     # the function name before it

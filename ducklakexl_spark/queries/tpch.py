@@ -526,7 +526,8 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
@@ -548,11 +549,22 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_q = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
     )
+    # exact-cents sum (see q01/q06): at sf100 the qualifying set is
+    # millions of rows and a DOUBLE sum diverges from DuckDB's reduce
+    # order past the cents digit (r8 sweep MISMATCH); the per-part avg
+    # cut stays DOUBLE — quantities are integral so the avg is exact in
+    # any order.
     return (
         li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(avg_q, li.l_partkey == avg_q.avg_partkey)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double") / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 

@@ -122,6 +122,23 @@ def test_registry_has_no_decimal_output_columns(spark):
     assert not offenders, offenders
 
 
+def test_windowed_stateful_queries_have_no_decimal_outputs(spark):
+    """ADVICE r8 #3: the blanket lakehouse_/stream_ prefix skip above
+    would let a decimal output regress into the two stateful queries
+    that sit INSIDE the driver's scored top-50 window
+    (lakehouse_roundtrip, stream_tumbling_hour) and reproduce the r7
+    gate-failure class.  Build them for real — they are buildable in
+    the test env (throwaway lake / real micro-batch drive) — and
+    assert the no-decimal policy on their actual output schemas."""
+    from ducklakexl_spark import queries as qmod
+
+    qmod.load_all()
+    for name in ("lakehouse_roundtrip", "stream_tumbling_hour"):
+        df = qmod.QUERIES[name](spark, SF_DIR)
+        for c, t in df.dtypes:
+            assert not t.startswith("decimal"), (name, c, t)
+
+
 # --------------------------------------------------- ADVICE r7 #2
 def test_decimal_div_after_block_comment():
     """`a/*c*// 2` — the division after `*/` is a real divide and must be
