@@ -279,16 +279,77 @@ def stats_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream (the user-journey model behind funnel design and synthetic
-    session generation).  One user-keyed shuffle for the lead() window,
-    one (src, dst) aggregation — partial-aggregated map-side; row
-    normalization is a window over the states×states frame (bounded by
-    the category square, tiny at any corpus size)."""
-    ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = ev.select(
-        F.col("event_type").alias("src"),
-        F.lead("event_type").over(w).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
+    session generation).
+
+    SEGMENTED shape (VERDICT-r8 task 8, same discipline as
+    events_pattern_match): the r8 lead()-window version sorted each
+    user's whole stream in one task — a hot-key straggler at sf100.
+    Consecutive-pair extraction decomposes exactly: bucket each user's
+    events into 60-s time chunks (equal-ts ties stay in one chunk, so
+    (ts, event_id) order is preserved across boundaries), emit each
+    chunk's internal adjacent pairs from its bounded ordered array
+    (zip with its own tail), and stitch the chunk-boundary pairs
+    (chunk k's last event -> chunk k+1's first event) from a per-user
+    fold over ≤43k (chunk, first, last) summaries.  The (src, dst)
+    count partial-aggregates map-side into the 5x5 category square;
+    row normalization is a window over that square (tiny at any corpus
+    size)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    per_chunk = (
+        ev.withColumn(
+            "chunk_id", F.floor(F.unix_timestamp("ts") / F.lit(60))
+        )
+        .groupBy("user_id", "chunk_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ).alias("seq")
+        )
+    )
+    adjacent = lambda arr: F.zip_with(  # noqa: E731 — (x_i, x_{i+1}) pairs
+        arr,
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+    )
+    in_pairs = per_chunk.select(
+        F.explode(adjacent(F.col("seq"))).alias("p")
+    ).select("p.src", "p.dst")
+    boundary = per_chunk.select(
+        "user_id",
+        "chunk_id",
+        F.element_at("seq", 1).alias("head"),
+        F.element_at("seq", -1).alias("tail"),
+    )
+    cross_pairs = (
+        boundary.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_id", "head", "tail"))
+            ).alias("cs")
+        )
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.col("cs"),
+                    F.slice(
+                        F.col("cs"),
+                        2,
+                        F.greatest(F.size("cs") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(
+                        a["tail"].alias("src"), b["head"].alias("dst")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+    )
+    pairs = in_pairs.unionAll(cross_pairs).filter(F.col("dst").isNotNull())
     cnt = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
     return cnt.select(
         "src",

@@ -315,11 +315,22 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_tokens()).alias("term"))
         .distinct()
     )
-    postings = pairs.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
-            "posting_head"
-        ),
+    # salted partial top-k (VERDICT-r8 task 8 generalization): a
+    # stopword-grade term has df ~ |docs|, so a single per-term
+    # collect_list is the same hot-key collapse as the r8
+    # events_pattern_match straggler.  The 20 globally-smallest doc_ids
+    # are contained in the union of the per-salt 20 smallest, so stage 1
+    # bounds each task at df/256 ids and stage 2 merges <=256x20
+    # elements per term; df partial-sums map-side.
+    sub = pairs.groupBy("term", F.pmod("doc_id", F.lit(256)).alias("salt")).agg(
+        F.count("*").alias("c"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("h"),
+    )
+    postings = sub.groupBy("term").agg(
+        F.sum("c").cast("long").alias("df"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("h"))), 1, 20
+        ).alias("posting_head"),
     )
     return postings.orderBy(F.col("df").desc(), "term").limit(40)
 
