@@ -273,18 +273,34 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     its series (current row excluded, so the point can't mask itself),
     flagged when |z| > 3 — the streaming-metrics outlier shape.
 
-    One shuffle on event_type serves all three frame sums and the final
-    rollup (same exchange layout, reused).  Variance assembles from
-    co-moment window SUMs — the proven supplier_rolling_corr pattern:
-    identical frame contents on both engines make the 4-dp rounding
-    exact, and the explicit form null-guards 0-variance frames where
-    ANSI ``stddev`` semantics differ.  At 100 TB the partition key would
-    move to (event_type, day-bucket) to bound state; the frame logic is
-    unchanged.
+    Variance assembles from co-moment window SUMs — the proven
+    supplier_rolling_corr pattern: identical frame contents on both
+    engines make the 4-dp rounding exact, and the explicit form
+    null-guards 0-variance frames where ANSI ``stddev`` semantics
+    differ.
+
+    SEGMENTED shape (VERDICT-r8 task 8): event_type has cardinality 5,
+    so a plain PARTITION BY event_type window sorts ~corpus/5 rows in
+    ONE task (20M at sf100, 2B at 100x).  The trailing 19-row frame
+    needs only the previous 19 events, so the window re-partitions by
+    (event_type, hour-chunk) with an explicit OVERLAP CARRY:
+
+      1. per (event_type, chunk): the chunk's last-19 (ts, event_id, q)
+         tail — a bounded ordered collect;
+      2. per event_type: fold the ≤720 chunk tails in order into a
+         running last-19-so-far, emitting each chunk's carry (the 19
+         events that precede its first row) — metadata-sized state;
+      3. union the carry rows (flagged) back with the chunk's events,
+         run the SAME frame inside (event_type, chunk) partitions —
+         every row's frame content is identical to the global window's,
+         carries are dropped after scoring.
+
+    Max task size is bounded by the per-type hourly rate regardless of
+    corpus size; the per-type serial state is 720 chunk summaries.
     """
     ev = load(spark, sf_dir, "events")
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", "ck")
         .orderBy("ts", "event_id")
         .rowsBetween(-19, -1)
     )
@@ -303,9 +319,64 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sums of the BIGINT quanta (squares in DECIMAL(38,0) — q^2 ~ 1e18
     # overflows BIGINT over a frame) are exact in both engines.
     q = F.floor(F.col("value") * 1048576.0).cast("long")
-    ev_q = ev.select("event_type", "ts", "event_id", q.alias("q"))
-    framed = ev_q.select(
+    ev_q = ev.select(
         "event_type",
+        "ts",
+        "event_id",
+        q.alias("q"),
+        F.floor(F.unix_timestamp("ts") / F.lit(3600)).alias("ck"),
+    )
+    _EVT = "array<struct<ts:timestamp,event_id:bigint,q:bigint>>"
+    tail19 = lambda arr: F.when(  # noqa: E731 — slice(-19) is [] on short arrays
+        F.size(arr) > 19, F.slice(arr, -19, 19)
+    ).otherwise(arr)
+    chunk_tails = ev_q.groupBy("event_type", "ck").agg(
+        tail19(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "q")))
+        ).alias("tl")
+    )
+    # running carry: for each chunk, the last-19 events of everything
+    # before it — a per-type fold over the ordered chunk tails
+    carry_fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("ck", "tl"))),
+        F.struct(
+            F.array().cast(_EVT).alias("run"),
+            F.array().cast(f"array<struct<ck:bigint,carry:{_EVT}>>").alias(
+                "out"
+            ),
+        ),
+        lambda acc, c: F.struct(
+            tail19(F.concat(acc.run, c.tl)).alias("run"),
+            F.concat(
+                acc.out,
+                F.array(F.struct(c.ck.alias("ck"), acc.run.alias("carry"))),
+            ).alias("out"),
+        ),
+    ).getField("out")
+    carry_rows = (
+        chunk_tails.groupBy("event_type")
+        .agg(carry_fold.alias("carries"))
+        .select("event_type", F.explode("carries").alias("e"))
+        .select(
+            "event_type",
+            F.col("e.ck").alias("ck"),
+            F.explode("e.carry").alias("c"),
+        )
+        .select(
+            "event_type",
+            "ck",
+            F.col("c.ts").alias("ts"),
+            F.col("c.event_id").alias("event_id"),
+            F.col("c.q").alias("q"),
+            F.lit(True).alias("is_carry"),
+        )
+    )
+    unioned = ev_q.withColumn("is_carry", F.lit(False)).unionByName(
+        carry_rows
+    )
+    framed = unioned.select(
+        "event_type",
+        "is_carry",
         (F.col("q") / 1048576.0).alias("value"),
         F.count(F.lit(1)).over(w).alias("n"),
         (F.sum("q").over(w).cast("double") / 1048576.0).alias("s1"),
@@ -313,7 +384,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("q").cast("decimal(19,0)") * F.col("q")).over(w)
             .cast("double") / (1048576.0 * 1048576.0)
         ).alias("s2"),
-    ).filter(F.col("n") >= 10)
+    ).filter((~F.col("is_carry")) & (F.col("n") >= 10))
     # z computed AFTER the n >= 10 filter so the n=0 leading rows never
     # reach the divisions (ANSI mode raises on x/0); greatest(.., 0)
     # absorbs FP-negative variance before sqrt on both engines.

@@ -260,13 +260,16 @@ def test_kmeans_assign_no_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_pattern_match_single_shuffle_no_join(spark):
-    """Sequence pattern matching folds each user's stream into one string
-    in a single groupBy — any join in the plan means a funnel-style
-    regression."""
+def test_pattern_match_segmented_two_aggs_no_join_no_window(spark):
+    """Sequence pattern matching (r9 segmented shape): per-(user, chunk)
+    transition features + per-user fold — exactly two aggregations, no
+    join (a funnel-style regression) and NO sort-window (a regression to
+    the r8 whole-stream collapse that straggled on the hot key)."""
     plan = executed_plan(spark, "events_pattern_match")
     assert "Join" not in plan
-    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)
+    assert "Window" not in plan  # no whole-partition sort-window
+    # two groupBy shuffles; AQE prints final+initial sections (x2)
+    assert plan.count("Exchange hashpartitioning") <= 4
 
 
 def test_mad_joins_broadcast_median(spark):
@@ -303,12 +306,25 @@ def test_pq_adc_zero_join_scan(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_anomaly_zscore_single_event_type_exchange(spark):
-    """Rolling z-score: the window sums and the final rollup share one
-    event_type exchange layout — exactly one shuffle of event rows."""
+def test_anomaly_zscore_segmented_chunk_window(spark):
+    """Rolling z-score (r9 segmented shape): the scoring window
+    partitions by (event_type, hour-chunk) with an overlap carry — the
+    plan must never fall back to a whole-event_type sort partition
+    (cardinality 5 → corpus/5 rows in one task) and never go
+    single-partition; every exchange stays on an event_type-prefixed
+    key."""
     plan = executed_plan(spark, "events_anomaly_zscore")
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange hashpartitioning(event_type") <= 2
+    assert "SinglePartition" not in plan
+    import re as _re
+
+    # every window spec carries the chunk key after event_type; a spec
+    # of bare (event_type, ts...) means the whole-type sort came back.
+    # (Bare event_type EXCHANGES remain legal: the carry fold groups
+    # ~720 chunk summaries per type — metadata-sized.)
+    specs = _re.findall(r"windowspecdefinition\(event_type#\d+, (\w+)#", plan)
+    assert specs and all(s == "ck" for s in specs), specs
+    assert plan.count("Exchange hashpartitioning(event_type") <= 8
 
 
 def test_linear_classifier_zero_token_shuffle(spark):
@@ -376,14 +392,21 @@ def test_auc_no_corpus_sort(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
-def test_markov_single_user_window_then_pair_agg(spark):
+def test_markov_segmented_pairs_no_join(spark):
     plan = executed_plan(spark, "events_markov_transitions")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # one shuffle for the lead() window (user_id), one for the (src,dst)
-    # aggregation, one for the bounded src-normalization window (x2: AQE
-    # prints final + initial plan sections)
-    assert plan.count("Exchange hashpartitioning") <= 6
+    assert "Join" not in plan
+    # r9 segmented shape: (user, chunk) agg + boundary-stitch agg +
+    # (src,dst) agg + bounded src-normalization window — no
+    # whole-stream user window; AQE prints final + initial sections
+    assert plan.count("Exchange hashpartitioning") <= 12
+    import re as _re
+
+    # the only surviving sort-window is the 5x5 normalization over src
+    # (bounded); a user_id-partitioned window means the r8 whole-stream
+    # lead() came back
+    assert not _re.search(r"Window .*user_id#\d+ ASC", plan)
 
 
 def test_hll_merge_joins_only_sketch_metadata(spark):
