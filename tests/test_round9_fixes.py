@@ -118,18 +118,30 @@ def test_segmented_pattern_fold_equals_regex_exhaustive():
         assert _fold(chunks) == want, (s, cuts)
 
 
-@pytest.mark.usefixtures("spark")
-def test_events_pattern_match_oracle_parity_sf001(spark, duck):
-    """End-to-end: the segmented Spark plan strict-matches the DuckDB
-    whole-string oracle (the compare the sweeps run)."""
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_pattern_match",
+        "sessionize_events",
+        "events_markov_transitions",
+        "events_anomaly_zscore",
+        "text_inverted_index",
+    ],
+)
+def test_segmented_rewrites_oracle_parity_sf001(spark, duck, name):
+    """End-to-end: every r9 segmented plan strict-matches its unchanged
+    whole-partition DuckDB oracle (the compare the sweeps run).  sf0.01
+    exercises the chunk machinery hard: the 30-day fixture splits into
+    ~720 hour chunks / ~43k minute chunks with mostly-sparse chunks, so
+    carries and boundary stitches dominate."""
     from ducklakexl_spark import queries as qmod
     from tests.compare import compare
 
     qmod.load_all()
     register_duck_views(duck, SF_DIR_ORACLE)
     compare(
-        qmod.QUERIES["events_pattern_match"](spark, SF_DIR_ORACLE),
+        qmod.QUERIES[name](spark, SF_DIR_ORACLE),
         duck,
-        qmod.ORACLES["events_pattern_match"],
-        "events_pattern_match",
+        qmod.ORACLES[name],
+        name,
     )
