@@ -62,7 +62,17 @@ def main() -> int:
         + os.environ.get("SWEEP_DUCK_MEM", "18GB")
         + "'"
     )
-    con.execute("SET threads TO 8")
+    con.execute("SET threads TO " + os.environ.get("SWEEP_DUCK_THREADS", "8"))
+    # retry knobs for the oracle-side disk-exhaustion class (r9: four
+    # sf100 rows IOException'd when DuckDB's spill outgrew the box —
+    # 55 GB observed for mm_phash_dedup): cap the temp dir so a doomed
+    # oracle fails fast instead of starving the box, and drop
+    # insertion-order preservation to shrink aggregate/join state
+    cap = os.environ.get("SWEEP_DUCK_TEMP_CAP")
+    if cap:
+        con.execute(f"SET max_temp_directory_size = '{cap}'")
+    if os.environ.get("SWEEP_DUCK_NO_ORDER"):
+        con.execute("SET preserve_insertion_order = false")
     for t in qmod.TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
