@@ -98,6 +98,16 @@ def main() -> int:
     if slice_spec:
         k, m = (int(x) for x in slice_spec.split("/"))
         names = [n for i, n in enumerate(names) if i % m == k - 1]
+    # SWEEP_ONLY: explicit comma-separated name list — used to
+    # rebalance uneven slices mid-sweep (each worker gets its own state
+    # file; the assembler merges last-wins)
+    only = {
+        s.strip()
+        for s in os.environ.get("SWEEP_ONLY", "").split(",")
+        if s.strip()
+    }
+    if only:
+        names = [n for n in names if n in only]
     todo = [n for n in names if n not in done]
     # SWEEP_SKIP: quadratic-by-design correctness audits (all-pairs
     # n-gram Jaccard and its dependents) are intractable past sf0.1 —
