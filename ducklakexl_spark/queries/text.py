@@ -1050,8 +1050,8 @@ DSIR_SEED = 7
     nr AS (SELECT count(*) AS n FROM feats),
     scored AS (
       SELECT f.doc_id,
-             ((1000000 * (coalesce(ct.c, 0) + 1) * (nr.n + {DSIR_BUCKETS}))
-              // ((cr.c + 1) * (nt.n + {DSIR_BUCKETS}))) AS lr_micro
+             ((1000000::HUGEINT * (coalesce(ct.c, 0) + 1) * (nr.n + {DSIR_BUCKETS}))
+              // ((cr.c + 1)::HUGEINT * (nt.n + {DSIR_BUCKETS}))) AS lr_micro
       FROM feats f
       LEFT JOIN ct ON ct.b = f.b
       JOIN cr ON cr.b = f.b
@@ -1139,12 +1139,18 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer ops, so no float sum order, decimal-literal typing
             # or JVM-vs-libm ln() ulp difference can flip a value (the
             # sf0.1 sweep caught exactly that with the ln form; ratio vs
-            # log-ratio is monotone per feature).  Magnitude bound:
-            # 1e6 * n_feats^2 must fit BIGINT — holds to ~2.9e6 features
-            # per corpus partition of the ratio (sf1-scale fixtures).
+            # log-ratio is monotone per feature).  128-bit arithmetic
+            # (DECIMAL(38,0) here, HUGEINT in the oracle): the BIGINT
+            # form overflowed at sf100 — 1e6·(c_t+1)·(n_r+1024) passes
+            # 9.2e18 once the corpus holds ~1e9 bigram features (the
+            # r8-f201a70 floor-div overflow class, found again by the
+            # r9 sweep as DuckDB OutOfRangeException).  The quotient is
+            # ~1e6-scale and lands back in BIGINT.
             F.expr(
-                f"(1000000 * (c_t + 1) * (n_r + {DSIR_BUCKETS})) div "
-                f"((c_r + 1) * (n_t + {DSIR_BUCKETS}))"
+                f"CAST((CAST(1000000 AS DECIMAL(38,0)) * (c_t + 1) * "
+                f"(n_r + {DSIR_BUCKETS})) div "
+                f"(CAST(c_r + 1 AS DECIMAL(38,0)) * (n_t + {DSIR_BUCKETS})) "
+                f"AS BIGINT)"
             ).alias("lr_micro"),
         )
     )
