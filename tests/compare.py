@@ -226,3 +226,63 @@ def compare(df, con, oracle_sql, name="query", strict=True, check_types=True):
         f"{name}: {len(mism)}/{len(s_rows)} row mismatches; first 5:\n"
         + "\n".join(f"  [{i}]\n   spark={a}\n   duck ={b}" for i, a, b in mism[:5])
     )
+
+
+def compare_via_parquet(df, con, oracle_sql, name, scratch_dir):
+    """Multiset compare for corpus-sized outputs that cannot be fetched
+    into driver Python (e.g. window_lag_lead at sf100: 100M output rows
+    ~40 GB per side as Python tuples).  Both sides materialize to
+    parquet and DuckDB checks multiset equality natively:
+
+        (spark EXCEPT ALL duck) UNION ALL (duck EXCEPT ALL spark) = empty
+
+    Equivalence to ``compare``: the schema gate is the identical
+    ``schema_types_compare``; the value gate is AT LEAST as strict —
+    set-operation equality is bit-exact on doubles (strict canon is
+    too), NULLs compare equal in set ops (canon keeps None), and int
+    widths coerce by position (canon is width-insensitive).  Only
+    usable for single-SELECT oracles with no Decimal/NaN/-0.0 outputs
+    (those need canon's representation rules); callers opt in per row.
+    """
+    import os
+    import shutil
+
+    res = con.sql(oracle_sql)
+    schema_types_compare(df, res, name=name)
+    cols = ", ".join(f'"{c}"' for c in sorted(df.columns))
+    os.makedirs(scratch_dir, exist_ok=True)
+    duck_pq = os.path.join(scratch_dir, f"{name}_duck.parquet")
+    spark_pq = os.path.join(scratch_dir, f"{name}_spark_pq")
+    try:
+        con.execute(
+            f"COPY (SELECT {cols} FROM ({oracle_sql}) _o) TO '{duck_pq}' "
+            "(FORMAT PARQUET)"
+        )
+        df.selectExpr(*[f"`{c}`" for c in sorted(df.columns)]).write.mode(
+            "overwrite"
+        ).parquet(spark_pq)
+        n_s = con.execute(
+            f"SELECT count(*) FROM read_parquet('{spark_pq}/*.parquet')"
+        ).fetchone()[0]
+        n_d = con.execute(
+            f"SELECT count(*) FROM read_parquet('{duck_pq}')"
+        ).fetchone()[0]
+        assert n_s == n_d, (
+            f"{name}: row count mismatch spark={n_s} duck={n_d}"
+        )
+        mism = con.execute(
+            f"""
+            WITH s AS (SELECT {cols} FROM read_parquet('{spark_pq}/*.parquet')),
+                 d AS (SELECT {cols} FROM read_parquet('{duck_pq}'))
+            SELECT * FROM (
+              (SELECT 'spark-only' AS side, * FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM d))
+              UNION ALL
+              (SELECT 'duck-only' AS side, * FROM (SELECT * FROM d EXCEPT ALL SELECT * FROM s))
+            ) LIMIT 5
+            """
+        ).fetchall()
+        assert not mism, f"{name}: multiset mismatch; first 5: {mism}"
+    finally:
+        shutil.rmtree(spark_pq, ignore_errors=True)
+        if os.path.exists(duck_pq):
+            os.remove(duck_pq)

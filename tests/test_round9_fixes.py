@@ -145,3 +145,35 @@ def test_segmented_rewrites_oracle_parity_sf001(spark, duck, name):
         qmod.ORACLES[name],
         name,
     )
+
+
+def test_parquet_multiset_compare_passes_and_detects(spark, duck, tmp_path):
+    """The corpus-sized-output compare path (tests/compare.py
+    compare_via_parquet, used by the sf100 sweep for window_lag_lead)
+    is equivalent to the strict compare: it passes on the real
+    window_lag_lead row at sf0.001 and it DETECTS a single-value
+    perturbation (so an sf100 OK(parquet-multiset compare) line is a
+    real verification, not a vacuous one)."""
+    from ducklakexl_spark import queries as qmod
+    from tests.compare import compare_via_parquet
+
+    qmod.load_all()
+    register_duck_views(duck, "/root/testdata/sf0.001")
+    df = qmod.QUERIES["window_lag_lead"](spark, "/root/testdata/sf0.001")
+    compare_via_parquet(
+        df, duck, qmod.ORACLES["window_lag_lead"], "window_lag_lead",
+        str(tmp_path),
+    )
+    # perturb one value on the Spark side: must raise
+    from pyspark.sql import functions as F
+
+    bad = df.withColumn(
+        "delta_value",
+        F.when(F.col("event_id") == df.select(F.min("event_id")).first()[0],
+               F.col("delta_value") + 1.0).otherwise(F.col("delta_value")),
+    )
+    with pytest.raises(AssertionError):
+        compare_via_parquet(
+            bad, duck, qmod.ORACLES["window_lag_lead"], "window_lag_lead",
+            str(tmp_path),
+        )
