@@ -71,6 +71,17 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sf100 knobs (defaults preserve the driver's per-round methodology):
+    # BENCH_EXCLUDE — comma list dropped from the headline set (recorded
+    # in the JSON so the pair's denominator is explicit);
+    # BENCH_WARM_PASSES — warm pass count (min-of-N), 3 by default;
+    # BENCH_SKIP_WRITES — skip the write-path section (the sf100 CTAS
+    # would double the 11 GB lineitem on a disk the sweep also needs).
+    excluded = [
+        s for s in os.environ.get("BENCH_EXCLUDE", "").split(",") if s
+    ]
+    headline = [n for n in HEADLINE if n not in excluded]
+    n_warm = int(os.environ.get("BENCH_WARM_PASSES", "3"))
     from ducklakexl_spark import queries as qmod
     from ducklakexl_spark.session import get_spark
 
@@ -86,7 +97,7 @@ def main() -> None:
 
     def run_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in headline:
             fn = qmod.QUERIES.get(name)
             if fn is None or name in errors:
                 continue
@@ -103,7 +114,7 @@ def main() -> None:
     # Warm = per-query MIN over three passes: a single pass is hostage to
     # background JIT compilation and GC pauses (~2x swings on identical
     # plans, measured); min-of-N is the standard steady-state estimator.
-    passes = [run_pass() for _ in range(3)]
+    passes = [run_pass() for _ in range(n_warm)]
     warm = {
         name: round(min(p[name] for p in passes if name in p), 4)
         for name in passes[0]
@@ -120,13 +131,17 @@ def main() -> None:
 
     wtmp = tempfile.mkdtemp(prefix="bench_writes_")
     writes: dict[str, float] = {}
-    try:
-        lake = DuckLakeSpark(
-            spark=spark, data_path=f"{wtmp}/d", local_catalog=f"{wtmp}/c"
-        )
-    except Exception as exc:  # noqa: BLE001 — keep benching
-        errors["write:lake_init"] = f"{type(exc).__name__}: {exc}"[:500]
+    if os.environ.get("BENCH_SKIP_WRITES"):
         lake = None
+        errors["write:skipped"] = "BENCH_SKIP_WRITES set"
+    else:
+        try:
+            lake = DuckLakeSpark(
+                spark=spark, data_path=f"{wtmp}/d", local_catalog=f"{wtmp}/c"
+            )
+        except Exception as exc:  # noqa: BLE001 — keep benching
+            errors["write:lake_init"] = f"{type(exc).__name__}: {exc}"[:500]
+            lake = None
 
     def timed(name: str, sql: str) -> None:
         if lake is None:
@@ -181,19 +196,20 @@ def main() -> None:
     # trickle ingest with data inlining on: 5 single-row INSERTs become
     # catalog commits with NO parquet files minted (the 100 TB defense
     # against tiny-file accretion between compactions)
-    try:
-        lake.sql("SET ducklake.data_inlining_row_limit = 16")
-        lake.sql("CREATE TABLE trickle (id BIGINT, v DOUBLE)")
-        t0 = time.perf_counter()
-        for i in range(5):
-            lake.sql(f"INSERT INTO trickle VALUES ({i}, {i}.5)")
-        writes["trickle_5x1row_inlined"] = round(
-            time.perf_counter() - t0, 4
-        )
-    except Exception as exc:  # noqa: BLE001 — keep benching
-        errors["write:trickle_5x1row_inlined"] = (
-            f"{type(exc).__name__}: {exc}"[:500]
-        )
+    if lake is not None:
+        try:
+            lake.sql("SET ducklake.data_inlining_row_limit = 16")
+            lake.sql("CREATE TABLE trickle (id BIGINT, v DOUBLE)")
+            t0 = time.perf_counter()
+            for i in range(5):
+                lake.sql(f"INSERT INTO trickle VALUES ({i}, {i}.5)")
+            writes["trickle_5x1row_inlined"] = round(
+                time.perf_counter() - t0, 4
+            )
+        except Exception as exc:  # noqa: BLE001 — keep benching
+            errors["write:trickle_5x1row_inlined"] = (
+                f"{type(exc).__name__}: {exc}"[:500]
+            )
     shutil.rmtree(wtmp, ignore_errors=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -210,6 +226,8 @@ def main() -> None:
                 "merge_match_scan_files": merge_match_files,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"errors": errors} if errors else {}),
+                **({"excluded": excluded} if excluded else {}),
+                **({"warm_passes": n_warm} if n_warm != 3 else {}),
             }
         )
     )

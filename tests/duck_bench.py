@@ -31,7 +31,17 @@ def main() -> None:
     from ducklakexl_spark import queries as qmod
 
     qmod.load_all()
+    # same sf100 knobs as bench.py so the pair stays symmetric
+    excluded = [
+        s for s in os.environ.get("BENCH_EXCLUDE", "").split(",") if s
+    ]
+    headline = [n for n in HEADLINE if n not in excluded]
+    n_warm = int(os.environ.get("BENCH_WARM_PASSES", "3"))
     con = duckdb.connect()
+    if os.environ.get("BENCH_DUCK_MEM"):
+        con.execute(
+            f"SET memory_limit = '{os.environ['BENCH_DUCK_MEM']}'"
+        )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -41,7 +51,7 @@ def main() -> None:
 
     def run_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in headline:
             sql = qmod.ORACLES.get(name)
             if sql is None or name in errors:
                 continue
@@ -55,7 +65,7 @@ def main() -> None:
         return timings
 
     cold = run_pass()
-    passes = [run_pass() for _ in range(3)]
+    passes = [run_pass() for _ in range(n_warm)]
     warm = {
         name: round(min(p[name] for p in passes if name in p), 4)
         for name in passes[0]
@@ -68,6 +78,10 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 4),
         "sf_dir": sf_dir,
     }
+    if excluded:
+        out["excluded"] = excluded
+    if n_warm != 3:
+        out["warm_passes"] = n_warm
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

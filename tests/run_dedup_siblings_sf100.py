@@ -57,6 +57,13 @@ def main() -> int:
         .getOrCreate()
     )
     con = duckdb.connect()
+    # per-pid spill dir — see tests/sweep_sf.py: the cwd-relative
+    # default collides across concurrent DuckDB processes
+    tmpdir = os.environ.get(
+        "SWEEP_DUCK_TEMP_DIR", f"/root/repo/.tmp/siblings_{os.getpid()}"
+    )
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory = '{tmpdir}'")
     con.execute(
         "SET memory_limit = '"
         + os.environ.get("SWEEP_DUCK_MEM", "24GB")

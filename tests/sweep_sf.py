@@ -53,6 +53,18 @@ def main() -> int:
         .getOrCreate()
     )
     con = duckdb.connect()
+    # ISOLATE the oracle's spill dir per process: concurrent in-memory
+    # DuckDBs default to the cwd-relative ".tmp" and SHARE
+    # duckdb_temp_storage-0.tmp — observed crash (r9): one worker's
+    # cleanup removed the file under another worker mid-spill and that
+    # process terminate()d on duckdb::IOException (SIGABRT).  A
+    # same-path collision could also silently cross-read spill blocks,
+    # so per-pid isolation is a correctness guard, not just uptime.
+    tmpdir = os.environ.get(
+        "SWEEP_DUCK_TEMP_DIR", f"/root/repo/.tmp/sweep_{os.getpid()}"
+    )
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory = '{tmpdir}'")
     # cap the in-process oracle's memory: at sf10 the shingle/list
     # pipelines otherwise balloon to DuckDB's default 80%-of-RAM and,
     # with two sweep slices + two Spark drivers on one box, the kernel
