@@ -97,10 +97,10 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           round(sum(l_extendedprice) OVER (
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
              PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
            count(*) OVER (
              PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber
@@ -110,6 +110,17 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per supplier (exact-cents internal sum).
+
+    The prefix sum is computed over DECIMAL(18,2) — NOT double — on
+    both engines: a windowed double sum is reduce-order-dependent
+    (DuckDB evaluates windowed aggregates with a segment tree, Spark
+    folds cumulatively) and at sf100 the ~1e10 prefix magnitudes
+    diverge past the cents digit, flipping a cent through round(...,2)
+    (found by the r9 sf100 parquet-multiset sweep — same class as the
+    q01/q17 large-group fixes).  The decimal sum is exact in any
+    association; both sides cast the identical exact value to DOUBLE
+    for the output contract (no decimal output columns — r8 policy)."""
     w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
     return (
         load(spark, sf_dir, "lineitem")
@@ -118,10 +129,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "l_orderkey",
             "l_linenumber",
-            F.round(
-                F.sum("l_extendedprice").over(w.rowsBetween(W.unboundedPreceding, 0)),
-                2,
-            ).alias("running_rev"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_rev"),
             F.count(F.lit(1)).over(w.rowsBetween(-2, 0)).alias("win3_n"),
         )
     )
