@@ -850,22 +850,37 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q21_waiting_suppliers",
+    # Decorrelated formulation of the classic EXISTS / NOT-EXISTS text:
+    # a late l1 row qualifies iff its order has >=2 distinct suppliers
+    # (the EXISTS: some other supplier in the order) and exactly 1
+    # distinct LATE supplier (the NOT EXISTS: nobody else late — l1
+    # itself is late, so nlate=1 means l1's supplier is the only one).
+    # Value-identical to the correlated text (verified old==new at
+    # sf0.01/sf0.1); the correlated original drove DuckDB into nested
+    # RIGHT_DELIM_JOINs over the full fact table, a multi-hour oracle
+    # at sf100, while this aggregates lineitem by order linearly —
+    # the same shape the Spark plan below uses.
     oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ),
+    ord_supp AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    late_supp AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS nlate
+      FROM late GROUP BY l_orderkey
+    )
     SELECT s_name, count(*) AS numwait
-    FROM supplier, lineitem l1, orders, nation
-    WHERE s_suppkey = l1.l_suppkey
-      AND o_orderkey = l1.l_orderkey
-      AND o_orderstatus = 'F'
-      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o2
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND o2.o_orderkey = l3.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
-      AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+    FROM late l1
+    JOIN ord_supp os ON os.l_orderkey = l1.l_orderkey AND os.nsupp >= 2
+    JOIN late_supp ls ON ls.l_orderkey = l1.l_orderkey AND ls.nlate = 1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_4'
     GROUP BY s_name
     """,
 )
