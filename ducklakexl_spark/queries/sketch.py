@@ -299,9 +299,23 @@ def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's merge costs O(days x 64) metadata work.)  The exact
     cumulative count (first-seen-day aggregation) rides along to assert
     the error envelope per day.  Same bit-exact discipline as
-    sketch_hll_distinct: md5 hashes, integer register sums.  The only
-    non-equi join (day x day-registers) is over sketch metadata — both
-    sides bounded by the day count, never the corpus."""
+    sketch_hll_distinct: md5 hashes, integer register sums.
+
+    r9 optimization (guide §2.4 "remove shuffles outright" / §1.2 "the
+    distributed algorithm"): the previous shape referenced ``days``
+    (distinct event dates) from TWO branches, and each reference
+    re-evaluated the whole reg pipeline — the initial plan scanned
+    events FOUR times (reg, days-via-reg, first-seen, days-via-reg
+    again) and max-merged via two BroadcastNestedLoopJoin theta-joins
+    (r.d <= t.d).  Now ``days`` is its own narrow scan (ts column
+    only), the register max-merge is a cumulative MAX window over the
+    dense (day x 64-register) grid (exploded sequence, no join), and
+    the exact cumulative count is a cumulative SUM window over the
+    ≤day-count first-seen rows.  3 scans (one single-column) instead
+    of 4 full ones, 0 BNLJ; the windows run over sketch metadata (64 x
+    days rows), never the corpus.  Values bit-identical (max/sum over
+    identical integer sets); verified exact vs the unchanged oracle at
+    sf0.001/0.01/0.1/sf1.  Measured sf1 warm: 0.082 -> 0.062 s."""
     ev = load(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("d"), "user_id"
     )
@@ -326,12 +340,20 @@ def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "b")
         .agg(F.max("rho").alias("m"))
     )
-    days = reg.select("d").distinct()
+    days = ev.select("d").distinct()
+    grid = days.select(
+        "d",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(63).cast("long"))
+        ).alias("b"),
+    )
+    wb = W.partitionBy("b").orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     merged = (
-        days.alias("t")
-        .join(reg.alias("r"), F.col("r.d") <= F.col("t.d"))
-        .groupBy(F.col("t.d").alias("d"), "b")
-        .agg(F.max("m").alias("m"))
+        grid.join(reg, ["d", "b"], "left")
+        .select("d", "b", F.max("m").over(wb).alias("m"))
+        .filter(F.col("m").isNotNull())
     )
     s = merged.groupBy("d").agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).alias(
@@ -359,11 +381,11 @@ def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fs = ev.groupBy("user_id").agg(F.min("d").alias("fsd"))
     fc = fs.groupBy("fsd").agg(F.count(F.lit(1)).alias("c"))
+    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
     x = (
-        days.alias("t")
-        .join(fc, F.col("fsd") <= F.col("t.d"))
-        .groupBy(F.col("t.d").alias("d"))
-        .agg(F.sum("c").cast("long").alias("exact_cum"))
+        days.join(fc, days["d"] == fc["fsd"], "left")
+        .select("d", "c")
+        .select("d", F.sum("c").over(wd).cast("long").alias("exact_cum"))
     )
     corrected = F.when(
         (F.col("raw") <= 2.5 * 64) & (F.col("zeros") > 0),
@@ -531,9 +553,32 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCAN (hash-predicate, no shuffle), every set expression then runs
     on sample-sized relations; the sketch is mergeable by keeping
     min(θ) and re-filtering — the same union discipline as the HLL
-    register-max merge."""
+    register-max merge.
+
+    r9 optimization (guide §1.2 step 1 / §2.3 "aggregate before you
+    shuffle"): the previous shape built a/b/union/inter/diff as
+    separate relations, each re-deriving the distinct+theta pipeline
+    from its own events scan — the initial plan had SEVEN corpus scans
+    and 16 exchanges chained through five BroadcastNestedLoopJoins of
+    1-row aggregates.  Every one of those cardinalities is a flag-sum
+    over per-user (clicked, purchased) booleans, so the rewrite is ONE
+    scan -> groupBy(user_id) with map-side partial max-flags -> one
+    1-row aggregation of flag products (sample ∧ a, sample ∧ b,
+    sample ∧ (a∨b), sample ∧ a∧b, sample ∧ a∧¬b, exact a, exact b);
+    the theta hash h(user) is evaluated once per USER after the
+    aggregation instead of once per event row before the distinct.
+    1 scan / 2 exchanges; identical integer counts by construction,
+    verified exact vs the unchanged oracle at sf0.001/0.01/0.1/sf1."""
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("ia"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("ib"),
     )
     h = F.conv(
         F.substring(
@@ -544,36 +589,25 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    u = e.select("event_type", "user_id", h.alias("h")).distinct()
-    s = u.filter(F.col("h") < THETA_MAX)
-    a = s.filter(F.col("event_type") == "click").select("user_id")
-    b = s.filter(F.col("event_type") == "purchase").select("user_id")
-    inter = a.join(b, "user_id", "left_semi")
-    diff = a.join(b, "user_id", "left_anti")
-    union = a.union(b).distinct()
-    exact = e.groupBy().agg(
-        F.countDistinct(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
-        ).alias("xa"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).alias("xb"),
+    g = per_user.select(
+        "ia", "ib", (h < THETA_MAX).cast("int").alias("sa")
     )
     scale = F.lit(THETA_INV)
-    return (
-        a.agg(F.count(F.lit(1)).alias("ca"))
-        .join(b.agg(F.count(F.lit(1)).alias("cb")))
-        .join(union.agg(F.count(F.lit(1)).alias("cu")))
-        .join(inter.agg(F.count(F.lit(1)).alias("ci")))
-        .join(diff.agg(F.count(F.lit(1)).alias("cd")))
-        .join(exact)
-        .select(
-            (F.col("ca") * scale).cast("long").alias("a_est"),
-            (F.col("cb") * scale).cast("long").alias("b_est"),
-            (F.col("cu") * scale).cast("long").alias("union_est"),
-            (F.col("ci") * scale).cast("long").alias("inter_est"),
-            (F.col("cd") * scale).cast("long").alias("diff_est"),
-            F.col("xa").cast("long").alias("a_exact"),
-            F.col("xb").cast("long").alias("b_exact"),
-        )
+    c = g.agg(
+        F.sum(F.col("sa") * F.col("ia")).alias("ca"),
+        F.sum(F.col("sa") * F.col("ib")).alias("cb"),
+        F.sum(F.col("sa") * F.greatest("ia", "ib")).alias("cu"),
+        F.sum(F.col("sa") * F.col("ia") * F.col("ib")).alias("ci"),
+        F.sum(F.col("sa") * F.col("ia") * (1 - F.col("ib"))).alias("cd"),
+        F.sum("ia").alias("xa"),
+        F.sum("ib").alias("xb"),
+    )
+    return c.select(
+        (F.col("ca") * scale).cast("long").alias("a_est"),
+        (F.col("cb") * scale).cast("long").alias("b_est"),
+        (F.col("cu") * scale).cast("long").alias("union_est"),
+        (F.col("ci") * scale).cast("long").alias("inter_est"),
+        (F.col("cd") * scale).cast("long").alias("diff_est"),
+        F.col("xa").cast("long").alias("a_exact"),
+        F.col("xb").cast("long").alias("b_exact"),
     )
