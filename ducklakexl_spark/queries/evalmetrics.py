@@ -293,7 +293,19 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold over ≤43k (chunk, first, last) summaries.  The (src, dst)
     count partial-aggregates map-side into the 5x5 category square;
     row normalization is a window over that square (tiny at any corpus
-    size)."""
+    size).
+
+    r9 optimization (guide §2.4 / §1.2): the first segmented shape kept
+    in-chunk pairs and boundary stitching as two separate DAG branches,
+    and each branch re-evaluated the per-(user, chunk) collect_list
+    pipeline from its own events scan — 2 corpus scans, 5 exchanges.
+    Boundary pairs only need the PREVIOUS chunk's tail, so the stitch
+    is now a lag() window over the chunk summaries (partitioned by
+    user, ordered by chunk_id — rows per partition = chunk count,
+    bounded at any corpus size, never the raw stream), concatenated
+    with the in-chunk pairs and exploded once: 1 scan, 3 exchanges.
+    Pair multiset identical (both stitch consecutive EXISTING chunks);
+    verified exact vs the unchanged oracle at sf0.001/0.01/0.1/sf1."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -316,40 +328,27 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
     )
-    in_pairs = per_chunk.select(
-        F.explode(adjacent(F.col("seq"))).alias("p")
-    ).select("p.src", "p.dst")
-    boundary = per_chunk.select(
-        "user_id",
-        "chunk_id",
-        F.element_at("seq", 1).alias("head"),
-        F.element_at("seq", -1).alias("tail"),
+    wu = W.partitionBy("user_id").orderBy("chunk_id")
+    with_prev = per_chunk.select(
+        "seq", F.lag(F.element_at("seq", -1)).over(wu).alias("prev_tail")
     )
-    cross_pairs = (
-        boundary.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("chunk_id", "head", "tail"))
-            ).alias("cs")
-        )
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.col("cs"),
-                    F.slice(
-                        F.col("cs"),
-                        2,
-                        F.greatest(F.size("cs") - 1, F.lit(0)),
-                    ),
-                    lambda a, b: F.struct(
-                        a["tail"].alias("src"), b["head"].alias("dst")
-                    ),
+    pairs_arr = F.concat(
+        adjacent(F.col("seq")),
+        F.when(
+            F.col("prev_tail").isNotNull(),
+            F.array(
+                F.struct(
+                    F.col("prev_tail").alias("src"),
+                    F.element_at("seq", 1).alias("dst"),
                 )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
+            ),
+        ).otherwise(F.array().cast("array<struct<src:string,dst:string>>")),
     )
-    pairs = in_pairs.unionAll(cross_pairs).filter(F.col("dst").isNotNull())
+    pairs = (
+        with_prev.select(F.explode(pairs_arr).alias("p"))
+        .select("p.src", "p.dst")
+        .filter(F.col("dst").isNotNull())
+    )
     cnt = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
     return cnt.select(
         "src",

@@ -397,16 +397,20 @@ def test_markov_segmented_pairs_no_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" not in plan
-    # r9 segmented shape: (user, chunk) agg + boundary-stitch agg +
-    # (src,dst) agg + bounded src-normalization window — no
-    # whole-stream user window; AQE prints final + initial sections
-    assert plan.count("Exchange hashpartitioning") <= 12
+    # r9 single-pass segmented shape: ONE events scan feeding the
+    # (user, chunk) agg, a chunk-summary lag window for boundary
+    # stitching, the (src,dst) agg, and the bounded src-normalization
+    # window; AQE prints final + initial sections so counts double
+    assert plan.count("Exchange hashpartitioning") <= 8
+    assert plan.count("Scan parquet") <= 2, "second corpus scan came back"
     import re as _re
 
-    # the only surviving sort-window is the 5x5 normalization over src
-    # (bounded); a user_id-partitioned window means the r8 whole-stream
-    # lead() came back
-    assert not _re.search(r"Window .*user_id#\d+ ASC", plan)
+    # a user_id-partitioned window is allowed ONLY over the chunk
+    # summaries (ordered by chunk_id — bounded rows per user); ordering
+    # one by ts/event_id means the r8 whole-stream lead() came back
+    for m in _re.finditer(r"windowspecdefinition\(user_id#\d+,([^)]*)\)", plan):
+        assert "chunk_id" in m.group(1), f"whole-stream user window: {m.group(0)}"
+        assert "ts#" not in m.group(1) and "event_id" not in m.group(1)
 
 
 def test_hll_merge_joins_only_sketch_metadata(spark):
