@@ -74,7 +74,17 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage = stage.join(
                 prior.select("user_id", F.col("t").alias("prev_t")), "user_id"
             ).filter(F.col("ts") > F.col("prev_t"))
-        cur = stage.groupBy("user_id").agg(F.min("ts").alias("t"))
+        # each step frame is consumed TWICE (next step's join + its own
+        # count row); materializing the user-sized aggregate means every
+        # events scan runs exactly once — the unmaterialized cascade
+        # replayed step k's whole upstream per reference (6 events scans
+        # for 3 steps).  Same localCheckpoint discipline as
+        # operators/graph.py.
+        cur = (
+            stage.groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+            .localCheckpoint(eager=True)
+        )
         steps.append(cur)
         prior = cur
 

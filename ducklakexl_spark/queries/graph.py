@@ -126,6 +126,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
+    # The edge list, degree table and oriented edge list are each
+    # referenced by several downstream branches; without materialization
+    # the whole upstream pipeline replays per reference (the pre-r9 plan
+    # re-ran the lineitem self-join+distinct 7x: 18 parquet scans, 37
+    # exchanges).  localCheckpoint(eager) is the same
+    # materialize-the-iteration-input discipline the pagerank/CC/LPA
+    # operators above already use: each stage executes exactly once.
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
@@ -133,12 +140,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # one pass for both endpoint degrees (explode, not a union of two
+    # edge-list rescans); node-sized, so the checkpoint is tiny
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
     ed = (
         edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
@@ -149,7 +159,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = (
         o1.join(o2, "src")
@@ -165,13 +175,31 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(closing, ["wa", "wb"]).agg(
         F.count(F.lit(1)).alias("value")
     ).select(F.lit("n_triangles").alias("metric"), "value")
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("value")).select(
-        F.lit("n_nodes").alias("metric"), "value"
+    # n_nodes and n_edges fall out of ONE scan of the degree table:
+    # |V| = rows, |E| = sum(d)/2 (every edge contributes two endpoint
+    # degrees) — the pre-r9 plan re-derived the edge pipeline for each
+    counts = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.expr("sum(d) DIV 2").alias("n_edges"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("n_nodes").alias("metric"),
+                        F.col("n_nodes").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("n_edges").alias("metric"),
+                        F.col("n_edges").alias("value"),
+                    ),
+                )
+            ).alias("mv")
+        )
+        .select("mv.metric", "mv.value")
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("value")).select(
-        F.lit("n_edges").alias("metric"), "value"
-    )
-    return n_nodes.unionAll(n_edges).unionAll(tri)
+    return counts.unionAll(tri)
 
 
 LPA_ITER = 2

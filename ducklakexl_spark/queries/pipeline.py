@@ -104,9 +104,17 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate → exact dedup → duplicate-span dedup, as a funnel."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    # Pass 1 (narrow): per-doc stats WITHOUT carrying the token arrays.
+    # The pre-r9 shape kept `toks` in `base` and shipped it through the
+    # exact-dedup groupBy (min_by(toks, doc_id)) — the whole tokenized
+    # corpus crossed that shuffle just so the span stage could re-read
+    # the keeper's tokens (guide §2.3: shuffle keys/metadata, not
+    # payloads).  It also re-derived this pipeline once per funnel-stage
+    # count: 7 documents scans in one plan.  Now each stage is a
+    # localCheckpointed narrow frame computed exactly once (the
+    # operators/graph.py discipline).
     base = docs.select(
         "doc_id",
-        toks.alias("toks"),
         F.size(toks).alias("nt"),
         F.length(
             F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")
@@ -115,7 +123,7 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
         ).alias("ckey"),
-    )
+    ).localCheckpoint(eager=True)
     quality = base.filter(
         F.col("nt").between(20, 1000)
         & (
@@ -123,30 +131,44 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.1
         )
     )
-    keepers = quality.groupBy("ckey").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("nt", "doc_id").alias("nt"),
-        F.min_by("toks", "doc_id").alias("toks"),
+    # exact dedup on the 128-bit key: the shuffle now moves only
+    # (ckey, doc_id, nt).  min(doc_id) IS the doc whose stats min_by
+    # carried before, so the narrow aggregate is value-identical.
+    keepers = (
+        quality.groupBy("ckey")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("nt", "doc_id").alias("nt"),
+        )
+        .localCheckpoint(eager=True)
     )
-    grams = keepers.filter(F.col("nt") >= SPAN_N).select(
-        "doc_id",
-        F.array_distinct(
-            word_ngrams_col(F.col("toks"), SPAN_N)
-        ).alias("gs"),
+    # Pass 2: re-tokenize KEEPER docs only (join shuffles the text blobs
+    # once; tokenize+ngram run map-side after it) and emit one narrow
+    # (doc_id, n_grams, gh) row per distinct 8-gram — checkpointed once,
+    # consumed by the frequency pass, the per-doc dup count AND the
+    # per-doc gram size.
+    ktoks = docs.join(keepers.select("doc_id"), "doc_id").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("nt")
     )
-    ex = grams.select("doc_id", F.explode("gs").alias("g")).select(
-        "doc_id", portable_hash(F.col("g"), 97).alias("gh")
+    gs = F.array_distinct(word_ngrams_col(F.col("toks"), SPAN_N))
+    exn = (
+        ktoks.filter(F.col("nt") >= SPAN_N)
+        .select("doc_id", F.size(gs).alias("n_grams"), F.explode(gs).alias("g"))
+        .select(
+            "doc_id", "n_grams", portable_hash(F.col("g"), 97).alias("gh")
+        )
+        .localCheckpoint(eager=True)
     )
     dup = (
-        ex.groupBy("gh")
+        exn.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("gh")
     )
-    perdoc = ex.join(dup, "gh").groupBy("doc_id").agg(
+    perdoc = exn.join(dup, "gh").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup")
     )
-    gsizes = grams.select("doc_id", F.size("gs").alias("n_grams"))
+    gsizes = exn.groupBy("doc_id").agg(F.min("n_grams").alias("n_grams"))
     span_kept = (
         keepers.select("doc_id", "nt")
         .join(gsizes, "doc_id", "left")

@@ -646,11 +646,17 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, so unit cost is each (part, supplier)'s best observed
     l_extendedprice / l_quantity — the join topology and the
     min-equality decorrelation are Q2's.  Spark plans it decorrelated:
-    one narrow groupBy builds the cost table, a per-part min aggregate
-    (not a window over the full corpus) computes the regional floor, and
-    the equality join back is an equi-join on (partkey, unit_cost).
-    nation/region/part broadcast; the only big shuffles are the two
-    lineitem-grain groupBys, both with map-side partial aggregation."""
+    one narrow groupBy builds the cost table and the regional per-part
+    floor is a min WINDOW over the (part, supplier)-grain cost rows —
+    partition width is suppliers-per-part, bounded, never corpus-sized.
+    nation/region/part broadcast; the only big shuffle is the one
+    lineitem-grain groupBy, with map-side partial aggregation.
+
+    r9 (guide §2.4): the floor was previously a groupBy + equality
+    self-join on cost_eu, which replayed the whole cost pipeline per
+    reference — 2 lineitem scans, 8 scans total.  The window form scans
+    lineitem once and needs no join back; the l_partkey window exchange
+    replaces the floor-side groupBy exchange one for one."""
     li = load(spark, sf_dir, "lineitem")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
@@ -670,16 +676,13 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
-    floor = cost_eu.groupBy(F.col("l_partkey").alias("fp")).agg(
-        F.min("unit_cost").alias("floor_cost")
-    )
+    from pyspark.sql import Window as W
+
+    floor_cost = F.min("unit_cost").over(W.partitionBy("l_partkey"))
     part = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     return (
-        cost_eu.join(
-            floor,
-            (F.col("l_partkey") == F.col("fp"))
-            & (F.col("unit_cost") == F.col("floor_cost")),
-        )
+        cost_eu.withColumn("floor_cost", floor_cost)
+        .filter(F.col("unit_cost") == F.col("floor_cost"))
         .join(broadcast_if_small(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
     )
@@ -731,9 +734,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_extendedprice").alias("raw_value"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("dec_value"),
     )
-    total = li.agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_dec")
-    )
+    # r9 (guide §2.4): the global total re-aggregates the PER-PART
+    # decimal sums instead of re-running the fact join — DECIMAL
+    # addition is associative so the value is bit-identical.  per_part
+    # is referenced twice (total + HAVING probe), so it is materialized
+    # once (part-sized: ~20k rows/SF) — without this the whole
+    # scan+join+groupBy pipeline replays per reference and the "shared"
+    # exchange never reuses (verified: 0 ReusedExchange, 2 lineitem
+    # scans in the unmaterialized plan).
+    per_part = per_part.localCheckpoint(eager=True)
+    total = per_part.agg(F.sum("dec_value").alias("total_dec"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("dec_value") * 1500 > F.col("total_dec"))
@@ -811,9 +821,13 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     that part's all-time shipped quantity.  l_quantity is
     integer-valued, so the double sums are exact and order-independent —
     the 0.3 threshold is deterministic across engines.  Spark
-    decorrelates: both aggregates group on the part key (partial agg
-    map-side), the per-part total joins back on that key, and the final
-    IN is a left-semi join; part and supplier broadcast."""
+    decorrelates: ONE conditional aggregate at (supplier, part) grain
+    computes the 1996 window sum and the group's all-time sum in the
+    same pass, and the per-part total is a sum window over those
+    already-aggregated rows (exact: integer-valued doubles) — the
+    pre-r9 shape ran separate recent/total aggregations whose join
+    replayed the blue-part scan pipeline twice.  The final IN is a
+    left-semi join; part and supplier broadcast."""
     blue = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_name").like("blue%"))
@@ -823,19 +837,18 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_if_small(blue, sf_dir, "part"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
-    recent = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
-        )
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("qty_1996"))
+    in_1996 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(in_1996, F.col("l_quantity"))).alias("qty_1996"),
+        F.sum("l_quantity").alias("qty_all"),
     )
-    total = li.groupBy(F.col("l_partkey").alias("tp")).agg(
-        F.sum("l_quantity").alias("total_qty")
-    )
+    from pyspark.sql import Window as W
+
+    total_qty = F.sum("qty_all").over(W.partitionBy("l_partkey"))
     qualifying = (
-        recent.join(total, F.col("l_partkey") == F.col("tp"))
+        per_sp.withColumn("total_qty", total_qty)
         .filter(F.col("qty_1996") > 0.05 * F.col("total_qty"))
         .select("l_suppkey")
     )
@@ -888,11 +901,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape (suppliers who kept orders waiting): the EXISTS /
     NOT EXISTS double-correlation on the same fact table.  "Late" is
     shipped >60 days after the order date (no receipt/commit dates in
-    the fixture).  Spark plans the EXISTS as a left-semi and the NOT
-    EXISTS as a left-anti join, both equi-joins on l_orderkey with the
-    supplier-inequality residual — no nested-loop; the late-lineitem
-    set is computed once and reused for both the probe side and the
-    anti side.  At scale the three l_orderkey shuffles co-partition."""
+    the fixture).
+
+    r9 optimization (guide §2.4): the semi/anti formulation referenced
+    the fact table three times (late probe + EXISTS side + NOT-EXISTS
+    side) — 3 lineitem scans, 2 orders scans, and two extra l_orderkey
+    shuffles.  The decorrelated identity the ORACLE already uses (a
+    late row qualifies iff its order has nsupp >= 2 distinct suppliers
+    and exactly nlate = 1 distinct late supplier — that one supplier is
+    the row's own) collapses everything into ONE li⋈orders pass and one
+    per-order conditional aggregate: the join's hash partitioning on
+    l_orderkey is reused by the groupBy (no second exchange), and for
+    qualifying orders the unique late supplier (max over the 1-element
+    late set) carries count(late rows) = numwait contribution."""
     orders_f = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -901,33 +922,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    j = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
     )
-    l1 = late.select("l_orderkey", "l_suppkey")
-    other = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"),
-        F.col("l_suppkey").alias("o2_suppkey"),
+    late_supp = F.when(is_late, F.col("l_suppkey"))
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(late_supp).alias("nlate"),
+        F.max(late_supp).alias("late_suppkey"),
+        F.count(late_supp).alias("n_late_rows"),
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"),
-        F.col("l_suppkey").alias("o3_suppkey"),
-    )
+    qual = per_order.filter(
+        (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
+    ).select("late_suppkey", "n_late_rows")
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
     return (
-        l1.join(
-            other,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
-        )
-        .join(
+        qual.join(
             broadcast_if_small(
                 load(spark, sf_dir, "supplier").join(
                     F.broadcast(nation),
@@ -936,8 +947,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sf_dir,
                 "supplier",
             ),
-            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.col("late_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
     )

@@ -100,22 +100,32 @@ def test_q11_total_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q20_semi_join_and_pushdown(spark):
+def test_q20_semi_join_single_fact_scan(spark):
+    """r9: one conditional aggregate covers both the 1996 window and the
+    all-time per-part total — lineitem must appear once (the pre-r9
+    recent/total split scanned it twice; the range filter now lives in
+    the aggregate's WHEN, not the scan, because the total needs every
+    row of the blue parts anyway)."""
     plan = executed_plan(spark, "q20_part_promotion")
     assert "CartesianProduct" not in plan
-    # the shipdate range must reach the lineitem scan
-    assert "PushedFilters: [" in plan
+    init = plan.split("== Initial Plan ==")[-1]
+    assert init.count("lineitem.parquet") == 1
 
 
-def test_q21_anti_semi_equi_joins(spark):
-    """EXISTS → left-semi, NOT EXISTS → left-anti, both as hash
-    equi-joins on l_orderkey with the supplier-inequality residual."""
+def test_q21_single_fact_scan_decorrelated(spark):
+    """r9: the EXISTS/NOT-EXISTS double-correlation is decorrelated into
+    ONE li⋈orders pass + a per-order conditional aggregate (nsupp>=2,
+    nlate==1) — the fact table must appear exactly once in the plan (the
+    pre-r9 semi/anti shape scanned lineitem 3x and orders 2x)."""
     plan = executed_plan(spark, "q21_waiting_suppliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    low = plan.lower()
-    assert "leftsemi" in low or "left semi" in low
-    assert "leftanti" in low or "left anti" in low
+    # structural shape lives in the pre-AQE section (at tiny SFs AQE can
+    # prune the executed side to EmptyRelation)
+    init = plan.split("== Initial Plan ==")[-1]
+    assert init.count("lineitem.parquet") == 1
+    assert init.count("orders.parquet") == 1
+    assert "HashAggregate" in plan
 
 
 def test_text_filters_single_codegen_stage(spark):
@@ -180,13 +190,17 @@ def test_span_removal_no_cartesian_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_funnel_no_cartesian_event_filters_pushed(spark):
+def test_funnel_no_cartesian_steps_materialized(spark):
+    """r9: each step frame is localCheckpointed (computed exactly once);
+    the final plan consumes the checkpointed RDDs — no events.parquet
+    rescans (the pre-r9 cascade replayed each step per reference: 6
+    scans for 3 steps).  The per-step event_type filter still pushes to
+    the parquet scan inside the checkpoint jobs; here we pin that the
+    cascade itself no longer re-derives anything."""
     plan = executed_plan(spark, "events_funnel_steps")
     assert "CartesianProduct" not in plan
-    # each step scans only its own event_type's rows
-    assert "EqualTo(event_type,view)" in plan or "event_type" in plan.split(
-        "PushedFilters"
-    )[1].split("]")[0]
+    assert "events.parquet" not in plan
+    assert "ExistingRDD" in plan
 
 
 def test_retention_no_cartesian(spark):
