@@ -820,8 +820,17 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     grams = F.array_distinct(word_ngrams_col(toks, SPAN_N))
     base = docs.filter(n >= SPAN_N).select("doc_id", grams.alias("gs"))
-    ex = base.select("doc_id", F.explode("gs").alias("g")).select(
-        "doc_id", portable_hash(F.col("g"), 97).alias("gh")
+    # r9 (guide §2.3/§2.4): the narrow (doc_id, gh) gram table is
+    # consumed three ways (frequency pass, dup probe, per-doc gram
+    # count); materialized once so the tokenize+ngram+explode pipeline
+    # runs exactly once — the pre-r9 shape replayed it per reference
+    # (3 documents scans).  n_grams falls out of the same frame
+    # (count per doc of the distinct grams = size(gs); every doc with
+    # n >= SPAN_N has >= 1 gram, so no row is lost).
+    ex = (
+        base.select("doc_id", F.explode("gs").alias("g"))
+        .select("doc_id", portable_hash(F.col("g"), 97).alias("gh"))
+        .localCheckpoint(eager=True)
     )
     dup = (
         ex.groupBy("gh")
@@ -835,9 +844,8 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup"))
     )
     return (
-        base.select(
-            "doc_id", F.size("gs").cast("long").alias("n_grams")
-        )
+        ex.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
         .join(perdoc, "doc_id", "left")
         .select(
             "doc_id",
@@ -921,7 +929,11 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("pos") + 1).alias("p"),
         portable_hash(F.col("g"), 97).alias("h"),
-    )
+        # narrow (doc_id, p, h) frame consumed twice (frequency pass +
+        # dup-position rollup); materialized so tokenize+posexplode runs
+        # once.  The token payload itself is re-read only in the final
+        # cut pass (shuffle metadata, not payloads — guide §2.3).
+    ).localCheckpoint(eager=True)
     dups = (
         grams.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1008,7 +1020,11 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse it for every future increment)."""
     d = load(spark, sf_dir, "documents")
     key = F.md5(F.substring(F.trim(F.lower(F.col("text"))), 1, BLOOM_PREFIX))
-    keyed = d.select("doc_id", key.alias("k"))
+    # narrow (doc_id, key) frame read three ways (filter build, probe,
+    # exact verify); materialized once so the md5-keying scan runs once
+    # — and at 100 TB this IS the persisted key artifact the docstring
+    # describes
+    keyed = d.select("doc_id", key.alias("k")).localCheckpoint(eager=True)
     existing = keyed.filter(F.col("doc_id") < BLOOM_SPLIT)
     incoming = keyed.filter(F.col("doc_id") >= BLOOM_SPLIT)
 

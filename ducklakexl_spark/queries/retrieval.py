@@ -150,6 +150,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        # consumed twice (df aggregation + score join): materialized so
+        # the tokenize+groupBy pipeline runs once — the unmaterialized
+        # dfreq branch replayed the whole corpus scan
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
@@ -253,6 +257,8 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for t in _BM25_TERMS
             ]
         )
+        # tiny (docs containing a query term); consumed twice (df + score)
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.agg(
         *[

@@ -280,7 +280,14 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for p in range(N_PLANES)
     )
-    sig = e.select("vec_id", F.expr(bits).alias("bucket"))
+    # the 8×64-term signature projection is the expensive per-row step
+    # and the band self-join consumes it twice; materialized (narrow:
+    # vec_id + one long) so it computes once.  The raw-embedding
+    # re-reads for the exact verify stay as pruned parquet scans — the
+    # payload is re-read, never shuffled (guide §2.3/§8).
+    sig = e.select("vec_id", F.expr(bits).alias("bucket")).localCheckpoint(
+        eager=True
+    )
     mask = 2 ** SIM_BAND_BITS - 1
     bands_arr = F.array(
         *[
@@ -980,9 +987,20 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized join at any corpus scale."""
     from ducklakexl_spark.queries import QUERIES
 
-    ivf = QUERIES["sim_ivf_topk"](spark, sf_dir).select("qid", "neighbor_id")
-    bf = QUERIES["sim_bruteforce_topk"](spark, sf_dir).select(
-        "qid", "neighbor_id"
+    # both ranking frames are query-sized (n_queries × 5 rows) but their
+    # PLANS are corpus-sized; bf is consumed twice (hit probe +
+    # denominator), so both are materialized — each index run executes
+    # exactly once (the pre-r9 shape re-ran the brute-force corpus scan
+    # per reference)
+    ivf = (
+        QUERIES["sim_ivf_topk"](spark, sf_dir)
+        .select("qid", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    bf = (
+        QUERIES["sim_bruteforce_topk"](spark, sf_dir)
+        .select("qid", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     hits = ivf.join(bf, ["qid", "neighbor_id"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_matched")
@@ -1443,30 +1461,36 @@ def sim_diversity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
 
-    def coverage(sel, label):
-        s = e.join(sel, "vec_id").select(
-            F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")
+    # r9 (guide §2.4): ONE labeled corpus pass covers both selection
+    # sets — the per-label union of (selection, sid, sv) broadcasts (10
+    # rows) and the per-row max groups on (selection, vec_id), so the
+    # corpus-side cosine scan runs once instead of once per set (the
+    # pre-r9 shape ran the whole coverage pipeline twice: 5 embeddings
+    # scans + two aggregation trees).
+    sels = mmr_sel.select(
+        F.lit("mmr").alias("selection"), "vec_id"
+    ).unionAll(top_sel.select(F.lit("top5").alias("selection"), "vec_id"))
+    s = e.join(sels, "vec_id").select(
+        "selection",
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").alias("sv"),
+    )
+    per_row = (
+        corpus.join(F.broadcast(s), F.col("vec_id") != F.col("sid"))
+        .select(
+            "selection",
+            "vec_id",
+            cosine_cols(F.col("embedding"), F.col("sv")).alias("cos"),
         )
-        per_row = (
-            corpus.join(F.broadcast(s), F.col("vec_id") != F.col("sid"))
-            .select(
-                "vec_id",
-                cosine_cols(F.col("embedding"), F.col("sv")).alias("cos"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.round(F.max("cos") * 1000000).cast("long").alias("mc")
-            )
-        )
-        return per_row.agg(
-            F.lit(label).alias("selection"),
-            F.count("*").alias("n_covered"),
-            (
-                F.expr("sum(mc) DIV count(*)").cast("double") / 1000000
-            ).alias("mean_max_cos"),
-        )
-
-    return coverage(mmr_sel, "mmr").unionAll(coverage(top_sel, "top5"))
+        .groupBy("selection", "vec_id")
+        .agg(F.round(F.max("cos") * 1000000).cast("long").alias("mc"))
+    )
+    return per_row.groupBy("selection").agg(
+        F.count("*").alias("n_covered"),
+        (
+            F.expr("sum(mc) DIV count(*)").cast("double") / 1000000
+        ).alias("mean_max_cos"),
+    )
 
 
 _ORACLES["sim_diversity_coverage"] = f"""

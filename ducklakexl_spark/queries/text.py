@@ -547,7 +547,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
     )
-    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # the vocab table is consumed twice (total + score-back broadcast);
+    # materialized once so the train scan runs exactly once — without
+    # this the `total` branch replayed the whole tokenize+groupBy
+    # pipeline (3 corpus scans for a 2-pass algorithm)
+    freq = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
         tok.join(broadcast_if_small(freq, sf_dir, "documents"), "w")
@@ -724,7 +732,13 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
     )
-    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # vocab-sized model table materialized once (see
+    # text_unigram_logprob): total + score-back share one train scan
+    freq = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = freq.agg(F.sum("c").alias("n"))
     per_doc = (
         tok.join(broadcast_if_small(freq, sf_dir, "documents"), "w")
@@ -1018,11 +1032,24 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    # r9 (guide §2.4): ONE corpus-wide groupBy trains the model; the
+    # context counts and vocab size both reduce the vocab²-bounded pair
+    # table instead of re-scanning the corpus (cu(w1) = Σ_w2 c(w1,w2)
+    # exactly, and the distinct-token set of the corpus IS the distinct
+    # key set of the pair table — every token ≥2 chars appears in some
+    # bigram because bigrams exist only for docs with ≥2 tokens, and
+    # every token of such a doc occupies a w1 or w2 slot).  The pair
+    # table is materialized once; the pre-r9 shape re-ran the
+    # tokenize+explode pipeline four times (5 corpus scans).
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("cu"))
     v = (
-        big.select("w1")
-        .unionAll(big.select(F.col("w2").alias("w1")))
+        bc.select("w1")
+        .unionAll(bc.select(F.col("w2").alias("w1")))
         .agg(F.countDistinct("w1").alias("nv"))
     )
     scored = (
@@ -1137,9 +1164,16 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts), and the totals reduce the 1024-row stats frame — the
     # corpus is scanned exactly twice (train pass + score pass), not
     # once per distribution
-    stats = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+    stats = (
+        feats.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+        )
+        # 1024-row frame consumed twice (totals + score-back broadcast);
+        # materialized so the train scan runs once — the unmaterialized
+        # `tot` branch replayed the whole featurize+groupBy pipeline
+        .localCheckpoint(eager=True)
     )
     tot = stats.agg(
         F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
