@@ -429,8 +429,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key")
+    # n_sh rides along through the band explode (one extra long per band
+    # row) so the candidate pairs come out with both set sizes attached —
+    # no join back onto the signature table afterwards (guide §2.4: two
+    # doc-sized equi-joins removed outright).
+    bands = sig.select(
+        "doc_id", "n_sh", F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id",
+        "n_sh",
+        F.col("bk.b").alias("b"),
+        F.col("bk.band_key").alias("band_key"),
     )
     cand = (
         bands.alias("x")
@@ -441,30 +450,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("n_a"),
+            F.col("y.n_sh").alias("n_b"),
         )
         .distinct()
     )
+    # Verify-side prefilter (guide §3.2): the full shingle table is the
+    # one corpus-sized frame here, and the exact-Jaccard verify joins
+    # would shuffle it twice (by doc_a, then by (doc_b, h)).  LSH
+    # candidates are sparse by design, so shrink the shingle table to
+    # candidate docs FIRST with a semi-join whose build side (distinct
+    # candidate ids) replays only the doc-sized band join — the classic
+    # scan-the-small-side-twice trade.  The hint is size-gated like every
+    # linearly-growing broadcast in this repo; past the cap AQE decides.
+    cand_ids = (
+        cand.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+    )
+    sh_cand = sh.join(
+        broadcast_if_small(cand_ids, sf_dir, "documents"), "doc_id", "semi"
+    )
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
+        cand.join(
+            sh_cand.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a"
+        )
+        .join(sh_cand.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sig.select("doc_id", "n_sh")
     j = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
-            "doc_b",
-        )
-        .select("doc_a", "doc_b", j.alias("j_raw"))
+        inter.select("doc_a", "doc_b", j.alias("j_raw"))
         .filter(F.col("j_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("j_raw", 6).alias("jaccard"))
     )
