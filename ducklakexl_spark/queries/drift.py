@@ -190,7 +190,14 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees of freedom assembled on the 10-row pair frame.  At 100 TB
     the corpus is touched once with map-side partial aggregation; the
     test itself is metadata-sized.  significant_95 uses the asymptotic
-    normal threshold (df > 1000 here)."""
+    normal threshold (df > 1000 here).
+
+    r9 (guide §2.4): the pair frame is generated by double-exploding ONE
+    collected array of the per-type stats instead of theta-self-joining
+    the aggregate — the old plan re-ran the corpus aggregation for each
+    join side (2 events scans) and stitched them with a
+    BroadcastNestedLoopJoin; now the corpus is scanned once and the
+    pairing is a linear Generate chain over 5 metadata rows."""
     g = (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -200,20 +207,23 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * F.col("value")).alias("ss"),
         )
     )
-    a = g.select(
-        F.col("event_type").alias("type_a"),
-        F.col("n").alias("n1"),
-        F.col("s").alias("s1"),
-        F.col("ss").alias("ss1"),
-    )
-    b = g.select(
-        F.col("event_type").alias("type_b"),
-        F.col("n").alias("n2"),
-        F.col("s").alias("s2"),
-        F.col("ss").alias("ss2"),
+    gs = g.agg(
+        F.collect_list(F.struct("event_type", "n", "s", "ss")).alias("gs")
     )
     p = (
-        a.join(b, F.col("type_a") < F.col("type_b"))
+        gs.select(F.explode("gs").alias("a"), "gs")
+        .select("a", F.explode("gs").alias("b"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n1"),
+            F.col("a.s").alias("s1"),
+            F.col("a.ss").alias("ss1"),
+            F.col("b.n").alias("n2"),
+            F.col("b.s").alias("s2"),
+            F.col("b.ss").alias("ss2"),
+        )
         .withColumn("m1", F.col("s1") / F.col("n1"))
         .withColumn("m2", F.col("s2") / F.col("n2"))
         .withColumn(

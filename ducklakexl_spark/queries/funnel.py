@@ -133,24 +133,30 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen week, counted
     in each later week they were active.
 
-    Scale shape: `first_seen` is a user-level min-aggregate (one shuffle
-    on user_id, map-side partial); `active` is a distinct over
-    (user_id, week).  Both sides land hash-partitioned on user_id, so
-    the join back needs no third event-sized exchange — nothing
-    event-sized crosses a shuffle twice, and the output is
-    (weeks × offsets)-sized — metadata next to the corpus.  Both engines
+    Scale shape (r9, guide §2.4): ONE corpus pass.  ``date_trunc`` is
+    monotone, so the cohort week ``trunc(week, min(ts))`` equals
+    ``min(trunc(week, ts))`` — the per-user minimum of the ALREADY
+    distinct (user_id, week) rows.  The old two-branch form scanned
+    events twice (min-ts aggregate + distinct) and joined the results;
+    now the single distinct frame gets its cohort week from a
+    user-partitioned MIN window over user-week-sized rows, and the
+    events table is scanned once with no join at all.  Both engines
     truncate weeks to Monday and the diff is an exact multiple of 7 days
     (both sides are week-truncated), so the integer division is exact.
     """
+    from pyspark.sql import Window as W
+
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
     active = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
     ).distinct()
     return (
-        active.join(first_seen, "user_id")
+        active.select(
+            "active_week",
+            F.min("active_week")
+            .over(W.partitionBy("user_id"))
+            .alias("cohort_week"),
+        )
         .groupBy(
             "cohort_week",
             (F.datediff("active_week", "cohort_week") / 7)

@@ -175,8 +175,15 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct users over 100 TB inside a broadcastable sketch.  The
     within_error_bound column asserts the 1.04/sqrt(64) accuracy
     envelope holds against the exact count."""
+    # r9 optimization (guide §2.4): registers and the exact count come
+    # out of ONE corpus pass.  max(rho) per bucket is duplicate-blind, so
+    # computing it over the DISTINCT user set is bit-identical — and on
+    # that set the per-bucket user count sums to exactly
+    # countDistinct(user_id), so the audit column needs no second events
+    # scan and no crossJoin of a second 1-row aggregate (2 scans -> 1,
+    # BroadcastNestedLoopJoin removed).
     ev = load(spark, sf_dir, "events").select("user_id")
-    h = ev.select(
+    h = ev.distinct().select(
         F.conv(
             F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
             16,
@@ -193,7 +200,7 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rho"),
         )
         .groupBy("b")
-        .agg(F.max("rho").alias("m"))
+        .agg(F.max("rho").alias("m"), F.count(F.lit(1)).alias("nb"))
     )
     s = reg.agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).alias(
@@ -203,6 +210,7 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias(
             "zeros_present"
         ),
+        F.sum("nb").alias("exact_n"),
     )
     e = s.select(
         (
@@ -217,13 +225,13 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("raw"),
         (F.col("zeros_present") + (64 - F.col("n_present"))).alias("zeros"),
+        "exact_n",
     )
-    x = ev.agg(F.countDistinct("user_id").alias("exact_n"))
     corrected = F.when(
         (F.col("raw") <= 2.5 * 64) & (F.col("zeros") > 0),
         64 * F.log(64.0 / F.col("zeros")),
     ).otherwise(F.col("raw"))
-    return e.crossJoin(x).select(
+    return e.select(
         "exact_n",
         F.round(corrected, 4).alias("hll_estimate"),
         (
@@ -311,10 +319,12 @@ def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     only), the register max-merge is a cumulative MAX window over the
     dense (day x 64-register) grid (exploded sequence, no join), and
     the exact cumulative count is a cumulative SUM window over the
-    ≤day-count first-seen rows.  3 scans (one single-column) instead
-    of 4 full ones, 0 BNLJ; the windows run over sketch metadata (64 x
-    days rows), never the corpus.  Values bit-identical (max/sum over
-    identical integer sets); verified exact vs the unchanged oracle at
+    ≤day-count first-seen rows, attached directly to the day-sized
+    register-sum frame (``days`` is referenced once, by the grid).  3
+    scans (one single-column) instead of 4 full ones, 0 BNLJ; the
+    windows run over sketch metadata (64 x days rows), never the
+    corpus.  Values bit-identical (max/sum over identical integer
+    sets); verified exact vs the unchanged oracle at
     sf0.001/0.01/0.1/sf1.  Measured sf1 warm: 0.082 -> 0.062 s."""
     ev = load(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("d"), "user_id"
@@ -364,7 +374,21 @@ def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zeros_present"
         ),
     )
-    e = s.select(
+    # ``s`` has exactly one row per event day (every day's own events
+    # populate at least one register), so the exact cumulative count is
+    # attached HERE — a day-sized left join onto the first-seen counts
+    # plus a cumulative-sum window — instead of re-deriving ``days``
+    # from a second events scan and joining the two day-sized results at
+    # the end (guide §2.4: one narrow scan and one join removed).
+    fs = ev.groupBy("user_id").agg(F.min("d").alias("fsd"))
+    fc = fs.groupBy("fsd").agg(F.count(F.lit(1)).alias("c"))
+    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sx = (
+        s.join(fc, s["d"] == fc["fsd"], "left")
+        .drop("fsd")
+        .withColumn("exact_cum", F.sum("c").over(wd).cast("long"))
+    )
+    e = sx.select(
         "d",
         (
             F.lit(0.7213 / (1 + 1.079 / 64.0))
@@ -378,20 +402,13 @@ def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("raw"),
         (F.col("zeros_present") + (64 - F.col("n_present"))).alias("zeros"),
-    )
-    fs = ev.groupBy("user_id").agg(F.min("d").alias("fsd"))
-    fc = fs.groupBy("fsd").agg(F.count(F.lit(1)).alias("c"))
-    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
-    x = (
-        days.join(fc, days["d"] == fc["fsd"], "left")
-        .select("d", "c")
-        .select("d", F.sum("c").over(wd).cast("long").alias("exact_cum"))
+        "exact_cum",
     )
     corrected = F.when(
         (F.col("raw") <= 2.5 * 64) & (F.col("zeros") > 0),
         64 * F.log(64.0 / F.col("zeros")),
     ).otherwise(F.col("raw"))
-    return e.join(x, "d").select(
+    return e.select(
         "d",
         "exact_cum",
         F.round(corrected, 4).alias("hll_cum"),
@@ -459,7 +476,15 @@ def sketch_quantile_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") / QH_BIN_W).cast("long").alias("bin"),
     )
     hist = ev.groupBy("d", "bin").agg(F.count(F.lit(1)).alias("c"))
-    days = hist.select("d").distinct()
+    # distinct days from a single-column ts scan — deriving them from
+    # ``hist`` replayed the whole (d, bin) corpus aggregation a second
+    # time just to project its day keys (guide §2.4; every day has >= 1
+    # histogram row, so the sets are identical)
+    days = (
+        load(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
     merged = (
         days.alias("t")
         .join(hist.alias("h"), F.col("h.d") <= F.col("t.d"))

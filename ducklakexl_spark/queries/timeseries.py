@@ -54,14 +54,18 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the last observed value (LOCF) — the TimescaleDB
     ``time_bucket_gapfill`` + ``locf`` shape.
 
-    Scale shape: the hourly rollup is ONE shuffle on (user_id, hour) with
-    map-side partial sums; the per-user [min, max] span is a re-aggregate
-    on the same user key; the dense grid is *generated* map-side with
-    ``sequence``/``explode`` (grid rows never shuffle at event
-    granularity); the left join back and the LOCF window are both keyed
-    and partitioned on user_id, so AQE reuses one exchange layout
-    end-to-end.  The user filter (``% 10``) stands in for the series
-    predicate a dashboard would push — it reaches the parquet scan.
+    Scale shape (r9, guide §2.4): the hourly rollup is ONE shuffle on
+    (user_id, hour) with map-side partial sums; then every observation
+    row generates its own gap-run map-side — ``lead(h)`` names the next
+    observation and ``sequence(h, next - 1h)`` emits the observed hour
+    plus the gap hours it carries forward, which IS
+    last-observation-carried-forward by construction.  The old shape
+    derived a span aggregate and a dense grid from a second reference to
+    the rollup (replaying the corpus groupBy), left-joined the two, and
+    ran an ignore-nulls window; all three collapse into one ``lead``
+    window over the user-hour-sized rollup.  The user filter (``% 10``)
+    stands in for the series predicate a dashboard would push — it
+    reaches the parquet scan.
     """
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
     hourly = ev.groupBy(
@@ -72,27 +76,31 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("v")
     )
-    span = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = span.select(
-        "user_id",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wl = Window.partitionBy("user_id").orderBy("h")
     return (
-        grid.join(hourly, ["user_id", "h"], "left")
+        hourly.select(
+            "user_id", "h", "v", F.lead("h").over(wl).alias("h_next")
+        )
         .select(
             "user_id",
-            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
-            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
-            F.col("v").isNull().alias("was_gap"),
+            "v",
+            F.col("h").alias("h_obs"),
+            F.explode(
+                F.sequence(
+                    "h",
+                    F.coalesce(
+                        F.col("h_next") - F.expr("INTERVAL 1 HOUR"),
+                        F.col("h"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "user_id",
+            F.date_format("g", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("v").alias("v_filled"),
+            (F.col("g") != F.col("h_obs")).alias("was_gap"),
         )
     )
 
