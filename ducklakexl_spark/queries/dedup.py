@@ -693,8 +693,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = fp.select("doc_id", "simhash", F.explode(blocks).alias("bk")).select(
         "doc_id", "simhash", F.col("bk.b").alias("b"), F.col("bk.v").alias("v")
     )
+    # r9 (guide §2.4): the block self-join's sides are the SAME
+    # fingerprint pipeline.  Left to AQE at fixture scale one side
+    # becomes a BroadcastExchange and the tokenize+vote aggregation runs
+    # TWICE (2 documents scans); hinting the join to sort-merge makes
+    # both sides identical (b, v) shuffles, which ReuseExchange
+    # collapses — the corpus pipeline executes once and the join reads
+    # the one shuffle twice.  At 100 TB SMJ is the strategy anyway.
     cand = (
         bl.alias("x")
+        .hint("merge")
         .join(
             bl.alias("y"),
             (F.col("x.b") == F.col("y.b"))

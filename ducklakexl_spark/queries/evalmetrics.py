@@ -568,19 +568,33 @@ def ml_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix + precision/recall/F1 of the C4 keep/drop
     decision treated as a predictor of the quality-score gate — the
     filter-agreement audit run before swapping one corpus filter for a
-    cheaper one.  Pure composition of two registered single-scan
-    operators joined on doc_id; every metric is a ratio of exact
-    integer counts.  At 100 TB: two scans and one doc-keyed join (or
-    one scan if the filters are fused)."""
-    from ducklakexl_spark.queries import QUERIES
+    cheaper one.  Every metric is a ratio of exact integer counts.
 
-    c4 = QUERIES["text_c4_filters"](spark, sf_dir).select(
-        "doc_id", F.col("passes_c4").alias("pred")
+    r9 (guide §2.4): the two filter operators are both zero-shuffle
+    projections of the SAME documents scan, so composing them as a
+    doc_id equi-join cost two full text scans plus two corpus-wide
+    doc-keyed exchanges just to line each document up with itself.  The
+    fused form evaluates both keep/drop predicates (expression-identical
+    to text_c4_filters.passes_c4 / text_quality_score.passes_quality —
+    the composed oracle pins them) in ONE projection: one scan, zero
+    data-sized shuffles; the only aggregation is the 1-row count frame."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    lower = F.lower(text)
+    n_words = F.size(F.split(F.trim(text), r"\s+"))
+    pred = (
+        F.trim(text).rlike('[.!?"]$')
+        & ~lower.contains("lorem ipsum")
+        & ~text.contains("{")
+        & ~lower.contains("javascript")
+        & (n_words.cast("long") >= 5)
     )
-    q = QUERIES["text_quality_score"](spark, sf_dir).select(
-        "doc_id", F.col("passes_quality").alias("actual")
+    punct_ratio = (
+        F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length(text)
     )
-    j = c4.join(q, "doc_id")
+    actual = n_words.between(20, 1000) & (punct_ratio < 0.1)
+    j = d.select(pred.alias("pred"), actual.alias("actual"))
     agg = j.agg(
         F.count_if(F.col("pred") & F.col("actual")).alias("tp"),
         F.count_if(F.col("pred") & ~F.col("actual")).alias("fp"),
@@ -656,18 +670,27 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the C4 keep decision: 10 fixed-width bins, per bin the
     count, exact integer mean score (floor-division), and observed
     positive rate — the calibration audit run before a score becomes a
-    sampling weight.  One doc-keyed join of two single-scan operators,
-    then a 10-key aggregation; all ratios from exact integers."""
-    from ducklakexl_spark.queries import QUERIES
+    sampling weight.  All ratios from exact integers.
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
+    r9 (guide §2.4): the C4 label is a zero-shuffle predicate over the
+    same documents table as the score column, so the former doc_id
+    self-equi-join (2 scans + 2 corpus exchanges) fuses into ONE
+    projection computing (nc, label) together — one scan, and the only
+    shuffle is the 10-key bin aggregation (expression pinned by the
+    composed oracle)."""
+    text = F.col("text")
+    lower = F.lower(text)
+    label = (
+        F.trim(text).rlike('[.!?"]$')
+        & ~lower.contains("lorem ipsum")
+        & ~text.contains("{")
+        & ~lower.contains("javascript")
+        & (F.size(F.split(F.trim(text), r"\s+")).cast("long") >= 5)
+    )
+    j = load(spark, sf_dir, "documents").select(
         F.least(F.col("n_chars"), F.lit(999)).alias("nc"),
+        label.alias("label"),
     )
-    c4 = QUERIES["text_c4_filters"](spark, sf_dir).select(
-        "doc_id", F.col("passes_c4").alias("label")
-    )
-    j = d.join(c4, "doc_id")
     return (
         j.groupBy(F.expr("nc DIV 100").alias("bin"))
         .agg(

@@ -290,10 +290,16 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     based model: per-dim mean/std plus the post-scale min/max z as the
     range audit.  Mean/variance accumulate in exact integer micro-units
     (one corpus-scan aggregation onto the 8-valued dim key — bounded,
-    partial-aggregated map-side); the z pass re-joins the tiny rounded
-    pivot table back (broadcast) so both engines measure deviations
-    from an IDENTICAL mu/sigma — the robust_stats_mad pivot discipline.
-    At 100 TB: two scans (stats, scale), zero corpus-sized shuffles."""
+    partial-aggregated map-side).
+
+    r9 (guide §2.4): z = (x - mu) / sigma is weakly monotone in x (IEEE
+    subtraction and positive division preserve order), so min_z / max_z
+    are exactly the z of the per-dim min(x) / max(x) — which ride the
+    SAME stats aggregation.  The old second scan + broadcast join-back
+    (the generic MAD pivot discipline) is unnecessary here because the
+    audited statistic is order-preserving; values are bit-identical
+    (same subtraction/division on the same extreme x).  One corpus
+    scan, zero joins, zero corpus-sized shuffles."""
     e = load(spark, sf_dir, "embeddings")
     ex = e.select(
         F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "xf")
@@ -308,36 +314,30 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("xm").alias("sm"),
         F.sum(F.col("xm") * F.col("xm")).alias("ssq"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
     )
-    pivots = stats.select(
+    mu = (F.expr("sm DIV n").cast("double") / 1000000).alias("mu")
+    sigma = F.round(
+        F.sqrt(
+            F.col("ssq").cast("double") / F.col("n") / 1e12
+            - F.pow(F.col("sm").cast("double") / F.col("n") / 1e6, 2)
+        ),
+        6,
+    ).alias("sigma")
+    return stats.select(
+        "dim_idx", "n", mu, sigma, "mn", "mx"
+    ).select(
         "dim_idx",
-        "n",
-        (F.expr("sm DIV n").cast("double") / 1000000).alias("mu"),
-        F.round(
-            F.sqrt(
-                F.col("ssq").cast("double") / F.col("n") / 1e12
-                - F.pow(F.col("sm").cast("double") / F.col("n") / 1e6, 2)
-            ),
-            6,
-        ).alias("sigma"),
-    )
-    return (
-        ex.join(F.broadcast(pivots), "dim_idx")
-        .groupBy("dim_idx", "n", "mu", "sigma")
-        .agg(
-            F.round(F.min((F.col("x") - F.col("mu")) / F.col("sigma")), 4)
-            .alias("min_z"),
-            F.round(F.max((F.col("x") - F.col("mu")) / F.col("sigma")), 4)
-            .alias("max_z"),
-        )
-        .select(
-            "dim_idx",
-            F.col("n").cast("long").alias("n"),
-            "mu",
-            "sigma",
-            "min_z",
-            "max_z",
-        )
+        F.col("n").cast("long").alias("n"),
+        "mu",
+        "sigma",
+        F.round((F.col("mn") - F.col("mu")) / F.col("sigma"), 4).alias(
+            "min_z"
+        ),
+        F.round((F.col("mx") - F.col("mu")) / F.col("sigma"), 4).alias(
+            "max_z"
+        ),
     )
 
 

@@ -133,7 +133,10 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RESIZE_SCHEMA = "doc_id bigint, out_bytes binary, out_width bigint, out_height bigint"
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_bytes binary, out_width bigint, out_height bigint,"
+    " in_bytes bigint"
+)
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
@@ -161,6 +164,10 @@ def resize_stage(df, width: int = 16, height: int = 16):
                     "out_bytes": out,
                     "out_width": width,
                     "out_height": height,
+                    # input size rides along so downstream audits never
+                    # need to re-join (and re-scan) the payload table —
+                    # guide §2.3 "shuffle metadata, not payloads"
+                    "in_bytes": pdf["content"].map(len),
                 }
             )
 
@@ -209,19 +216,21 @@ def frame_sample_stage(df, n_frames: int = 4, frame_size: int = 32):
 def mm_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-stage output audit: every payload lands at exactly
     width*height bytes; count how many were truncated vs padded.  The
-    oracle reproduces the stub's size arithmetic relationally."""
+    oracle reproduces the stub's size arithmetic relationally.
+
+    r9 (guide §2.3/§2.4): the stage now emits the input size alongside
+    the resized payload, so the audit aggregates the stage output alone
+    — the former doc_id join back onto the payload table (a second full
+    documents scan + a corpus-keyed exchange carrying binary payloads)
+    is gone: one scan, one Python pass, zero joins."""
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     resized = resize_stage(d, 16, 16)
-    orig = d.select("doc_id", F.col("meta.size_bytes").alias("orig_bytes"))
-    return (
-        resized.join(orig, "doc_id")
-        .agg(
-            F.first(F.length("out_bytes").cast("long")).alias("out_size"),
-            F.count(F.lit(1)).alias("n_images"),
-            F.sum(F.when(F.col("orig_bytes") >= 256, 1).otherwise(0))
-            .cast("long")
-            .alias("n_truncated"),
-        )
+    return resized.agg(
+        F.first(F.length("out_bytes").cast("long")).alias("out_size"),
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(F.col("in_bytes") >= 256, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
     )
 
 
@@ -391,8 +400,15 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = blocks.select(
         F.col("j"), F.col("bv"), F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb")
     )
+    # r9 (guide §2.4/§4): the self-join's sides are the SAME
+    # mapInPandas fingerprint pipeline; left to AQE one side broadcasts
+    # and the Arrow-batched pHash decode runs TWICE (2 documents scans,
+    # 2 Python passes).  The merge hint makes both sides identical
+    # (j, bv) shuffles, which ReuseExchange collapses — one decode pass,
+    # the join reads the one shuffle twice (same fix as dedup_simhash).
     cand = (
-        a.join(b, ["j", "bv"])
+        a.hint("merge")
+        .join(b, ["j", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "pa", "pb")
         .distinct()

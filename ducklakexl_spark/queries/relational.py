@@ -789,6 +789,12 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cte_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9 (guide §2.4): Spark inlines WITH-CTEs per reference, so the
+    # scalar-avg subquery replayed the whole orders⋈customer aggregation
+    # (2 orders + 2 customer scans).  The cut is now an avg() OVER ()
+    # window on the nation-sized (25-row) CTE output — one derivation,
+    # one scan per table, same CTE + scalar-threshold topology and
+    # bit-identical values (same 25 rev doubles into the same avg).
     load(spark, sf_dir, "orders").createOrReplaceTempView("cte_orders")
     load(spark, sf_dir, "customer").createOrReplaceTempView("cte_customer")
     load(spark, sf_dir, "nation").createOrReplaceTempView("cte_nation")
@@ -799,10 +805,14 @@ def cte_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
           FROM cte_orders JOIN cte_customer ON o_custkey = c_custkey
           GROUP BY c_nationkey
+        ),
+        cut AS (
+          SELECT c_nationkey, rev, avg(rev) OVER () AS avg_rev
+          FROM nation_rev
         )
         SELECT n_name, rev
-        FROM nation_rev JOIN cte_nation ON c_nationkey = n_nationkey
-        WHERE rev > (SELECT avg(rev) FROM nation_rev)
+        FROM cut JOIN cte_nation ON c_nationkey = n_nationkey
+        WHERE rev > avg_rev
         """
     )
 

@@ -221,7 +221,13 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier by quarterly revenue (CTE + scalar subquery on max).
     Revenue is rounded to 2 dp *before* the max-equality so Spark and the
-    oracle compare identical doubles."""
+    oracle compare identical doubles.
+
+    r9 (guide §2.4/§5): the scalar-max branch used to re-derive the
+    whole revenue CTE (2 lineitem scans — each reference replayed the
+    shipdate-filtered groupBy); the supplier-sized revenue frame is now
+    materialized once (q11's localCheckpoint discipline) and both the
+    1-row max and the equality filter read it."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
@@ -230,7 +236,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2)
         .cast("double")
         .alias("total_revenue")
-    )
+    ).localCheckpoint(eager=True)
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -538,25 +544,34 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape (small-quantity-order revenue): correlated scalar
-    subquery over the fact table, decorrelated into a per-part average
-    joined back — the aggregate side partial-aggregates to |parts| rows
-    before its shuffle, and the brand filter prunes via the broadcast
-    part dimension."""
+    subquery over the fact table, decorrelated per part.
+
+    r9 (guide §2.4): a part belongs to exactly one brand, so the
+    correlated average over ``l2.l_partkey = lineitem.l_partkey`` sees
+    only Brand#3 parts' rows — i.e. the per-part cut can be an AVG
+    window over the ALREADY brand-filtered fact rows.  The old shape
+    aggregated the full unfiltered lineitem into a parts-sized cut table
+    and shuffle-joined it back (2 lineitem scans); the window form scans
+    lineitem once and keys its one exchange on the same l_partkey.
+    Partition width = rows-per-part, bounded.  Quantities are integral
+    so the avg is exact in any summation order (window vs groupBy agree
+    bit-for-bit).
+
+    exact-cents sum (see q01/q06): at sf100 the qualifying set is
+    millions of rows and a DOUBLE sum diverges from DuckDB's reduce
+    order past the cents digit (r8 sweep MISMATCH); the per-part avg
+    cut stays DOUBLE."""
+    from pyspark.sql import Window as W
+
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#3"
     ).select("p_partkey")
-    avg_q = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_cut")
-    )
-    # exact-cents sum (see q01/q06): at sf100 the qualifying set is
-    # millions of rows and a DOUBLE sum diverges from DuckDB's reduce
-    # order past the cents digit (r8 sweep MISMATCH); the per-part avg
-    # cut stays DOUBLE — quantities are integral so the avg is exact in
-    # any order.
+    w = W.partitionBy("l_partkey")
     return (
         li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
-        .join(avg_q, li.l_partkey == avg_q.avg_partkey)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("qty_cut", F.avg("l_quantity").over(w) * 0.2)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             F.round(
