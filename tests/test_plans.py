@@ -519,3 +519,88 @@ def test_q18_broadcast_gate_keeps_plan_at_small_sf(spark):
     plan = executed_plan(spark, "q18_large_orders")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- r9 optimization-round shape pins (OPTIMIZATION_r09.md) ----------------
+
+
+def final_plan(spark, name: str) -> str:
+    """The post-AQE section only: executedPlan().toString() prints the
+    final plan followed by '+- == Initial Plan ==', and shape counts over
+    the whole string would double-count every node."""
+    return executed_plan(spark, name).split("Initial Plan")[0]
+
+
+def test_simhash_self_join_reuses_one_exchange(spark):
+    """dedup_simhash r9: the banded self-join's sides are the same
+    fingerprint pipeline; the merge hint makes them identical (b, v)
+    shuffles that ReuseExchange collapses — the tokenize+vote pass must
+    execute once (a regression re-runs the corpus pipeline twice)."""
+    plan = final_plan(spark, "dedup_simhash")
+    assert "ReusedExchange" in plan
+    assert plan.count("Scan parquet") - plan.count("ReusedExchange") <= 1
+
+
+def test_phash_self_join_reuses_one_exchange(spark):
+    """mm_phash_dedup r9: same ReuseExchange discipline — the Arrow
+    pHash decode (mapInPandas) must run once, not per join side."""
+    plan = final_plan(spark, "mm_phash_dedup")
+    assert "ReusedExchange" in plan
+    assert plan.count("MapInPandas") - plan.count("ReusedExchange") <= 1
+
+
+def test_welch_single_scan_no_bnlj(spark):
+    """stats_welch_ttest r9: pair generation is a Generate chain over
+    one collected stats array — one events scan, no nested-loop join of
+    two replayed aggregates."""
+    plan = final_plan(spark, "stats_welch_ttest")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_retention_single_scan_no_join(spark):
+    """events_retention_cohorts r9: cohort week comes from a window over
+    the distinct user-week frame — one events scan, no join."""
+    plan = final_plan(spark, "events_retention_cohorts")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_gapfill_single_scan_no_join(spark):
+    """events_gapfill_locf r9: each observation generates its own
+    gap-run (lead + sequence) — one events scan, no grid join."""
+    plan = final_plan(spark, "events_gapfill_locf")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_hll_distinct_single_scan_no_bnlj(spark):
+    """sketch_hll_distinct r9: registers and the exact count share one
+    distinct-user pass — one scan, no crossJoin of a second aggregate."""
+    plan = final_plan(spark, "sketch_hll_distinct")
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_confusion_f1_single_scan_no_join(spark):
+    """ml_confusion_f1 r9: both filter predicates evaluate in one
+    projection of one documents scan — no doc_id self-equi-join."""
+    plan = final_plan(spark, "ml_confusion_f1")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q17_single_fact_scan_window_cut(spark):
+    """q17 r9: the per-part quantity cut is a window over the already
+    brand-filtered fact rows — exactly one lineitem scan."""
+    plan = final_plan(spark, "q17_small_qty_revenue")
+    assert plan.count("Scan parquet") == 2  # lineitem + part
+    assert "Window" in plan
+
+
+def test_feature_scaling_single_scan_no_join(spark):
+    """ml_feature_scaling r9: min_z/max_z fold into the stats pass (z is
+    monotone in x) — one scan, no pivot join-back."""
+    plan = final_plan(spark, "ml_feature_scaling")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
