@@ -604,3 +604,25 @@ def test_feature_scaling_single_scan_no_join(spark):
     plan = final_plan(spark, "ml_feature_scaling")
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q03_shuffle_hash_join_past_broadcast_scale(spark, monkeypatch):
+    """q03 r9 (sf100-pair finding): past the broadcast cap the
+    orders⋈lineitem join is hinted SHUFFLE_HASH — no per-pass
+    SortMergeJoin sort of the corpus-sized probe side (25.5 → 14.2 s
+    warm at sf100).  Simulated here by zeroing the size gate; the
+    fixture-scale shape (customer broadcast, TakeOrderedAndProject)
+    is pinned by test_q03_broadcasts_dimensions above."""
+    import ducklakexl_spark.queries as q
+
+    from ducklakexl_spark.queries.relational import q03_shipping_priority
+
+    monkeypatch.setattr(q, "BROADCAST_CAP_BYTES", -1)
+    try:
+        # call the raw builder (not the memoizing registry wrapper) so
+        # the patched-gate plan never enters the shared plan cache
+        df = q03_shipping_priority(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "shuffle_hash" in plan or "SHUFFLE_HASH" in plan
+    finally:
+        q.clear_plan_caches(spark)
