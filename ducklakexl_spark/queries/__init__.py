@@ -192,23 +192,48 @@ def broadcast_if_small(df: DataFrame, sf_dir: str, base_table: str) -> DataFrame
     return df
 
 
+# Upper safety gate for forced SHUFFLE_HASH (ADVICE r9): Spark's
+# shuffled-hash BUILD side (HashedRelation) does NOT spill — an
+# oversized build partition throws SparkOutOfMemoryError (hash-join
+# build spilling is a long-open upstream issue; only SMJ degrades
+# gracefully).  The hint is therefore withheld once the estimated
+# filtered-build bytes PER SHUFFLE PARTITION could threaten task
+# memory: 256 MiB of parquet-compressed build per partition ≈ ~1 GiB
+# in-memory — past that, SMJ's always-completes behavior wins.
+SHUFFLE_HASH_BUILD_PARTITION_CAP = 256 * 1024 * 1024
+
+
 def shuffle_hash_if_large(
-    df: DataFrame, sf_dir: str, base_table: str
+    df: DataFrame, sf_dir: str, base_table: str, build_frac: float = 1.0
 ) -> DataFrame:
-    """SHUFFLE_HASH-hint ``df`` once ``base_table``'s parquet outgrows
-    the broadcast cap (guide §3.1: pick the join strategy deliberately).
+    """SHUFFLE_HASH-hint ``df`` once its ESTIMATED size — ``base_table``'s
+    parquet bytes × ``build_frac``, the caller's known selectivity of the
+    filters applied to the base — outgrows the broadcast cap (guide §3.1:
+    pick the join strategy deliberately).
+
     Under the cap the hint is withheld so AQE keeps its runtime
-    broadcast decision — the right call at bench/fixture scale.  Past
-    it, both join sides are exchange-bound either way and the hint
-    trades SortMergeJoin's per-pass O(n log n) sort of the corpus-sized
-    probe side for a hash build of the (filtered, much smaller) build
-    side — measured 1.8× on q03's 300M-row join at sf100, identical
-    rows.  Spark 4's shuffled-hash build spills, so an oversized build
-    partition degrades instead of OOMing, and at any scale the build
-    side here stays the filtered order of magnitude below the probe."""
-    if _path_bytes(f"{sf_dir}/{base_table}.parquet") > BROADCAST_CAP_BYTES:
-        return df.hint("shuffle_hash")
-    return df
+    broadcast decision — a broadcast build beats SHUFFLE_HASH outright
+    because the probe side is then not shuffled at all (the r9 gate
+    keyed on the UNFILTERED base and so forced a full probe shuffle at
+    mid scales where AQE was broadcasting the filtered build — ADVICE
+    r9).  Past the cap, both join sides are exchange-bound either way
+    and the hint trades SortMergeJoin's per-pass O(n log n) sort of the
+    corpus-sized probe side for a hash build of the (filtered, much
+    smaller) build side — measured 1.8× on q03's 300M-row join at
+    sf100, identical rows.  The build side must fit task memory per
+    partition (it does not spill — see SHUFFLE_HASH_BUILD_PARTITION_CAP
+    above); past that upper gate the hint is withheld too and SMJ's
+    spill-safe path stands."""
+    est = _path_bytes(f"{sf_dir}/{base_table}.parquet") * build_frac
+    if est <= BROADCAST_CAP_BYTES:
+        return df
+    try:
+        parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        parts = 200
+    if est / max(parts, 1) > SHUFFLE_HASH_BUILD_PARTITION_CAP:
+        return df
+    return df.hint("shuffle_hash")
 
 
 def load_dim(

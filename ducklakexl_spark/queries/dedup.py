@@ -188,8 +188,15 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", shingles_col(F.col("text")).alias("sh")
+    # r10: the (doc_id, shingle-set) frame feeds BOTH sides of the
+    # quadratic join; checkpointing it (doc-sized) tokenizes the corpus
+    # once instead of once per side and drops the plan to 0 parquet
+    # rescans — the sibling discipline (guide §5).  The O(n²) compare
+    # itself stays: it IS the ground-truth audit.
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", shingles_col(F.col("text")).alias("sh"))
+        .localCheckpoint(eager=True)
     )
     # the ground-truth audit is quadratic BY DESIGN (see docstring) but
     # must still use every core: the documents fixture is one parquet
@@ -292,6 +299,17 @@ _SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" 
 _SIG_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
+# The banded-LSH candidate-pair frame (doc_a, doc_b, n_a, n_b) is the
+# third member of the dedup index (r9 "not yet optimized" item): the
+# verify-prefilter's build side (distinct candidate ids) otherwise
+# replays the doc-sized band self-join a second time inside the same
+# plan.  Pair-graph-sized (sparse by LSH design), so persisting it is
+# cheap; every consumer (LSH pairs, clusters, canonical pick, recall)
+# reads the band join's output exactly once per corpus snapshot.
+_CAND_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+_DEDUP_CACHES = (_SHINGLE_CACHE, _SIG_CACHE, _CAND_CACHE)
 
 
 def _evict_other_sf_dirs(spark: SparkSession, sf_dir: str) -> None:
@@ -302,7 +320,7 @@ def _evict_other_sf_dirs(spark: SparkSession, sf_dir: str) -> None:
     r7), and the multi-SF sweep/bench harnesses would stack sf0.01+sf0.1+
     sf1 indexes.  Within one sf_dir nothing changes — the persist is the
     deliberate model of a written per-corpus-snapshot artifact."""
-    for cache in (_SHINGLE_CACHE, _SIG_CACHE):
+    for cache in _DEDUP_CACHES:
         per_session = cache.get(spark)
         if not per_session:
             continue
@@ -314,7 +332,7 @@ def invalidate_dedup_index(spark: SparkSession) -> None:
     """Drop every cached shingle/signature table for ``spark`` (e.g.
     after regenerating a documents fixture mid-session — the cache keys
     on sf_dir only and would otherwise serve stale results)."""
-    for cache in (_SHINGLE_CACHE, _SIG_CACHE):
+    for cache in _DEDUP_CACHES:
         per_session = cache.pop(spark, None)
         if per_session:
             for df in per_session.values():
@@ -394,26 +412,18 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig
 
 
-@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection, end to end and fully codegen'd:
-
-    1. distinct (doc_id, h) shingle-hash rows; ONE md5 per shingle, then
-       only 8-byte longs move; the N_MINHASH signature =
-       groupBy(doc_id).min of affine mixes (map-side partial
-       aggregation — the shuffle moves 8 longs/doc);
-    2. explode into N_BANDS (band, band_key) rows; equi-join on the band
-       key for candidate pairs (uniform 128-bit key, AQE-skew-safe);
-    3. verify candidates with exact Jaccard computed relationally on the
-       hash rows: |A∩B| = count of matching h per pair, |A| and |B| from
-       the per-doc distinct counts (long equi-join, never strings).
-
-    At 100 TB nothing here touches a cross product and no array state
-    crosses a shuffle — candidate pairs and 8-long signatures do.
-    """
-    sh = shingle_rows(spark, sf_dir)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a, doc_b, n_a, n_b) — the band
+    self-join's distinct output, persisted per session as the third
+    dedup-index table (pair-graph-sized).  n_sh rides the band explode
+    so both Jaccard denominators come out attached — no join back onto
+    the signature table."""
+    _evict_other_sf_dirs(spark, sf_dir)
+    per_session = _CAND_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
+    if cached is not None:
+        return cached
     sig = minhash_signatures(spark, sf_dir)
-
     band_structs = F.array(
         *[
             F.struct(
@@ -429,10 +439,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    # n_sh rides along through the band explode (one extra long per band
-    # row) so the candidate pairs come out with both set sizes attached —
-    # no join back onto the signature table afterwards (guide §2.4: two
-    # doc-sized equi-joins removed outright).
     bands = sig.select(
         "doc_id", "n_sh", F.explode(band_structs).alias("bk")
     ).select(
@@ -456,14 +462,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.n_sh").alias("n_b"),
         )
         .distinct()
+        .persist()
     )
+    per_session[sf_dir] = cand
+    return cand
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, end to end and fully codegen'd:
+
+    1. distinct (doc_id, h) shingle-hash rows; ONE md5 per shingle, then
+       only 8-byte longs move; the N_MINHASH signature =
+       groupBy(doc_id).min of affine mixes (map-side partial
+       aggregation — the shuffle moves 8 longs/doc);
+    2. explode into N_BANDS (band, band_key) rows; equi-join on the band
+       key for candidate pairs (uniform 128-bit key, AQE-skew-safe) —
+       computed once and persisted (lsh_candidate_pairs);
+    3. verify candidates with exact Jaccard computed relationally on the
+       hash rows: |A∩B| = count of matching h per pair, |A| and |B| from
+       the per-doc distinct counts (long equi-join, never strings).
+
+    At 100 TB nothing here touches a cross product and no array state
+    crosses a shuffle — candidate pairs and 8-long signatures do.
+    """
+    sh = shingle_rows(spark, sf_dir)
+    cand = lsh_candidate_pairs(spark, sf_dir)
     # Verify-side prefilter (guide §3.2): the full shingle table is the
     # one corpus-sized frame here, and the exact-Jaccard verify joins
     # would shuffle it twice (by doc_a, then by (doc_b, h)).  LSH
     # candidates are sparse by design, so shrink the shingle table to
-    # candidate docs FIRST with a semi-join whose build side (distinct
-    # candidate ids) replays only the doc-sized band join — the classic
-    # scan-the-small-side-twice trade.  The hint is size-gated like every
+    # candidate docs FIRST with a semi-join whose build side reads the
+    # PERSISTED candidate frame (r9 paid a band-join replay here; the
+    # r10 candidate cache erases it).  The hint is size-gated like every
     # linearly-growing broadcast in this repo; past the cap AQE decides.
     cand_ids = (
         cand.select(

@@ -126,12 +126,18 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-01-01").cast("date")
     )
     # customer is the small side — broadcast it into the orders join.
-    # Past broadcast scale the orders⋈lineitem join is hinted
-    # SHUFFLE_HASH: orders (date-filtered, BUILDING-segment) is the
-    # build side an order of magnitude below the lineitem probe, and
-    # skipping SMJ's per-pass sort of the corpus-sized probe measured
-    # 25.5 → 14.2 s warm at sf100 (identical top-10).  Under the cap
-    # the hint is withheld and AQE broadcasts as before.
+    # Once the FILTERED build side (orders × ~0.18: BUILDING is one of
+    # five uniform segments ≈ 0.20, date < 1998 keeps ≈ 0.92) outgrows
+    # broadcastability, the orders⋈lineitem join is hinted
+    # SHUFFLE_HASH: the filtered orders build stays an order of
+    # magnitude below the lineitem probe, and skipping SMJ's per-pass
+    # sort of the corpus-sized probe measured 25.5 → 14.2 s warm at
+    # sf100 (identical top-10).  While the filtered build is still
+    # broadcastable (every SF ≤ 10 on the fixture family), the hint is
+    # withheld and AQE broadcasts it — the probe is then not shuffled
+    # at all, strictly better than any shuffled join (ADVICE r9: the
+    # old gate keyed on the unfiltered base and killed that plan at
+    # mid scales).
     ordc = shuffle_hash_if_large(
         orders.join(
             broadcast_if_small(cust, sf_dir, "customer"),
@@ -139,6 +145,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sf_dir,
         "orders",
+        build_frac=0.18,
     )
     return (
         ordc.join(li, li.l_orderkey == orders.o_orderkey)

@@ -1470,10 +1470,20 @@ def sim_diversity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sels = mmr_sel.select(
         F.lit("mmr").alias("selection"), "vec_id"
     ).unionAll(top_sel.select(F.lit("top5").alias("selection"), "vec_id"))
-    s = e.join(sels, "vec_id").select(
-        "selection",
-        F.col("vec_id").alias("sid"),
-        F.col("embedding").alias("sv"),
+    # r10 (guide §5 materialize-multiply-referenced): the 10-row
+    # (selection, sid, sv) frame embeds the WHOLE mmr + top5 selection
+    # pipelines (their own corpus scans) in its plan; checkpointing it
+    # truncates that lineage so the query's executed plan is exactly ONE
+    # corpus cosine pass against a 10-row broadcast — the selection
+    # pipelines run once at build, not once per reference/execution.
+    s = (
+        e.join(sels, "vec_id")
+        .select(
+            "selection",
+            F.col("vec_id").alias("sid"),
+            F.col("embedding").alias("sv"),
+        )
+        .localCheckpoint(eager=True)
     )
     per_row = (
         corpus.join(F.broadcast(s), F.col("vec_id") != F.col("sid"))

@@ -626,3 +626,92 @@ def test_q03_shuffle_hash_join_past_broadcast_scale(spark, monkeypatch):
         assert "shuffle_hash" in plan or "SHUFFLE_HASH" in plan
     finally:
         q.clear_plan_caches(spark)
+
+
+# --- r10 optimization-round shape pins (OPTIMIZATION_r10.md) ----------------
+
+
+def test_q03_hint_withheld_while_filtered_build_broadcastable(
+    spark, monkeypatch
+):
+    """q03 r10 (ADVICE r9): the SHUFFLE_HASH gate keys on the ESTIMATED
+    FILTERED build (orders bytes x 0.18 selectivity), not the unfiltered
+    base — at mid scales where the filtered build still broadcasts, the
+    hint must be withheld so AQE keeps the broadcast plan (probe never
+    shuffled).  Simulated by a cap between frac*bytes and bytes: the old
+    gate (unfiltered > cap) would hint; the fixed gate must not."""
+    import ducklakexl_spark.queries as q
+
+    from ducklakexl_spark.queries.relational import q03_shipping_priority
+
+    orders_bytes = q._path_bytes(f"{SF}/orders.parquet")
+    monkeypatch.setattr(q, "BROADCAST_CAP_BYTES", int(orders_bytes * 0.5))
+    try:
+        df = q03_shipping_priority(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "shuffle_hash" not in plan and "SHUFFLE_HASH" not in plan
+    finally:
+        q.clear_plan_caches(spark)
+
+
+def test_q03_hint_withheld_when_build_partition_oversized(spark, monkeypatch):
+    """q03 r10 (ADVICE r9 upper gate): Spark's shuffled-hash BUILD side
+    does not spill, so once the estimated filtered-build bytes per
+    shuffle partition exceed the safety cap the hint must be withheld
+    and SMJ's spill-safe path stand."""
+    import ducklakexl_spark.queries as q
+
+    from ducklakexl_spark.queries.relational import q03_shipping_priority
+
+    monkeypatch.setattr(q, "BROADCAST_CAP_BYTES", -1)
+    monkeypatch.setattr(q, "SHUFFLE_HASH_BUILD_PARTITION_CAP", 0)
+    try:
+        df = q03_shipping_priority(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "shuffle_hash" not in plan and "SHUFFLE_HASH" not in plan
+    finally:
+        q.clear_plan_caches(spark)
+
+
+def test_minhash_lsh_candidate_frame_persisted(spark):
+    """dedup_minhash_lsh r10 (VERDICT r9 task 3): the banded candidate
+    pairs are the third persisted dedup-index table — the verify
+    prefilter's build side reads the cache instead of replaying the
+    doc-sized band self-join, so the executed plan evaluates the band
+    join at most once (inside the cache materialization) and reads the
+    candidate cache twice."""
+    from ducklakexl_spark.queries import dedup
+
+    plan = final_plan(spark, "dedup_minhash_lsh")
+    # both candidate references (verify join + prefilter ids) read caches
+    assert plan.count("InMemoryTableScan") >= 2
+    # identity: the index caches, per session+sf_dir
+    assert dedup.lsh_candidate_pairs(spark, SF) is dedup.lsh_candidate_pairs(
+        spark, SF
+    )
+    # the band self-join executes at most once: every join on the band
+    # key lives inside the ONE InMemoryRelation description (the cache
+    # build), never as a second live join in the query DAG.  (r9 shape:
+    # two band-key joins, one per candidate reference.)
+    band_joins = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "band_key" in ln
+    ]
+    assert len(band_joins) <= 1
+
+
+def test_diversity_coverage_single_corpus_scan(spark):
+    """sim_diversity_coverage r10 (VERDICT r9 task 6): the 10-row
+    selection frame is checkpointed, so the query's executed plan is ONE
+    embeddings corpus scan against a broadcast — the mmr/top5 selection
+    pipelines (their own corpus scans) no longer replay per execution."""
+    plan = final_plan(spark, "sim_diversity_coverage")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_ngram_jaccard_checkpointed_shingles(spark):
+    """dedup_ngram_jaccard r10 (VERDICT r9 task 6): the (doc_id, shingle
+    set) frame is checkpointed and feeds both sides of the quadratic
+    audit join — zero parquet rescans; tokenization runs once."""
+    plan = final_plan(spark, "dedup_ngram_jaccard")
+    assert plan.count("Scan parquet") == 0
