@@ -25,7 +25,12 @@ import weakref
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducklakexl_spark.queries import broadcast_if_small, load, query
+from ducklakexl_spark.queries import (
+    broadcast_if_small,
+    load,
+    query,
+    shuffle_hash_if_large,
+)
 
 N_MINHASH = 8  # 4 bands x 2 rows -> ~0.5 jaccard threshold knee
 N_BANDS = 4
@@ -479,12 +484,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. explode into N_BANDS (band, band_key) rows; equi-join on the band
        key for candidate pairs (uniform 128-bit key, AQE-skew-safe) —
        computed once and persisted (lsh_candidate_pairs);
-    3. verify candidates with exact Jaccard computed relationally on the
-       hash rows: |A∩B| = count of matching h per pair, |A| and |B| from
-       the per-doc distinct counts (long equi-join, never strings).
+    3. verify candidates with exact Jaccard: each candidate doc's
+       distinct shingle-hash SET moves once as a bounded array
+       (set size ∝ doc length), two doc-keyed equi-joins attach both
+       sets to each pair, and |A∩B| = size(array_intersect(...)) in
+       codegen — no per-shingle fan-out, no pair-keyed shuffle of
+       shingle rows (r10; see the verify comment below).
 
-    At 100 TB nothing here touches a cross product and no array state
-    crosses a shuffle — candidate pairs and 8-long signatures do.
+    At 100 TB nothing here touches a cross product, and the only
+    array state crossing a shuffle is the per-doc shingle set —
+    bounded by document length, the §8 move-heavy-bytes-once payload.
     """
     sh = shingle_rows(spark, sf_dir)
     cand = lsh_candidate_pairs(spark, sf_dir)
@@ -504,13 +513,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_cand = sh.join(
         broadcast_if_small(cand_ids, sf_dir, "documents"), "doc_id", "semi"
     )
+    # Exact-Jaccard verify, r10 shape (guide §2.3 project-before-the-
+    # exchange + §8 move-heavy-bytes-once).  The r9 relational verify
+    # joined candidate pairs onto the shingle ROWS — its intermediate
+    # was Σ_pairs |A| rows (≈1.3B at sf100, 25M pairs × ~52 shingles)
+    # with the pair metadata repeated on EVERY shingle row across two
+    # pair-keyed shuffles; the SMJ sort of that spilled ~50 GB and
+    # could not complete on the bench box, and the static planner's
+    # alternative (broadcasting the 12 GiB shingle side — its semi-join
+    # estimate collapses over a cached build) dies on the 8 GiB cap.
+    # Instead each candidate doc's DISTINCT shingle-hash set crosses
+    # the wire once, as one bounded array row (set size ∝ doc length):
+    # two doc-keyed equi-joins attach hs_a/hs_b to the pairs and
+    # |A∩B| is size(array_intersect(...)) per pair in codegen — no
+    # aggregation, no per-shingle fan-out, ~5× fewer shuffle bytes.
+    # Past broadcast scale both array joins are hinted SHUFFLE_HASH
+    # with the pair/array sides as bounded per-partition builds; under
+    # the cap the hints are withheld and AQE broadcasts as before.
+    arrs = sh_cand.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    arrs_a = shuffle_hash_if_large(
+        arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+        sf_dir,
+        "documents",
+    )
+    arrs_b = shuffle_hash_if_large(
+        arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+        sf_dir,
+        "documents",
+    )
     inter = (
-        cand.join(
-            sh_cand.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a"
+        cand.join(arrs_a, "doc_a")
+        .join(arrs_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_inter"),
         )
-        .join(sh_cand.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     j = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")

@@ -52,6 +52,13 @@ def get_spark(
         # pushdown on timestamp columns survives (NTZ + cast would not)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # collect() of a large declared-query result (the bench/driver
+        # contract materializes every query via collect) trips the 1 GiB
+        # default at sf100 — dedup_minhash_lsh's 25M-pair result is
+        # ~1.1 GiB serialized.  8g stays far under the driver heap; this
+        # is the §5 "raise it only if the driver truly has the memory"
+        # case, not a license to collect corpus-sized frames.
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

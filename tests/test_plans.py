@@ -625,6 +625,10 @@ def test_q03_shuffle_hash_join_past_broadcast_scale(spark, monkeypatch):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "shuffle_hash" in plan or "SHUFFLE_HASH" in plan
     finally:
+        # clears the shared plan+load caches (later tests rebuild their
+        # plans — the safe trade for isolation); _SIZE_CACHE is
+        # deliberately left populated: this test never perturbed it,
+        # only the gate constant, so its entries stay valid
         q.clear_plan_caches(spark)
 
 
