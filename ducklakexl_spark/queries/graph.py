@@ -35,13 +35,13 @@ def _pr_oracle() -> str:
         for k in range(PR_ITER)
     )
     return f"""
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
       SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
                       's' || CAST(l_suppkey AS VARCHAR) AS b
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+    sym AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    deg AS MATERIALIZED (SELECT a, count(*) AS d FROM sym GROUP BY a),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
     r0 AS (SELECT deg.a AS node, deg.d, 1.0 / nn.n AS r
            FROM deg CROSS JOIN nn){iters}

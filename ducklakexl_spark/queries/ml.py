@@ -60,13 +60,13 @@ def _duck_assign(cent_cte: str) -> str:
 
 def _kmeans_oracle() -> str:
     return f"""
-    WITH init AS (
+    WITH init AS MATERIALIZED (
       SELECT vec_id AS cell,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
       FROM embeddings WHERE vec_id < {K}
     ),
-    a1 AS ({_duck_assign("init")}),
-    c1 AS (
+    a1 AS MATERIALIZED ({_duck_assign("init")}),
+    c1 AS MATERIALIZED (
       SELECT cell, list(v ORDER BY i) AS cvec
       FROM (SELECT a1.cell, i,
                    round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS v
@@ -75,7 +75,7 @@ def _kmeans_oracle() -> str:
             GROUP BY a1.cell, i)
       GROUP BY cell
     ),
-    a2 AS ({_duck_assign("c1")})
+    a2 AS MATERIALIZED ({_duck_assign("c1")})
     SELECT a2.cell AS cluster, count(*) AS n,
            any_value(round(sqrt(list_sum(list_transform(c.cvec, x -> x * x))),
                            6)) AS centroid_norm

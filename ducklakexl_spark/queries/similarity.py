@@ -1197,7 +1197,15 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mmr_oracle() -> str:
     """Unrolled 5-step MMR selection as chained CTEs (argmax-per-step
-    needs ORDER BY/LIMIT, which a recursive CTE term can't carry)."""
+    needs ORDER BY/LIMIT, which a recursive CTE term can't carry).
+
+    ``cand`` and ``pair`` are MATERIALIZED (r10): every m2..m5 step and
+    the pair CTE reference cand, and DuckDB's default inlining re-ran
+    the full corpus cosine top-16 once per reference — at sf100 that
+    blew the 48 GB memory cap (the r9 sweep's oracle-resource SKIP).
+    Materializing the 16-row candidate set and the 240-row pair table
+    makes the oracle one corpus pass + bounded work, with values
+    identical by construction (same SQL, evaluated once)."""
     steps = []
     for i in range(2, 6):
         steps.append(f"""
@@ -1216,13 +1224,13 @@ c{i} AS (SELECT vec_id FROM c{i - 1} UNION ALL SELECT vec_id FROM s{i})""")
     )
     return f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT e.vec_id, e.embedding,
              {_sql_cosine("e.embedding", "q.qv")} AS rel
       FROM embeddings e, q WHERE e.vec_id <> 0
       ORDER BY rel DESC, e.vec_id LIMIT 16
     ),
-    pair AS (
+    pair AS MATERIALIZED (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              {_sql_cosine("a.embedding", "b.embedding")} AS sim
       FROM cand a, cand b WHERE a.vec_id <> b.vec_id
@@ -1504,11 +1512,20 @@ def sim_diversity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["sim_diversity_coverage"] = f"""
-    WITH msel AS (SELECT vec_id FROM ({_ORACLES["sim_mmr_rerank"]}) t),
+    WITH msel AS MATERIALIZED (
+      SELECT vec_id FROM ({_ORACLES["sim_mmr_rerank"]}) t),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    tsel AS (
+    tsel AS MATERIALIZED (
       SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
       ORDER BY {_sql_cosine("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 5
+    ),
+    ms AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN msel USING (vec_id)
+    ),
+    ts AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN tsel USING (vec_id)
     ),
     corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
     mrows AS (
@@ -1516,8 +1533,7 @@ _ORACLES["sim_diversity_coverage"] = f"""
              CAST(round(max({_sql_cosine("c.embedding", "s.embedding")})
                         * 1000000) AS BIGINT) AS mc
       FROM corpus c
-      JOIN (SELECT e.vec_id, e.embedding FROM embeddings e
-            JOIN msel USING (vec_id)) s ON c.vec_id <> s.vec_id
+      JOIN ms s ON c.vec_id <> s.vec_id
       GROUP BY c.vec_id
     ),
     trows AS (
@@ -1525,8 +1541,7 @@ _ORACLES["sim_diversity_coverage"] = f"""
              CAST(round(max({_sql_cosine("c.embedding", "s.embedding")})
                         * 1000000) AS BIGINT) AS mc
       FROM corpus c
-      JOIN (SELECT e.vec_id, e.embedding FROM embeddings e
-            JOIN tsel USING (vec_id)) s ON c.vec_id <> s.vec_id
+      JOIN ts s ON c.vec_id <> s.vec_id
       GROUP BY c.vec_id
     )
     SELECT 'mmr' AS selection, count(*) AS n_covered,
